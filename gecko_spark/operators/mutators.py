@@ -1,0 +1,1023 @@
+"""Mutators: DataFrame transformations that corrupt a fraction of rows.
+
+Reference parity: gecko/mutator.py (M1–M19 in SURVEY.md §2.2). The
+shared contract (reference gecko/mutator.py:68-73 + §3.3 of SURVEY.md):
+
+* an *eligibility* predicate marks rows the mutator could change;
+* selection is Bernoulli among eligible rows — the default "lazy" mode
+  draws ``u < p`` conditioned on eligibility (no extra Spark job); the
+  ``strict_p`` mode of :func:`gecko_spark.plans.pipeline.mutate_data_frame`
+  additionally measures the eligible fraction with one aggregation,
+  rescales ``p`` and emits :class:`~gecko_spark.core.GeckoWarning` when
+  the requested rate is unreachable, matching the reference exactly;
+* only selected rows change; everything else passes through untouched.
+
+Execution shape: every mutator contributes *column expressions* to one
+projection — chained mutators collapse into a handful of stages under
+Catalyst. Pure string/date algebra runs JVM-side in whole-stage
+codegen; the four table-driven mutators (CLDR typos, phonetic /
+inline-replacement / regex tables) each run ONE Arrow ``pandas_udf``
+whose inputs are (value, selection flag, uniform draws) — kernels are
+pure functions, all randomness is derived JVM-side (core.py policy), so
+results are partitioning-independent.
+"""
+
+from __future__ import annotations
+
+import re
+import string as _string
+from typing import Callable, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gecko_spark.core import (
+    HashRandom,
+    RandomSource,
+    bernoulli_select,
+    check_probability,
+)
+from gecko_spark.functions.datetime_patterns import strftime_to_spark
+from gecko_spark.functions.strings import (
+    delete_char_at,
+    insert_char_at,
+    replace_char_at,
+    transpose_at,
+)
+from gecko_spark.operators.generators import ColumnGenerator
+from gecko_spark.sources.cldr import load_cldr_candidates
+from gecko_spark.sources.tables import (
+    TableSource,
+    load_config_table,
+    load_phonetic_table,
+    load_regex_table,
+    load_replacement_table,
+)
+
+__all__ = [
+    "Mutator",
+    "with_function",
+    "with_cldr_keymap_file",
+    "with_phonetic_replacement_table",
+    "with_replacement_table",
+    "with_missing_value",
+    "with_insert",
+    "with_delete",
+    "with_transpose",
+    "with_substitute",
+    "with_noop",
+    "with_categorical_values",
+    "with_permute",
+    "with_lowercase",
+    "with_uppercase",
+    "with_datetime_offset",
+    "with_generator",
+    "with_regex_replacement_table",
+    "with_repeat",
+    "with_group",
+]
+
+# salt layout: 0 = row selection, 1.. = mutation draws
+_SALT_SELECT = 0
+
+
+class Mutator:
+    """Base mutator: produces mutated column expressions.
+
+    Single-column mutators (the default) are mapped independently over
+    each column they're assigned to, mirroring the reference's
+    list-of-series semantics (e.g. gecko/mutator.py:699-701). Group
+    mutators (``group_arity=True``) see all columns at once (permute,
+    generator splice, weighted group).
+    """
+
+    name = "mutator"
+    group_arity = False
+
+    # -- single-column hooks ------------------------------------------------
+    def _eligible(self, col: Column, rand: RandomSource) -> Optional[Column]:
+        return None  # None = every row is eligible
+
+    def _mutate(self, col: Column, rand: RandomSource) -> Column:
+        raise NotImplementedError
+
+    def _transform(self, col: Column, rand: RandomSource, selected: Column) -> Column:
+        return F.when(selected, self._mutate(col, rand)).otherwise(col)
+
+    # -- group hooks ---------------------------------------------------------
+    def _eligible_group(self, cols: list[Column], rand: RandomSource) -> Optional[Column]:
+        return None
+
+    def _transform_group(
+        self, cols: list[Column], rand: RandomSource, selected: Column
+    ) -> list[Column]:
+        raise NotImplementedError
+
+    def _validate_group(self, n_columns: int) -> None:
+        pass
+
+    # -- driver --------------------------------------------------------------
+    def apply(
+        self,
+        df: DataFrame,
+        columns: Union[str, Sequence[str]],
+        p: float = 1.0,
+        rand: Optional[RandomSource] = None,
+        seed: int = 0,
+        strict_p: bool = False,
+    ) -> DataFrame:
+        """Apply this mutator to ``columns`` of ``df`` with probability p."""
+        check_probability(p)
+        if isinstance(columns, str):
+            columns = [columns]
+        columns = list(columns)
+        for c in columns:
+            if c not in df.columns:
+                raise ValueError(
+                    f"column `{c}` does not exist, must be one of `{','.join(df.columns)}`"
+                )
+        if rand is None:
+            rand = HashRandom(seed, [F.col(c) for c in columns])
+
+        out: dict[str, Column] = {}
+        if self.group_arity:
+            self._validate_group(len(columns))
+            cols = [F.col(c) for c in columns]
+            eligible = self._eligible_group(cols, rand)
+            p_eff = self._strict_rescale(df, eligible, p) if strict_p else p
+            selected = bernoulli_select(rand, _SALT_SELECT, p_eff, eligible)
+            for c, expr in zip(columns, self._transform_group(cols, rand, selected)):
+                out[c] = expr
+        else:
+            for i, c in enumerate(columns):
+                r = rand.fork(i)
+                col = F.col(c)
+                eligible = self._eligible(col, r)
+                p_eff = self._strict_rescale(df, eligible, p) if strict_p else p
+                selected = bernoulli_select(r, _SALT_SELECT, p_eff, eligible)
+                out[c] = self._transform(col, r, selected)
+
+        return df.select(
+            *[out[c].alias(c) if c in out else F.col(c) for c in df.columns]
+        )
+
+    def _strict_rescale(self, df: DataFrame, eligible: Optional[Column], p: float) -> float:
+        """Measure the eligible fraction (one aggregation job), warn when
+        p is unreachable, and rescale so the overall mutated fraction ≈ p
+        — the reference's exact contract (gecko/mutator.py:68-73,
+        :688-691)."""
+        import warnings
+
+        from gecko_spark.core import GeckoWarning
+
+        if eligible is None:
+            return p
+        row = df.select(F.avg(eligible.cast("double")).alias("pa")).first()
+        p_actual = row["pa"] or 0.0
+        if p_actual < p:
+            warnings.warn(
+                f"{self.name}: desired probability of {p} cannot be met since "
+                f"percentage of rows that could possibly be mutated is {p_actual}",
+                GeckoWarning,
+            )
+        if p_actual <= 0:
+            return 0.0
+        return min(1.0, p / p_actual)
+
+    # gecko calling convention: mutator(df, columns, p)
+    def __call__(self, df: DataFrame, columns, p: float = 1.0, **kw) -> DataFrame:
+        return self.apply(df, columns, p, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Simple column mutators
+# ---------------------------------------------------------------------------
+
+
+class _MissingValue(Mutator):
+    name = "with_missing_value"
+
+    def __init__(self, value: str = ""):
+        self.value = value
+
+    def _eligible(self, col, rand):
+        return col != F.lit(self.value)  # gecko/mutator.py:678
+
+    def _mutate(self, col, rand):
+        return F.lit(self.value)
+
+
+def with_missing_value(value: str = "") -> Mutator:
+    """Overwrite selected rows with a sentinel (gecko/mutator.py:658-702)."""
+    return _MissingValue(value)
+
+
+def _charset_list(charset: Union[str, Sequence[str]]) -> list[str]:
+    chars = list(charset)
+    if not chars:
+        raise ValueError("charset must not be empty")
+    return chars
+
+
+class _Insert(Mutator):
+    name = "with_insert"
+
+    def __init__(self, charset: Union[str, Sequence[str]] = _string.ascii_letters):
+        self.charset = _charset_list(charset)
+
+    def _mutate(self, col, rand):
+        pos = rand.uniform_int(1, F.length(col) + F.lit(1))
+        ch = rand.choice(2, self.charset)
+        return insert_char_at(col, pos, ch)
+
+
+def with_insert(charset: Union[str, Sequence[str]] = _string.ascii_letters) -> Mutator:
+    """Insert one random char at a uniform position, position len appends
+    (gecko/mutator.py:705-759)."""
+    return _Insert(charset)
+
+
+class _Delete(Mutator):
+    name = "with_delete"
+
+    def _eligible(self, col, rand):
+        return F.length(col) >= 1  # gecko/mutator.py:778-779
+
+    def _mutate(self, col, rand):
+        pos = rand.uniform_int(1, F.length(col))
+        return delete_char_at(col, pos)
+
+
+def with_delete() -> Mutator:
+    """Delete one char at a uniform position (gecko/mutator.py:762-812)."""
+    return _Delete()
+
+
+class _Transpose(Mutator):
+    name = "with_transpose"
+
+    def _eligible(self, col, rand):
+        return F.length(col) >= 2  # gecko/mutator.py:834-835
+
+    def _mutate(self, col, rand):
+        pos = rand.uniform_int(1, F.length(col) - F.lit(1))
+        return transpose_at(col, pos)
+
+
+def with_transpose() -> Mutator:
+    """Swap two adjacent chars; identical neighbors may swap to a no-op,
+    same as the reference (gecko/mutator.py:815-871)."""
+    return _Transpose()
+
+
+class _Substitute(Mutator):
+    name = "with_substitute"
+
+    def __init__(self, charset: Union[str, Sequence[str]] = _string.ascii_letters):
+        self.charset = _charset_list(charset)
+
+    def _eligible(self, col, rand):
+        return F.length(col) >= 1
+
+    def _mutate(self, col, rand):
+        pos = rand.uniform_int(1, F.length(col))
+        ch = rand.choice(2, self.charset)
+        return replace_char_at(col, pos, ch)
+
+
+def with_substitute(charset: Union[str, Sequence[str]] = _string.ascii_letters) -> Mutator:
+    """Replace one char at a uniform position with a random charset char
+    (self-replacement possible, gecko/mutator.py:874-938)."""
+    return _Substitute(charset)
+
+
+class _Noop(Mutator):
+    name = "with_noop"
+
+    def _transform(self, col, rand, selected):
+        return col
+
+
+def with_noop() -> Mutator:
+    """Identity (gecko/mutator.py:941-955)."""
+    return _Noop()
+
+
+class _Lowercase(Mutator):
+    name = "with_lowercase"
+
+    def _eligible(self, col, rand):
+        # Column approximation of Python's ~str.islower() eligibility
+        # (gecko/mutator.py:1141-1142): differs only for strings with no
+        # cased characters, whose mutation is a no-op anyway.
+        return col != F.lower(col)
+
+    def _mutate(self, col, rand):
+        return F.lower(col)
+
+
+def with_lowercase() -> Mutator:
+    return _Lowercase()
+
+
+class _Uppercase(Mutator):
+    name = "with_uppercase"
+
+    def _eligible(self, col, rand):
+        return col != F.upper(col)
+
+    def _mutate(self, col, rand):
+        return F.upper(col)
+
+
+def with_uppercase() -> Mutator:
+    return _Uppercase()
+
+
+class _Repeat(Mutator):
+    name = "with_repeat"
+
+    def __init__(self, join_with: str = " "):
+        self.join_with = join_with
+
+    def _mutate(self, col, rand):
+        return F.concat(col, F.lit(self.join_with), col)
+
+
+def with_repeat(join_with: str = " ") -> Mutator:
+    """Duplicate the value with a separator (gecko/mutator.py:1593-1620)."""
+    return _Repeat(join_with)
+
+
+class _CategoricalValues(Mutator):
+    name = "with_categorical_values"
+
+    def __init__(self, uniques: list[str]):
+        if len(uniques) < 2:
+            raise ValueError(
+                "categorical values mutator requires at least two distinct values"
+            )
+        self.uniques = sorted(uniques)
+
+    def _eligible(self, col, rand):
+        return col.isin(self.uniques)  # gecko/mutator.py:1016-1018
+
+    def _mutate(self, col, rand):
+        arr = F.array(*[F.lit(v) for v in self.uniques])
+        others = F.array_remove(arr, col)  # the k-1 different values
+        pick = rand.uniform_int(1, F.size(others))
+        return F.element_at(others, (pick + F.lit(1)).cast("int"))
+
+
+def with_categorical_values(
+    data_source: TableSource,
+    value_column: Union[str, int] = 0,
+    encoding: str = "utf-8",
+    delimiter: str = ",",
+) -> Mutator:
+    """Replace a categorical value with a *different* one from the unique
+    set of a config column (gecko/mutator.py:958-1056)."""
+    tbl = load_config_table(data_source, [value_column], delimiter=delimiter, encoding=encoding)
+    uniques = sorted(set(tbl.iloc[:, 0].tolist()))
+    return _CategoricalValues(uniques)
+
+
+# ---------------------------------------------------------------------------
+# Datetime offset
+# ---------------------------------------------------------------------------
+
+_UNIT_ALIASES = {
+    "d": "DAY", "days": "DAY",
+    "h": "HOUR", "hours": "HOUR",
+    "m": "MINUTE", "minutes": "MINUTE",
+    "s": "SECOND", "seconds": "SECOND",
+}
+_WRAP_FIELD = {"DAY": F.month, "HOUR": F.dayofmonth, "MINUTE": F.hour, "SECOND": F.minute}
+
+
+class _DatetimeOffset(Mutator):
+    name = "with_datetime_offset"
+
+    def __init__(self, max_delta: int, unit: str, dt_format: str, prevent_wraparound: bool):
+        if max_delta <= 0:
+            raise ValueError(f"delta must be positive, is {max_delta}")
+        if unit not in _UNIT_ALIASES:
+            raise ValueError(f"unrecognized unit: `{unit}`")
+        self.max_delta = max_delta
+        self.unit = _UNIT_ALIASES[unit]
+        self.dt_format = dt_format
+        self.spark_format = strftime_to_spark(dt_format)
+        self.prevent_wraparound = prevent_wraparound
+
+    def _ts(self, col):
+        return F.try_to_timestamp(col, F.lit(self.spark_format))
+
+    def _eligible(self, col, rand):
+        return self._ts(col).isNotNull()
+
+    def _mutate(self, col, rand):
+        ts = self._ts(col)
+        # uniform magnitude 1..max_delta, uniform sign (gecko/mutator.py:1252-1257)
+        magnitude = rand.uniform_int(1, self.max_delta) + F.lit(1)
+        sign = F.when(rand.uniform(2) < F.lit(0.5), F.lit(-1)).otherwise(F.lit(1))
+        out_ts = F.timestamp_add(self.unit, (magnitude * sign).cast("int"), ts)
+        if self.prevent_wraparound:
+            field = _WRAP_FIELD[self.unit]
+            out_ts = F.when(field(out_ts) != field(ts), ts).otherwise(out_ts)
+        return F.date_format(out_ts, self.spark_format)
+
+
+def with_datetime_offset(
+    max_delta: int,
+    unit: str,
+    dt_format: str,
+    prevent_wraparound: bool = False,
+) -> Mutator:
+    """Offset datetimes by a uniform nonzero signed delta in ±1..±max_delta
+    units; optionally revert offsets that change the next-coarser field
+    (gecko/mutator.py:1213-1297)."""
+    return _DatetimeOffset(max_delta, unit, dt_format, prevent_wraparound)
+
+
+# ---------------------------------------------------------------------------
+# Permute (multi-column)
+# ---------------------------------------------------------------------------
+
+
+def _derangements(k: int) -> list[tuple[int, ...]]:
+    """All permutations of range(k) with no fixed point
+    (gecko/mutator.py:1074-1079; k is small — spec columns)."""
+    import itertools
+
+    return [
+        perm
+        for perm in itertools.permutations(range(k))
+        if all(perm[i] != i for i in range(k))
+    ]
+
+
+class _Permute(Mutator):
+    name = "with_permute"
+    group_arity = True
+
+    def _validate_group(self, n_columns: int) -> None:
+        if n_columns < 2:
+            raise ValueError("permute mutator requires at least two columns")
+
+    def _transform_group(self, cols, rand, selected):
+        ders = _derangements(len(cols))
+        d = rand.uniform_int(1, len(ders))
+        out = []
+        for i in range(len(cols)):
+            expr = cols[i]
+            for j, perm in enumerate(ders):
+                expr = F.when(selected & (d == F.lit(j)), cols[perm[i]]).otherwise(expr)
+            out.append(expr)
+        return out
+
+
+def with_permute() -> Mutator:
+    """Swap values between columns per selected row using a uniformly
+    chosen derangement (no value stays in place —
+    gecko/mutator.py:1059-1122). Pure Column ops, no shuffle."""
+    return _Permute()
+
+
+# ---------------------------------------------------------------------------
+# Generator splice (multi-column)
+# ---------------------------------------------------------------------------
+
+
+class _WithGenerator(Mutator):
+    name = "with_generator"
+    group_arity = True
+
+    def __init__(self, generator: ColumnGenerator, mode: str, join_with: str):
+        if mode not in ("prepend", "append", "replace"):
+            raise ValueError(f"invalid mode: `{mode}`")
+        self.generator = generator
+        self.mode = mode
+        # `{}` marks where generated values go (gecko/mutator.py:1324-1337)
+        parts = join_with.split("{}", maxsplit=1)
+        if len(parts) == 1:
+            if mode == "prepend":
+                self.before, self.after = "", parts[0]
+            else:
+                self.before, self.after = parts[0], ""
+        else:
+            self.before, self.after = parts[0], parts[1]
+
+    def _validate_group(self, n_columns: int) -> None:
+        if self.generator.arity != n_columns:
+            raise ValueError(
+                f"generator must generate as many series as provided to the mutator: "
+                f"got {self.generator.arity}, expected {n_columns}"
+            )
+
+    def _transform_group(self, cols, rand, selected):
+        gen_cols = self.generator.columns(rand.fork(7))
+        out = []
+        for col, gen in zip(cols, gen_cols):
+            piece = F.concat(F.lit(self.before), gen, F.lit(self.after))
+            if self.mode == "replace":
+                mutated = gen
+            elif self.mode == "prepend":
+                mutated = F.concat(piece, col)
+            else:
+                mutated = F.concat(col, piece)
+            out.append(F.when(selected, mutated).otherwise(col))
+        return out
+
+
+def with_generator(
+    generator: ColumnGenerator,
+    mode: str,
+    join_with: str = " ",
+) -> Mutator:
+    """Prepend/append/replace selected rows with generator output
+    (gecko/mutator.py:1300-1389). Expression-style generators make this
+    a pure projection — no joins, unlike the reference's
+    reindex-alignment."""
+    return _WithGenerator(generator, mode, join_with)
+
+
+# ---------------------------------------------------------------------------
+# Weighted group multiplexer (multi-column)
+# ---------------------------------------------------------------------------
+
+
+class _Group(Mutator):
+    name = "with_group"
+    group_arity = True
+
+    def __init__(self, weighted: list[tuple[float, Mutator]]):
+        p_sum = sum(w for w, _ in weighted)
+        if p_sum > 1:
+            raise ValueError(f"sum of weights must not be higher than 1, is {p_sum}")
+        if p_sum <= 0:
+            raise ValueError(f"sum of weights must be higher than 0, is {p_sum}")
+        for i, (w, _) in enumerate(weighted):
+            if w <= 0:
+                raise ValueError(
+                    f"weight of mutator at index {i} must be higher than zero, is {w}"
+                )
+        if p_sum != 1:
+            weighted = weighted + [(1 - p_sum, with_noop())]
+        self.weighted = weighted
+
+    def _transform_group(self, cols, rand, selected):
+        # per-row mutator index ~ weights (gecko/mutator.py:1700-1703)
+        u = rand.uniform(1)
+        cum = 0.0
+        idx = F.lit(len(self.weighted) - 1)
+        conds = []
+        for j, (w, _) in enumerate(self.weighted[:-1]):
+            cum += w
+            conds.append((u < F.lit(cum), j))
+        for cond, j in reversed(conds):
+            idx = F.when(cond, F.lit(j)).otherwise(idx)
+
+        outs = list(cols)
+        for j, (_, mut) in enumerate(self.weighted):
+            if isinstance(mut, _Noop):
+                continue
+            rj = rand.fork(j + 2)
+            sel_j = selected & (idx == F.lit(j))
+            if mut.group_arity:
+                elig = mut._eligible_group(outs, rj)
+                sel = sel_j if elig is None else (sel_j & elig)
+                outs = mut._transform_group(outs, rj, sel)
+            else:
+                new_outs = []
+                for k, col in enumerate(outs):
+                    rk = rj.fork(k)
+                    elig = mut._eligible(col, rk)
+                    sel = sel_j if elig is None else (sel_j & elig)
+                    new_outs.append(mut._transform(col, rk, sel))
+                outs = new_outs
+        return outs
+
+
+def with_group(
+    mutator_lst: Union[list[Mutator], list[tuple[float, Mutator]]],
+) -> Mutator:
+    """Mutually-exclusive multiplexer: each selected row draws ONE
+    sub-mutator from the weight distribution; weights must sum to ≤ 1,
+    shortfall padded with a no-op (gecko/mutator.py:1641-1717).
+
+    All sub-mutators condition on the same drawn index column, so the
+    whole group stays a single projection — no shuffle, no union.
+    """
+    if all(isinstance(m, Mutator) for m in mutator_lst):
+        w = 1.0 / len(mutator_lst)
+        weighted = [(w, m) for m in mutator_lst]
+    else:
+        weighted = list(mutator_lst)  # type: ignore[arg-type]
+        for item in weighted:
+            if not (
+                isinstance(item, tuple)
+                and len(item) == 2
+                and isinstance(item[0], (int, float))
+                and isinstance(item[1], Mutator)
+            ):
+                raise ValueError(
+                    "invalid argument, must be a list of mutators or weighted mutators"
+                )
+    return _Group(weighted)
+
+
+# ---------------------------------------------------------------------------
+# UDF escape hatch
+# ---------------------------------------------------------------------------
+
+
+class _WithFunction(Mutator):
+    name = "with_function"
+
+    def __init__(self, func: Callable[..., str], args: tuple, kwargs: dict):
+        self.func, self.args, self.kwargs = func, args, kwargs
+
+    def _transform(self, col, rand, selected):
+        func, args, kwargs = self.func, self.args, self.kwargs
+
+        @F.pandas_udf(T.StringType())
+        def _apply(vals: pd.Series, sel: pd.Series) -> pd.Series:
+            out = vals.copy()
+            mask = sel.fillna(False).to_numpy(dtype=bool)
+            out[mask] = [str(func(v, *args, **kwargs)) for v in vals[mask]]
+            return out
+
+        return _apply(col, selected)
+
+
+def with_function(func: Callable[..., str], *args, **kwargs) -> Mutator:
+    """Arbitrary scalar ``func(value) -> str`` on selected rows — the
+    non-vectorized escape hatch (gecko/mutator.py:76-117)."""
+    return _WithFunction(func, args, kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Table-driven mutators (Arrow kernels)
+# ---------------------------------------------------------------------------
+
+
+def _expand_u(u: np.ndarray, salt: int) -> np.ndarray:
+    """Derive a fresh uniform array from a base uniform array — a
+    deterministic per-row LCG step so kernels needing many draws per row
+    stay pure functions of their inputs."""
+    m = (u * 2147483648.0).astype(np.int64)
+    m = (m * 1103515245 + 12345 + salt * 104729) % 2147483648
+    return m.astype(np.float64) / 2147483648.0
+
+
+class _CldrKeymap(Mutator):
+    name = "with_cldr_keymap_file"
+
+    def __init__(self, candidates: dict[str, str]):
+        if not candidates:
+            raise ValueError("keymap produced no typo candidates")
+        self.candidates = candidates
+        # rows are eligible iff they contain at least one mapped char —
+        # checked JVM-side with a regex char class so the Arrow kernel
+        # only sees a cheap mask re-check
+        cls = "".join(re.escape(c) for c in sorted(candidates))
+        self._eligible_re = f"[{cls}]"
+
+    def _eligible(self, col, rand):
+        return col.rlike(self._eligible_re)
+
+    def _transform(self, col, rand, selected):
+        candidates = self.candidates
+
+        @F.pandas_udf(T.StringType())
+        def _typo(vals: pd.Series, sel: pd.Series, u1: pd.Series, u2: pd.Series) -> pd.Series:
+            out = vals.copy()
+            mask = sel.fillna(False).to_numpy(dtype=bool)
+            if not mask.any():
+                return out
+            a1 = u1.to_numpy(np.float64)
+            a2 = u2.to_numpy(np.float64)
+            for i in np.flatnonzero(mask):
+                val = vals.iat[i]
+                if val is None:
+                    continue
+                # candidate chars present in the value, in sorted-map order
+                # (gecko/mutator.py:236-242 accumulates per map key)
+                pool = [c for c in candidates if c in val]
+                if not pool:
+                    continue
+                src = pool[int(a1[i] * len(pool))]
+                repl_opts = candidates[src]
+                repl = repl_opts[int(a2[i] * len(repl_opts))]
+                out.iat[i] = val.replace(src, repl, 1)
+            return out
+
+        return _typo(col, selected, rand.uniform(1), rand.uniform(2))
+
+
+def with_cldr_keymap_file(
+    cldr_path,
+    charset: Union[str, Sequence[str], None] = None,
+) -> Mutator:
+    """Keyboard typos from a CLDR keymap: replace the first occurrence of
+    a random mapped char with one of its keyboard neighbors
+    (gecko/mutator.py:120-306). XML parsed once on the driver; the
+    candidate map is captured by the Arrow kernel."""
+    return _CldrKeymap(load_cldr_candidates(cldr_path, charset))
+
+
+class _ReplacementTable(Mutator):
+    name = "with_replacement_table"
+
+    def __init__(self, table: pd.DataFrame, inline: bool):
+        if table.empty:
+            raise ValueError("replacement table is empty")
+        self.inline = inline
+        # source -> list of targets, preserving table order
+        self.targets: dict[str, list[str]] = {}
+        for src, tgt in zip(table["source"], table["target"]):
+            self.targets.setdefault(src, []).append(tgt)
+        self.sources = list(self.targets)
+
+    def _eligible(self, col, rand):
+        if self.inline:
+            alts = "|".join(re.escape(s) for s in self.sources)
+            return col.rlike(f"(?:{alts})")
+        return col.isin(self.sources)
+
+    def _transform(self, col, rand, selected):
+        if not self.inline:
+            # whole-value mode is pure Column algebra: a broadcast map
+            # lookup plus a uniform pick among the source's targets
+            # (gecko/mutator.py:595-599 equality match)
+            map_args = []
+            for src, tgts in self.targets.items():
+                map_args.append(F.lit(src))
+                map_args.append(F.array(*[F.lit(t) for t in tgts]))
+            m = F.create_map(*map_args)
+            tgt_arr = F.element_at(m, col)
+            pick = rand.uniform_int(1, F.size(tgt_arr))
+            mutated = F.element_at(tgt_arr, (pick + F.lit(1)).cast("int"))
+            return F.when(selected & tgt_arr.isNotNull(), mutated).otherwise(col)
+
+        targets = self.targets
+
+        @F.pandas_udf(T.StringType())
+        def _replace(vals: pd.Series, sel: pd.Series, u: pd.Series) -> pd.Series:
+            out = vals.copy()
+            mask = sel.fillna(False).to_numpy(dtype=bool)
+            if not mask.any():
+                return out
+            vals_np = vals.fillna("").to_numpy(dtype=object)
+            # batch-local match frequencies, ascending — rarest sources
+            # get first claim on rows, reproducing the reference's
+            # favor-rare ordering (gecko/mutator.py:618-624) at batch
+            # granularity
+            match_masks = {}
+            freqs = []
+            for src in targets:
+                m = np.array([src in v for v in vals_np]) & mask
+                if m.any():
+                    match_masks[src] = m
+                    freqs.append((int(m.sum()), src))
+            freqs.sort()
+            au = u.to_numpy(np.float64)
+            mutated = np.zeros(len(vals_np), dtype=bool)
+            for _, src in freqs:
+                rows = match_masks[src] & ~mutated
+                if not rows.any():
+                    continue
+                tgts = targets[src]
+                for i in np.flatnonzero(rows):
+                    tgt = tgts[int(au[i] * len(tgts))]
+                    out.iat[i] = vals_np[i].replace(src, tgt, 1)
+                mutated |= rows
+            return out
+
+        return _replace(col, selected, rand.uniform(1))
+
+
+def with_replacement_table(
+    data_source: TableSource,
+    source_column: Union[str, int] = 0,
+    target_column: Union[str, int] = 1,
+    inline: bool = False,
+    reverse: bool = False,
+    encoding: str = "utf-8",
+    delimiter: str = ",",
+) -> Mutator:
+    """Generic replacement table, whole-value or substring (inline)
+    matching, optional bidirectional union (gecko/mutator.py:510-655).
+
+    Whole-value mode never leaves the JVM (broadcast map literal +
+    seeded pick); inline mode runs one Arrow kernel that reproduces the
+    reference's ascending-match-frequency, first-occurrence semantics
+    per batch."""
+    table = load_replacement_table(
+        data_source, source_column, target_column, reverse=reverse,
+        delimiter=delimiter, encoding=encoding,
+    )
+    return _ReplacementTable(table, inline)
+
+
+class _PhoneticReplacement(Mutator):
+    name = "with_phonetic_replacement_table"
+
+    def __init__(self, rules: list[tuple[str, str, str]]):
+        if not rules:
+            raise ValueError("must provide at least one phonetic replacement rule")
+        self.rules = rules
+
+    def _eligible(self, col, rand):
+        conds = None
+        for pattern, _, flag in self.rules:
+            pat = re.escape(pattern)
+            if flag == "^":
+                c = col.rlike(f"^{pat}")
+            elif flag == "$":
+                c = col.rlike(f"{pat}$")
+            else:
+                # middle match: pattern with at least one char on each side,
+                # i.e. contained in value[1:-1] (gecko/mutator.py:422)
+                c = col.rlike(f".{pat}.")
+            conds = c if conds is None else (conds | c)
+        return conds
+
+    def _transform(self, col, rand, selected):
+        rules = self.rules
+
+        @F.pandas_udf(T.StringType())
+        def _phonetic(vals: pd.Series, sel: pd.Series, u: pd.Series) -> pd.Series:
+            out = vals.copy()
+            mask = sel.fillna(False).to_numpy(dtype=bool)
+            if not mask.any():
+                return out
+            vals_np = vals.fillna("").to_numpy(dtype=object)
+            n = len(vals_np)
+
+            # per-rule match masks (gecko/mutator.py:411-424)
+            match = np.zeros((len(rules), n), dtype=bool)
+            for r, (pattern, _, flag) in enumerate(rules):
+                if flag == "^":
+                    match[r] = np.array([v.startswith(pattern) for v in vals_np])
+                elif flag == "$":
+                    match[r] = np.array([v.endswith(pattern) for v in vals_np])
+                else:
+                    match[r] = np.array([pattern in v[1:-1] for v in vals_np])
+
+            options = match.sum(axis=0).astype(np.float64)
+            # rule order: descending batch frequency; rows keep an
+            # inverse-options acceptance chance with decrementing
+            # counters so rare rules win (gecko/mutator.py:443-478)
+            freq_order = sorted(
+                (r for r in range(len(rules)) if match[r].any()),
+                key=lambda r: -int(match[r].sum()),
+            )
+            au = u.to_numpy(np.float64)
+            done = np.zeros(n, dtype=bool)
+            for step, r in enumerate(freq_order):
+                pattern, replacement, flag = rules[r]
+                au = _expand_u(au, step + 1)
+                with np.errstate(divide="ignore"):
+                    prob = np.where(options > 0, 1.0 / np.maximum(options, 1.0), 0.0)
+                rows = mask & ~done & match[r] & (au < prob)
+                options[match[r] & ~rows] -= 1
+                for i in np.flatnonzero(rows):
+                    v = vals_np[i]
+                    if flag == "^":
+                        nv = re.sub(f"^{re.escape(pattern)}", replacement, v, count=1)
+                    elif flag == "$":
+                        nv = re.sub(f"{re.escape(pattern)}$", replacement, v, count=1)
+                    else:
+                        nv = re.sub(
+                            f"^(.+)(?:{re.escape(pattern)})(.+)$",
+                            rf"\g<1>{replacement}\g<2>",
+                            v,
+                            count=1,
+                        )
+                    if nv != v:
+                        out.iat[i] = nv
+                        done[i] = True
+            return out
+
+        return _phonetic(col, selected, rand.uniform(1))
+
+
+def with_phonetic_replacement_table(
+    data_source: TableSource,
+    source_column: Union[str, int] = 0,
+    target_column: Union[str, int] = 1,
+    flags_column: Union[str, int] = 2,
+    encoding: str = "utf-8",
+    delimiter: str = ",",
+) -> Mutator:
+    """Phonetic errors from a (source, target, flags) table; flags ^/_/$
+    restrict match position (gecko/mutator.py:314-507). One Arrow kernel
+    reproduces the descending-frequency inverse-option rule assignment
+    per batch."""
+    rules = load_phonetic_table(
+        data_source, source_column, target_column, flags_column,
+        delimiter=delimiter, encoding=encoding,
+    )
+    return _PhoneticReplacement(rules)
+
+
+class _RegexReplacement(Mutator):
+    name = "with_regex_replacement_table"
+
+    def __init__(self, rules: list[tuple[re.Pattern, dict[str, str]]]):
+        if not rules:
+            raise ValueError("must provide at least one regex replacement rule")
+        self.rules = rules
+
+    def _transform(self, col, rand, selected):
+        rules = self.rules
+
+        def _apply_rule(value: str, pattern: re.Pattern, subs: dict[str, str]) -> str:
+            m = pattern.search(value)
+            if m is None:
+                return value
+            # splice group substitutions at their spans, preserving
+            # non-group text; substitution text may cross-reference
+            # other groups via (?P<name>) markers
+            # (gecko/mutator.py:1392-1429)
+            group_order: list[tuple[int, int, str]] = []
+            labels = list(subs.keys())
+            named = {v: k for k, v in (pattern.groupindex or {}).items()}
+            for gi in range(1, (pattern.groups or 0) + 1):
+                label = named.get(gi, str(gi))
+                if label in subs and m.group(gi) is not None:
+                    group_order.append((m.start(gi), m.end(gi), label))
+            group_order.sort()
+            out, cursor = [], m.start()
+            prefix = value[: m.start()]
+            for start, end, label in group_order:
+                out.append(value[cursor:start])
+                sub = subs[label]
+                # resolve cross-references like (?P<other>)
+                def _xref(xm: re.Match) -> str:
+                    name = xm.group(1)
+                    try:
+                        return m.group(name) or ""
+                    except (IndexError, re.error):
+                        return ""
+                sub = re.sub(r"\(\?P<([A-Za-z_][A-Za-z0-9_]*)>\)", _xref, sub)
+                out.append(sub)
+                cursor = end
+            out.append(value[cursor : m.end()])
+            suffix = value[m.end() :]
+            return prefix + "".join(out) + suffix
+
+        @F.pandas_udf(T.StringType())
+        def _regex(vals: pd.Series, sel: pd.Series, u: pd.Series) -> pd.Series:
+            out = vals.copy()
+            mask = sel.fillna(False).to_numpy(dtype=bool)
+            if not mask.any():
+                return out
+            vals_np = vals.fillna("").to_numpy(dtype=object)
+            n = len(vals_np)
+            match = np.zeros((len(rules), n), dtype=bool)
+            for r, (pattern, _) in enumerate(rules):
+                match[r] = np.array([pattern.search(v) is not None for v in vals_np])
+            options = match.sum(axis=0).astype(np.float64)
+            freq_order = sorted(
+                (r for r in range(len(rules)) if match[r].any()),
+                key=lambda r: -int(match[r].sum()),
+            )
+            au = u.to_numpy(np.float64)
+            done = np.zeros(n, dtype=bool)
+            for step, r in enumerate(freq_order):
+                pattern, subs = rules[r]
+                au = _expand_u(au, step + 1)
+                prob = np.where(options > 0, 1.0 / np.maximum(options, 1.0), 0.0)
+                rows = mask & ~done & match[r] & (au < prob)
+                options[match[r] & ~rows] -= 1
+                for i in np.flatnonzero(rows):
+                    nv = _apply_rule(vals_np[i], pattern, subs)
+                    if nv != vals_np[i]:
+                        out.iat[i] = nv
+                        done[i] = True
+            return out
+
+        return _regex(col, selected, rand.uniform(1))
+
+
+def with_regex_replacement_table(
+    data_source: TableSource,
+    pattern_column: str = "pattern",
+    flags_column: Optional[str] = None,
+    encoding: str = "utf-8",
+    delimiter: str = ",",
+) -> Mutator:
+    """Regex substitutions from a table: pattern column + one column per
+    capture group supplying replacement text, with cross-group
+    references (gecko/mutator.py:1444-1590). Spark's regexp_replace
+    cannot express table-driven group splicing, so this ships the
+    replacement logic in one Arrow kernel."""
+    rules = load_regex_table(
+        data_source, pattern_column, flags_column, delimiter=delimiter, encoding=encoding
+    )
+    return _RegexReplacement(rules)
