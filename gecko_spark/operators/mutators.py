@@ -140,7 +140,10 @@ class Mutator:
                     f"column `{c}` does not exist, must be one of `{','.join(df.columns)}`"
                 )
         if rand is None:
-            rand = HashRandom(seed, [F.col(c) for c in columns])
+            # key draws on ALL input columns: mutated columns alone may
+            # hold constant values, which would make every row share one
+            # draw (all-or-nothing selection)
+            rand = HashRandom(seed, [F.col(c) for c in df.columns])
 
         out: dict[str, Column] = {}
         if self.group_arity:

@@ -170,7 +170,7 @@ def mutate_data_frame(
             if rand_for is not None:
                 rand = rand_for(step)
             else:
-                keys = list(key_columns) if key_columns else list(column_spec)
+                keys = list(key_columns) if key_columns else list(df_out.columns)
                 rand = HashRandom(seed, [F.col(k) for k in keys]).fork(step)
             df_out = mut.apply(
                 df_out, list(column_spec), p, rand=rand, strict_p=strict_p
