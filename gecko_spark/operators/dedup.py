@@ -1,0 +1,412 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): exact
+duplicate removal, MinHash + LSH near-dup detection, SimHash, and
+n-gram Jaccard similarity — each designed for the 100 TB path:
+
+* shingling / hashing / signatures are pure JVM column algebra
+  (``transform`` / ``aggregate`` higher-order functions over
+  ``xxhash64``) inside whole-stage codegen — no Python in the hot path;
+* candidate generation is band-bucket grouping (one shuffle keyed on
+  the bucket), never an all-pairs product;
+* all arithmetic stays in int64 with pre-reduction mod a 31-bit prime,
+  safe under Spark 4's ANSI overflow checking.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "char_shingles",
+    "dedupe_exact",
+    "exact_duplicate_groups",
+    "minhash_signature",
+    "minhash_candidate_pairs",
+    "minhash_dedupe",
+    "simhash",
+    "simhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+]
+
+# 31-bit Mersenne prime: (h % P) * a + b stays well inside int64
+_P = 2_147_483_647
+
+
+def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutations."""
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _P - 1), rnd.randrange(0, _P - 1)) for _ in range(num_hashes)]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, cols: Union[str, Sequence[str]], id_col: str
+) -> DataFrame:
+    """Groups of exact duplicates over ``cols``: one row per duplicated
+    content hash with the member count and the representative (min id).
+
+    One hash-aggregate — the canonical exact-dedup shape: map-side
+    partial aggregation, shuffle on the 64-bit content hash only.
+    """
+    if isinstance(cols, str):
+        cols = [cols]
+    h = F.xxhash64(*[F.col(c) for c in cols]).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dupes"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+def dedupe_exact(
+    df: DataFrame, cols: Union[str, Sequence[str]], id_col: Optional[str] = None
+) -> DataFrame:
+    """Keep one representative row per distinct ``cols`` content.
+
+    With ``id_col`` the representative is deterministic (min id) via a
+    window over the content hash; without, falls back to
+    ``dropDuplicates`` (arbitrary survivor, cheapest plan).
+    """
+    if isinstance(cols, str):
+        cols = [cols]
+    if id_col is None:
+        return df.dropDuplicates(list(cols))
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(text: Column, n: int = 5, lowercase: bool = True) -> Column:
+    """Distinct character n-grams of a string column as an array —
+    computed entirely JVM-side: sequence over start offsets, substring
+    per offset, distinct."""
+    t = F.lower(text) if lowercase else text
+    starts = F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(starts, lambda i: F.substring(t, i, n)))
+
+
+def minhash_signature(
+    text: Column,
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+    seed: int = 0,
+) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``).
+
+    shingle → xxhash64 → k universal-hash permutations
+    ``(h % P)·a + b mod P`` → array_min per permutation. All inside
+    codegen; O(k · shingles) per row with the base hash computed once.
+    """
+    base = F.transform(
+        char_shingles(text, shingle_size),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
+    )
+    perms = _perm_params(num_hashes, seed)
+
+    def _perm_fn(a: int, b: int):
+        # closure factory — a default-arg lambda would change the lambda's
+        # visible arity, which PySpark uses to bind HOF variables
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
+
+    return F.array(
+        *[F.array_min(F.transform(base, _perm_fn(a, b))) for a, b in perms]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band bucket, with the
+    signature-estimated Jaccard similarity.
+
+    Returns columns ``(id_a, id_b, est_jaccard)`` with id_a < id_b.
+
+    Scale shape: signature projection (narrow) → explode to
+    ``bands`` rows per doc → ONE shuffle on (band, bucket) → in-bucket
+    pair expansion guarded by a bucket-size cap; estimated similarity
+    is computed from the signatures carried alongside, so no second
+    join back to the corpus is needed.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rows_per_band = num_hashes // bands
+
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_size, seed)
+    with_sig = df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+
+    banded = with_sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
+    return pairs
+
+
+def minhash_dedupe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Drop near-duplicates: for every candidate pair above ``threshold``
+    the higher id is removed (single-pass min-id survivorship — the
+    standard one-shot approximation of connected components; iterate
+    for transitive closure if needed)."""
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_size, seed
+    ).filter(F.col("est_jaccard") >= threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash over whitespace/punct tokens, as a bigint column.
+
+    Token hashes computed once; each output bit is the sign of the
+    per-bit vote ``2·(# tokens with bit set) − #tokens``. O(bits · T)
+    JVM work per row, zero Python."""
+    tokens = F.filter(
+        F.split(F.lower(text), r"\W+"), lambda t: F.length(t) > 0
+    )
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    def _bit_test(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        ones = F.size(F.filter(hashes, _bit_test(i)))
+        bit = (ones * 2 > n).cast("long")
+        out = out + F.shiftleft(bit, i)
+    return out
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on ``chunks`` bit-slices (by the
+    pigeonhole principle, pairs within hamming distance < chunks share
+    at least one identical slice), then verify the true Hamming distance
+    with ``bit_count(xor)``. Returns ``(id_a, id_b, hamming)``."""
+    if bits % chunks != 0:
+        raise ValueError("chunks must divide bits")
+    w = bits // chunks
+    mask = (1 << w) - 1
+
+    base = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sh"))
+    blocked = base.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * w).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over character n-gram sets via an
+    inverted index: explode shingles → co-occurrence counts →
+    ``|A∩B| / (|A| + |B| − |A∩B|)``. Returns ``(id_a, id_b, jaccard)``.
+
+    ``max_shingle_freq`` drops ultra-common shingles from the index (the
+    classic hot-key guard — a shingle in f docs generates O(f²) pairs).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("set_size"))
+
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("f"))
+            .filter(F.col("f") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Random-hyperplane LSH: ``n_planes`` signed projections form a bucket
+    key (highly similar vectors collide with probability
+    ``(1 − θ/π)^n``); cosine verified exactly inside the bucket with
+    ``zip_with``/``aggregate`` dot products. One shuffle on the sketch.
+    """
+    from gecko_spark.operators.similarity import cosine_sim, random_hyperplane_sketch
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        random_hyperplane_sketch(F.col(vec_col), n_planes, seed).alias("sketch"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.sketch") == F.col("r.sketch")) & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            cosine_sim(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

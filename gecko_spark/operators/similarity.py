@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus two scale paths:
+random-hyperplane LSH bucketing and IVF (inverted file) with
+driver-sampled centroids. Dot products run JVM-side via
+``zip_with`` + ``aggregate`` higher-order functions — no Python UDF in
+the scoring loop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine_sim",
+    "random_hyperplane_sketch",
+    "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+    "ivf_assign",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _unit_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return planes / np.linalg.norm(planes, axis=1, keepdims=True)
+
+
+def random_hyperplane_sketch(vec: Column, n_planes: int, seed: int, dim: int = 64) -> Column:
+    """Sign-bit sketch: bit i = sign(vec · plane_i), packed into a bigint.
+
+    Cosine-similar vectors collide with probability (1 − θ/π)^n_planes.
+    Planes are driver-generated literals — no data movement.
+    """
+    if n_planes > 63:
+        raise ValueError("n_planes must be ≤ 63 to pack into a bigint")
+    planes = _unit_planes(dim, n_planes, seed)
+    out = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.lit([float(x) for x in planes[i]])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.shiftleft((proj > 0).cast("long"), i)
+    return out
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query set against the
+    corpus, score every pair JVM-side, keep k per query with a window.
+
+    Returns ``(query_id, vec_id, cosine, rank)``. The corpus is
+    scanned ONCE regardless of the number of queries; the only shuffle
+    is the top-k partial aggregation (AQE coalesces it). This is the
+    exact baseline — use ``cosine_topk_ivf`` at corpus scale.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        cosine_sim(F.col("cv"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _sample_centroids(
+    corpus: DataFrame, vec_col: str, n_centroids: int, seed: int, iters: int = 5
+) -> np.ndarray:
+    """Mini k-means on a driver-side sample (the standard IVF training
+    shortcut: centroid quality barely affects recall at modest nprobe)."""
+    frac = min(1.0, (n_centroids * 256) / max(corpus.count(), 1))
+    sample = np.array(
+        corpus.select(vec_col).sample(frac, seed=seed).toPandas()[vec_col].tolist(),
+        dtype=np.float64,
+    )
+    if len(sample) < n_centroids:
+        raise ValueError("not enough rows to sample centroids")
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = sample @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        centroids = centroids / np.maximum(norms, 1e-12)
+    return centroids
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 0,
+) -> tuple[DataFrame, np.ndarray]:
+    """Assign each vector to its nearest centroid (IVF list).
+
+    Centroids are trained on a driver sample then broadcast as
+    literals; assignment is an argmax over JVM dot products — the
+    corpus is never collected. Returns (corpus + ``__ivf_list__``,
+    centroids)."""
+    centroids = _sample_centroids(corpus, vec_col, n_centroids, seed)
+    vec = F.col(vec_col)
+    best_id = F.lit(0)
+    best_score = dot(vec, F.lit([float(x) for x in centroids[0]]))
+    for c in range(1, n_centroids):
+        score = dot(vec, F.lit([float(x) for x in centroids[c]]))
+        improved = score > best_score
+        best_id = F.when(improved, F.lit(c)).otherwise(best_id)
+        best_score = F.when(improved, score).otherwise(best_score)
+    return corpus.withColumn("__ivf_list__", best_id), centroids
+
+
+def cosine_topk_ivf(
+    corpus_with_lists: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: each query only scores vectors in its
+    ``nprobe`` nearest IVF lists — the scan prunes to
+    ``nprobe/n_centroids`` of the corpus (a partition-pruning-shaped
+    win when the corpus is written partitioned by ``__ivf_list__``).
+
+    ``corpus_with_lists`` must carry ``__ivf_list__`` from
+    :func:`ivf_assign`; queries are assigned to probe lists on the
+    driver (queries are small by definition)."""
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qvecs = np.array(qpdf[query_vec_col].tolist(), dtype=np.float64)
+    sims = qvecs @ centroids.T
+    probe_lists = np.argsort(-sims, axis=1)[:, :nprobe]
+
+    rows = []
+    for qid, qvec, probes in zip(qpdf[query_id_col], qpdf[query_vec_col], probe_lists):
+        for p in probes:
+            rows.append((qid, [float(x) for x in qvec], int(p)))
+    spark = corpus_with_lists.sparkSession
+    q = F.broadcast(
+        spark.createDataFrame(rows, f"query_id long, qv array<double>, probe int")
+    )
+    scored = corpus_with_lists.join(
+        q, corpus_with_lists["__ivf_list__"] == q["probe"]
+    ).select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        cosine_sim(F.col(vec_col), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,165 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword n-gram heuristic), quality scoring, token
+counting, and document fingerprinting — all pure JVM column
+expressions over built-in functions (split / transform / aggregate /
+regexp), so they run inside whole-stage codegen at full scan speed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "word_token_count",
+    "quality_features",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "rolling_hash_fingerprint",
+]
+
+# A BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
+# symbols — the common "GPT-2 style" splitting shape, expressible as one
+# regexp for extraction counts.
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased word tokens (array<string>), split on non-word runs."""
+    return F.filter(F.split(F.lower(text), r"\W+"), lambda t: F.length(t) > 0)
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token count: ``whitespace`` (split on runs of spaces) or
+    ``bpe_ish`` (letters / digit runs / single symbols — a cheap
+    proxy for subword tokenizers)."""
+    if mode == "whitespace":
+        return F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    if mode == "bpe_ish":
+        return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH), F.lit(0)))
+    raise ValueError("mode must be 'whitespace' or 'bpe_ish'")
+
+
+def word_token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+# small multi-language stopword lists for the n-gram/stopword heuristic;
+# intentionally compact — language ID here is a router, not a classifier
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "his", "on", "be", "at", "by", "had", "not", "are"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "von", "mit", "dem",
+           "ein", "eine", "zu", "den", "im", "für", "auf", "des", "sich", "ich"],
+    "fr": ["le", "la", "les", "de", "et", "est", "dans", "que", "pour", "une",
+           "un", "du", "des", "il", "au", "avec", "sur", "ne", "pas", "ce"],
+    "es": ["el", "la", "los", "las", "de", "y", "es", "en", "que", "por",
+           "un", "una", "del", "con", "para", "se", "no", "su", "al", "como"],
+    "it": ["il", "la", "di", "e", "che", "in", "un", "una", "per", "è",
+           "non", "con", "del", "le", "si", "da", "dei", "al", "come", "più"],
+}
+
+
+def language_id(text: Column, languages: Optional[list[str]] = None) -> Column:
+    """Heuristic language ID: argmax over per-language stopword hit
+    rates; ``und`` (undetermined) when nothing scores.
+
+    Stopword lists are literal arrays; scoring is
+    ``size(array_intersect(distinct tokens, stopwords))`` per language —
+    one pass, JVM-only."""
+    langs = languages or list(_STOPWORDS)
+    toks = F.array_distinct(tokens(text))
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        sw = F.lit(_STOPWORDS[lang])
+        score = F.size(F.array_intersect(toks, sw))
+        improved = score > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(text: Column) -> list[Column]:
+    """Quality-signal columns (aliased): n_chars, n_tokens,
+    mean_token_len, alpha_ratio, punct_ratio, stopword_ratio,
+    upper_ratio. Matches the common C4/Gopher-style filter inputs."""
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", ""))
+    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    all_stop = F.lit(sorted({w for ws in _STOPWORDS.values() for w in ws}))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_toks = F.greatest(n_tokens, F.lit(1)).cast("double")
+    return [
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+            / safe_toks
+        ).alias("mean_token_len"),
+        (n_alpha.cast("double") / safe_chars).alias("alpha_ratio"),
+        (n_punct.cast("double") / safe_chars).alias("punct_ratio"),
+        (n_stop.cast("double") / safe_toks).alias("stopword_ratio"),
+        (n_upper.cast("double") / safe_chars).alias("upper_ratio"),
+    ]
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score in [0, 1]: a smooth combination of length,
+    alphabetic density, stopword presence and punctuation sanity —
+    a lightweight heuristic gate, not a learned model."""
+    n_chars = F.length(text).cast("double")
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("double")
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    all_stop = F.lit(sorted({w for ws in _STOPWORDS.values() for w in ws}))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t))).cast("double")
+
+    len_score = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    alpha_score = n_alpha / F.greatest(n_chars, F.lit(1.0))
+    stop_score = F.least(
+        n_stop / F.greatest(n_tokens * F.lit(0.2), F.lit(1.0)), F.lit(1.0)
+    )
+    return (len_score * F.lit(0.3) + alpha_score * F.lit(0.4) + stop_score * F.lit(0.3))
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalization fingerprint: sorted distinct lowercase tokens joined
+    and hashed — equal fingerprints ⇔ same bag of words (the classic
+    key-collision clustering key)."""
+    return F.xxhash64(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def rolling_hash_fingerprint(text: Column, window: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style document fingerprint: hash every ``window``-gram,
+    keep the ``keep`` smallest hashes as the signature (array<bigint>).
+    Shared w-grams ⇒ shared signature entries — robust to local edits."""
+    from gecko_spark.operators.dedup import char_shingles
+
+    grams = char_shingles(text, window)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    return F.slice(F.array_sort(hashes), 1, keep)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach all text-analysis columns to a documents table."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        *quality_features(t),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        token_count(t, "whitespace").alias("n_ws_tokens"),
+        token_count(t, "bpe_ish").alias("n_bpe_tokens"),
+        fingerprint(t).alias("fp"),
+    )

@@ -1,0 +1,152 @@
+"""Structured Streaming operators.
+
+The reference has no streaming surface (SURVEY.md §2.4) — Spark's
+Structured Streaming provides it natively. This module wires the
+engine's mutators into streams (mutators are pure column
+transformations, so they apply unchanged to streaming DataFrames) and
+offers the standard event-analytics shapes: watermarked windowed
+aggregation and gap-based sessionization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "stream_events",
+    "windowed_event_counts",
+    "sessionize",
+    "mutate_stream",
+]
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# The driver's events.parquet stores ts as TIMESTAMP(NANOS), which Spark
+# only reads as int64 (spark.sql.legacy.parquet.nanosAsLong) — the
+# stream declares ts_ns and converts to a real timestamp JVM-side.
+_EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    nanos_ts: bool = True,
+) -> DataFrame:
+    """File-source stream over the events table layout (one parquet per
+    micro-batch by default — deterministic for tests; swap for
+    kafka/socket in production).
+
+    Accepts a directory or a single parquet file. FileStreamSource
+    force-sets ``basePath`` to the source path whenever the path is not
+    a glob, and a file-valued basePath is rejected at batch-planning
+    time — so a bare file path is rewritten into an equivalent
+    single-match glob (``events.parquet`` → ``[e]vents.parquet``).
+
+    ``nanos_ts=True`` reads the driver's TIMESTAMP(NANOS) ts column as
+    int64 (legacy.parquet.nanosAsLong) and converts JVM-side."""
+    import os
+
+    schema = _EVENTS_NANOS_SCHEMA if nanos_ts else EVENTS_SCHEMA
+    if nanos_ts:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if os.path.isfile(path):
+        d, name = os.path.split(path)
+        path = os.path.join(d, "[" + name[0] + "]" + name[1:])
+    df = reader.parquet(path)
+    if nanos_ts:
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "5 minutes",
+    slide: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts + value sums per
+    event_type — the canonical late-data-tolerant streaming aggregate."""
+    w = (
+        F.window("ts", window_duration, slide)
+        if slide
+        else F.window("ts", window_duration)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other
+    merge into one session (native ``session_window`` state store —
+    scales with open sessions, not history)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def mutate_stream(events: DataFrame, mutator_lst, seed: int = 0) -> DataFrame:
+    """Apply a gecko_spark mutation spec to a streaming DataFrame.
+
+    Mutators are stateless per-row column expressions (randomness is
+    hash-derived from row content — core.py), so the same spec that
+    corrupts a batch table corrupts a stream, exactly-once per row,
+    with no state store."""
+    from gecko_spark.plans.pipeline import mutate_data_frame
+
+    return mutate_data_frame(events, mutator_lst, seed=seed)

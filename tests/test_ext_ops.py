@@ -1,0 +1,302 @@
+"""Tests for the beyond-reference operators: dedup, similarity search,
+text analysis, multimodal plumbing — run against the driver-provided
+documents/embeddings tables at sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gecko_spark.operators import dedup as D
+from gecko_spark.operators import multimodal as MM
+from gecko_spark.operators import similarity as S
+from gecko_spark.operators import text as TX
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Documents plus planted exact and near duplicates."""
+    base = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the quick brown fox jumps over the lazy dog near the river bank",
+                "the quick brown fox jumps over the lazy dog near the river bank",  # exact dup of 0
+                "the quick brown fox jumps over the lazy dog near the river banks",  # near dup of 0
+                "completely different content about machine learning pipelines",
+                "völlig anderer inhalt über maschinelles lernen und daten",
+                "a short one",
+                "numbers 12345 and symbols !!! only here",
+                "the quick brown fox jumps over the lazy cat near the river bank",  # near dup of 0
+            ],
+        }
+    )
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession().createDataFrame(base)
+
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def test_exact_duplicate_groups(spark, dup_docs):
+    groups = D.exact_duplicate_groups(dup_docs, "text", "doc_id").toPandas()
+    assert len(groups) == 1
+    assert groups.iloc[0]["n_dupes"] == 2
+    assert groups.iloc[0]["keep_id"] == 0
+
+
+def test_dedupe_exact_keeps_min_id(spark, dup_docs):
+    out = D.dedupe_exact(dup_docs, "text", "doc_id").toPandas()
+    assert len(out) == 7
+    assert 0 in set(out["doc_id"]) and 1 not in set(out["doc_id"])
+
+
+# -- minhash -----------------------------------------------------------------
+
+
+def test_minhash_detects_near_dups(spark, dup_docs):
+    pairs = D.minhash_candidate_pairs(
+        dup_docs, "doc_id", "text", num_hashes=64, bands=16
+    ).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 1) in found  # exact dup always collides
+    est = dict(zip(map(tuple, pairs[["id_a", "id_b"]].values), pairs["est_jaccard"]))
+    assert est[(0, 1)] == 1.0
+    # near dups land well above unrelated docs
+    near = [s for (a, b), s in est.items() if (a, b) in {(0, 2), (0, 7), (1, 2), (1, 7), (2, 7)}]
+    assert near and min(near) > 0.5
+    assert (3, 4) not in found
+
+
+def test_minhash_dedupe_removes_losers(spark, dup_docs):
+    out = D.minhash_dedupe(dup_docs, "doc_id", "text", threshold=0.9).toPandas()
+    assert 0 in set(out["doc_id"])
+    assert 1 not in set(out["doc_id"])  # exact dup dropped
+    assert 3 in set(out["doc_id"]) and 4 in set(out["doc_id"])
+
+
+def test_minhash_validates_bands(spark, dup_docs):
+    with pytest.raises(ValueError, match="must divide"):
+        D.minhash_candidate_pairs(dup_docs, "doc_id", "text", num_hashes=64, bands=7)
+
+
+# -- simhash -----------------------------------------------------------------
+
+
+def test_simhash_near_dup_pairs(spark, dup_docs):
+    pairs = D.simhash_candidate_pairs(
+        dup_docs, "doc_id", "text", max_hamming=10
+    ).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 1) in found
+    ham = dict(zip(map(tuple, pairs[["id_a", "id_b"]].values), pairs["hamming"]))
+    assert ham[(0, 1)] == 0
+
+
+# -- ngram jaccard -----------------------------------------------------------
+
+
+def test_ngram_jaccard_exact_values(spark, dup_docs):
+    pairs = D.ngram_jaccard_pairs(dup_docs, "doc_id", "text", n=3, threshold=0.5).toPandas()
+    est = dict(zip(map(tuple, pairs[["id_a", "id_b"]].values), pairs["jaccard"]))
+    assert est[(0, 1)] == 1.0
+    assert est[(0, 2)] > 0.8
+
+
+# -- documents table sanity --------------------------------------------------
+
+
+def test_dedup_on_real_documents(spark, docs):
+    n = docs.count()
+    deduped = D.dedupe_exact(docs, "text", "doc_id")
+    assert deduped.count() <= n
+
+
+# -- similarity search -------------------------------------------------------
+
+
+def test_cosine_sim_matches_numpy(spark, embeddings):
+    pdf = embeddings.limit(5).toPandas()
+    sdf = embeddings.limit(5)
+    got = (
+        sdf.alias("a")
+        .crossJoin(sdf.alias("b"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            S.cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+        .toPandas()
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for _, r in pdf.iterrows()}
+    for _, r in got.iterrows():
+        a, b = vecs[r["ia"]], vecs[r["ib"]]
+        expected = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["c"] - expected) < 1e-9
+
+
+def test_bruteforce_topk_self_is_rank_one(spark, embeddings):
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = S.cosine_topk_bruteforce(embeddings, queries, k=5).toPandas()
+    rank1 = topk[topk["rank"] == 1]
+    assert (rank1["query_id"] == rank1["vec_id"]).all()
+    assert np.allclose(rank1["cosine"], 1.0)
+    assert (topk.groupby("query_id").size() == 5).all()
+
+
+def test_ivf_topk_recall_against_bruteforce(spark, embeddings):
+    corpus = embeddings
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = S.cosine_topk_bruteforce(corpus, queries, k=5).toPandas()
+    with_lists, centroids = S.ivf_assign(corpus, n_centroids=8, seed=1)
+    approx = S.cosine_topk_ivf(
+        with_lists.cache(), centroids, queries, k=5, nprobe=4
+    ).toPandas()
+    # recall@5 of IVF with half the lists probed should be decent
+    recall = 0.0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall += len(e & a) / len(e)
+    recall /= exact["query_id"].nunique()
+    assert recall >= 0.6
+
+
+def test_hyperplane_sketch_collides_for_identical(spark, embeddings):
+    df = embeddings.limit(10).select(
+        "vec_id", S.random_hyperplane_sketch(F.col("embedding"), 16, seed=3).alias("sk")
+    )
+    pdf = df.toPandas()
+    assert pdf["sk"].notna().all()
+
+
+# -- text analysis -----------------------------------------------------------
+
+
+def test_language_id(spark):
+    from pyspark.sql import SparkSession
+
+    data = pd.DataFrame(
+        {
+            "t": [
+                "the cat sat on the mat and it was happy with the day",
+                "der hund ist nicht mit der katze im haus für immer",
+                "le chat est dans la maison avec le chien pour le moment",
+                "el perro es un animal que vive en la casa con su familia",
+                "zzz qqq xxx",
+            ]
+        }
+    )
+    sdf = SparkSession.getActiveSession().createDataFrame(data)
+    out = sdf.select(TX.language_id(F.col("t")).alias("lang")).toPandas()["lang"].tolist()
+    assert out[:4] == ["en", "de", "fr", "es"]
+    assert out[4] == "und"
+
+
+def test_token_counts(spark):
+    from pyspark.sql import SparkSession
+
+    sdf = SparkSession.getActiveSession().createDataFrame(
+        pd.DataFrame({"t": ["hello world, it's 2024!"]})
+    )
+    row = sdf.select(
+        TX.token_count(F.col("t"), "whitespace").alias("ws"),
+        TX.token_count(F.col("t"), "bpe_ish").alias("bpe"),
+    ).first()
+    assert row["ws"] == 4
+    # hello | world | , | it | ' | s | 2024 | !
+    assert row["bpe"] == 8
+
+
+def test_quality_features_and_score(spark, docs):
+    out = docs.limit(50).select(
+        "doc_id", *TX.quality_features(F.col("text")), TX.quality_score(F.col("text")).alias("q")
+    ).toPandas()
+    assert out["n_chars"].gt(0).all()
+    assert out["alpha_ratio"].between(0, 1).all()
+    assert out["q"].between(0, 1).all()
+
+
+def test_fingerprint_bag_of_words_invariance(spark):
+    from pyspark.sql import SparkSession
+
+    sdf = SparkSession.getActiveSession().createDataFrame(
+        pd.DataFrame({"a": ["The cat sat"], "b": ["sat the CAT"], "c": ["the dog sat"]})
+    )
+    row = sdf.select(
+        TX.fingerprint(F.col("a")).alias("fa"),
+        TX.fingerprint(F.col("b")).alias("fb"),
+        TX.fingerprint(F.col("c")).alias("fc"),
+    ).first()
+    assert row["fa"] == row["fb"]
+    assert row["fa"] != row["fc"]
+
+
+def test_rolling_hash_fingerprint_overlap(spark):
+    from pyspark.sql import SparkSession
+
+    sdf = SparkSession.getActiveSession().createDataFrame(
+        pd.DataFrame({"a": ["abcdefghijklmnop"], "b": ["abcdefghijklmnoX"]})
+    )
+    row = sdf.select(
+        TX.rolling_hash_fingerprint(F.col("a"), 4, 6).alias("fa"),
+        TX.rolling_hash_fingerprint(F.col("b"), 4, 6).alias("fb"),
+    ).first()
+    assert len(set(row["fa"]) & set(row["fb"])) >= 3  # local edit keeps most mins
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def test_media_table_schema(spark, docs):
+    media = MM.media_table(spark, docs.limit(10), "doc_id", "text", "text/plain")
+    assert [f.name for f in media.schema.fields] == ["media_id", "content", "mime", "meta"]
+    assert media.schema["content"].dataType.typeName() == "binary"
+    assert media.count() == 10
+
+
+def test_decode_image_features_fake(spark, docs):
+    media = MM.media_table(spark, docs.limit(20), "doc_id", "text", "image/png")
+    feats = MM.decode_image_features(media, out_dim=16, fake=True)
+    pdf = feats.toPandas()
+    assert len(pdf) == 20
+    assert all(len(v) == 16 for v in pdf["features"])
+    # deterministic: same content → same features
+    feats2 = MM.decode_image_features(media, out_dim=16, fake=True).toPandas()
+    a = [list(v) for v in pdf.sort_values("media_id")["features"]]
+    b = [list(v) for v in feats2.sort_values("media_id")["features"]]
+    assert a == b
+
+
+def test_decode_without_codec_raises(spark, docs):
+    media = MM.media_table(spark, docs.limit(2), "doc_id", "text", "image/png")
+    with pytest.raises(Exception, match="codec library"):
+        MM.decode_image_features(media, fake=False).collect()
+
+
+def test_resize_and_frame_sample_fake(spark, docs):
+    media = MM.media_table(spark, docs.limit(5), "doc_id", "text", "video/mp4")
+    resized = MM.resize_images(media, 8, 4, fake=True).toPandas()
+    assert (resized["content"].str.len() == 32).all()
+    frames = MM.sample_video_frames(media, every_n=2, max_frames=3, fake=True).toPandas()
+    assert (frames.groupby("media_id").size() <= 3).all()
+    assert (frames["frame"].str.len() <= 64).all()

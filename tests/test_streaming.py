@@ -1,0 +1,76 @@
+"""Streaming smoke tests: drive the file-source stream over the events
+table with a memory sink (synchronous processAllAvailable)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gecko_spark.operators import mutators as M
+from gecko_spark.sources.testdata import load_table
+from gecko_spark.streaming import (
+    mutate_stream,
+    sessionize,
+    stream_events,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_event_counts(spark):
+    events = stream_events(spark, f"{SF}/events.parquet")
+    agg = windowed_event_counts(events, "1 hour", watermark="2 hours")
+    _run(agg, "win_counts", mode="append")
+    out = spark.sql("SELECT * FROM win_counts")
+    batch_total = load_table(spark, SF, "events").count()
+    # append mode only emits windows sealed by the watermark; totals must
+    # never exceed the batch count and windows must be well-formed
+    pdf = out.toPandas()
+    assert pdf["n_events"].sum() <= batch_total
+    if len(pdf):
+        assert (pdf["window_end"] > pdf["window_start"]).all()
+
+
+def test_windowed_counts_match_batch(spark):
+    events = stream_events(spark, f"{SF}/events.parquet")
+    agg = windowed_event_counts(events, "1 hour", watermark="0 seconds")
+    _run(agg, "win_complete", mode="complete")
+    streamed = spark.sql("SELECT sum(n_events) AS n FROM win_complete").first()["n"]
+    batch = load_table(spark, SF, "events").count()
+    assert streamed == batch
+
+
+def test_sessionize(spark):
+    events = stream_events(spark, f"{SF}/events.parquet")
+    sess = sessionize(events, gap="30 minutes", watermark="0 seconds")
+    _run(sess, "sessions", mode="complete")
+    pdf = spark.sql("SELECT * FROM sessions").toPandas()
+    assert len(pdf) > 0
+    assert (pdf["session_end"] >= pdf["session_start"]).all()
+    # session invariant: no user has overlapping sessions
+    for _, grp in pdf.groupby("user_id"):
+        g = grp.sort_values("session_start")
+        assert (g["session_start"].shift(-1).dropna().values
+                >= g["session_end"].iloc[:-1].values).all()
+
+
+def test_mutate_stream(spark):
+    events = stream_events(spark, f"{SF}/events.parquet")
+    corrupted = mutate_stream(
+        events, [("event_type", (0.5, M.with_missing_value("UNKNOWN")))], seed=3
+    )
+    _run(corrupted, "mut_stream", mode="append")
+    pdf = spark.sql("SELECT * FROM mut_stream").toPandas()
+    frac = (pdf["event_type"] == "UNKNOWN").mean()
+    assert 0.4 < frac < 0.6
