@@ -1,38 +1,1175 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship generate→mutate pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (generators G1–G8, mutators M1–M20, the relational surface,
+and the beyond-reference training-data ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every deterministically-checkable query.
+
+Randomized operators are oracle-checkable here because the engine's
+``LcgRandom`` (gecko_spark/core.py) derives every draw from portable
+integer SQL over a key column — the oracle evaluates the *same formula
+text* in DuckDB, so Spark and DuckDB agree bit-for-bit on each uniform
+draw, and therefore on every mutated/generated value.
+
+Operators whose kernels are Arrow UDFs with batch-local logic (phonetic
+/ inline-replacement favor-rare ordering, CLDR typos) or that hash with
+xxhash64 (minhash/simhash) have no SQL oracle — they appear in
+``queries()`` only, and the driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gecko_spark.core import LcgRandom, lcg_uniform_sql
+from gecko_spark.operators import generators as G
+from gecko_spark.operators import mutators as M
+from gecko_spark.plans.pipeline import mutate_data_frame, to_data_frame
+from gecko_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+TWO_PI = 2.0 * math.pi
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+FRUITS = pd.DataFrame(
+    {"fruit": ["apple", "banana", "orange"], "count": ["100", "50", "80"]}
+)
+FRUIT_TYPES = pd.DataFrame(
+    {
+        "fruit": ["apple", "apple", "banana", "banana", "orange", "orange"],
+        "type": ["braeburn", "elstar", "cavendish", "plantain", "clementine", "mandarin"],
+        "count": ["30", "70", "40", "10", "55", "25"],
+    }
+)
+
+GEN_N = 10_000
+
+
+def _u(key: str, seed: int, salt: int, stream: int = 1) -> str:
+    """Uniform [0,1) SQL text — identical in Spark and DuckDB.
+
+    stream defaults to 1 because ``Mutator.apply`` forks the caller's
+    RandomSource once per column (fork(0) → stream 1) before drawing.
+    """
+    return lcg_uniform_sql(key, seed, salt, stream)
+
+
+def _uint(key: str, seed: int, salt: int, n_sql: str, stream: int = 1) -> str:
+    """floor(u * n) as BIGINT — RandomSource.uniform_int's formula."""
+    return f"CAST(FLOOR({_u(key, seed, salt, stream)} * CAST({n_sql} AS DOUBLE)) AS BIGINT)"
+
+
+def _charset_pick(key: str, seed: int, salt: int, stream: int = 1) -> str:
+    """RandomSource.choice over the default ascii_letters charset."""
+    idx = _uint(key, seed, salt, str(len(ASCII_LETTERS)), stream)
+    return f"substr('{ASCII_LETTERS}', CAST({idx} AS INTEGER) + 1, 1)"
+
+
+def _q(fn):
+    """Wrap a (spark, sf_dir) callable; table loading via load_table."""
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline on sf0.001
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build frequency/config tables FROM the warehouse tables
+    (config tables are the only driver-side data), generate a synthetic
+    customer-like dataset, then corrupt it with a chained mutation spec
+    — the reference's canonical workflow (reference README.md:24-33) as
+    one lazy Spark plan."""
+    sf = "/root/testdata/sf0.001"
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+
+    seg_freq = (
+        customer.groupBy("c_mktsegment").count().orderBy("c_mktsegment").toPandas()
+    )
+    nat_freq = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .count()
+        .orderBy("n_name")
+        .toPandas()
+    )
+
+    df = to_data_frame(
+        spark,
+        [
+            ("segment", G.from_frequency_table(seg_freq, "c_mktsegment", "count")),
+            ("nation", G.from_frequency_table(nat_freq, "n_name", "count")),
+            ("balance", G.from_uniform_distribution(-999.99, 9999.99, precision=2)),
+            ("score", G.from_normal_distribution(100.0, 15.0, precision=3)),
+            ("signup", G.from_datetime_range("2020-01-01", "2023-12-31", "%Y-%m-%d", "d")),
+        ],
+        count=20_000,
+        seed=42,
+        keep_index=True,
+    )
+    return mutate_data_frame(
+        df,
+        [
+            ("segment", (0.1, M.with_missing_value("N/A"))),
+            ("nation", [(0.05, M.with_delete()), (0.05, M.with_uppercase())]),
+            (("segment", "nation"), (0.02, M.with_permute())),
+            ("signup", (0.1, M.with_datetime_offset(5, "d", "%Y-%m-%d"))),
+        ],
+        seed=7,
+        key_columns=["__idx__"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — relational surface
+# ---------------------------------------------------------------------------
+
+
+# Money sums run in exact scaled-integer cents: double summation order
+# is nondeterministic under parallel partial aggregation (both across
+# engines and across cluster layouts), so a float sum rounded to N
+# decimals is not reproducible at a rounding boundary. price → cents
+# (bigint), discount → basis points; products/sums stay exact in int64.
+def _cents(c):
+    return F.round(F.col(c) * 100).cast("long")
+
+
+def _disc_price_1e4():
+    return _cents("l_extendedprice") * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+
+
+def _q1(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-06-30").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(_cents("l_extendedprice")) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(_disc_price_1e4()) / F.lit(10000.0)).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg(F.round(F.col("l_discount") * 100).cast("long")) / F.lit(100.0), 8).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0
+         AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(CAST(round(l_discount * 100) AS BIGINT)) / 100.0, 8) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-06-30'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q3(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    cutoff = F.lit("1996-06-30").cast("timestamp")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.filter(F.col("c_mktsegment") == "BUILDING"), o.o_custkey == c.c_custkey)
+        .filter((o.o_orderdate < cutoff) & (li.l_shipdate > cutoff))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg((F.sum(_disc_price_1e4()) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-30'
+  AND l_shipdate  > TIMESTAMP '1996-06-30'
+GROUP BY l_orderkey, o_orderpriority
+"""
+
+
+def _q5(spark, sf):
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    # dimension side is broadcast (region/nation are tiny by construction)
+    dims = F.broadcast(
+        n.join(r.filter(F.col("r_name") == "ASIA"), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(dims, c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((F.sum(_disc_price_1e4()) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0
+         AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def _q_topk(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+_Q_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+"""
+
+
+def _q_events_hourly(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.expr("unix_millis(ts) DIV 3600000").alias("hour_bucket"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 1000000).cast("long")) / F.lit(1e6)
+            ).alias("sum_value"),
+        )
+    )
+
+
+_Q_EVENTS_HOURLY_SQL = """
+SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0
+         AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _q_events_sessions(spark, sf):
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", F.expr("unix_millis(ts)").alias("ms")
+    )
+    order = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ms") - F.lag("ms").over(order) > F.lit(30 * 60 * 1000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    running = Window.partitionBy("user_id").orderBy("ms", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("new_sess").over(running))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ms").alias("start_ms"),
+            F.max("ms").alias("end_ms"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_Q_EVENTS_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+              > 1800000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ms,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ms) AS start_ms, max(ms) AS end_ms, count(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — generators (LCG-oracle, sf-independent)
+# ---------------------------------------------------------------------------
+
+
+def _gen_uniform(spark, sf):
+    return to_data_frame(
+        spark,
+        [("v", G.from_uniform_distribution(10.0, 20.0, precision=4))],
+        GEN_N,
+        keep_index=True,
+        rand_for=lambda i: LcgRandom("__idx__", 201 + i),
+    )
+
+
+_GEN_UNIFORM_SQL = f"""
+SELECT "range" AS __idx__,
+       printf('%.4f', {_u('"range"', 201, 0, stream=0)} * 10.0 + 10.0) AS v
+FROM range(0, {GEN_N})
+"""
+
+
+def _gen_normal(spark, sf):
+    return to_data_frame(
+        spark,
+        [("v", G.from_normal_distribution(100.0, 15.0, precision=4))],
+        GEN_N,
+        keep_index=True,
+        rand_for=lambda i: LcgRandom("__idx__", 202 + i),
+    )
+
+
+_GEN_NORMAL_SQL = f"""
+SELECT "range" AS __idx__,
+       printf('%.4f',
+         sqrt(ln(1.0 - {_u('"range"', 202, 0, stream=0)}) * -2.0)
+           * cos({_u('"range"', 202, 1, stream=0)} * {TWO_PI!r})
+           * 15.0 + 100.0) AS v
+FROM range(0, {GEN_N})
+"""
+
+
+def _gen_freq_single(spark, sf):
+    return to_data_frame(
+        spark,
+        [("fruit", G.from_frequency_table(FRUITS, "fruit", "count"))],
+        GEN_N,
+        keep_index=True,
+        rand_for=lambda i: LcgRandom("__idx__", 203 + i),
+    )
+
+
+_GEN_FREQ_SINGLE_SQL = f"""
+SELECT "range" AS __idx__,
+       CASE WHEN u < 100 THEN 'apple'
+            WHEN u < 150 THEN 'banana'
+            ELSE 'orange' END AS fruit
+FROM (
+  SELECT "range",
+         CAST(FLOOR({_u('"range"', 203, 0, stream=0)} * 230.0) AS BIGINT) AS u
+  FROM range(0, {GEN_N})
+)
+"""
+
+
+def _gen_freq_multi(spark, sf):
+    return to_data_frame(
+        spark,
+        [
+            (
+                ("fruit", "type"),
+                G.from_multicolumn_frequency_table(
+                    FRUIT_TYPES, ["fruit", "type"], "count"
+                ),
+            )
+        ],
+        GEN_N,
+        keep_index=True,
+        rand_for=lambda i: LcgRandom("__idx__", 204 + i),
+    )
+
+
+# cum weights: 30,100,140,150,205,230 over the six (fruit, type) rows
+_GEN_FREQ_MULTI_SQL = f"""
+SELECT "range" AS __idx__,
+       CASE WHEN u < 100 THEN 'apple'
+            WHEN u < 150 THEN 'banana'
+            ELSE 'orange' END AS fruit,
+       CASE WHEN u < 30 THEN 'braeburn'
+            WHEN u < 100 THEN 'elstar'
+            WHEN u < 140 THEN 'cavendish'
+            WHEN u < 150 THEN 'plantain'
+            WHEN u < 205 THEN 'clementine'
+            ELSE 'mandarin' END AS type
+FROM (
+  SELECT "range",
+         CAST(FLOOR({_u('"range"', 204, 0, stream=0)} * 230.0) AS BIGINT) AS u
+  FROM range(0, {GEN_N})
+)
+"""
+
+
+def _gen_datetime(spark, sf):
+    return to_data_frame(
+        spark,
+        [("d", G.from_datetime_range("2020-01-01", "2023-12-31", "%Y-%m-%d", "d"))],
+        GEN_N,
+        keep_index=True,
+        rand_for=lambda i: LcgRandom("__idx__", 205 + i),
+    )
+
+
+# 1460 whole days in [2020-01-01, 2023-12-31]; sampling inclusive → 1461
+_GEN_DATETIME_SQL = f"""
+SELECT "range" AS __idx__,
+       strftime(TIMESTAMP '2020-01-01 00:00:00'
+                + CAST(FLOOR({_u('"range"', 205, 0, stream=0)} * 1461.0) AS BIGINT)
+                  * INTERVAL '1 day', '%Y-%m-%d') AS d
+FROM range(0, {GEN_N})
+"""
+
+
+def _gen_group(spark, sf):
+    # weighted union of two sub-generators with exact counts + permute —
+    # the only reference op that forces a shuffle (SURVEY.md §7.4 item 5).
+    return to_data_frame(
+        spark,
+        [
+            (
+                "fruit",
+                G.from_group(
+                    [
+                        (0.75, G.from_frequency_table(FRUITS, "fruit", "count")),
+                        (0.25, G.from_uniform_distribution(0, 1, precision=2)),
+                    ]
+                ),
+            )
+        ],
+        GEN_N,
+        seed=206,
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — mutators (LCG-oracle over warehouse tables)
+# ---------------------------------------------------------------------------
+
+
+def _mut_missing(spark, sf):
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return M.with_missing_value("N/A").apply(
+        c, "c_mktsegment", 0.25, rand=LcgRandom("c_custkey", 101)
+    )
+
+
+_MUT_MISSING_SQL = f"""
+SELECT c_custkey,
+       CASE WHEN c_mktsegment <> 'N/A' AND {_u('c_custkey', 101, 0)} < 0.25
+            THEN 'N/A' ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+"""
+
+
+def _mut_uppercase(spark, sf):
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return M.with_uppercase().apply(c, "c_name", 0.5, rand=LcgRandom("c_custkey", 102))
+
+
+_MUT_UPPERCASE_SQL = f"""
+SELECT c_custkey,
+       CASE WHEN c_name <> upper(c_name) AND {_u('c_custkey', 102, 0)} < 0.5
+            THEN upper(c_name) ELSE c_name END AS c_name
+FROM customer
+"""
+
+
+def _mut_lowercase(spark, sf):
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    return M.with_lowercase().apply(p, "p_type", 0.5, rand=LcgRandom("p_partkey", 103))
+
+
+_MUT_LOWERCASE_SQL = f"""
+SELECT p_partkey,
+       CASE WHEN p_type <> lower(p_type) AND {_u('p_partkey', 103, 0)} < 0.5
+            THEN lower(p_type) ELSE p_type END AS p_type
+FROM part
+"""
+
+
+def _mut_repeat(spark, sf):
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    return M.with_repeat(" ").apply(
+        o, "o_orderpriority", 0.3, rand=LcgRandom("o_orderkey", 104)
+    )
+
+
+_MUT_REPEAT_SQL = f"""
+SELECT o_orderkey,
+       CASE WHEN {_u('o_orderkey', 104, 0)} < 0.3
+            THEN o_orderpriority || ' ' || o_orderpriority
+            ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+"""
+
+
+def _mut_insert(spark, sf):
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return M.with_insert().apply(c, "c_name", 0.4, rand=LcgRandom("c_custkey", 105))
+
+
+_MUT_INSERT_SQL = f"""
+SELECT c_custkey,
+       CASE WHEN {_u('c_custkey', 105, 0)} < 0.4 THEN
+         substr(c_name, 1, CAST(pos AS INTEGER))
+           || ch
+           || substr(c_name, CAST(pos AS INTEGER) + 1,
+                     CAST(greatest(0, length(c_name) - pos) AS INTEGER))
+       ELSE c_name END AS c_name
+FROM (
+  SELECT c_custkey, c_name,
+         {_uint('c_custkey', 105, 1, 'length(c_name) + 1')} AS pos,
+         {_charset_pick('c_custkey', 105, 2)} AS ch
+  FROM customer
+)
+"""
+
+
+def _mut_delete(spark, sf):
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return M.with_delete().apply(c, "c_name", 0.4, rand=LcgRandom("c_custkey", 106))
+
+
+_MUT_DELETE_SQL = f"""
+SELECT c_custkey,
+       CASE WHEN length(c_name) >= 1 AND {_u('c_custkey', 106, 0)} < 0.4 THEN
+         substr(c_name, 1, CAST(pos AS INTEGER))
+           || substr(c_name, CAST(pos AS INTEGER) + 2,
+                     CAST(greatest(0, length(c_name) - (pos + 1)) AS INTEGER))
+       ELSE c_name END AS c_name
+FROM (
+  SELECT c_custkey, c_name,
+         {_uint('c_custkey', 106, 1, 'length(c_name)')} AS pos
+  FROM customer
+)
+"""
+
+
+def _mut_substitute(spark, sf):
+    p = load_table(spark, sf, "part").select("p_partkey", "p_name")
+    return M.with_substitute().apply(
+        p, "p_name", 0.5, rand=LcgRandom("p_partkey", 107)
+    )
+
+
+_MUT_SUBSTITUTE_SQL = f"""
+SELECT p_partkey,
+       CASE WHEN length(p_name) >= 1 AND {_u('p_partkey', 107, 0)} < 0.5 THEN
+         substr(p_name, 1, CAST(pos AS INTEGER))
+           || ch
+           || substr(p_name, CAST(pos AS INTEGER) + 2,
+                     CAST(greatest(0, length(p_name) - pos - 1) AS INTEGER))
+       ELSE p_name END AS p_name
+FROM (
+  SELECT p_partkey, p_name,
+         {_uint('p_partkey', 107, 1, 'length(p_name)')} AS pos,
+         {_charset_pick('p_partkey', 107, 2)} AS ch
+  FROM part
+)
+"""
+
+
+def _mut_transpose(spark, sf):
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return M.with_transpose().apply(c, "c_name", 0.5, rand=LcgRandom("c_custkey", 108))
+
+
+_MUT_TRANSPOSE_SQL = f"""
+SELECT c_custkey,
+       CASE WHEN length(c_name) >= 2 AND {_u('c_custkey', 108, 0)} < 0.5 THEN
+         substr(c_name, 1, CAST(pos AS INTEGER))
+           || substr(c_name, CAST(pos AS INTEGER) + 2, 1)
+           || substr(c_name, CAST(pos AS INTEGER) + 1, 1)
+           || substr(c_name, CAST(pos AS INTEGER) + 3,
+                     CAST(greatest(0, length(c_name) - (pos + 2)) AS INTEGER))
+       ELSE c_name END AS c_name
+FROM (
+  SELECT c_custkey, c_name,
+         {_uint('c_custkey', 108, 1, 'length(c_name) - 1')} AS pos
+  FROM customer
+)
+"""
+
+
+def _mut_categorical(spark, sf):
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    mut = M.with_categorical_values(pd.DataFrame({"seg": SEGMENTS}), "seg")
+    return mut.apply(c, "c_mktsegment", 0.5, rand=LcgRandom("c_custkey", 109))
+
+
+_SEG_LIST = "[" + ", ".join(f"'{s}'" for s in SEGMENTS) + "]"
+_MUT_CATEGORICAL_SQL = f"""
+SELECT c_custkey,
+       CASE WHEN c_mktsegment IN ({", ".join(f"'{s}'" for s in SEGMENTS)})
+                 AND {_u('c_custkey', 109, 0)} < 0.5
+            THEN list_extract(
+                   list_filter({_SEG_LIST}, x -> x <> c_mktsegment),
+                   CAST({_uint('c_custkey', 109, 1, str(len(SEGMENTS) - 1))} AS INTEGER) + 1)
+            ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+"""
+
+
+def _mut_permute(spark, sf):
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return M.with_permute().apply(
+        c, ("c_name", "c_mktsegment"), 0.5, rand=LcgRandom("c_custkey", 110)
+    )
+
+
+# group mutators draw from the un-forked source → stream 0
+_MUT_PERMUTE_SQL = f"""
+SELECT c_custkey,
+       CASE WHEN {_u('c_custkey', 110, 0, stream=0)} < 0.5
+            THEN c_mktsegment ELSE c_name END AS c_name,
+       CASE WHEN {_u('c_custkey', 110, 0, stream=0)} < 0.5
+            THEN c_name ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+"""
+
+
+def _mut_datetime_offset(spark, sf):
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date")
+    )
+    mut = M.with_datetime_offset(4, "d", "%Y-%m-%d", prevent_wraparound=True)
+    return mut.apply(o, "o_date", 0.5, rand=LcgRandom("o_orderkey", 111))
+
+
+_MUT_DT_OFFSET_SQL = f"""
+SELECT o_orderkey,
+       CASE WHEN {_u('o_orderkey', 111, 0)} < 0.5 THEN
+         strftime(CASE WHEN month(shifted) <> month(ts) THEN ts ELSE shifted END,
+                  '%Y-%m-%d')
+       ELSE base END AS o_date
+FROM (
+  SELECT o_orderkey, base, ts,
+         ts + (CAST({_uint('o_orderkey', 111, 1, '4')} + 1 AS BIGINT)
+               * CASE WHEN {_u('o_orderkey', 111, 2)} < 0.5 THEN -1 ELSE 1 END)
+              * INTERVAL '1 day' AS shifted
+  FROM (
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS base,
+           strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS ts
+    FROM orders
+  )
+)
+"""
+
+
+def _mut_replacement_whole(spark, sf):
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    tbl = pd.DataFrame(
+        {"source": ["F", "F", "O"], "target": ["F1", "F2", "OX"]}
+    )
+    mut = M.with_replacement_table(tbl, "source", "target")
+    return mut.apply(o, "o_orderstatus", 0.5, rand=LcgRandom("o_orderkey", 112))
+
+
+_MUT_REPL_WHOLE_SQL = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus IN ('F', 'O') AND {_u('o_orderkey', 112, 0)} < 0.5 THEN
+         CASE o_orderstatus
+           WHEN 'F' THEN (CASE WHEN {_uint('o_orderkey', 112, 1, '2')} = 0
+                               THEN 'F1' ELSE 'F2' END)
+           WHEN 'O' THEN 'OX'
+         END
+       ELSE o_orderstatus END AS o_orderstatus
+FROM orders
+"""
+
+
+def _mut_splice(spark, sf):
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    mut = M.with_generator(
+        G.from_uniform_distribution(0.0, 100.0, precision=2), mode="append"
+    )
+    return mut.apply(c, ("c_name",), 0.4, rand=LcgRandom("c_custkey", 114))
+
+
+# generator splice: selection stream 0; the spliced generator runs on
+# rand.fork(7) → stream 8, uniform salt 0
+_MUT_SPLICE_SQL = f"""
+SELECT c_custkey,
+       CASE WHEN {_u('c_custkey', 114, 0, stream=0)} < 0.4
+            THEN c_name || ' '
+                 || printf('%.2f', {_u('c_custkey', 114, 0, stream=8)} * 100.0 + 0.0)
+            ELSE c_name END AS c_name
+FROM customer
+"""
+
+
+def _mut_chain(spark, sf):
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return mutate_data_frame(
+        c,
+        [
+            ("c_name", (0.3, M.with_uppercase())),
+            ("c_name", (0.3, M.with_delete())),
+        ],
+        rand_for=lambda step: LcgRandom("c_custkey", 1130 + step),
+    )
+
+
+_MUT_CHAIN_SQL = f"""
+WITH step1 AS (
+  SELECT c_custkey,
+         CASE WHEN c_name <> upper(c_name) AND {_u('c_custkey', 1130, 0)} < 0.3
+              THEN upper(c_name) ELSE c_name END AS c_name
+  FROM customer
+),
+step2 AS (
+  SELECT c_custkey, c_name,
+         {_uint('c_custkey', 1131, 1, 'length(c_name)')} AS pos
+  FROM step1
+)
+SELECT c_custkey,
+       CASE WHEN length(c_name) >= 1 AND {_u('c_custkey', 1131, 0)} < 0.3 THEN
+         substr(c_name, 1, CAST(pos AS INTEGER))
+           || substr(c_name, CAST(pos AS INTEGER) + 2,
+                     CAST(greatest(0, length(c_name) - (pos + 1)) AS INTEGER))
+       ELSE c_name END AS c_name
+FROM step2
+"""
+
+
+# -- table-driven Arrow-kernel mutators: rows-only checks -------------------
+
+_OCR_TABLE = pd.DataFrame(
+    {
+        "source": ["l", "rn", "O", "5", "cl"],
+        "target": ["1", "m", "0", "S", "d"],
+    }
+)
+
+_PHONETIC_TABLE = pd.DataFrame(
+    {
+        "source": ["ph", "th", "Cust", "er"],
+        "target": ["f", "t", "Kust", "a"],
+        "flags": ["", "", "^", "$"],
+    }
+)
+
+
+def _mut_replacement_inline(spark, sf):
+    p = load_table(spark, sf, "part").select("p_partkey", "p_name")
+    mut = M.with_replacement_table(_OCR_TABLE, "source", "target", inline=True)
+    return mut.apply(p, "p_name", 0.5, rand=LcgRandom("p_partkey", 115))
+
+
+def _mut_phonetic(spark, sf):
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    mut = M.with_phonetic_replacement_table(
+        _PHONETIC_TABLE, "source", "target", "flags"
+    )
+    return mut.apply(c, "c_name", 0.5, rand=LcgRandom("c_custkey", 116))
+
+
+def _mut_regex(spark, sf):
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date")
+    )
+    tbl = pd.DataFrame(
+        {
+            "pattern": [r"(?P<y>\d{4})-(?P<m>\d{2})-(?P<d>\d{2})"],
+            "y": ["(?P<y>)"],
+            "m": ["(?P<d>)"],
+            "d": ["(?P<m>)"],
+        }
+    )
+    mut = M.with_regex_replacement_table(tbl, pattern_column="pattern")
+    return mut.apply(o, "o_date", 0.5, rand=LcgRandom("o_orderkey", 117))
+
+
+# ---------------------------------------------------------------------------
+# queries — beyond-reference training-data ops
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact(spark, sf):
+    from gecko_spark.operators.dedup import dedupe_exact
+
+    docs = load_table(spark, sf, "documents")
+    return dedupe_exact(docs, ["lang", "source"], id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+"""
+
+
+def _dedup_groups(spark, sf):
+    from gecko_spark.operators.dedup import exact_duplicate_groups
+
+    docs = load_table(spark, sf, "documents")
+    return exact_duplicate_groups(docs, ["lang", "source"], id_col="doc_id").select(
+        "keep_id", "n_dupes"
+    )
+
+
+_DEDUP_GROUPS_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
+FROM documents
+GROUP BY lang, source
+HAVING count(*) > 1
+"""
+
+
+def _dedup_minhash(spark, sf):
+    from gecko_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return minhash_candidate_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
+
+
+def _dedup_simhash(spark, sf):
+    from gecko_spark.operators.dedup import simhash_candidate_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+def _dedup_jaccard(spark, sf):
+    from gecko_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=4, threshold=0.35).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_DEDUP_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(length(lower(text)) - 3, 1) + 1),
+           i -> substr(lower(text), CAST(i AS INTEGER), 4)))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc, count(*) AS set_size FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / CAST(sa.set_size + sb.set_size - i AS DOUBLE), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE CAST(i AS DOUBLE) / CAST(sa.set_size + sb.set_size - i AS DOUBLE) >= 0.35
+"""
+
+
+def _topk_cosine(spark, sf):
+    from gecko_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_bruteforce(emb, qs, k=5).select("query_id", "vec_id", "rank")
+
+
+_TOPK_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+"""
+
+
+def _topk_ivf(spark, sf):
+    from gecko_spark.operators.similarity import cosine_topk_ivf, ivf_assign
+
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus, centroids = ivf_assign(emb, n_centroids=16, seed=5)
+    return cosine_topk_ivf(corpus, centroids, qs, k=5, nprobe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+_STOP_EN = [
+    "the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+    "with", "as", "his", "on", "be", "at", "by", "had", "not", "are",
+]
+
+
+def _text_stats(spark, sf):
+    from gecko_spark.operators.text import (
+        language_id,
+        quality_features,
+        quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    qf = quality_features(t)
+    return docs.select(
+        "doc_id",
+        qf[0].cast("long").alias("n_chars"),
+        qf[1].cast("long").alias("n_tokens"),
+        F.round(qf[2], 6).alias("mean_token_len"),
+        F.round(qf[3], 6).alias("alpha_ratio"),
+        F.round(qf[6], 6).alias("upper_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        token_count(t, "whitespace").cast("long").alias("n_ws_tokens"),
+        token_count(t, "bpe_ish").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+_ALL_STOP = sorted(
+    {
+        w
+        for ws in [
+            _STOP_EN,
+            ["der", "die", "das", "und", "ist", "nicht", "von", "mit", "dem",
+             "ein", "eine", "zu", "den", "im", "für", "auf", "des", "sich", "ich"],
+            ["le", "la", "les", "de", "et", "est", "dans", "que", "pour", "une",
+             "un", "du", "des", "il", "au", "avec", "sur", "ne", "pas", "ce"],
+            ["el", "la", "los", "las", "de", "y", "es", "en", "que", "por",
+             "un", "una", "del", "con", "para", "se", "no", "su", "al", "como"],
+            ["il", "la", "di", "e", "che", "in", "un", "una", "per", "è",
+             "non", "con", "del", "le", "si", "da", "dei", "al", "come", "più"],
+        ]
+        for w in ws
+    }
+)
+
+_SW = {
+    "en": _STOP_EN,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "von", "mit", "dem",
+           "ein", "eine", "zu", "den", "im", "für", "auf", "des", "sich", "ich"],
+    "fr": ["le", "la", "les", "de", "et", "est", "dans", "que", "pour", "une",
+           "un", "du", "des", "il", "au", "avec", "sur", "ne", "pas", "ce"],
+    "es": ["el", "la", "los", "las", "de", "y", "es", "en", "que", "por",
+           "un", "una", "del", "con", "para", "se", "no", "su", "al", "como"],
+    "it": ["il", "la", "di", "e", "che", "in", "un", "una", "per", "è",
+           "non", "con", "del", "le", "si", "da", "dei", "al", "come", "più"],
+}
+
+
+def _sql_list(words):
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+
+
+_TEXT_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                     t -> length(t) > 0) AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, toks, n_chars, n_alpha, n_upper,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+           AS tok_len_sum,
+         CAST(len(list_filter(toks, t -> list_contains({_sql_list(_ALL_STOP)}, t)))
+              AS DOUBLE) AS n_stop,
+         list_distinct(toks) AS dtoks
+  FROM base
+),
+scored AS (
+  SELECT doc_id, text, n_chars, n_tokens, tok_len_sum, n_alpha, n_upper, n_stop,
+         CAST(len(list_intersect(dtoks, {_sql_list(_SW['en'])})) AS BIGINT) AS s_en,
+         CAST(len(list_intersect(dtoks, {_sql_list(_SW['de'])})) AS BIGINT) AS s_de,
+         CAST(len(list_intersect(dtoks, {_sql_list(_SW['fr'])})) AS BIGINT) AS s_fr,
+         CAST(len(list_intersect(dtoks, {_sql_list(_SW['es'])})) AS BIGINT) AS s_es,
+         CAST(len(list_intersect(dtoks, {_sql_list(_SW['it'])})) AS BIGINT) AS s_it,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> length(t) > 0)) AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+              AS BIGINT) AS n_bpe_tokens
+  FROM feat
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(tok_len_sum / greatest(n_tokens, 1), 6) AS mean_token_len,
+       round(CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1), 6) AS alpha_ratio,
+       round(CAST(n_upper AS DOUBLE) / greatest(n_chars, 1), 6) AS upper_ratio,
+       round(least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.3
+             + (CAST(n_alpha AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 0.4
+             + least(n_stop / greatest(CAST(n_tokens AS DOUBLE) * 0.2, 1.0), 1.0) * 0.3,
+             6) AS quality,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'fr'
+            WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'es'
+            ELSE 'it' END AS lang_pred,
+       n_ws_tokens, n_bpe_tokens
+FROM scored
+"""
+
+
+def _doc_fingerprints(spark, sf):
+    from gecko_spark.operators.text import fingerprint, rolling_hash_fingerprint
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        rolling_hash_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational surface
+        "q1_pricing_summary": _q1,
+        "q3_shipping_priority": _q3,
+        "q5_region_revenue": _q5,
+        "q_window_topk_orders": _q_topk,
+        "q_events_hourly": _q_events_hourly,
+        "q_events_sessions": _q_events_sessions,
+        # generators (G2–G7)
+        "gen_uniform": _gen_uniform,
+        "gen_normal": _gen_normal,
+        "gen_freq_single": _gen_freq_single,
+        "gen_freq_multi": _gen_freq_multi,
+        "gen_datetime": _gen_datetime,
+        "gen_group": _gen_group,
+        # mutators (M5–M16, M18–M20 via chain/permute/splice)
+        "mut_missing_value": _mut_missing,
+        "mut_uppercase": _mut_uppercase,
+        "mut_lowercase": _mut_lowercase,
+        "mut_repeat": _mut_repeat,
+        "mut_insert": _mut_insert,
+        "mut_delete": _mut_delete,
+        "mut_substitute": _mut_substitute,
+        "mut_transpose": _mut_transpose,
+        "mut_categorical": _mut_categorical,
+        "mut_permute": _mut_permute,
+        "mut_datetime_offset": _mut_datetime_offset,
+        "mut_replacement_whole": _mut_replacement_whole,
+        "mut_generator_splice": _mut_splice,
+        "mut_chain": _mut_chain,
+        # table-driven Arrow kernels (M2–M4, M17): rows-only
+        "mut_replacement_inline": _mut_replacement_inline,
+        "mut_phonetic": _mut_phonetic,
+        "mut_regex": _mut_regex,
+        # beyond-reference training-data ops
+        "dedup_exact": _dedup_exact,
+        "dedup_groups": _dedup_groups,
+        "dedup_minhash_pairs": _dedup_minhash,
+        "dedup_simhash_pairs": _dedup_simhash,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "topk_cosine_bruteforce": _topk_cosine,
+        "topk_cosine_ivf": _topk_ivf,
+        "text_stats": _text_stats,
+        "doc_fingerprints": _doc_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_region_revenue": _Q5_SQL,
+        "q_window_topk_orders": _Q_TOPK_SQL,
+        "q_events_hourly": _Q_EVENTS_HOURLY_SQL,
+        "q_events_sessions": _Q_EVENTS_SESSIONS_SQL,
+        "gen_uniform": _GEN_UNIFORM_SQL,
+        "gen_normal": _GEN_NORMAL_SQL,
+        "gen_freq_single": _GEN_FREQ_SINGLE_SQL,
+        "gen_freq_multi": _GEN_FREQ_MULTI_SQL,
+        "gen_datetime": _GEN_DATETIME_SQL,
+        "mut_missing_value": _MUT_MISSING_SQL,
+        "mut_uppercase": _MUT_UPPERCASE_SQL,
+        "mut_lowercase": _MUT_LOWERCASE_SQL,
+        "mut_repeat": _MUT_REPEAT_SQL,
+        "mut_insert": _MUT_INSERT_SQL,
+        "mut_delete": _MUT_DELETE_SQL,
+        "mut_substitute": _MUT_SUBSTITUTE_SQL,
+        "mut_transpose": _MUT_TRANSPOSE_SQL,
+        "mut_categorical": _MUT_CATEGORICAL_SQL,
+        "mut_permute": _MUT_PERMUTE_SQL,
+        "mut_datetime_offset": _MUT_DT_OFFSET_SQL,
+        "mut_replacement_whole": _MUT_REPL_WHOLE_SQL,
+        "mut_generator_splice": _MUT_SPLICE_SQL,
+        "mut_chain": _MUT_CHAIN_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_groups": _DEDUP_GROUPS_SQL,
+        "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
+        "topk_cosine_bruteforce": _TOPK_COSINE_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+    }

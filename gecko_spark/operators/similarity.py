@@ -151,13 +151,14 @@ def ivf_assign(
     centroids)."""
     centroids = _sample_centroids(corpus, vec_col, n_centroids, seed)
     vec = F.col(vec_col)
-    best_id = F.lit(0)
-    best_score = dot(vec, F.lit([float(x) for x in centroids[0]]))
-    for c in range(1, n_centroids):
-        score = dot(vec, F.lit([float(x) for x in centroids[c]]))
-        improved = score > best_score
-        best_id = F.when(improved, F.lit(c)).otherwise(best_id)
-        best_score = F.when(improved, score).otherwise(best_score)
+    # one scores ARRAY + array_position(argmax): a chained
+    # when(score > best)-fold embeds the running best expression twice
+    # per centroid — O(2^k) expression-tree blowup that stalls Catalyst
+    # beyond ~12 centroids. This stays O(k · dim).
+    scores = F.array(
+        *[dot(vec, F.lit([float(x) for x in centroids[c]])) for c in range(n_centroids)]
+    )
+    best_id = (F.array_position(scores, F.array_max(scores)) - F.lit(1)).cast("int")
     return corpus.withColumn("__ivf_list__", best_id), centroids
 
 

@@ -44,9 +44,9 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     finally:
         spark.conf.set(_NANOS_CONF, prev)
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer DIV — double division loses microsecond precision on
+        # ~1.7e18 nanosecond epoch values (53-bit mantissa)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df.select(*cols)
 
 

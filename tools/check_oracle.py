@@ -1,0 +1,97 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same sf dir, compare row count + column names + order-insensitive
+values. Usage: python tools/check_oracle.py [sf_dir] [name ...]"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as e  # noqa: E402
+from gecko_spark import get_spark  # noqa: E402
+from gecko_spark.sources.testdata import TABLES  # noqa: E402
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns), ignore_index=True)
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, sf).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "ROWS" if len(got) >= 0 else "FAIL"
+            print(f"{status}  {name}: rows={len(got)} ({time.time()-t0:.1f}s) [no oracle]")
+            n_rows_only += 1
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        g, x = canon(got), canon(exp)
+        if list(g.columns) != list(x.columns):
+            print(f"FAIL  {name}: columns {list(g.columns)} vs {list(x.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(x):
+            print(f"FAIL  {name}: rows {len(g)} vs {len(x)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(
+                g, x, check_dtype=False, check_exact=False, rtol=0, atol=0
+            )
+            ok = True
+        except AssertionError as ex:
+            ok = False
+            msg = str(ex).splitlines()[0:4]
+        if ok:
+            print(f"PASS  {name}: rows={len(g)} ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: value mismatch: {' | '.join(msg)}")
+            # show first differing row for debugging
+            neq = (g != x).any(axis=1)
+            if neq.any():
+                i = neq.idxmax()
+                print(f"      spark : {g.loc[i].to_dict()}")
+                print(f"      oracle: {x.loc[i].to_dict()}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
