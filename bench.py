@@ -1,0 +1,193 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) plus the BASELINE.md workload shapes (generate + mutate 1M rows)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Comparison points (BASELINE.md §B, reference @ 1M rows, single core):
+  gen from_frequency_table 23ms · from_multicolumn 1.12s · uniform 0.75s
+  · datetime 0.77s · with_delete 0.64s · with_missing 0.10s ·
+  replacement(inline, 5 rules) 5.29s · phonetic(4+ rules) 16.88s ·
+  3-spec mutate_data_frame 7.10s
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from gecko_spark import get_spark  # noqa: E402
+from gecko_spark.operators import generators as G  # noqa: E402
+from gecko_spark.operators import mutators as M  # noqa: E402
+from gecko_spark.plans.pipeline import mutate_data_frame, to_data_frame  # noqa: E402
+from gecko_spark.sources.testdata import load_table  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+BENCH_N = 1_000_000
+
+OCR = pd.DataFrame(
+    {"source": ["l", "rn", "O", "5", "cl"], "target": ["1", "m", "0", "S", "d"]}
+)
+PHON = pd.DataFrame(
+    {
+        "source": ["ph", "th", "Cust", "er", "an", "on"],
+        "target": ["f", "t", "Kust", "a", "en", "un"],
+        "flags": ["", "", "^", "$", "", ""],
+    }
+)
+
+
+def _run(df):
+    """Force full evaluation of every column (noop sink — no I/O cost)."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _gen_1m(spark, seed=11):
+    return to_data_frame(
+        spark,
+        [
+            ("fruit", G.from_frequency_table(entrymod.FRUITS, "fruit", "count")),
+            (
+                ("f2", "t2"),
+                G.from_multicolumn_frequency_table(
+                    entrymod.FRUIT_TYPES, ["fruit", "type"], "count"
+                ),
+            ),
+            ("u", G.from_uniform_distribution(0, 1, precision=6)),
+            ("d", G.from_datetime_range("2020-01-01", "2023-12-31", "%Y-%m-%d", "d")),
+        ],
+        BENCH_N,
+        seed=seed,
+        keep_index=True,
+    )
+
+
+def bench_queries(spark, sf_dir):
+    out = {}
+
+    def timed(name, thunk):
+        t0 = time.time()
+        thunk()
+        out[name] = round(time.time() - t0, 3)
+
+    # --- generation + mutation at the reference's 1M-row scale ----------
+    timed("gen_1m_4cols", lambda: _run(_gen_1m(spark)))
+
+    base = _gen_1m(spark).persist()
+    base.count()
+    try:
+        timed(
+            "mut_1m_edit_chain",
+            lambda: _run(
+                mutate_data_frame(
+                    base,
+                    [
+                        ("fruit", (0.1, M.with_delete())),
+                        ("fruit", (0.1, M.with_insert())),
+                        ("f2", (0.1, M.with_substitute())),
+                        ("t2", (0.1, M.with_transpose())),
+                        ("u", (0.1, M.with_missing_value())),
+                        ("d", (0.1, M.with_uppercase())),
+                    ],
+                    seed=13,
+                    key_columns=["__idx__"],
+                )
+            ),
+        )
+        timed(
+            "mut_1m_replacement_inline",
+            lambda: _run(
+                M.with_replacement_table(OCR, "source", "target", inline=True).apply(
+                    base, "fruit", 0.1, seed=14
+                )
+            ),
+        )
+        timed(
+            "mut_1m_phonetic",
+            lambda: _run(
+                M.with_phonetic_replacement_table(
+                    PHON, "source", "target", "flags"
+                ).apply(base, "fruit", 0.1, seed=15)
+            ),
+        )
+        timed(
+            "mut_1m_3spec_e2e",
+            lambda: _run(
+                mutate_data_frame(
+                    base,
+                    [
+                        (
+                            "fruit",
+                            (0.1, M.with_replacement_table(OCR, "source", "target", inline=True)),
+                        ),
+                        (("f2", "t2"), (0.1, M.with_permute())),
+                        ("d", (0.1, M.with_transpose())),
+                    ],
+                    seed=16,
+                    key_columns=["__idx__"],
+                )
+            ),
+        )
+    finally:
+        base.unpersist()
+
+    # --- relational headline queries at sf ------------------------------
+    qs = entrymod.queries()
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "q_window_topk_orders",
+        "q_events_hourly",
+        "q_events_sessions",
+    ]:
+        timed(name, lambda n=name: _run(qs[n](spark, sf_dir)))
+
+    # --- training-data ops at sf ----------------------------------------
+    for name in [
+        "dedup_exact",
+        "dedup_minhash_pairs",
+        "text_stats",
+        "topk_cosine_bruteforce",
+    ]:
+        timed(name, lambda n=name: _run(qs[n](spark, sf_dir)))
+
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="gecko-spark-bench", cpus=cpus, shuffle_partitions=cpus)
+    try:
+        # warm the JVM/session so timings measure the queries, not startup
+        load_table(spark, sf_dir, "lineitem").count()
+        queries = bench_queries(spark, sf_dir)
+    finally:
+        spark.stop()
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    print(
+        json.dumps(
+            {
+                "metric": "gecko_spark bench: gen+mutate @1M rows + headline queries",
+                "value": round(sum(queries.values()), 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

