@@ -75,15 +75,17 @@ def language_id(text: Column, languages: Optional[list[str]] = None) -> Column:
     one pass, JVM-only."""
     langs = languages or list(_STOPWORDS)
     toks = F.array_distinct(tokens(text))
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in langs:
-        sw = F.lit(_STOPWORDS[lang])
-        score = F.size(F.array_intersect(toks, sw))
-        improved = score > best_score
-        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(improved, score).otherwise(best_score)
-    return best_lang
+    # scores array + array_position(argmax): a when(score > best)-fold
+    # embeds the running best expression twice per language (O(2^k)
+    # expression growth); this stays linear and keeps first-max-wins
+    # semantics (array_position returns the FIRST occurrence).
+    scores = F.array(
+        *[F.size(F.array_intersect(toks, F.lit(_STOPWORDS[lang]))) for lang in langs]
+    )
+    best = F.array_max(scores)
+    idx = F.array_position(scores, best).cast("int")
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(best > 0, F.element_at(lang_arr, idx)).otherwise(F.lit("und"))
 
 
 def quality_features(text: Column) -> list[Column]:
