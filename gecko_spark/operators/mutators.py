@@ -774,29 +774,34 @@ class _ReplacementTable(Mutator):
             mask = sel.fillna(False).to_numpy(dtype=bool)
             if not mask.any():
                 return out
-            vals_np = vals.fillna("").to_numpy(dtype=object)
+            filled = vals.fillna("")
             # batch-local match frequencies, ascending — rarest sources
             # get first claim on rows, reproducing the reference's
             # favor-rare ordering (gecko/mutator.py:618-624) at batch
-            # granularity
+            # granularity; contains/replace are vectorized pandas .str
+            # kernels, matching the reference's own physical strategy
             match_masks = {}
             freqs = []
             for src in targets:
-                m = np.array([src in v for v in vals_np]) & mask
+                m = filled.str.contains(src, regex=False).to_numpy(bool) & mask
                 if m.any():
                     match_masks[src] = m
                     freqs.append((int(m.sum()), src))
             freqs.sort()
             au = u.to_numpy(np.float64)
-            mutated = np.zeros(len(vals_np), dtype=bool)
+            mutated = np.zeros(len(filled), dtype=bool)
             for _, src in freqs:
                 rows = match_masks[src] & ~mutated
                 if not rows.any():
                     continue
                 tgts = targets[src]
-                for i in np.flatnonzero(rows):
-                    tgt = tgts[int(au[i] * len(tgts))]
-                    out.iat[i] = vals_np[i].replace(src, tgt, 1)
+                tgt_idx = (au * len(tgts)).astype(np.int64)
+                for j in range(len(tgts)):
+                    rows_j = rows & (tgt_idx == j)
+                    if rows_j.any():
+                        out[rows_j] = filled[rows_j].str.replace(
+                            src, tgts[j], n=1, regex=False
+                        )
                 mutated |= rows
             return out
 
@@ -854,22 +859,26 @@ class _PhoneticReplacement(Mutator):
 
         @F.pandas_udf(T.StringType())
         def _phonetic(vals: pd.Series, sel: pd.Series, u: pd.Series) -> pd.Series:
-            out = vals.copy()
             mask = sel.fillna(False).to_numpy(dtype=bool)
             if not mask.any():
-                return out
-            vals_np = vals.fillna("").to_numpy(dtype=object)
-            n = len(vals_np)
+                return vals.copy()
+            out_np = vals.to_numpy(dtype=object).copy()
+            s = pd.Series(vals.fillna("").to_numpy(dtype=object))
+            n = len(s)
 
-            # per-rule match masks (gecko/mutator.py:411-424)
+            # per-rule match masks, vectorized .str kernels
+            # (gecko/mutator.py:411-424)
             match = np.zeros((len(rules), n), dtype=bool)
             for r, (pattern, _, flag) in enumerate(rules):
                 if flag == "^":
-                    match[r] = np.array([v.startswith(pattern) for v in vals_np])
+                    match[r] = s.str.startswith(pattern).to_numpy(bool)
                 elif flag == "$":
-                    match[r] = np.array([v.endswith(pattern) for v in vals_np])
+                    match[r] = s.str.endswith(pattern).to_numpy(bool)
                 else:
-                    match[r] = np.array([pattern in v[1:-1] for v in vals_np])
+                    match[r] = (
+                        s.str.slice(1, -1).str.contains(pattern, regex=False)
+                        .to_numpy(bool)
+                    )
 
             options = match.sum(axis=0).astype(np.float64)
             # rule order: descending batch frequency; rows keep an
@@ -888,23 +897,29 @@ class _PhoneticReplacement(Mutator):
                     prob = np.where(options > 0, 1.0 / np.maximum(options, 1.0), 0.0)
                 rows = mask & ~done & match[r] & (au < prob)
                 options[match[r] & ~rows] -= 1
-                for i in np.flatnonzero(rows):
-                    v = vals_np[i]
-                    if flag == "^":
-                        nv = re.sub(f"^{re.escape(pattern)}", replacement, v, count=1)
-                    elif flag == "$":
-                        nv = re.sub(f"{re.escape(pattern)}$", replacement, v, count=1)
-                    else:
-                        nv = re.sub(
-                            f"^(.+)(?:{re.escape(pattern)})(.+)$",
-                            rf"\g<1>{replacement}\g<2>",
-                            v,
-                            count=1,
-                        )
-                    if nv != v:
-                        out.iat[i] = nv
-                        done[i] = True
-            return out
+                if not rows.any():
+                    continue
+                sub = s[rows]
+                if flag == "^":
+                    new = sub.str.replace(
+                        f"^{re.escape(pattern)}", replacement, n=1, regex=True
+                    )
+                elif flag == "$":
+                    new = sub.str.replace(
+                        f"{re.escape(pattern)}$", replacement, n=1, regex=True
+                    )
+                else:
+                    new = sub.str.replace(
+                        f"^(.+)(?:{re.escape(pattern)})(.+)$",
+                        rf"\g<1>{replacement}\g<2>",
+                        n=1,
+                        regex=True,
+                    )
+                changed = (new != sub).to_numpy(bool)
+                idx = np.flatnonzero(rows)[changed]
+                out_np[idx] = new.to_numpy(dtype=object)[changed]
+                done[idx] = True
+            return pd.Series(out_np, index=vals.index)
 
         return _phonetic(col, selected, rand.uniform(1))
 
