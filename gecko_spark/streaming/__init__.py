@@ -2,6 +2,7 @@
 
 from gecko_spark.streaming.stream import (
     mutate_stream,
+    running_user_stats,
     sessionize,
     stream_events,
     windowed_event_counts,
@@ -9,6 +10,7 @@ from gecko_spark.streaming.stream import (
 
 __all__ = [
     "mutate_stream",
+    "running_user_stats",
     "sessionize",
     "stream_events",
     "windowed_event_counts",

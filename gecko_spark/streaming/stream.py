@@ -21,6 +21,7 @@ __all__ = [
     "stream_events",
     "windowed_event_counts",
     "sessionize",
+    "running_user_stats",
     "mutate_stream",
 ]
 
@@ -134,6 +135,69 @@ def sessionize(
             "user_id",
             "n_events",
             "sum_value",
+        )
+    )
+
+
+def running_user_stats(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    idle_timeout_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum, max of
+    ``value``) maintained across micro-batches with
+    ``applyInPandasWithState`` — the escape hatch for aggregations the
+    built-in windowed/sessionized operators can't express.
+
+    State is one tiny tuple per live user (scales with distinct active
+    keys, not history); idle users are evicted via event-time timeout
+    so the state store is bounded under churn."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("m", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            v = pdf["value"].astype(float)
+            n += len(v)
+            s += float(v.sum())
+            if len(v):
+                m = max(m, float(v.max()))
+        state.update((n, s, m))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [s], "max_value": [m]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

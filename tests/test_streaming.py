@@ -4,11 +4,13 @@ table with a memory sink (synchronous processAllAvailable)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from gecko_spark.operators import mutators as M
 from gecko_spark.sources.testdata import load_table
 from gecko_spark.streaming import (
     mutate_stream,
+    running_user_stats,
     sessionize,
     stream_events,
     windowed_event_counts,
@@ -63,6 +65,36 @@ def test_sessionize(spark):
         g = grp.sort_values("session_start")
         assert (g["session_start"].shift(-1).dropna().values
                 >= g["session_end"].iloc[:-1].values).all()
+
+
+def test_running_user_stats(spark):
+    events = stream_events(spark, f"{SF}/events.parquet")
+    stats = running_user_stats(events, watermark="0 seconds")
+    _run(stats, "user_stats", mode="update")
+    # update mode may emit a row per user per batch; the LAST emission
+    # per user carries the final running totals
+    pdf = (
+        spark.sql("SELECT * FROM user_stats")
+        .toPandas()
+        .groupby("user_id")
+        .last()
+        .reset_index()
+    )
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+    )
+    merged = pdf.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (abs(merged["sum_value_s"] - merged["sum_value_b"]) < 1e-6).all()
+    assert (abs(merged["max_value_s"] - merged["max_value_b"]) < 1e-9).all()
 
 
 def test_mutate_stream(spark):
