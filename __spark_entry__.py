@@ -785,6 +785,104 @@ FROM step2
 """
 
 
+def _gen_function(spark, sf):
+    # G1 escape hatch with a deterministic function → exact oracle
+    return to_data_frame(
+        spark,
+        [("v", G.from_function(str, "hello"))],
+        GEN_N,
+        keep_index=True,
+        rand_for=lambda i: LcgRandom("__idx__", 207 + i),
+    )
+
+
+_GEN_FUNCTION_SQL = f"""
+SELECT "range" AS __idx__, 'hello' AS v FROM range(0, {GEN_N})
+"""
+
+
+def _reverse_str(s: str) -> str:
+    return s[::-1]
+
+
+def _mut_function(spark, sf):
+    # M1 escape hatch with a deterministic function → exact oracle
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return M.with_function(_reverse_str).apply(
+        c, "c_name", 0.5, rand=LcgRandom("c_custkey", 118)
+    )
+
+
+_MUT_FUNCTION_SQL = f"""
+SELECT c_custkey,
+       CASE WHEN {_u('c_custkey', 118, 0)} < 0.5
+            THEN reverse(c_name) ELSE c_name END AS c_name
+FROM customer
+"""
+
+
+def _mut_group(spark, sf):
+    # M19 weighted multiplexer: 40% lowercase / 30% missing / 30% noop
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    mut = M.with_group([(0.4, M.with_lowercase()), (0.3, M.with_missing_value("GONE"))])
+    return mut.apply(c, ("c_mktsegment",), 0.6, rand=LcgRandom("c_custkey", 119))
+
+
+# group multiplexer draw layout: selection salt 0 / index salt 1 on the
+# un-forked stream 0; sub-mutator j draws on fork(j+2).fork(0)
+_MUT_GROUP_SQL = f"""
+WITH drawn AS (
+  SELECT c_custkey, c_mktsegment,
+         {_u('c_custkey', 119, 0, stream=0)} < 0.6 AS sel,
+         CASE WHEN {_u('c_custkey', 119, 1, stream=0)} < 0.4 THEN 0
+              WHEN {_u('c_custkey', 119, 1, stream=0)} < 0.7 THEN 1
+              ELSE 2 END AS idx
+  FROM customer
+),
+step0 AS (
+  SELECT c_custkey, sel, idx,
+         CASE WHEN sel AND idx = 0 AND c_mktsegment <> lower(c_mktsegment)
+              THEN lower(c_mktsegment) ELSE c_mktsegment END AS c_mktsegment
+  FROM drawn
+)
+SELECT c_custkey,
+       CASE WHEN sel AND idx = 1 AND c_mktsegment <> 'GONE'
+            THEN 'GONE' ELSE c_mktsegment END AS c_mktsegment
+FROM step0
+"""
+
+
+_CLDR_MINI_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<keyboard locale="zz-t-k0-test">
+  <keyMap>
+    <map iso="D01" to="q"/> <map iso="D02" to="w"/> <map iso="D03" to="e"/>
+    <map iso="C01" to="a"/> <map iso="C02" to="s"/> <map iso="C03" to="d"/>
+    <map iso="B01" to="y"/> <map iso="B02" to="x"/> <map iso="B03" to="c"/>
+  </keyMap>
+  <keyMap modifiers="shift">
+    <map iso="D01" to="Q"/> <map iso="D02" to="W"/> <map iso="D03" to="E"/>
+    <map iso="C01" to="A"/> <map iso="C02" to="S"/> <map iso="C03" to="D"/>
+    <map iso="B01" to="Y"/> <map iso="B02" to="X"/> <map iso="B03" to="C"/>
+  </keyMap>
+</keyboard>
+"""
+
+
+def _mut_cldr(spark, sf):
+    # M2 keyboard typos (rows-only: two-stage per-row pick in the kernel)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".xml", delete=False, encoding="utf-8"
+    ) as f:
+        f.write(_CLDR_MINI_XML)
+        path = f.name
+    p = load_table(spark, sf, "part").select("p_partkey", "p_name")
+    return M.with_cldr_keymap_file(path).apply(
+        p, "p_name", 0.5, rand=LcgRandom("p_partkey", 120)
+    )
+
+
 # -- table-driven Arrow-kernel mutators: rows-only checks -------------------
 
 _OCR_TABLE = pd.DataFrame(
@@ -1108,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_freq_multi": _gen_freq_multi,
         "gen_datetime": _gen_datetime,
         "gen_group": _gen_group,
+        "gen_function": _gen_function,
         # mutators (M5–M16, M18–M20 via chain/permute/splice)
         "mut_missing_value": _mut_missing,
         "mut_uppercase": _mut_uppercase,
@@ -1123,7 +1222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mut_replacement_whole": _mut_replacement_whole,
         "mut_generator_splice": _mut_splice,
         "mut_chain": _mut_chain,
+        "mut_function": _mut_function,
+        "mut_group": _mut_group,
         # table-driven Arrow kernels (M2–M4, M17): rows-only
+        "mut_cldr_keymap": _mut_cldr,
         "mut_replacement_inline": _mut_replacement_inline,
         "mut_phonetic": _mut_phonetic,
         "mut_regex": _mut_regex,
@@ -1153,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "gen_freq_single": _GEN_FREQ_SINGLE_SQL,
         "gen_freq_multi": _GEN_FREQ_MULTI_SQL,
         "gen_datetime": _GEN_DATETIME_SQL,
+        "gen_function": _GEN_FUNCTION_SQL,
         "mut_missing_value": _MUT_MISSING_SQL,
         "mut_uppercase": _MUT_UPPERCASE_SQL,
         "mut_lowercase": _MUT_LOWERCASE_SQL,
@@ -1167,6 +1270,8 @@ def oracle_sql() -> dict[str, str]:
         "mut_replacement_whole": _MUT_REPL_WHOLE_SQL,
         "mut_generator_splice": _MUT_SPLICE_SQL,
         "mut_chain": _MUT_CHAIN_SQL,
+        "mut_function": _MUT_FUNCTION_SQL,
+        "mut_group": _MUT_GROUP_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_groups": _DEDUP_GROUPS_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
