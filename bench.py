@@ -76,9 +76,14 @@ def bench_queries(spark, sf_dir):
     out = {}
 
     def timed(name, thunk):
-        t0 = time.time()
+        # one warmup run (JIT/codegen/Arrow init), then best of 2 timed
         thunk()
-        out[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            thunk()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
 
     # --- generation + mutation at the reference's 1M-row scale ----------
     timed("gen_1m_4cols", lambda: _run(_gen_1m(spark)))
