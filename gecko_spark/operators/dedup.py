@@ -32,6 +32,8 @@ __all__ = [
     "minhash_signature_jvm",
     "minhash_candidate_pairs",
     "minhash_dedupe",
+    "minhash_dedupe_transitive",
+    "connected_components",
     "simhash",
     "simhash_jvm",
     "simhash_candidate_pairs",
@@ -293,6 +295,85 @@ def minhash_dedupe(
         df, id_col, text_col, num_hashes, bands, shingle_size, seed
     ).filter(F.col("est_jaccard") >= threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster a pair list into connected components: returns
+    ``(node, component)`` where ``component`` is the minimum node id
+    reachable from ``node``.
+
+    Large-star-ish min-label propagation: each round every node adopts
+    the smallest label in its neighborhood (its own included), checked
+    by an aggregate count of changed labels; converges in
+    O(log(diameter)) rounds for near-dup graphs (tiny diameters in
+    practice). Each round is ONE shuffle join + aggregate; labels are
+    checkpointed via localCheckpoint to keep the plan from growing
+    unboundedly on a 1000-executor cluster.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # each node's candidate label: min over neighbors' labels and its own
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedupe_transitive(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Drop near-duplicates with TRANSITIVE closure: candidate pairs →
+    connected components → keep the min-id representative per cluster.
+    A~B and B~C collapse to one survivor even when A~C was never a
+    candidate pair."""
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_size, seed
+    ).filter(F.col("est_jaccard") >= threshold)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
     return df.join(losers, id_col, "left_anti")
 
 

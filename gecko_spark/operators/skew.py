@@ -1,0 +1,86 @@
+"""Skew-handling utilities: salted two-phase aggregation and salted
+replicate joins.
+
+AQE (`spark.sql.adaptive.skewJoin`) already splits skewed SHUFFLE
+partitions at runtime; these helpers cover the cases AQE can't —
+a single hot GROUP BY key that overwhelms one reducer, and a hot join
+key on a non-broadcastable build side. Both follow the standard salt
+pattern: spread the hot key over ``buckets`` sub-keys, then recombine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_groupby_agg", "salted_join"]
+
+# aggregate -> (partial fn, merge fn) — must be re-aggregable
+_REAGG = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_groupby_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation immune to hot grouping keys.
+
+    ``aggs`` maps output column → (agg_name, input column), with
+    agg_name ∈ {sum, count, min, max} (the re-aggregable set). Phase 1
+    groups by (keys, random salt) — the hot key's rows spread over
+    ``buckets`` reducers; phase 2 merges the ≤ buckets partials per key.
+    Shuffle volume: phase 2 moves at most ``buckets × distinct-keys``
+    rows, independent of skew.
+    """
+    for name, (fn, _) in aggs.items():
+        if fn not in _REAGG:
+            raise ValueError(
+                f"agg `{fn}` for `{name}` is not re-aggregable; use one of {sorted(_REAGG)}"
+            )
+    salted = df.withColumn(
+        "__salt__", (F.rand() * buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt__").agg(
+        *[
+            _REAGG[fn][0](col).alias(f"__p_{name}")
+            for name, (fn, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _REAGG[fn][1](f"__p_{name}").alias(name)
+            for name, (fn, _) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join tolerant of hot keys on the ``skewed`` side.
+
+    The skewed side gets a random salt in [0, buckets); ``other`` is
+    replicated ``buckets`` times (explode over a literal range — so its
+    shuffle volume grows ×buckets: keep it the smaller input). The join
+    key becomes (on..., salt), spreading each hot key over ``buckets``
+    reducers."""
+    on = list(on)
+    salted = skewed.withColumn("__salt__", (F.rand() * buckets).cast("int"))
+    replicated = other.withColumn(
+        "__salt__", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    out = salted.join(replicated, on + ["__salt__"], how)
+    return out.drop("__salt__")

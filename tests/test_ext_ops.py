@@ -300,3 +300,64 @@ def test_resize_and_frame_sample_fake(spark, docs):
     frames = MM.sample_video_frames(media, every_n=2, max_frames=3, fake=True).toPandas()
     assert (frames.groupby("media_id").size() <= 3).all()
     assert (frames["frame"].str.len() <= 64).all()
+
+
+# ---------------------------------------------------------------------------
+# connected components / transitive dedupe / skew utilities
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain(spark):
+    from gecko_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4, pair 10-11, singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    comps = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_minhash_dedupe_transitive(spark, docs):
+    from gecko_spark.operators.dedup import minhash_dedupe, minhash_dedupe_transitive
+
+    out = minhash_dedupe_transitive(docs, "doc_id", "text", threshold=0.5)
+    n_multi = out.count()
+    assert 0 < n_multi <= docs.count()
+    # transitive closure can only remove MORE rows than one-shot min-id
+    one_shot = minhash_dedupe(docs, "doc_id", "text", threshold=0.5).count()
+    assert n_multi <= one_shot
+
+
+def test_salted_groupby_agg_matches_plain(spark):
+    from gecko_spark.operators.skew import salted_groupby_agg
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 3 % 101).alias("v")
+    )
+    got = salted_groupby_agg(
+        df, ["k"],
+        {"n": ("count", "v"), "s": ("sum", "v"), "lo": ("min", "v"), "hi": ("max", "v")},
+        buckets=8,
+    ).toPandas().sort_values("k").reset_index(drop=True)
+    exp = (
+        df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"),
+             F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got.equals(exp)
+
+
+def test_salted_join_matches_plain(spark):
+    from gecko_spark.operators.skew import salted_join
+
+    # heavily skewed left side: 90% of rows share k=0
+    left = spark.range(0, 5_000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 5).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(5)], "k long, rv string")
+    got = salted_join(left, right, ["k"], buckets=4).orderBy("lv").toPandas()
+    exp = left.join(right, "k").orderBy("lv").toPandas()
+    assert got[["k", "lv", "rv"]].equals(exp[["k", "lv", "rv"]])
