@@ -348,6 +348,63 @@ GROUP BY user_id, session_id
 """
 
 
+def _q_anti_join(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_Q_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+def _q_rollup(spark, sf):
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)).alias("total"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+_Q_ROLLUP_SQL = """
+SELECT coalesce(r_name, '(all)') AS region,
+       coalesce(n_name, '(all)') AS nation,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries — generators (LCG-oracle, sf-independent)
 # ---------------------------------------------------------------------------
@@ -1199,6 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_topk_orders": _q_topk,
         "q_events_hourly": _q_events_hourly,
         "q_events_sessions": _q_events_sessions,
+        "q_anti_join": _q_anti_join,
+        "q_rollup_region_nation": _q_rollup,
         # generators (G2–G7)
         "gen_uniform": _gen_uniform,
         "gen_normal": _gen_normal,
@@ -1250,6 +1309,8 @@ def oracle_sql() -> dict[str, str]:
         "q_window_topk_orders": _Q_TOPK_SQL,
         "q_events_hourly": _Q_EVENTS_HOURLY_SQL,
         "q_events_sessions": _Q_EVENTS_SESSIONS_SQL,
+        "q_anti_join": _Q_ANTI_SQL,
+        "q_rollup_region_nation": _Q_ROLLUP_SQL,
         "gen_uniform": _GEN_UNIFORM_SQL,
         "gen_normal": _GEN_NORMAL_SQL,
         "gen_freq_single": _GEN_FREQ_SINGLE_SQL,

@@ -24,6 +24,8 @@ __all__ = [
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
     "ivf_assign",
+    "write_ivf_index",
+    "read_ivf_index",
 ]
 
 
@@ -160,6 +162,44 @@ def ivf_assign(
     )
     best_id = (F.array_position(scores, F.array_max(scores)) - F.lit(1)).cast("int")
     return corpus.withColumn("__ivf_list__", best_id), centroids
+
+
+def write_ivf_index(
+    corpus_with_lists: DataFrame, path: str, centroids: np.ndarray
+) -> None:
+    """Persist an IVF index as parquet PARTITIONED BY the list id, plus
+    the centroid matrix as a sidecar parquet.
+
+    The partitioned layout is what makes ``nprobe`` search a genuine
+    partition-pruning scan at 100 TB: probing 4 of 256 lists reads
+    ~1.6% of the files, enforced by the source, not a filter."""
+    import pandas as pd
+
+    (
+        corpus_with_lists.write.mode("overwrite")
+        .partitionBy("__ivf_list__")
+        .parquet(f"{path}/lists")
+    )
+    cent_pdf = pd.DataFrame(
+        {
+            "list_id": range(len(centroids)),
+            "centroid": [[float(x) for x in c] for c in centroids],
+        }
+    )
+    spark = corpus_with_lists.sparkSession
+    spark.createDataFrame(cent_pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load an IVF index written by :func:`write_ivf_index`."""
+    lists = spark.read.parquet(f"{path}/lists")
+    cent_pdf = (
+        spark.read.parquet(f"{path}/centroids").toPandas().sort_values("list_id")
+    )
+    centroids = np.array(cent_pdf["centroid"].tolist(), dtype=np.float64)
+    return lists, centroids
 
 
 def cosine_topk_ivf(

@@ -361,3 +361,32 @@ def test_salted_join_matches_plain(spark):
     got = salted_join(left, right, ["k"], buckets=4).orderBy("lv").toPandas()
     exp = left.join(right, "k").orderBy("lv").toPandas()
     assert got[["k", "lv", "rv"]].equals(exp[["k", "lv", "rv"]])
+
+
+def test_ivf_index_roundtrip_and_pruned_search(spark, embeddings, tmp_path):
+    from gecko_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_assign,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    corpus, centroids = ivf_assign(embeddings, n_centroids=8, seed=3)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, centroids)
+    lists, cent2 = read_ivf_index(spark, path)
+    assert np.allclose(centroids, cent2)
+    assert lists.count() == embeddings.count()
+
+    qs = embeddings.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = cosine_topk_ivf(lists, cent2, qs, k=3, nprobe=3)
+    pdf = hits.toPandas()
+    assert (pdf.groupby("query_id").size() == 3).all()
+    # self-vector must be its own top hit
+    top1 = pdf[pdf["rank"] == 1]
+    assert (top1["query_id"].to_numpy() == top1["vec_id"].to_numpy()).all()
+    # pruning: the probed-list filter reaches the scan as a partition filter
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
