@@ -1,0 +1,100 @@
+"""Property tests: the substring-algebra edit mutators must agree
+EXACTLY, row for row, with an independent pure-Python model of the same
+LCG draws and edit semantics, on arbitrary strings.
+
+This is the strongest correctness statement available for randomized
+operators: the Spark SQL expression tree and the Python model share
+only the documented draw formula (core.lcg_uniform_sql) — any
+discrepancy in position arithmetic, eligibility, or selection shows up
+as a mismatch.
+"""
+
+from __future__ import annotations
+
+import math
+import string as _string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gecko_spark.core import LCG_A, LCG_C, LCG_M, LcgRandom
+from gecko_spark.operators import mutators as M
+
+CHARSET = _string.ascii_letters
+
+
+# -- pure-Python model of core.lcg_uniform_sql ------------------------------
+
+
+def _u(key: int, seed: int, salt: int, stream: int) -> float:
+    c1 = (seed * 7919 + stream * 15485863 + salt * 104729 + LCG_C) % LCG_M
+    step1 = ((abs(key) % LCG_M) * LCG_A + c1) % LCG_M
+    return ((step1 * LCG_A + LCG_C) % LCG_M) / float(LCG_M)
+
+
+def _model(mut_name: str, key: int, s: str, p: float, seed: int) -> str:
+    stream = 1  # Mutator.apply forks once per column: fork(0) -> stream 1
+    sel = _u(key, seed, 0, stream) < p
+    n = len(s)
+    if mut_name == "delete":
+        if not (sel and n >= 1):
+            return s
+        pos = math.floor(_u(key, seed, 1, stream) * n)
+        return s[:pos] + s[pos + 1:]
+    if mut_name == "insert":
+        if not sel:
+            return s
+        pos = math.floor(_u(key, seed, 1, stream) * (n + 1))
+        ch = CHARSET[math.floor(_u(key, seed, 2, stream) * len(CHARSET))]
+        return s[:pos] + ch + s[pos:]
+    if mut_name == "substitute":
+        if not (sel and n >= 1):
+            return s
+        pos = math.floor(_u(key, seed, 1, stream) * n)
+        ch = CHARSET[math.floor(_u(key, seed, 2, stream) * len(CHARSET))]
+        return s[:pos] + ch + s[pos + 1:]
+    if mut_name == "transpose":
+        if not (sel and n >= 2):
+            return s
+        pos = math.floor(_u(key, seed, 1, stream) * (n - 1))
+        return s[:pos] + s[pos + 1] + s[pos] + s[pos + 2:]
+    raise AssertionError(mut_name)
+
+
+MUTS = {
+    "delete": M.with_delete,
+    "insert": M.with_insert,
+    "substitute": M.with_substitute,
+    "transpose": M.with_transpose,
+}
+
+# printable ASCII plus a few multibyte chars (Spark substr and Python
+# slicing must both count codepoints)
+TEXT = st.text(
+    alphabet=st.sampled_from(
+        list(_string.ascii_letters + _string.digits + " .,-_#ÄöüßÉ漢字")
+    ),
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=st.lists(TEXT, min_size=1, max_size=40), data=st.data())
+def test_edit_mutators_match_python_model(spark, texts, data):
+    mut_name = data.draw(st.sampled_from(sorted(MUTS)))
+    p = data.draw(st.sampled_from([0.3, 0.7, 1.0]))
+    seed = data.draw(st.integers(min_value=0, max_value=10_000))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "k long, s string"
+    )
+    out = MUTS[mut_name]().apply(df, "s", p, rand=LcgRandom("k", seed))
+    got = {r["k"]: r["s"] for r in out.collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _model(mut_name, i, t, p, seed), (
+            f"{mut_name} p={p} seed={seed} key={i} input={t!r}"
+        )
