@@ -51,7 +51,13 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (lazy scan)."""
+    """Load one testdata table as a DataFrame (lazy scan).
+
+    Pins the session timezone to UTC: the correctness oracle (DuckDB)
+    compares timestamps naively, so timestamp literals and date_format
+    output must not depend on whoever built the SparkSession."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _read_events(spark, path)
