@@ -69,26 +69,39 @@ def ensure_parallelism(df: DataFrame, min_ratio: float = 1.0) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _content_key(cols: Sequence[str]) -> Column:
+    """Collision- and null-safe content key: hash of the JSON-encoded
+    struct. A bare ``xxhash64(*cols)`` SKIPS null children (Spark hash
+    semantics), conflating ('x', NULL) with (NULL, 'x'); the struct
+    encoding keeps field positions distinct."""
+    if len(cols) == 1:
+        return F.col(cols[0])
+    return F.to_json(F.struct(*[F.col(c) for c in cols]))
+
+
 def exact_duplicate_groups(
     df: DataFrame, cols: Union[str, Sequence[str]], id_col: str
 ) -> DataFrame:
     """Groups of exact duplicates over ``cols``: one row per duplicated
-    content hash with the member count and the representative (min id).
+    content with the member count and the representative (min id).
 
-    One hash-aggregate — the canonical exact-dedup shape: map-side
-    partial aggregation, shuffle on the 64-bit content hash only.
+    One hash-aggregate — the canonical exact-dedup shape with map-side
+    partial aggregation. Grouping is by the content itself (not a
+    64-bit hash): a hash key would silently merge colliding or
+    null-shuffled rows.
     """
     if isinstance(cols, str):
         cols = [cols]
-    h = F.xxhash64(*[F.col(c) for c in cols]).alias("content_hash")
     return (
-        df.select(h, F.col(id_col))
-        .groupBy("content_hash")
+        df.select(_content_key(cols).alias("__key__"), F.col(id_col))
+        .groupBy("__key__")
         .agg(
             F.count("*").alias("n_dupes"),
             F.min(id_col).alias("keep_id"),
         )
         .filter(F.col("n_dupes") > 1)
+        .drop("__key__")
+        .select("keep_id", "n_dupes")
     )
 
 
@@ -98,15 +111,14 @@ def dedupe_exact(
     """Keep one representative row per distinct ``cols`` content.
 
     With ``id_col`` the representative is deterministic (min id) via a
-    window over the content hash; without, falls back to
+    window partitioned on the content; without, falls back to
     ``dropDuplicates`` (arbitrary survivor, cheapest plan).
     """
     if isinstance(cols, str):
         cols = [cols]
     if id_col is None:
         return df.dropDuplicates(list(cols))
-    h = F.xxhash64(*[F.col(c) for c in cols])
-    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(F.col(id_col))
     return (
         df.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
@@ -212,6 +224,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_size: int = 5,
     seed: int = 0,
+    max_bucket_size: Optional[int] = 5000,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band bucket, with the
     signature-estimated Jaccard similarity.
@@ -220,9 +233,16 @@ def minhash_candidate_pairs(
 
     Scale shape: signature projection (narrow) → explode to
     ``bands`` rows per doc → ONE shuffle on (band, bucket) → in-bucket
-    pair expansion guarded by a bucket-size cap; estimated similarity
-    is computed from the signatures carried alongside, so no second
-    join back to the corpus is needed.
+    pair expansion; estimated similarity is computed from the
+    signatures carried alongside, so no second join back to the corpus
+    is needed.
+
+    ``max_bucket_size`` drops buckets larger than the cap before the
+    pair expansion — a bucket of f docs emits O(f²) pairs, so one
+    degenerate bucket (e.g. every empty/boilerplate doc shares an
+    identical signature) would otherwise explode the join. Capped
+    buckets are near-useless for similarity anyway (they are driven by
+    content so common it carries no signal); pass ``None`` to disable.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
@@ -248,6 +268,15 @@ def minhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        oversized = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__n__"))
+            .filter(F.col("__n__") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -450,11 +479,15 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     chunks: int = 4,
+    max_bucket_size: Optional[int] = 5000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on ``chunks`` bit-slices (by the
     pigeonhole principle, pairs within hamming distance < chunks share
     at least one identical slice), then verify the true Hamming distance
-    with ``bit_count(xor)``. Returns ``(id_a, id_b, hamming)``."""
+    with ``bit_count(xor)``. Returns ``(id_a, id_b, hamming)``.
+
+    ``max_bucket_size`` guards the O(f²) in-block expansion against
+    degenerate blocks (e.g. all-empty texts share simhash 0)."""
     if bits % chunks != 0:
         raise ValueError("chunks must divide bits")
     w = bits // chunks
@@ -478,6 +511,15 @@ def simhash_candidate_pairs(
             )
         ).alias("ck"),
     ).select("doc", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+
+    if max_bucket_size is not None:
+        oversized = (
+            blocked.groupBy("chunk", "key")
+            .agg(F.count("*").alias("__n__"))
+            .filter(F.col("__n__") > max_bucket_size)
+            .select("chunk", "key")
+        )
+        blocked = blocked.join(F.broadcast(oversized), ["chunk", "key"], "left_anti")
 
     l, r = blocked.alias("l"), blocked.alias("r")
     return (
@@ -522,7 +564,6 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(char_shingles(F.col(text_col), n)).alias("shingle"),
     )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("set_size"))
 
     if max_shingle_freq is not None:
         hot = (
@@ -532,6 +573,10 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+    # set sizes AFTER the hot-shingle filter: numerator and denominator
+    # must count the same shingle universe or similarities are biased low
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("set_size"))
 
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -568,6 +613,7 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 0,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -575,13 +621,25 @@ def embedding_cosine_pairs(
     key (highly similar vectors collide with probability
     ``(1 − θ/π)^n``); cosine verified exactly inside the bucket with
     ``zip_with``/``aggregate`` dot products. One shuffle on the sketch.
-    """
-    from gecko_spark.operators.similarity import cosine_sim, random_hyperplane_sketch
 
+    ``dim`` defaults to the inferred vector dimensionality (a
+    mismatched plane length would null-pad the projection and silently
+    produce zero pairs).
+    """
+    from gecko_spark.operators.similarity import (
+        cosine_sim,
+        infer_dim,
+        random_hyperplane_sketch,
+    )
+
+    if dim is None:
+        dim = infer_dim(df, vec_col)
     base = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("vec"),
-        random_hyperplane_sketch(F.col(vec_col), n_planes, seed).alias("sketch"),
+        random_hyperplane_sketch(F.col(vec_col), n_planes, seed, dim=dim).alias(
+            "sketch"
+        ),
     )
     l, r = base.alias("l"), base.alias("r")
     return (

@@ -321,10 +321,12 @@ def from_datetime_range(
 
 
 def _coprime_multiplier(count: int, seed: int) -> int:
-    """An odd multiplier A coprime to count with A·count < 2^62, used
-    for the affine row permutation in exact-count group assignment."""
+    """A seed-dependent odd multiplier A coprime to count with
+    A·count < 2^62, used for the affine row permutation in exact-count
+    group assignment."""
     limit = (1 << 62) // max(count, 1)
-    a = min(int(count * 0.6180339887) | 1, limit | 1)
+    base = int(count * 0.6180339887) + 2 * (abs(seed) % 997)
+    a = min(base | 1, limit | 1)
     if a < 3:
         a = 3
     while math.gcd(a, count) != 1:
@@ -387,8 +389,15 @@ class GroupGenerator(ColumnGenerator):
             counts[order[j % len(order)]] += 1 if diff > 0 else -1
             diff += -1 if diff > 0 else 1
             j += 1
-        a = _coprime_multiplier(count, 0)
-        perm = (ctx.idx * F.lit(a)) % F.lit(count)
+        # seed-dependent affine permutation: different seeds must place
+        # rows in different groups (parity with choice mode / the
+        # reference's seeded shuffle, gecko/generator.py:415-419)
+        seed_mix = (
+            int(getattr(rand, "seed", 0)) * 1000003 + int(getattr(rand, "stream", 0))
+        )
+        a = _coprime_multiplier(count, seed_mix)
+        b = seed_mix % max(count, 1)
+        perm = (ctx.idx * F.lit(a) + F.lit(b)) % F.lit(count)
         boundaries = np.cumsum(counts)
         expr = F.lit(len(counts) - 1)
         conds = []

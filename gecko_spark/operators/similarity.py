@@ -23,6 +23,7 @@ __all__ = [
     "random_hyperplane_sketch",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
+    "infer_dim",
     "ivf_assign",
     "write_ivf_index",
     "read_ivf_index",
@@ -56,11 +57,23 @@ def _unit_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return planes / np.linalg.norm(planes, axis=1, keepdims=True)
 
 
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (one tiny job)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or not row["d"] or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from `{vec_col}`")
+    return int(row["d"])
+
+
 def random_hyperplane_sketch(vec: Column, n_planes: int, seed: int, dim: int = 64) -> Column:
     """Sign-bit sketch: bit i = sign(vec · plane_i), packed into a bigint.
 
     Cosine-similar vectors collide with probability (1 − θ/π)^n_planes.
     Planes are driver-generated literals — no data movement.
+
+    ``dim`` MUST equal the vector dimensionality: ``zip_with`` null-pads
+    the shorter side, which would null the whole sketch (use
+    :func:`infer_dim` when unknown).
     """
     if n_planes > 63:
         raise ValueError("n_planes must be ≤ 63 to pack into a bigint")
@@ -231,8 +244,12 @@ def cosine_topk_ivf(
         for p in probes:
             rows.append((qid, [float(x) for x in qvec], int(p)))
     spark = corpus_with_lists.sparkSession
+    # query-id type follows the input schema (ids need not be integers)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     q = F.broadcast(
-        spark.createDataFrame(rows, f"query_id long, qv array<double>, probe int")
+        spark.createDataFrame(
+            rows, f"query_id {qid_type}, qv array<double>, probe int"
+        )
     )
     scored = corpus_with_lists.join(
         q, corpus_with_lists["__ivf_list__"] == q["probe"]

@@ -76,7 +76,15 @@ def salted_join(
     replicated ``buckets`` times (explode over a literal range — so its
     shuffle volume grows ×buckets: keep it the smaller input). The join
     key becomes (on..., salt), spreading each hot key over ``buckets``
-    reducers."""
+    reducers.
+
+    Only ``inner``/``left``(outer)/``left_semi`` are supported: in
+    right/full-outer modes the unmatched replicas of ``other`` would
+    each surface as a spurious null-extended row."""
+    if how.replace("outer", "").rstrip("_") not in ("inner", "left", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi joins, not `{how}`"
+        )
     on = list(on)
     salted = skewed.withColumn("__salt__", (F.rand() * buckets).cast("int"))
     replicated = other.withColumn(

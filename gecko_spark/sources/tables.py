@@ -86,7 +86,9 @@ def load_config_table(
                     f"column `{spec}` not found, must be one of `{','.join(map(str, df.columns))}`"
                 )
             col = df[spec]
-        out[str(spec)] = col.astype(str).fillna("")
+        # fillna BEFORE astype: astype(str) would stringify missing
+        # values to the literal tokens 'nan'/'None' first
+        out[str(spec)] = col.fillna("").astype(str)
     return pd.DataFrame(out).reset_index(drop=True)
 
 

@@ -68,7 +68,12 @@ def stream_events(
     single-match glob (``events.parquet`` → ``[e]vents.parquet``).
 
     ``nanos_ts=True`` reads the driver's TIMESTAMP(NANOS) ts column as
-    int64 (legacy.parquet.nanosAsLong) and converts JVM-side."""
+    int64 (legacy.parquet.nanosAsLong) and converts JVM-side. NOTE:
+    the conf is intentionally NOT restored — micro-batches resolve the
+    relation while the query runs, so flipping it back would break the
+    live stream. Batch reads of ns files should go through
+    sources/testdata.py::load_table, which save/restores the conf and
+    is unaffected."""
     import os
 
     schema = _EVENTS_NANOS_SCHEMA if nanos_ts else EVENTS_SCHEMA

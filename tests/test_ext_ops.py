@@ -390,3 +390,38 @@ def test_ivf_index_roundtrip_and_pruned_search(spark, embeddings, tmp_path):
     # pruning: the probed-list filter reaches the scan as a partition filter
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_dedupe_exact_null_columns_not_conflated(spark):
+    # ('x', NULL) and (NULL, 'x') are DIFFERENT content — a bare
+    # xxhash64(*cols) would conflate them (hash skips null children)
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x"), (3, "x", None)],
+        "id long, a string, b string",
+    )
+    out = D.dedupe_exact(df, ["a", "b"], id_col="id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+    groups = D.exact_duplicate_groups(df, ["a", "b"], id_col="id").collect()
+    assert len(groups) == 1 and groups[0]["keep_id"] == 1 and groups[0]["n_dupes"] == 2
+
+
+def test_minhash_bucket_cap_prevents_degenerate_blowup(spark):
+    # 200 empty docs share one signature; the cap drops that bucket
+    df = spark.createDataFrame(
+        [(i, "") for i in range(200)] + [(900, "abcdefgh"), (901, "abcdefgh")],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_candidate_pairs(
+        df, "doc_id", "text", num_hashes=16, bands=4, max_bucket_size=50
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (900, 901) in ids
+    assert all(a >= 900 for a, _ in ids)  # empty-doc bucket dropped
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    from gecko_spark.operators.skew import salted_join
+
+    left = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(left, left, ["k"], how="full")
