@@ -1,0 +1,41 @@
+"""E2E: the example pipeline generates, corrupts, and round-trips CSV."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "examples")
+
+from person_pipeline import build, corrupt  # noqa: E402
+
+
+def test_person_pipeline_end_to_end(spark, tmp_path):
+    clean = build(spark, 20_000, seed=42)
+    dirty = corrupt(clean, seed=7)
+
+    cpdf = clean.toPandas()
+    assert len(cpdf) == 20_000
+    # gender-given dependence preserved: every (gender, given) pair is
+    # one of the six configured combinations
+    pairs = set(map(tuple, cpdf[["gender", "given_name"]].drop_duplicates().values))
+    allowed = {("f", "Anna"), ("f", "Maria"), ("f", "Lena"),
+               ("m", "Paul"), ("m", "Max"), ("m", "Jonas")}
+    assert pairs <= allowed
+
+    dpdf = dirty.toPandas().sort_values("__idx__")
+    merged = cpdf.sort_values("__idx__").merge(dpdf, on="__idx__", suffixes=("_c", "_d"))
+    changed = (
+        (merged["given_name_c"] != merged["given_name_d"])
+        | (merged["last_name_c"] != merged["last_name_d"])
+        | (merged["birthday_c"] != merged["birthday_d"])
+        | (merged["weight_kg_c"] != merged["weight_kg_d"])
+        | (merged["gender_c"] != merged["gender_d"])
+    ).mean()
+    assert 0.1 < changed < 0.5  # some corruption, not everything
+
+    # CSV round-trip
+    out = str(tmp_path / "dirty")
+    dirty.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 20_000
+    assert set(back.columns) == set(dirty.columns)
