@@ -842,6 +842,50 @@ FROM step2
 """
 
 
+def _gen_group_exact(spark, sf):
+    # G7 in exact-count mode: affine-permutation group assignment is
+    # deterministic given the seed → full value-level oracle
+    return to_data_frame(
+        spark,
+        [
+            (
+                "fruit",
+                G.from_group(
+                    [
+                        (0.75, G.from_frequency_table(FRUITS, "fruit", "count")),
+                        (0.25, G.from_uniform_distribution(0.0, 1.0, precision=2)),
+                    ],
+                    mode="exact",
+                ),
+            )
+        ],
+        GEN_N,
+        keep_index=True,
+        rand_for=lambda i: LcgRandom("__idx__", 206 + i),
+    )
+
+
+def _gen_group_exact_sql() -> str:
+    from gecko_spark.operators.generators import _coprime_multiplier
+
+    seed_mix = 206 * 1000003 + 0
+    a = _coprime_multiplier(GEN_N, seed_mix)
+    b = seed_mix % GEN_N
+    # sub-generator streams: fork(i+1) on stream 0 → stream i+2
+    key = '"range"'
+    freq_u = f"CAST(FLOOR({_u(key, 206, 0, stream=2)} * 230.0) AS BIGINT)"
+    unif = f"printf('%.2f', {_u(key, 206, 0, stream=3)} * 1.0 + 0.0)"
+    return f"""
+SELECT "range" AS __idx__,
+       CASE WHEN ("range" * {a} + {b}) % {GEN_N} < 7500 THEN
+         (CASE WHEN {freq_u} < 100 THEN 'apple'
+               WHEN {freq_u} < 150 THEN 'banana'
+               ELSE 'orange' END)
+       ELSE {unif} END AS fruit
+FROM range(0, {GEN_N})
+"""
+
+
 def _gen_function(spark, sf):
     # G1 escape hatch with a deterministic function → exact oracle
     return to_data_frame(
@@ -1265,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_freq_multi": _gen_freq_multi,
         "gen_datetime": _gen_datetime,
         "gen_group": _gen_group,
+        "gen_group_exact": _gen_group_exact,
         "gen_function": _gen_function,
         # mutators (M5–M16, M18–M20 via chain/permute/splice)
         "mut_missing_value": _mut_missing,
@@ -1317,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
         "gen_freq_multi": _GEN_FREQ_MULTI_SQL,
         "gen_datetime": _GEN_DATETIME_SQL,
         "gen_function": _GEN_FUNCTION_SQL,
+        "gen_group_exact": _gen_group_exact_sql(),
         "mut_missing_value": _MUT_MISSING_SQL,
         "mut_uppercase": _MUT_UPPERCASE_SQL,
         "mut_lowercase": _MUT_LOWERCASE_SQL,
