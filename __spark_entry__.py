@@ -1275,6 +1275,26 @@ FROM scored
 """
 
 
+def _doc_normalize_filter(spark, sf):
+    from gecko_spark.operators.text import filter_documents, normalize_text
+
+    docs = load_table(spark, sf, "documents")
+    return filter_documents(docs, min_chars=50).select(
+        "doc_id",
+        normalize_text(F.col("text"), strip_punct=True).alias("norm_text"),
+    )
+
+
+_DOC_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+         '\s+', ' ', 'g')) AS norm_text
+FROM documents
+WHERE length(text) >= 50
+"""
+
+
 def _doc_fingerprints(spark, sf):
     from gecko_spark.operators.text import fingerprint, rolling_hash_fingerprint
 
@@ -1342,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_bruteforce": _topk_cosine,
         "topk_cosine_ivf": _topk_ivf,
         "text_stats": _text_stats,
+        "doc_normalize_filter": _doc_normalize_filter,
         "doc_fingerprints": _doc_fingerprints,
     }
 
@@ -1384,4 +1405,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "topk_cosine_bruteforce": _TOPK_COSINE_SQL,
         "text_stats": _TEXT_STATS_SQL,
+        "doc_normalize_filter": _DOC_NORMALIZE_SQL,
     }

@@ -22,6 +22,9 @@ __all__ = [
     "language_id",
     "fingerprint",
     "rolling_hash_fingerprint",
+    "normalize_text",
+    "filter_documents",
+    "text_stats",
 ]
 
 # A BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
@@ -153,8 +156,52 @@ def rolling_hash_fingerprint(text: Column, window: int = 8, keep: int = 4) -> Co
     return F.slice(F.array_sort(hashes), 1, keep)
 
 
+def normalize_text(
+    text: Column,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punct: bool = False,
+) -> Column:
+    """Canonicalize text for dedup/fingerprinting: optional lowercase,
+    whitespace-run collapse + trim, punctuation strip. Pure Column
+    expressions (regexp_replace is codegen'd, unlike HOFs)."""
+    out = text
+    if lowercase:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, r"[^\w\s]", "")
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
+def filter_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 1,
+    max_chars: Optional[int] = None,
+    min_quality: Optional[float] = None,
+    languages: Optional[list[str]] = None,
+) -> DataFrame:
+    """Gopher/C4-style corpus gate: length bounds, heuristic quality
+    floor, language allowlist — one narrow filter stage, fully pushed
+    into the scan where the predicates allow."""
+    t = F.col(text_col)
+    cond = F.length(t) >= F.lit(min_chars)
+    if max_chars is not None:
+        cond = cond & (F.length(t) <= F.lit(max_chars))
+    if min_quality is not None:
+        cond = cond & (quality_score(t) >= F.lit(float(min_quality)))
+    if languages:
+        cond = cond & language_id(t).isin(languages)
+    return df.filter(cond)
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach all text-analysis columns to a documents table."""
+    from gecko_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     return df.select(
         "*",

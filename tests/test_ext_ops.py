@@ -425,3 +425,19 @@ def test_salted_join_rejects_outer_modes(spark):
     left = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="salted_join supports"):
         salted_join(left, left, ["k"], how="full")
+
+
+def test_filter_documents_and_normalize(spark, docs):
+    from gecko_spark.operators.text import filter_documents, normalize_text
+
+    total = docs.count()
+    kept = filter_documents(docs, min_chars=10, min_quality=0.3, languages=["en", "de"])
+    n_kept = kept.count()
+    assert 0 < n_kept < total
+    # normalization: idempotent, lowercase, single-spaced
+    norm = docs.select(normalize_text(F.col("text"), strip_punct=True).alias("n"))
+    pdf = norm.toPandas()
+    assert (pdf["n"] == pdf["n"].str.lower()).all()
+    assert not pdf["n"].str.contains("  ").any()
+    renorm = norm.select(normalize_text(F.col("n"), strip_punct=True).alias("n")).toPandas()
+    assert (pdf["n"] == renorm["n"]).all()
