@@ -886,6 +886,48 @@ FROM range(0, {GEN_N})
 """
 
 
+def _mut_missing_strict(spark, sf):
+    """M5 under strict_p: eligibility (≠ sentinel) is measured with one
+    aggregate and p is rescaled to min(1, p/p_actual) — the reference's
+    exact contract (gecko/mutator.py:68-73, 688-691). The oracle
+    reproduces the measurement as a scalar subquery."""
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    return M.with_missing_value("F").apply(
+        o, "o_orderstatus", 0.3, rand=LcgRandom("o_orderkey", 121), strict_p=True
+    )
+
+
+# eligibility = status <> 'F'; p_actual = avg(eligible); p_eff = min(1, .3/p_actual)
+_MUT_MISSING_STRICT_SQL = f"""
+WITH stats AS (
+  SELECT avg(CASE WHEN o_orderstatus <> 'F' THEN 1.0 ELSE 0.0 END) AS pa FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus <> 'F'
+                 AND {_u('o_orderkey', 121, 0)} < least(1.0, 0.3 / (SELECT pa FROM stats))
+            THEN 'F' ELSE o_orderstatus END AS o_orderstatus
+FROM orders
+"""
+
+
+def _q_semi_join(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    big = o.filter(F.col("o_totalprice") > 400_000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+_Q_SEMI_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
 def _gen_function(spark, sf):
     # G1 escape hatch with a deterministic function → exact oracle
     return to_data_frame(
@@ -1321,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": _q_events_hourly,
         "q_events_sessions": _q_events_sessions,
         "q_anti_join": _q_anti_join,
+        "q_semi_join": _q_semi_join,
         "q_rollup_region_nation": _q_rollup,
         # generators (G2–G7)
         "gen_uniform": _gen_uniform,
@@ -1333,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_function": _gen_function,
         # mutators (M5–M16, M18–M20 via chain/permute/splice)
         "mut_missing_value": _mut_missing,
+        "mut_missing_strict_p": _mut_missing_strict,
         "mut_uppercase": _mut_uppercase,
         "mut_lowercase": _mut_lowercase,
         "mut_repeat": _mut_repeat,
@@ -1376,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_hourly": _Q_EVENTS_HOURLY_SQL,
         "q_events_sessions": _Q_EVENTS_SESSIONS_SQL,
         "q_anti_join": _Q_ANTI_SQL,
+        "q_semi_join": _Q_SEMI_SQL,
         "q_rollup_region_nation": _Q_ROLLUP_SQL,
         "gen_uniform": _GEN_UNIFORM_SQL,
         "gen_normal": _GEN_NORMAL_SQL,
@@ -1385,6 +1430,7 @@ def oracle_sql() -> dict[str, str]:
         "gen_function": _GEN_FUNCTION_SQL,
         "gen_group_exact": _gen_group_exact_sql(),
         "mut_missing_value": _MUT_MISSING_SQL,
+        "mut_missing_strict_p": _MUT_MISSING_STRICT_SQL,
         "mut_uppercase": _MUT_UPPERCASE_SQL,
         "mut_lowercase": _MUT_LOWERCASE_SQL,
         "mut_repeat": _MUT_REPEAT_SQL,
