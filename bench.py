@@ -125,6 +125,22 @@ def bench_queries(spark, sf_dir):
                 ).apply(base, "fruit", 0.1, seed=15)
             ),
         )
+        regex_tbl = pd.DataFrame(
+            {
+                "pattern": [r"(?P<y>\d{4})-(?P<m>\d{2})-(?P<d>\d{2})"],
+                "y": ["(?P<y>)"],
+                "m": ["(?P<d>)"],
+                "d": ["(?P<m>)"],
+            }
+        )
+        timed(
+            "mut_1m_regex_table",
+            lambda: _run(
+                M.with_regex_replacement_table(
+                    regex_tbl, pattern_column="pattern"
+                ).apply(base, "d", 0.1, seed=17)
+            ),
+        )
         timed(
             "mut_1m_3spec_e2e",
             lambda: _run(
