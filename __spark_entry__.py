@@ -1268,7 +1268,7 @@ def _sql_list(words):
 _TEXT_STATS_SQL = f"""
 WITH base AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(lower(text), '\\W+'),
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
                      t -> length(t) > 0) AS toks,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
@@ -1330,7 +1330,7 @@ def _doc_normalize_filter(spark, sf):
 _DOC_NORMALIZE_SQL = r"""
 SELECT doc_id,
        trim(regexp_replace(
-         regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+         regexp_replace(lower(text), '[^\p{L}\p{N}\s_]', '', 'g'),
          '\s+', ' ', 'g')) AS norm_text
 FROM documents
 WHERE length(text) >= 50

@@ -76,13 +76,19 @@ def build(spark, n_rows: int, seed: int = 42):
 def corrupt(df, seed: int = 7):
     """The corruption plan: a fold of when/otherwise projections plus
     one Arrow stage for the table-driven mutators."""
+    import os
+
     with tempfile.NamedTemporaryFile("w", suffix=".xml", delete=False) as f:
         f.write(CLDR_MINI)
         keymap = f.name
+    try:
+        cldr_mut = M.with_cldr_keymap_file(keymap)  # parses at factory time
+    finally:
+        os.unlink(keymap)
     return mutate_data_frame(
         df,
         [
-            ("given_name", (0.05, M.with_cldr_keymap_file(keymap))),
+            ("given_name", (0.05, cldr_mut)),
             ("last_name", (0.1, M.with_replacement_table(OCR, "source", "target", inline=True))),
             ("last_name", (0.02, M.with_missing_value(""))),
             (("given_name", "last_name"), (0.02, M.with_permute())),

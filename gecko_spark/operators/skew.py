@@ -41,13 +41,20 @@ def salted_groupby_agg(
     Shuffle volume: phase 2 moves at most ``buckets × distinct-keys``
     rows, independent of skew.
     """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, is {buckets}")
     for name, (fn, _) in aggs.items():
         if fn not in _REAGG:
             raise ValueError(
                 f"agg `{fn}` for `{name}` is not re-aggregable; use one of {sorted(_REAGG)}"
             )
+    # DETERMINISTIC salt (content hash, not F.rand()): under partial
+    # stage recomputation after a fetch failure, rand() re-rolls and
+    # routes replayed rows to different (key, salt) groups than the
+    # already-finished reducers consumed — rows double-count or vanish.
+    # A pure function of the row is retry-safe (core.py randomness policy).
     salted = df.withColumn(
-        "__salt__", (F.rand() * buckets).cast("int")
+        "__salt__", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)).cast("int")
     )
     partial = salted.groupBy(*keys, "__salt__").agg(
         *[
@@ -81,12 +88,18 @@ def salted_join(
     Only ``inner``/``left``(outer)/``left_semi`` are supported: in
     right/full-outer modes the unmatched replicas of ``other`` would
     each surface as a spurious null-extended row."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, is {buckets}")
     if how.replace("outer", "").rstrip("_") not in ("inner", "left", "left_semi", "leftsemi"):
         raise ValueError(
             f"salted_join supports inner/left/left_semi joins, not `{how}`"
         )
     on = list(on)
-    salted = skewed.withColumn("__salt__", (F.rand() * buckets).cast("int"))
+    # deterministic content-hash salt — see salted_groupby_agg
+    salted = skewed.withColumn(
+        "__salt__",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(buckets)).cast("int"),
+    )
     replicated = other.withColumn(
         "__salt__", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

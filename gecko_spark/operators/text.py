@@ -34,8 +34,13 @@ _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(text: Column) -> Column:
-    """Lowercased word tokens (array<string>), split on non-word runs."""
-    return F.filter(F.split(F.lower(text), r"\W+"), lambda t: F.length(t) > 0)
+    """Lowercased word tokens (array<string>), split on runs of
+    non-letter/digit chars. Unicode-aware (``\\p{L}\\p{N}``): a plain
+    ``\\W`` is ASCII-only in Java regex and would split 'für'/'più'
+    apart — making this module's own non-ASCII stopwords unmatchable."""
+    return F.filter(
+        F.split(F.lower(text), r"[^\p{L}\p{N}_]+"), lambda t: F.length(t) > 0
+    )
 
 
 def token_count(text: Column, mode: str = "whitespace") -> Column:
@@ -140,8 +145,8 @@ def quality_score(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: sorted distinct lowercase tokens joined
-    and hashed — equal fingerprints ⇔ same bag of words (the classic
-    key-collision clustering key)."""
+    and hashed — equal fingerprints ⇐ same SET of words (multiplicity is
+    ignored, and a 64-bit hash collision can also equate fingerprints)."""
     return F.xxhash64(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
@@ -169,7 +174,9 @@ def normalize_text(
     if lowercase:
         out = F.lower(out)
     if strip_punct:
-        out = F.regexp_replace(out, r"[^\w\s]", "")
+        # unicode letter/number class — ASCII \w would delete umlauts,
+        # accents, and all CJK text from the canonical form
+        out = F.regexp_replace(out, r"[^\p{L}\p{N}\s_]", "")
     if collapse_whitespace:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
@@ -193,6 +200,12 @@ def filter_documents(
     if min_quality is not None:
         cond = cond & (quality_score(t) >= F.lit(float(min_quality)))
     if languages:
+        unknown = set(languages) - set(_STOPWORDS)
+        if unknown:
+            raise ValueError(
+                f"unsupported language code(s) {sorted(unknown)}; "
+                f"language_id can only return {sorted(_STOPWORDS)} or 'und'"
+            )
         cond = cond & language_id(t).isin(languages)
     return df.filter(cond)
 
