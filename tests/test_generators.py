@@ -171,3 +171,24 @@ def test_generation_is_one_projection_over_range(spark, fruit_freq):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_distribution_fidelity_1m(spark, fruit_freq):
+    """Mirror the reference's headline fidelity metric (BASELINE.md:
+    deviations from source distributions <0.005% in 99.5% of cases —
+    at 1M rows we check every category's absolute deviation < 0.2%)."""
+    from gecko_spark.operators import generators as G
+    from gecko_spark.plans.pipeline import to_data_frame
+
+    n = 1_000_000
+    df = to_data_frame(
+        spark,
+        [("fruit", G.from_frequency_table(fruit_freq, "fruit", "count"))],
+        n,
+        seed=99,
+    )
+    counts = {r["fruit"]: r["count"] for r in df.groupBy("fruit").count().collect()}
+    total_w = 230.0
+    expected = {"apple": 100 / total_w, "banana": 50 / total_w, "orange": 80 / total_w}
+    for fruit, p in expected.items():
+        assert abs(counts[fruit] / n - p) < 0.002, (fruit, counts[fruit] / n, p)

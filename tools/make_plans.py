@@ -1,0 +1,57 @@
+"""Regenerate PLANS.md: executed-plan evidence for the scale claims."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as e  # noqa: E402
+from gecko_spark import get_spark  # noqa: E402
+
+
+def main():
+    spark = get_spark(app_name="make-plans", cpus=8)
+    sf = "/root/testdata/sf0.01"
+    qs = e.queries()
+
+    sections = []
+
+    def cap(title, df, note):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = [line.rstrip() for line in plan.splitlines()]
+        if len(lines) > 60:
+            lines = lines[:60] + ["... (truncated)"]
+        sections.append(f"## {title}\n\n{note}\n\n```\n" + "\n".join(lines) + "\n```\n")
+
+    cap(
+        "Generator: one projection over Range (no joins, no exchange)",
+        qs["gen_freq_multi"](spark, sf),
+        "A whole `to_data_frame` spec — multicolumn weighted sampling included — "
+        "compiles to a single narrow stage.",
+    )
+    cap(
+        "Mutator chain: when/otherwise fold collapses, zero exchanges",
+        qs["mut_chain"](spark, sf),
+        "Two sequential mutators (uppercase then delete) on one column: Catalyst "
+        "merges the fold into one projection over the scan.",
+    )
+    cap(
+        "q5: six-table join planned as broadcast-hash chain",
+        qs["q5_region_revenue"](spark, sf),
+        "All dimension joins broadcast; the only exchanges are the aggregate's "
+        "partial/final split.",
+    )
+
+    with open("PLANS.md", "w") as f:
+        f.write(
+            "# PLANS — executed-plan evidence for the scale claims\n\n"
+            "Captured from `local[8]` at sf0.01 (plans are shape-identical at any "
+            "SF; AQE re-plans only exchange coalescing). Regenerate with "
+            "`python tools/make_plans.py`.\n\n" + "\n".join(sections)
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
