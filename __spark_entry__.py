@@ -528,8 +528,7 @@ FROM range(0, {GEN_N})
 
 
 def _gen_group(spark, sf):
-    # weighted union of two sub-generators with exact counts + permute —
-    # the only reference op that forces a shuffle (SURVEY.md §7.4 item 5).
+    # weighted union of two sub-generators, per-row weighted choice mode
     return to_data_frame(
         spark,
         [
@@ -544,8 +543,25 @@ def _gen_group(spark, sf):
             )
         ],
         GEN_N,
-        seed=206,
+        keep_index=True,
+        rand_for=lambda i: LcgRandom("__idx__", 208 + i),
     )
+
+
+def _gen_group_sql() -> str:
+    # choice mode: group u salt 0 stream 0; sub-gen i on fork(i+1) → stream i+2
+    key = '"range"'
+    freq_u = f"CAST(FLOOR({_u(key, 208, 0, stream=2)} * 230.0) AS BIGINT)"
+    unif = f"printf('%.2f', {_u(key, 208, 0, stream=3)} * 1.0 + 0.0)"
+    return f"""
+SELECT "range" AS __idx__,
+       CASE WHEN {_u(key, 208, 0, stream=0)} < 0.75 THEN
+         (CASE WHEN {freq_u} < 100 THEN 'apple'
+               WHEN {freq_u} < 150 THEN 'banana'
+               ELSE 'orange' END)
+       ELSE {unif} END AS fruit
+FROM range(0, {GEN_N})
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1011,8 +1027,28 @@ _CLDR_MINI_XML = """<?xml version="1.0" encoding="UTF-8"?>
 """
 
 
+def _cldr_candidates() -> dict[str, str]:
+    import os
+    import tempfile
+
+    from gecko_spark.sources.cldr import load_cldr_candidates
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".xml", delete=False, encoding="utf-8"
+    ) as f:
+        f.write(_CLDR_MINI_XML)
+        path = f.name
+    try:
+        return load_cldr_candidates(path)
+    finally:
+        os.unlink(path)
+
+
 def _mut_cldr(spark, sf):
-    # M2 keyboard typos (rows-only: two-stage per-row pick in the kernel)
+    # M2 keyboard typos — oracle-checkable: the kernel's two-stage pick
+    # (random contained char, then random neighbor) uses only uniform(1)
+    # and uniform(2), reproduced below as list/CASE SQL over the same
+    # candidate map
     import tempfile
 
     with tempfile.NamedTemporaryFile(
@@ -1024,6 +1060,41 @@ def _mut_cldr(spark, sf):
     return M.with_cldr_keymap_file(path).apply(
         p, "p_name", 0.5, rand=LcgRandom("p_partkey", 120)
     )
+
+
+def _mut_cldr_sql() -> str:
+    cands = _cldr_candidates()
+    keys = list(cands)  # pool iteration order == dict insertion order
+    key_list = "[" + ", ".join(f"'{k}'" for k in keys) + "]"
+    repl_cases = " ".join(
+        f"WHEN '{k}' THEN substr('{cands[k]}', "
+        f"CAST(FLOOR(u2 * {len(cands[k])}.0) AS INTEGER) + 1, 1)"
+        for k in keys
+    )
+    return f"""
+WITH drawn AS (
+  SELECT p_partkey, p_name,
+         list_filter({key_list}, c -> contains(p_name, c)) AS pool,
+         {_u('p_partkey', 120, 0)} AS u0,
+         {_u('p_partkey', 120, 1)} AS u1,
+         {_u('p_partkey', 120, 2)} AS u2
+  FROM part
+),
+picked AS (
+  SELECT p_partkey, p_name, u0, u2,
+         CASE WHEN len(pool) > 0
+              THEN pool[CAST(FLOOR(u1 * len(pool)) AS INTEGER) + 1]
+              END AS src
+  FROM drawn
+)
+SELECT p_partkey,
+       CASE WHEN src IS NOT NULL AND u0 < 0.5 THEN
+         substr(p_name, 1, strpos(p_name, src) - 1)
+           || (CASE src {repl_cases} END)
+           || substr(p_name, strpos(p_name, src) + 1)
+       ELSE p_name END AS p_name
+FROM picked
+"""
 
 
 # -- table-driven Arrow-kernel mutators: rows-only checks -------------------
@@ -1428,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
         "gen_freq_multi": _GEN_FREQ_MULTI_SQL,
         "gen_datetime": _GEN_DATETIME_SQL,
         "gen_function": _GEN_FUNCTION_SQL,
+        "gen_group": _gen_group_sql(),
         "gen_group_exact": _gen_group_exact_sql(),
         "mut_missing_value": _MUT_MISSING_SQL,
         "mut_missing_strict_p": _MUT_MISSING_STRICT_SQL,
@@ -1444,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         "mut_replacement_whole": _MUT_REPL_WHOLE_SQL,
         "mut_generator_splice": _MUT_SPLICE_SQL,
         "mut_chain": _MUT_CHAIN_SQL,
+        "mut_cldr_keymap": _mut_cldr_sql(),
         "mut_function": _MUT_FUNCTION_SQL,
         "mut_group": _MUT_GROUP_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
