@@ -944,6 +944,38 @@ WHERE EXISTS (SELECT 1 FROM orders
 """
 
 
+def _q_set_ops(spark, sf):
+    """UNION / INTERSECT / EXCEPT over nation keys referenced by
+    customers vs suppliers, tagged per set operation."""
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nk")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nk")
+    )
+    union = c.union(s).distinct().select(F.lit("union").alias("op"), "nk")
+    inter = c.intersect(s).select(F.lit("intersect").alias("op"), "nk")
+    # subtract = EXCEPT DISTINCT (exceptAll would keep multiplicity
+    # leftovers for keys present on both sides)
+    exc = c.subtract(s).select(F.lit("except").alias("op"), "nk")
+    return union.unionByName(inter).unionByName(exc)
+
+
+_Q_SET_OPS_SQL = """
+SELECT 'union' AS op, nk FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer
+   UNION SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect' AS op, nk FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer
+   INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except' AS op, nk FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer
+   EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
 def _gen_function(spark, sf):
     # G1 escape hatch with a deterministic function → exact oracle
     return to_data_frame(
@@ -1436,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_join": _q_anti_join,
         "q_semi_join": _q_semi_join,
         "q_rollup_region_nation": _q_rollup,
+        "q_set_ops": _q_set_ops,
         # generators (G2–G7)
         "gen_uniform": _gen_uniform,
         "gen_normal": _gen_normal,
@@ -1493,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
         "q_anti_join": _Q_ANTI_SQL,
         "q_semi_join": _Q_SEMI_SQL,
         "q_rollup_region_nation": _Q_ROLLUP_SQL,
+        "q_set_ops": _Q_SET_OPS_SQL,
         "gen_uniform": _GEN_UNIFORM_SQL,
         "gen_normal": _GEN_NORMAL_SQL,
         "gen_freq_single": _GEN_FREQ_SINGLE_SQL,
