@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from gecko_spark.core import LcgRandom, lcg_uniform_sql
 from gecko_spark.operators import generators as G
 from gecko_spark.operators import mutators as M
+from gecko_spark.operators.joins import asof_join, band_join
 from gecko_spark.plans.pipeline import mutate_data_frame, to_data_frame
 from gecko_spark.sources.testdata import load_table
 
@@ -976,6 +977,87 @@ SELECT 'except' AS op, nk FROM
 """
 
 
+def _q_asof_join(spark, sf):
+    """As-of join (operators/joins.py::asof_join — union + one ordered
+    window pass, single shuffle): for each error event, the most recent
+    click by the same user within the prior hour. Oracle is DuckDB's
+    native ASOF LEFT JOIN, so the operator's semantics are checked
+    against an independent as-of implementation."""
+    ev = load_table(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.expr("unix_millis(ts)").alias("click_ms"),
+    )
+    out = asof_join(errors, clicks, on="ts", by="user_id", tolerance=3600.0)
+    return out.select(
+        "user_id",
+        "err_id",
+        F.expr("unix_millis(ts)").alias("err_ms"),
+        "click_id",
+        "click_ms",
+    )
+
+
+# Tolerance compares in exact integer microseconds on both engines
+# (epoch_us vs the operator's unix_micros) — a millisecond-truncated
+# comparison could disagree with Spark right at the 1-hour boundary.
+_Q_ASOF_SQL = """
+WITH errors AS (
+  SELECT user_id, event_id AS err_id, ts FROM events WHERE event_type = 'error'
+), clicks AS (
+  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT e.user_id, e.err_id, epoch_ms(e.ts) AS err_ms,
+       CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= 3600000000 THEN c.click_id END AS click_id,
+       CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= 3600000000 THEN epoch_ms(c.ts) END AS click_ms
+FROM errors e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+def _q_range_join(spark, sf):
+    """Band/range join (operators/joins.py::band_join): orders priced
+    into value bands via a broadcast non-equi join (the fact side never
+    shuffles), then aggregated per band in exact cents."""
+    orders = load_table(spark, sf, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("tiny", 0.0, 50_000.0),
+            ("small", 50_000.0, 150_000.0),
+            ("large", 150_000.0, 300_000.0),
+            ("huge", 300_000.0, 1.0e12),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        band_join(orders, bands, "o_totalprice")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+    )
+
+
+_Q_RANGE_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('tiny', 0.0, 50000.0), ('small', 50000.0, 150000.0),
+         ('large', 150000.0, 300000.0), ('huge', 300000.0, 1e12)
+)
+SELECT band, COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
 def _gen_function(spark, sf):
     # G1 escape hatch with a deterministic function → exact oracle
     return to_data_frame(
@@ -1469,6 +1551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_join": _q_semi_join,
         "q_rollup_region_nation": _q_rollup,
         "q_set_ops": _q_set_ops,
+        "q_asof_join": _q_asof_join,
+        "q_range_join": _q_range_join,
         # generators (G2–G7)
         "gen_uniform": _gen_uniform,
         "gen_normal": _gen_normal,
@@ -1527,6 +1611,8 @@ def oracle_sql() -> dict[str, str]:
         "q_semi_join": _Q_SEMI_SQL,
         "q_rollup_region_nation": _Q_ROLLUP_SQL,
         "q_set_ops": _Q_SET_OPS_SQL,
+        "q_asof_join": _Q_ASOF_SQL,
+        "q_range_join": _Q_RANGE_SQL,
         "gen_uniform": _GEN_UNIFORM_SQL,
         "gen_normal": _GEN_NORMAL_SQL,
         "gen_freq_single": _GEN_FREQ_SINGLE_SQL,
