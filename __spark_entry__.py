@@ -1304,6 +1304,73 @@ def _dedup_minhash(spark, sf):
     return minhash_candidate_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
 
 
+def _dedup_minhash_sql(num_hashes: int = 64, bands: int = 16, n: int = 5) -> str:
+    """Exact DuckDB oracle for the full MinHash+LSH pipeline.
+
+    The engine's signature hash is portable integer arithmetic
+    (dedup.py::minhash_signature): code-point polynomial rolling hash
+    mod 2^31-1, then 64 universal-hash permutations, 16 band slices,
+    in-bucket pair join. This SQL replays every step with the same
+    constants, so candidate pairs AND estimated Jaccard match
+    bit-for-bit. (ASCII corpus assumption: Python str.lower ==
+    SQL lower; the testdata documents are ASCII.)
+    """
+    from gecko_spark.operators.dedup import _P, _perm_params
+
+    params = _perm_params(num_hashes, seed=0)
+    perm_rows = ", ".join(f"({p}, {a}, {b})" for p, (a, b) in enumerate(params))
+    pows = []
+    acc = 1
+    for _ in range(n):
+        pows.append(acc)
+        acc = (acc * 256) % _P
+    pows = pows[::-1]  # pows[j] multiplies the j-th char of the window
+    win_terms = " + ".join(
+        f"CAST(unicode(s[i+{j}]) AS BIGINT) * {pows[j]}" for j in range(n)
+    )
+    pw_lst = "[" + ",".join(str(p) for p in pows) + "]"
+    rpb = num_hashes // bands
+    # The permutations are a 64-row VALUES table CROSS JOINed against
+    # the docs (NOT literal lists indexed inside the inner lambda —
+    # DuckDB would rebuild the 64-element list once per lambda
+    # evaluation, a ~60× slowdown measured at sf0.01).
+    return f"""
+WITH hashes AS (
+  SELECT doc_id AS doc, lower(text) AS s,
+    CASE
+      WHEN s IS NULL OR length(s) = 0 THEN CAST([] AS BIGINT[])
+      WHEN length(s) < {n} THEN
+        [ list_sum([CAST(unicode(s[j+1]) AS BIGINT) * {pw_lst}[{n} - length(s) + j + 1]
+                    for j in range(0, length(s))]) % {_P} ]
+      ELSE
+        [ ({win_terms}) % {_P} for i in range(1, length(s) - {n - 2}) ]
+    END AS h
+  FROM documents
+), perms(p, a, b) AS (
+  VALUES {perm_rows}
+), sig_elems AS (
+  SELECT doc, p,
+         CASE WHEN len(h) = 0 THEN {_P}
+              ELSE list_min(list_transform(h, u -> (a * u + b) % {_P}))
+         END AS v
+  FROM hashes CROSS JOIN perms
+), sigs AS (
+  SELECT doc, list(v ORDER BY p) AS sig FROM sig_elems GROUP BY doc
+), banded AS (
+  SELECT doc, sig, b AS band, sig[b*{rpb}+1 : b*{rpb}+{rpb}] AS bucket
+  FROM sigs, range(0, {bands}) t(b)
+), pairs AS (
+  SELECT l.doc AS id_a, r.doc AS id_b,
+         len(list_filter(range(1, {num_hashes + 1}), p -> l.sig[p] = r.sig[p])) / {num_hashes}.0
+           AS est_jaccard
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+)
+SELECT id_a, id_b, any_value(est_jaccard) AS est_jaccard
+FROM pairs GROUP BY id_a, id_b
+"""
+
+
 def _dedup_simhash(spark, sf):
     from gecko_spark.operators.dedup import simhash_candidate_pairs
 
@@ -1641,6 +1708,7 @@ def oracle_sql() -> dict[str, str]:
         "mut_group": _MUT_GROUP_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_groups": _DEDUP_GROUPS_SQL,
+        "dedup_minhash_pairs": _dedup_minhash_sql(),
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "topk_cosine_bruteforce": _TOPK_COSINE_SQL,
         "text_stats": _TEXT_STATS_SQL,

@@ -177,11 +177,19 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature (array<bigint>) via one Arrow kernel.
 
-    Per batch, fully vectorized NumPy: byte-level rolling polynomial
-    hash over ``shingle_size`` windows (sliding_window_view @ powers,
-    mod P), distinct, then the k×S universal-hash matrix minimum. One
-    pass over the data, ~100× the interpreted HOF path; arithmetic
-    stays in int64 (terms < 2^42) under ANSI-safe bounds."""
+    Per batch, fully vectorized NumPy: code-point-level rolling
+    polynomial hash over ``shingle_size`` windows (sliding_window_view
+    @ powers, mod P), distinct, then the k×S universal-hash matrix
+    minimum. One pass over the data, ~100× the interpreted HOF path;
+    arithmetic stays in int64 (max term ≈ 2^44 for astral code points)
+    under ANSI-safe bounds.
+
+    The hash is deliberately *portable arithmetic*, not an engine hash:
+    ``h(window) = Σ cp[j]·256^(n-1-j) mod (2^31-1)`` over Unicode code
+    points of the lowercased text. Any engine with 64-bit integers
+    (DuckDB, Trino, a SQL oracle) reproduces the signature bit-for-bit
+    — see the ``dedup_minhash_pairs`` oracle in ``__spark_entry__.py``.
+    """
     params = np.asarray(_perm_params(num_hashes, seed), dtype=np.int64)
     a_col = params[:, 0][:, None]
     b_col = params[:, 1][:, None]
@@ -200,7 +208,7 @@ def minhash_signature(
             if t is None:
                 out.append(empty_sig)
                 continue
-            codes = np.frombuffer(t.lower().encode("utf-8"), dtype=np.uint8)
+            codes = np.frombuffer(t.lower().encode("utf-32-le"), dtype=np.uint32)
             if len(codes) == 0:
                 out.append(empty_sig)
                 continue
@@ -251,6 +259,12 @@ def minhash_candidate_pairs(
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_size, seed)
     with_sig = ensure_parallelism(df).select(F.col(id_col).alias("doc"), sig.alias("sig"))
 
+    # The bucket key is the raw signature slice itself (array<bigint>),
+    # not an engine hash of it: the shuffle key is rows_per_band
+    # bigints instead of one (a few extra bytes per row), and in
+    # exchange the bucketing is engine-portable — the DuckDB oracle
+    # reproduces it exactly, with zero collision risk on top of the
+    # signature's own.
     banded = with_sig.select(
         "doc",
         "sig",
@@ -259,8 +273,8 @@ def minhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        F.slice(
+                            F.col("sig"), b * rows_per_band + 1, rows_per_band
                         ).alias("bucket"),
                     )
                     for b in range(bands)
