@@ -1378,6 +1378,60 @@ def _dedup_simhash(spark, sf):
     return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
+def _dedup_simhash_sql(bits: int = 64, chunks: int = 4, max_hamming: int = 8) -> str:
+    """Exact DuckDB oracle for SimHash + pigeonhole blocking.
+
+    Replays dedup.py::simhash exactly: portable polynomial token hash,
+    64 universal-hash majority-vote bits, 16-bit chunk blocking, true
+    Hamming verify. Bit weights ride the perms VALUES table as HUGEINT
+    (2^63 overflows BIGINT); the signed simhash is recovered by an
+    explicit two's-complement wrap, while chunk keys divide the
+    unsigned value — the same bits Spark's arithmetic shiftright+mask
+    extracts."""
+    from gecko_spark.functions.portable_hash import P1, sql_horner
+    from gecko_spark.operators.dedup import _perm_params
+
+    params = _perm_params(bits, seed=1)
+    perm_rows = ", ".join(
+        f"({p}, {a}, {b}, {1 << p})" for p, (a, b) in enumerate(params)
+    )
+    w = bits // chunks
+    chunk_rows = ", ".join(f"({c}, {1 << (c * w)})" for c in range(chunks))
+    half = P1 // 2
+    horner_tok = sql_horner("t", P1)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+    COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                         t -> len(t) > 0), []) AS tk
+  FROM documents
+), us AS (
+  SELECT doc, list_transform(tk, t -> {horner_tok}) AS u FROM toks
+), perms(p, a, b, pw) AS (
+  VALUES {perm_rows}
+), bits AS (
+  SELECT doc,
+         CASE WHEN 2 * len(list_filter(u, x -> (a * x + b) % {P1} < {half})) > len(u)
+              THEN pw ELSE 0 END AS contrib
+  FROM us CROSS JOIN perms
+), sh AS (
+  SELECT doc, SUM(contrib) AS s FROM bits GROUP BY doc
+), chunk_dividers(c, d) AS (
+  VALUES {chunk_rows}
+), blocked AS (
+  SELECT doc,
+         CAST(CASE WHEN s >= {1 << 63} THEN s - {1 << 64} ELSE s END AS BIGINT) AS sh,
+         c, CAST((s // d) % {1 << w} AS BIGINT) AS key
+  FROM sh CROSS JOIN chunk_dividers
+), pairs AS (
+  SELECT l.doc AS id_a, r.doc AS id_b, bit_count(xor(l.sh, r.sh)) AS hamming
+  FROM blocked l JOIN blocked r ON l.c = r.c AND l.key = r.key AND l.doc < r.doc
+)
+SELECT id_a, id_b, MIN(hamming) AS hamming
+FROM pairs GROUP BY id_a, id_b HAVING MIN(hamming) <= {max_hamming}
+"""
+
+
 def _dedup_jaccard(spark, sf):
     from gecko_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1593,11 +1647,48 @@ def _doc_fingerprints(spark, sf):
     from gecko_spark.operators.text import fingerprint, rolling_hash_fingerprint
 
     docs = load_table(spark, sf, "documents")
+    # rolling_fp is array<bigint>; joined to a string so the driver's
+    # value-hash compare sees identical scalar text on both engines
     return docs.select(
         "doc_id",
         fingerprint(F.col("text")).alias("fp"),
-        rolling_hash_fingerprint(F.col("text")).alias("rolling_fp"),
+        F.array_join(
+            F.transform(
+                rolling_hash_fingerprint(F.col("text")),
+                lambda x: x.cast("string"),
+            ),
+            "_",
+        ).alias("rolling_fp"),
     )
+
+
+def _doc_fingerprints_sql(window: int = 8, keep: int = 4) -> str:
+    """Exact DuckDB oracle for both fingerprint flavors (portable
+    polynomial hashes — functions/portable_hash.py)."""
+    from gecko_spark.functions.portable_hash import (
+        P1,
+        P2,
+        sql_horner,
+        sql_window_hashes,
+    )
+
+    joined = (
+        "array_to_string(list_sort(list_distinct(COALESCE("
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> len(t) > 0),"
+        " []))), ' ')"
+    )
+    rolling = f"list_sort(list_distinct({sql_window_hashes('lower(text)', window, P1)}))[1:{keep}]"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {joined} AS s, {rolling} AS rfp FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(s) = 0 THEN 0
+            ELSE {sql_horner('s', P1)} * {P2} + {sql_horner('s', P2)}
+       END AS fp,
+       array_to_string(rfp, '_') AS rolling_fp
+FROM base
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1709,8 +1800,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_groups": _DEDUP_GROUPS_SQL,
         "dedup_minhash_pairs": _dedup_minhash_sql(),
+        "dedup_simhash_pairs": _dedup_simhash_sql(),
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "topk_cosine_bruteforce": _TOPK_COSINE_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "doc_normalize_filter": _DOC_NORMALIZE_SQL,
+        "doc_fingerprints": _doc_fingerprints_sql(),
     }

@@ -190,33 +190,22 @@ def minhash_signature(
     (DuckDB, Trino, a SQL oracle) reproduces the signature bit-for-bit
     — see the ``dedup_minhash_pairs`` oracle in ``__spark_entry__.py``.
     """
+    from gecko_spark.functions.portable_hash import window_hashes
+
     params = np.asarray(_perm_params(num_hashes, seed), dtype=np.int64)
     a_col = params[:, 0][:, None]
     b_col = params[:, 1][:, None]
     n = shingle_size
-    pows = np.empty(n, dtype=np.int64)
-    acc = 1
-    for i in range(n - 1, -1, -1):
-        pows[i] = acc
-        acc = (acc * 256) % _P
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
         empty_sig = np.full(len(params), _P, dtype=np.int64)
         for t in texts:
-            if t is None:
+            h = window_hashes(t.lower(), n, _P) if t else np.empty(0, np.int64)
+            if len(h) == 0:
                 out.append(empty_sig)
                 continue
-            codes = np.frombuffer(t.lower().encode("utf-32-le"), dtype=np.uint32)
-            if len(codes) == 0:
-                out.append(empty_sig)
-                continue
-            if len(codes) < n:
-                h = np.array([int(codes @ pows[-len(codes):]) % _P], dtype=np.int64)
-            else:
-                win = np.lib.stride_tricks.sliding_window_view(codes, n)
-                h = (win.astype(np.int64) @ pows) % _P
             u = np.unique(h)
             out.append(((a_col * u + b_col) % _P).min(axis=1))
         return pd.Series(out)
@@ -447,40 +436,51 @@ def simhash_jvm(text: Column, bits: int = 64) -> Column:
     return out
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
+def simhash(text: Column, bits: int = 64, seed: int = 1) -> Column:
     """SimHash over word tokens via one Arrow kernel (bigint).
 
-    Per doc: blake2b-64 token hashes → bit matrix → majority vote →
-    packed int64. Vectorized bit unpacking in NumPy; only the token
-    hash itself is a per-token C call."""
+    Token hash is the portable polynomial
+    (functions/portable_hash.py); output bit i is the majority vote of
+    an independent universal hash of each token hash,
+    ``(aᵢ·u + bᵢ) mod P < P/2`` — a balanced pairwise-independent bit
+    per token. The whole batch runs as two int64 matrix ops (padded
+    token-hash matmul, then the 64×n_tokens universal-hash grid with
+    per-doc segment sums), and — unlike a blake2b/xxhash variant — the
+    exact simhash values are reproducible in any engine with 64-bit
+    integers: see the ``dedup_simhash_pairs`` DuckDB oracle."""
     if bits != 64:
         raise ValueError("arrow simhash supports bits=64")
     import re as _re
-    from hashlib import blake2b
 
+    from gecko_spark.functions.portable_hash import P1, poly_hash_strings
+
+    params = np.asarray(_perm_params(bits, seed), dtype=np.int64)
+    a_col = params[:, 0][:, None]
+    b_col = params[:, 1][:, None]
+    half = P1 // 2
     shifts = np.arange(64, dtype=np.uint64)
     tok_re = _re.compile(r"\w+")
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
+        toks_per_doc = [tok_re.findall(t.lower()) if t else [] for t in texts]
+        counts = np.fromiter(
+            (len(tk) for tk in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+        )
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            toks = tok_re.findall(t.lower())
-            if not toks:
-                continue
-            h = np.fromiter(
-                (
-                    int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "big")
-                    for tok in toks
-                ),
-                dtype=np.uint64,
-                count=len(toks),
-            )
-            ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
-            bits_set = (ones * 2 > len(toks)).astype(np.uint64)
-            out[i] = (bits_set << shifts).sum(dtype=np.uint64).astype(np.int64)
+        flat = [tok for toks in toks_per_doc for tok in toks]
+        if not flat:
+            return pd.Series(out)
+        u = poly_hash_strings(flat, P1)
+        ones_grid = ((a_col * u[None, :] + b_col) % P1 < half).astype(np.int64)
+        nz = counts > 0
+        # nonzero segments are contiguous in `flat`, so their start
+        # offsets alone drive reduceat (zero-length segments would make
+        # reduceat re-read single elements)
+        offsets = np.concatenate(([0], np.cumsum(counts)))[:-1][nz]
+        ones = np.add.reduceat(ones_grid, offsets, axis=1)
+        votes = (ones * 2 > counts[nz][None, :]).astype(np.uint64)
+        out[nz] = (votes << shifts[:, None]).sum(axis=0, dtype=np.uint64).astype(np.int64)
         return pd.Series(out)
 
     return _simhash(text)

@@ -1,17 +1,25 @@
 """Text-analysis operators for training-data pipelines.
 
 Language ID (stopword n-gram heuristic), quality scoring, token
-counting, and document fingerprinting — all pure JVM column
-expressions over built-in functions (split / transform / aggregate /
-regexp), so they run inside whole-stage codegen at full scan speed.
+counting, and document fingerprinting. The analysis/scoring functions
+are pure JVM column expressions over built-in functions (split /
+transform / aggregate / regexp), so they run inside whole-stage
+codegen at full scan speed; the two fingerprint functions are Arrow
+kernels over the portable polynomial hash
+(functions/portable_hash.py), so fingerprints are engine-portable and
+exactly oracle-checkable.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "tokens",
@@ -144,21 +152,51 @@ def quality_score(text: Column) -> Column:
 
 
 def fingerprint(text: Column) -> Column:
-    """Normalization fingerprint: sorted distinct lowercase tokens joined
-    and hashed — equal fingerprints ⇐ same SET of words (multiplicity is
-    ignored, and a 64-bit hash collision can also equate fingerprints)."""
-    return F.xxhash64(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+    """Normalization fingerprint: sorted distinct lowercase tokens
+    joined with single spaces, hashed to 62 bits — equal fingerprints ⇐
+    same SET of words (multiplicity is ignored; a hash collision can
+    also equate fingerprints).
+
+    The hash is the portable two-prime polynomial ``h1·P2 + h2``
+    (functions/portable_hash.py), not an engine hash: the
+    ``doc_fingerprints`` contract query replays it exactly in DuckDB.
+    Empty/null text fingerprints to 0. One Arrow kernel; hashing is a
+    padded int64 matmul per batch."""
+    from gecko_spark.functions.portable_hash import P1, P2, poly_hash_strings
+
+    tok_re = re.compile(r"\w+")
+
+    @F.pandas_udf(T.LongType())
+    def _fp(texts: pd.Series) -> pd.Series:
+        joined = [
+            " ".join(sorted(set(tok_re.findall(t.lower())))) if t else ""
+            for t in texts
+        ]
+        h1 = poly_hash_strings(joined, P1)
+        h2 = poly_hash_strings(joined, P2)
+        return pd.Series(h1 * P2 + h2)
+
+    return _fp(text)
 
 
 def rolling_hash_fingerprint(text: Column, window: int = 8, keep: int = 4) -> Column:
-    """Winnowing-style document fingerprint: hash every ``window``-gram,
-    keep the ``keep`` smallest hashes as the signature (array<bigint>).
-    Shared w-grams ⇒ shared signature entries — robust to local edits."""
-    from gecko_spark.operators.dedup import char_shingles
+    """Winnowing-style document fingerprint: hash every ``window``-gram
+    of the lowercased text (portable polynomial mod 2^31-1), keep the
+    ``keep`` smallest distinct hashes as the signature (array<bigint>).
+    Shared w-grams ⇒ shared signature entries — robust to local edits.
+    Engine-portable like :func:`fingerprint`; empty/null text yields an
+    empty signature."""
+    from gecko_spark.functions.portable_hash import P1, window_hashes
 
-    grams = char_shingles(text, window)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    return F.slice(F.array_sort(hashes), 1, keep)
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _rfp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = window_hashes(t.lower(), window, P1) if t else np.empty(0, np.int64)
+            out.append(np.unique(h)[:keep])
+        return pd.Series(out)
+
+    return _rfp(text)
 
 
 def normalize_text(
