@@ -1493,16 +1493,73 @@ WHERE rnk <= 5
 
 
 def _topk_ivf(spark, sf):
+    """IVF ANN with ``init="first_k"`` — deterministic centroids and
+    sequential-fold float arithmetic end to end, so the assignment,
+    probe selection, AND final ranking are replayed exactly by the
+    DuckDB oracle (the kmeans init trades that determinism for
+    recall)."""
     from gecko_spark.operators.similarity import cosine_topk_ivf, ivf_assign
 
     emb = load_table(spark, sf, "embeddings")
     qs = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    corpus, centroids = ivf_assign(emb, n_centroids=16, seed=5)
+    corpus, centroids = ivf_assign(
+        emb, n_centroids=16, init="first_k", id_col="vec_id"
+    )
     return cosine_topk_ivf(corpus, centroids, qs, k=5, nprobe=4).select(
         "query_id", "vec_id", "rank"
     )
+
+
+def _sql_seq_dot(a: str, b: str) -> str:
+    """Strict left-fold dot product — same association order as Spark's
+    ``aggregate`` fold, so doubles match bit-for-bit."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in range(1, len({a})+1)]), (x, y) -> x + y)"
+    )
+
+
+def _sql_l2(a: str) -> str:
+    return f"sqrt({_sql_seq_dot(a, a)})"
+
+
+def _topk_ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    assign_dot = _sql_seq_dot("e.embedding", "c.cvec")
+    probe_dot = _sql_seq_dot("q.qv", "c.cvec")
+    cos = f"{_sql_seq_dot('b.embedding', 'p.qv')} / ({_sql_l2('b.embedding')} * {_sql_l2('p.qv')})"
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_centroids}
+), assign AS (
+  SELECT e.vec_id, e.embedding, c.cid, {assign_dot} AS score
+  FROM embeddings e CROSS JOIN cents c
+), best AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+    FROM assign
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
+), probe AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {probe_dot} DESC, c.cid) AS pr
+    FROM q CROSS JOIN cents c
+  ) WHERE pr <= {nprobe}
+), scored AS (
+  SELECT p.qid AS query_id, b.vec_id, {cos} AS cos
+  FROM probe p JOIN best b ON b.cid = p.cid
+)
+SELECT query_id, vec_id, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""
 
 
 _STOP_EN = [
@@ -1803,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _dedup_simhash_sql(),
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "topk_cosine_bruteforce": _TOPK_COSINE_SQL,
+        "topk_cosine_ivf": _topk_ivf_sql(),
         "text_stats": _TEXT_STATS_SQL,
         "doc_normalize_filter": _DOC_NORMALIZE_SQL,
         "doc_fingerprints": _doc_fingerprints_sql(),

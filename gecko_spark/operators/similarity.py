@@ -126,6 +126,17 @@ def cosine_topk_bruteforce(
     )
 
 
+def _seq_dot(a, b) -> float:
+    """Strict left-fold dot product in IEEE double — the association
+    order of Spark's ``aggregate`` fold and of a SQL ``list_reduce``,
+    so all three agree bit-for-bit (numpy's matmul/sum pairwise
+    summation does not)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
 def _sample_centroids(
     corpus: DataFrame, vec_col: str, n_centroids: int, seed: int, iters: int = 5
 ) -> np.ndarray:
@@ -157,14 +168,35 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     seed: int = 0,
+    init: str = "kmeans",
+    id_col: Optional[str] = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Assign each vector to its nearest centroid (IVF list).
 
-    Centroids are trained on a driver sample then broadcast as
-    literals; assignment is an argmax over JVM dot products — the
-    corpus is never collected. Returns (corpus + ``__ivf_list__``,
-    centroids)."""
-    centroids = _sample_centroids(corpus, vec_col, n_centroids, seed)
+    ``init="kmeans"`` (default) trains centroids with mini k-means on a
+    driver sample — best recall. ``init="first_k"`` (requires
+    ``id_col``) takes the raw vectors of the ``n_centroids`` lowest ids
+    as centroids: no sampling, no float reductions outside sequential
+    folds, so the entire IVF pipeline is reproducible bit-for-bit by an
+    independent engine (the ``topk_cosine_ivf`` DuckDB oracle) — the
+    determinism-over-recall trade.
+
+    Centroids are broadcast as literals; assignment is an argmax over
+    JVM dot products — the corpus is never collected. Returns
+    (corpus + ``__ivf_list__``, centroids)."""
+    if init == "first_k":
+        if id_col is None:
+            raise ValueError("init='first_k' requires id_col")
+        rows = (
+            corpus.orderBy(id_col).limit(n_centroids).select(vec_col).toPandas()
+        )
+        if len(rows) < n_centroids:
+            raise ValueError("not enough rows for first_k centroids")
+        centroids = np.array(rows[vec_col].tolist(), dtype=np.float64)
+    elif init == "kmeans":
+        centroids = _sample_centroids(corpus, vec_col, n_centroids, seed)
+    else:
+        raise ValueError(f"unknown init {init!r}")
     vec = F.col(vec_col)
     # one scores ARRAY + array_position(argmax): a chained
     # when(score > best)-fold embeds the running best expression twice
@@ -236,8 +268,12 @@ def cosine_topk_ivf(
     driver (queries are small by definition)."""
     qpdf = queries.select(query_id_col, query_vec_col).toPandas()
     qvecs = np.array(qpdf[query_vec_col].tolist(), dtype=np.float64)
-    sims = qvecs @ centroids.T
-    probe_lists = np.argsort(-sims, axis=1)[:, :nprobe]
+    # sequential-fold dots (not a matmul): numpy's pairwise summation
+    # associates differently from a SQL left fold, and probe selection
+    # must be reproducible by the oracle bit-for-bit. The loop is over
+    # queries × centroids — driver-side tiny by definition.
+    sims = np.array([[_seq_dot(q, c) for c in centroids] for q in qvecs])
+    probe_lists = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
 
     rows = []
     for qid, qvec, probes in zip(qpdf[query_id_col], qpdf[query_vec_col], probe_lists):
