@@ -12,10 +12,13 @@ integer SQL over a key column — the oracle evaluates the *same formula
 text* in DuckDB, so Spark and DuckDB agree bit-for-bit on each uniform
 draw, and therefore on every mutated/generated value.
 
-Operators whose kernels are Arrow UDFs with batch-local logic (phonetic
-/ inline-replacement favor-rare ordering, CLDR typos) or that hash with
-xxhash64 (minhash/simhash) have no SQL oracle — they appear in
-``queries()`` only, and the driver records the weaker rows-only check.
+Every query has an exact oracle. Randomized mutators replay the LCG
+draw-for-draw; MinHash/SimHash/fingerprints/IVF use engine-portable
+hashing and strict-fold float arithmetic (functions/portable_hash.py,
+similarity.py) so their SQL oracles reproduce signatures, buckets, and
+rankings bit-for-bit; the favor-rare table-driven mutators order rules
+by global match frequency (one aggregation pre-pass), making their
+output partitioning-independent and SQL-replayable.
 """
 
 from __future__ import annotations
@@ -1235,12 +1238,93 @@ def _mut_replacement_inline(spark, sf):
     return mut.apply(p, "p_name", 0.5, rand=LcgRandom("p_partkey", 115))
 
 
+def _mut_replacement_inline_sql() -> str:
+    """Exact oracle for inline replacement with order="global": the
+    per-source frequencies (among selected rows) are a SQL aggregate,
+    a row's claiming source is the ascending (frequency, source)
+    minimum over its matches — exactly the kernel's loop — and the
+    replacement splices at the first occurrence. The OCR table maps
+    every source to exactly one target, so the target draw
+    (floor(u·1) = 0) never branches."""
+    srcs = list(_OCR_TABLE["source"])
+    tgts = dict(zip(_OCR_TABLE["source"], _OCR_TABLE["target"]))
+    alt = "|".join(srcs)  # sources are literal alphanumerics
+    vals = ", ".join(f"('{s}', '{tgts[s]}')" for s in srcs)
+    u0 = _u("p_partkey", 115, 0)
+    return f"""
+WITH base AS (
+  SELECT p_partkey, p_name,
+         ({u0} < 0.5 AND regexp_matches(p_name, '(?:{alt})')) AS sel
+  FROM part
+), srcs(src, tgt) AS (
+  VALUES {vals}
+), freqs AS (
+  SELECT s.src, s.tgt,
+         (SELECT COUNT(*) FROM base b WHERE b.sel AND contains(b.p_name, s.src)) AS f
+  FROM srcs s
+), claimed AS (
+  SELECT p_partkey, src, tgt FROM (
+    SELECT b.p_partkey, f.src, f.tgt,
+           row_number() OVER (PARTITION BY b.p_partkey ORDER BY f.f, f.src) AS rn
+    FROM base b JOIN freqs f ON b.sel AND f.f > 0 AND contains(b.p_name, f.src)
+  ) WHERE rn = 1
+)
+SELECT b.p_partkey,
+       CASE WHEN c.src IS NOT NULL THEN
+         substr(b.p_name, 1, strpos(b.p_name, c.src) - 1) || c.tgt
+           || substr(b.p_name, strpos(b.p_name, c.src) + length(c.src))
+       ELSE b.p_name END AS p_name
+FROM base b LEFT JOIN claimed c USING (p_partkey)
+"""
+
+
 def _mut_phonetic(spark, sf):
     c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
     mut = M.with_phonetic_replacement_table(
         _PHONETIC_TABLE, "source", "target", "flags"
     )
     return mut.apply(c, "c_name", 0.5, rand=LcgRandom("c_custkey", 116))
+
+
+def _mut_phonetic_sql() -> str:
+    """Exact oracle for the phonetic mutator on this corpus.
+
+    The table expands to 8 positional rules (ph/th × {^,_,$}, ^Cust,
+    er$). Customer names are 'Customer#<digits>' at every SF (verified:
+    zero matches for every rule except ^Cust), so each row matches at
+    most one rule: the favor-rare loop degenerates to options=1 ⇒
+    acceptance probability 1 (the expanded uniform is always < 1), and
+    the exact output is the anchored first-occurrence replacement on
+    selected rows. Eligibility is still the full 8-rule disjunction,
+    as in the kernel."""
+    u0 = _u("c_custkey", 116, 0)
+    mid = "substr(c_name, 2, greatest(length(c_name) - 2, 0))"
+    elig_parts = []
+    for pat, flag in [("ph", ""), ("th", ""), ("Cust", "^"), ("er", "$")]:
+        if flag in ("", "^"):
+            elig_parts.append(f"starts_with(c_name, '{pat}')")
+        if flag in ("", "$"):
+            elig_parts.append(f"ends_with(c_name, '{pat}')")
+        if flag == "":
+            elig_parts.append(f"contains({mid}, '{pat}')")
+    elig = " OR ".join(elig_parts)
+    return f"""
+SELECT c_custkey,
+       CASE WHEN ({elig}) AND {u0} < 0.5 AND starts_with(c_name, 'Cust')
+            THEN 'Kust' || substr(c_name, 5)
+            ELSE c_name END AS c_name
+FROM customer
+"""
+
+
+_MUT_REGEX_SQL = f"""
+SELECT o_orderkey,
+       CASE WHEN {_u('o_orderkey', 117, 0)} < 0.5
+            THEN regexp_replace(strftime(o_orderdate, '%Y-%m-%d'),
+                                '(\\d{{4}})-(\\d{{2}})-(\\d{{2}})', '\\1-\\3-\\2')
+            ELSE strftime(o_orderdate, '%Y-%m-%d') END AS o_date
+FROM orders
+"""
 
 
 def _mut_regex(spark, sf):
@@ -1795,7 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mut_chain": _mut_chain,
         "mut_function": _mut_function,
         "mut_group": _mut_group,
-        # table-driven Arrow kernels (M2–M4, M17): rows-only
+        # table-driven Arrow kernels (M2–M4, M17)
         "mut_cldr_keymap": _mut_cldr,
         "mut_replacement_inline": _mut_replacement_inline,
         "mut_phonetic": _mut_phonetic,
@@ -1852,6 +1936,9 @@ def oracle_sql() -> dict[str, str]:
         "mut_generator_splice": _MUT_SPLICE_SQL,
         "mut_chain": _MUT_CHAIN_SQL,
         "mut_cldr_keymap": _mut_cldr_sql(),
+        "mut_replacement_inline": _mut_replacement_inline_sql(),
+        "mut_phonetic": _mut_phonetic_sql(),
+        "mut_regex": _MUT_REGEX_SQL,
         "mut_function": _MUT_FUNCTION_SQL,
         "mut_group": _MUT_GROUP_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,

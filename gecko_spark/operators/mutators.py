@@ -107,6 +107,13 @@ class Mutator:
     def _transform(self, col: Column, rand: RandomSource, selected: Column) -> Column:
         return F.when(selected, self._mutate(col, rand)).otherwise(col)
 
+    def _transform_with_frame(
+        self, df: DataFrame, col: Column, rand: RandomSource, selected: Column
+    ) -> Column:
+        """Hook for mutators that need a pre-pass over the input frame
+        (e.g. global rule-match frequencies). Default: no pre-pass."""
+        return self._transform(col, rand, selected)
+
     # -- group hooks ---------------------------------------------------------
     def _eligible_group(self, cols: list[Column], rand: RandomSource) -> Optional[Column]:
         return None
@@ -161,7 +168,7 @@ class Mutator:
                 eligible = self._eligible(col, r)
                 p_eff = self._strict_rescale(df, eligible, p) if strict_p else p
                 selected = bernoulli_select(r, _SALT_SELECT, p_eff, eligible)
-                out[c] = self._transform(col, r, selected)
+                out[c] = self._transform_with_frame(df, col, r, selected)
 
         return df.select(
             *[out[c].alias(c) if c in out else F.col(c) for c in df.columns]
@@ -735,10 +742,13 @@ def with_cldr_keymap_file(
 class _ReplacementTable(Mutator):
     name = "with_replacement_table"
 
-    def __init__(self, table: pd.DataFrame, inline: bool):
+    def __init__(self, table: pd.DataFrame, inline: bool, order: str = "global"):
         if table.empty:
             raise ValueError("replacement table is empty")
+        if order not in ("global", "batch"):
+            raise ValueError("order must be 'global' or 'batch'")
         self.inline = inline
+        self.order = order
         # source -> list of targets, preserving table order
         self.targets: dict[str, list[str]] = {}
         for src, tgt in zip(table["source"], table["target"]):
@@ -766,6 +776,34 @@ class _ReplacementTable(Mutator):
             mutated = F.element_at(tgt_arr, (pick + F.lit(1)).cast("int"))
             return F.when(selected & tgt_arr.isNotNull(), mutated).otherwise(col)
 
+        return self._inline_kernel(col, rand, selected, order=None)
+
+    def _transform_with_frame(self, df, col, rand, selected):
+        if not self.inline or self.order != "global":
+            return self._transform(col, rand, selected)
+        # ONE aggregation job measures global per-source match counts
+        # among selected rows — the reference's favor-rare ordering is
+        # computed over the whole dataset, not per batch
+        # (gecko/mutator.py:618-624; SURVEY §3.3 step 3). This also
+        # makes the output independent of batch boundaries, which is
+        # what lets the driver's DuckDB oracle replay it exactly.
+        aggs = [
+            F.sum(F.when(selected & col.contains(src), 1).otherwise(0)).alias(str(i))
+            for i, src in enumerate(self.sources)
+        ]
+        row = df.select(*aggs).first()
+        freqs = sorted(
+            (int(row[str(i)] or 0), src) for i, src in enumerate(self.sources)
+        )
+        order = [src for f, src in freqs if f > 0]
+        return self._inline_kernel(col, rand, selected, order=order)
+
+    def _inline_kernel(self, col, rand, selected, order: Optional[list[str]]):
+        """Arrow kernel for inline (substring) replacement. ``order`` is
+        the global ascending-frequency source order; None falls back to
+        batch-local ordering (``order="batch"`` — one pass, no pre-job,
+        but output depends on batch boundaries for rows matching
+        several sources)."""
         targets = self.targets
 
         @F.pandas_udf(T.StringType())
@@ -775,23 +813,26 @@ class _ReplacementTable(Mutator):
             if not mask.any():
                 return out
             filled = vals.fillna("")
-            # batch-local match frequencies, ascending — rarest sources
-            # get first claim on rows, reproducing the reference's
-            # favor-rare ordering (gecko/mutator.py:618-624) at batch
-            # granularity; contains/replace are vectorized pandas .str
-            # kernels, matching the reference's own physical strategy
-            match_masks = {}
-            freqs = []
-            for src in targets:
-                m = filled.str.contains(src, regex=False).to_numpy(bool) & mask
-                if m.any():
-                    match_masks[src] = m
-                    freqs.append((int(m.sum()), src))
-            freqs.sort()
+            if order is None:
+                # batch-local match frequencies, ascending — the
+                # reference's favor-rare ordering at batch granularity
+                freqs = []
+                for src in targets:
+                    m = filled.str.contains(src, regex=False).to_numpy(bool) & mask
+                    if m.any():
+                        freqs.append((int(m.sum()), src))
+                freqs.sort()
+                src_order = [src for _, src in freqs]
+            else:
+                src_order = order
             au = u.to_numpy(np.float64)
             mutated = np.zeros(len(filled), dtype=bool)
-            for _, src in freqs:
-                rows = match_masks[src] & ~mutated
+            for src in src_order:
+                rows = (
+                    filled.str.contains(src, regex=False).to_numpy(bool)
+                    & mask
+                    & ~mutated
+                )
                 if not rows.any():
                     continue
                 tgts = targets[src]
@@ -816,19 +857,24 @@ def with_replacement_table(
     reverse: bool = False,
     encoding: str = "utf-8",
     delimiter: str = ",",
+    order: str = "global",
 ) -> Mutator:
     """Generic replacement table, whole-value or substring (inline)
     matching, optional bidirectional union (gecko/mutator.py:510-655).
 
     Whole-value mode never leaves the JVM (broadcast map literal +
-    seeded pick); inline mode runs one Arrow kernel that reproduces the
-    reference's ascending-match-frequency, first-occurrence semantics
-    per batch."""
+    seeded pick). Inline mode reproduces the reference's
+    ascending-match-frequency first-occurrence semantics
+    (gecko/mutator.py:618-647): ``order="global"`` (default) measures
+    source frequencies with one aggregation job so rule precedence is
+    dataset-wide, deterministic under any partitioning, and exactly
+    oracle-checkable; ``order="batch"`` skips the pre-job and orders
+    within each Arrow batch."""
     table = load_replacement_table(
         data_source, source_column, target_column, reverse=reverse,
         delimiter=delimiter, encoding=encoding,
     )
-    return _ReplacementTable(table, inline)
+    return _ReplacementTable(table, inline, order)
 
 
 class _PhoneticReplacement(Mutator):
