@@ -1061,6 +1061,203 @@ GROUP BY band
 """
 
 
+def _q6(spark, sf):
+    """TPC-H Q6 shape: tight scan-level predicates + single aggregate —
+    the filters and the 4-column projection must reach the parquet scan
+    (PushedFilters / ReadSchema), no shuffle beyond the final
+    aggregation. Revenue in exact discount-basis-point cents."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                _cents("l_extendedprice")
+                * F.round(F.col("l_discount") * 100).cast("long")
+            ).alias("revenue_bp"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) AS revenue_bp,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def _q4(spark, sf):
+    """TPC-H Q4 shape: correlated EXISTS over a non-equi condition →
+    one left-semi hash join on l_orderkey with the inequality as a
+    residual join filter, then aggregate by priority."""
+    o = load_table(spark, sf, "orders").alias("o")
+    li = load_table(spark, sf, "lineitem").alias("l")
+    sem = o.join(
+        li,
+        (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (F.col("l.l_shipdate") > F.col("o.o_orderdate")),
+        "left_semi",
+    )
+    return (
+        sem.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_cube(spark, sf):
+    """CUBE over (returnflag, linestatus): all four grouping-set
+    combinations in one pass; totals keyed with an 'ALL' sentinel so
+    the subtotal rows compare portably."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+_Q_CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_items,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _q_percentiles(spark, sf):
+    """Per-priority price percentiles, computed as the deterministic
+    lower-rank element (type-1 quantile: the value at row_number
+    ``floor((n-1)·p)+1`` in price order, ties broken by o_orderkey) —
+    rank arithmetic is integer-exact on both engines, unlike
+    interpolated quantiles whose float association order differs."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        _cents("o_totalprice").alias("price_cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    agg = ranked.groupBy("o_orderpriority").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == (F.floor((F.col("n") - 1) * F.lit(p)) + 1).cast("int"),
+                    F.col("price_cents"),
+                )
+            ).alias(name)
+            for p, name in [(0.25, "p25_cents"), (0.5, "p50_cents"), (0.75, "p75_cents")]
+        ]
+    )
+    return agg
+
+
+_Q_PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.25) AS INTEGER) + 1 THEN price_cents END) AS p25_cents,
+       MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.5) AS INTEGER) + 1 THEN price_cents END) AS p50_cents,
+       MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.75) AS INTEGER) + 1 THEN price_cents END) AS p75_cents
+FROM ranked GROUP BY o_orderpriority
+"""
+
+
+def _q17(spark, sf):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) re-expressed as an aggregate + equi-join — the scalar
+    threshold is computed once per part, broadcast back, and applied as
+    a residual filter. The average is exact-integer sum/count divided
+    once, so both engines derive the identical double."""
+    li = load_table(spark, sf, "lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("long")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_q), li.l_partkey == avg_q.pk)
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.sum(_cents("l_extendedprice")).alias("sum_price_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       COUNT(*) AS n_items
+FROM lineitem l
+WHERE l_quantity < 0.5 * (
+  SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)
+  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
+def _q_distinct_counts(spark, sf):
+    """Exact multi-column COUNT(DISTINCT) per group — Catalyst expands
+    the two distincts into one partial-aggregate expand, no per-key
+    collect."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def _gen_function(spark, sf):
     # G1 escape hatch with a deterministic function → exact oracle
     return to_data_frame(
@@ -1852,6 +2049,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": _q_set_ops,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
+        "q6_revenue_filter": _q6,
+        "q4_priority_exists": _q4,
+        "q_cube_flag_status": _q_cube,
+        "q_percentile_price": _q_percentiles,
+        "q17_small_qty_revenue": _q17,
+        "q_distinct_counts": _q_distinct_counts,
         # generators (G2–G7)
         "gen_uniform": _gen_uniform,
         "gen_normal": _gen_normal,
@@ -1912,6 +2115,12 @@ def oracle_sql() -> dict[str, str]:
         "q_set_ops": _Q_SET_OPS_SQL,
         "q_asof_join": _Q_ASOF_SQL,
         "q_range_join": _Q_RANGE_SQL,
+        "q6_revenue_filter": _Q6_SQL,
+        "q4_priority_exists": _Q4_SQL,
+        "q_cube_flag_status": _Q_CUBE_SQL,
+        "q_percentile_price": _Q_PERCENTILES_SQL,
+        "q17_small_qty_revenue": _Q17_SQL,
+        "q_distinct_counts": _Q_DISTINCT_SQL,
         "gen_uniform": _GEN_UNIFORM_SQL,
         "gen_normal": _GEN_NORMAL_SQL,
         "gen_freq_single": _GEN_FREQ_SINGLE_SQL,
