@@ -1258,6 +1258,34 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _q_json_props(spark, sf):
+    """Semi-structured column processing: parse the events ``props``
+    JSON with a typed schema (from_json stays JVM-side — no Python in
+    the parse path) and aggregate the extracted field per event type."""
+    ev = load_table(spark, sf, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json(F.col("props"), "k BIGINT").getField("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_k"),
+    )
+
+
+_Q_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+       SUM(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS n_null_k
+FROM events GROUP BY event_type
+"""
+
+
 def _gen_function(spark, sf):
     # G1 escape hatch with a deterministic function → exact oracle
     return to_data_frame(
@@ -2055,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentile_price": _q_percentiles,
         "q17_small_qty_revenue": _q17,
         "q_distinct_counts": _q_distinct_counts,
+        "q_json_props": _q_json_props,
         # generators (G2–G7)
         "gen_uniform": _gen_uniform,
         "gen_normal": _gen_normal,
@@ -2121,6 +2150,7 @@ def oracle_sql() -> dict[str, str]:
         "q_percentile_price": _Q_PERCENTILES_SQL,
         "q17_small_qty_revenue": _Q17_SQL,
         "q_distinct_counts": _Q_DISTINCT_SQL,
+        "q_json_props": _Q_JSON_SQL,
         "gen_uniform": _GEN_UNIFORM_SQL,
         "gen_normal": _GEN_NORMAL_SQL,
         "gen_freq_single": _GEN_FREQ_SINGLE_SQL,

@@ -42,6 +42,20 @@ def main():
         "All dimension joins broadcast; the only exchanges are the aggregate's "
         "partial/final split.",
     )
+    cap(
+        "as-of join: ONE hash exchange + sort + single window pass",
+        qs["q_asof_join"](spark, sf),
+        "The union+ordered-window as-of join: no per-row laterals, no "
+        "broadcast requirement — the same plan shape a native sort-merge "
+        "as-of executes, linear in input size.",
+    )
+    cap(
+        "q6: filters and projection pushed into the parquet scan",
+        qs["q6_revenue_filter"](spark, sf),
+        "PushedFilters carries the shipdate/discount/quantity predicates; "
+        "ReadSchema is the 4-column projection — the scan, not Spark, "
+        "drops the rest.",
+    )
 
     with open("PLANS.md", "w") as f:
         f.write(
