@@ -249,17 +249,27 @@ def filter_documents(
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Convenience: attach all text-analysis columns to a documents table."""
+    """Convenience: attach all text-analysis columns to a documents
+    table. Input columns whose names clash with a computed stat (e.g. a
+    pre-existing ``n_chars``) are replaced, not duplicated — a
+    duplicate column name would make every downstream reference
+    ambiguous."""
     from gecko_spark.operators.dedup import ensure_parallelism
 
     df = ensure_parallelism(df)
     t = F.col(text_col)
-    return df.select(
-        "*",
+    stats = [
         *quality_features(t),
         quality_score(t).alias("quality"),
         language_id(t).alias("lang_pred"),
         token_count(t, "whitespace").alias("n_ws_tokens"),
         token_count(t, "bpe_ish").alias("n_bpe_tokens"),
         fingerprint(t).alias("fp"),
-    )
+    ]
+    stat_names = {
+        "n_chars", "n_tokens", "mean_token_len", "alpha_ratio", "punct_ratio",
+        "stopword_ratio", "upper_ratio", "quality", "lang_pred",
+        "n_ws_tokens", "n_bpe_tokens", "fp",
+    }
+    base = [c for c in df.columns if c not in stat_names]
+    return df.select(*base, *stats)
