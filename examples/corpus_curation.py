@@ -1,0 +1,74 @@
+"""End-to-end example: a training-data curation pipeline over the
+documents corpus — the beyond-reference operator families composed the
+way a 100 TB pretraining-data job would chain them:
+
+  1. quality gate       (text.filter_documents — pushed-down predicates)
+  2. exact dedup        (dedup.dedupe_exact — one hash aggregate)
+  3. near-dup removal   (dedup.minhash_dedupe_transitive — MinHash+LSH
+                         candidate pairs, connected components, keep
+                         the minimum id per duplicate cluster)
+  4. enrichment         (text.text_stats + fingerprints, one projection)
+  5. as-of context join (joins.asof_join — attach each doc's nearest
+                         preceding event by ingest order, single shuffle)
+
+Every stage is a lazy DataFrame transform; nothing collects to the
+driver. Run: python examples/corpus_curation.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gecko_spark import get_spark
+from gecko_spark.operators.dedup import dedupe_exact, minhash_dedupe_transitive
+from gecko_spark.operators.joins import asof_join
+from gecko_spark.operators.text import filter_documents, text_stats
+from gecko_spark.sources.testdata import load_table
+
+
+def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    gated = filter_documents(docs, min_chars=40, min_quality=0.3)
+    exact = dedupe_exact(gated, "text", id_col="doc_id")
+    neardup = minhash_dedupe_transitive(
+        exact, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16
+    )
+    enriched = text_stats(neardup)
+
+    # context: latest event at-or-before the doc id treated as an
+    # ingest sequence number (synthetic corpus has no timestamps; on a
+    # real corpus this would be ingest_ts vs event ts)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("on_id"), "event_type"
+    )
+    ctx = asof_join(
+        enriched.withColumn("on_id", F.col("doc_id")),
+        ev,
+        on="on_id",
+    ).drop("on_id")
+    return ctx
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="corpus_")
+    spark = get_spark(app_name="corpus-curation-example")
+    try:
+        result = curate(spark, sf_dir)
+        result.write.mode("overwrite").parquet(f"{out_dir}/curated")
+        n = spark.read.parquet(f"{out_dir}/curated").count()
+        print(f"curated corpus: {n} docs -> {out_dir}/curated")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

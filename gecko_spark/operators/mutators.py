@@ -781,6 +781,10 @@ class _ReplacementTable(Mutator):
     def _transform_with_frame(self, df, col, rand, selected):
         if not self.inline or self.order != "global":
             return self._transform(col, rand, selected)
+        if df.isStreaming:
+            # a static aggregate over an unbounded stream is undefined;
+            # streams keep the reference-faithful-but-batch-local order
+            return self._transform(col, rand, selected)
         # ONE aggregation job measures global per-source match counts
         # among selected rows — the reference's favor-rare ordering is
         # computed over the whole dataset, not per batch

@@ -39,3 +39,25 @@ def test_person_pipeline_end_to_end(spark, tmp_path):
     back = spark.read.option("header", True).csv(out)
     assert back.count() == 20_000
     assert set(back.columns) == set(dirty.columns)
+
+
+def test_corpus_curation_end_to_end(spark, tmp_path):
+    from corpus_curation import curate
+
+    sf = "/root/testdata/sf0.001"
+    out = curate(spark, sf)
+    pdf = out.toPandas()
+
+    raw = spark.read.parquet(f"{sf}/documents.parquet")
+    n_raw = raw.count()
+    # the gates dropped something but not everything
+    assert 0 < len(pdf) < n_raw
+    # no exact duplicate texts survive
+    assert pdf["text"].nunique() == len(pdf)
+    # enrichment attached stats and the as-of context column
+    for c in ["quality", "fp", "n_tokens", "event_type"]:
+        assert c in pdf.columns
+    # curated quality respects the gate
+    assert (pdf["quality"] >= 0.3).all()
+    # as-of: every doc with id >= first event id has a matched context
+    assert pdf.loc[pdf["doc_id"] >= 0, "event_type"].notna().all()
