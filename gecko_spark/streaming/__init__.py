@@ -1,6 +1,7 @@
 """Structured Streaming surface of the engine."""
 
 from gecko_spark.streaming.stream import (
+    dedupe_stream,
     mutate_stream,
     running_user_stats,
     sessionize,
@@ -9,6 +10,7 @@ from gecko_spark.streaming.stream import (
 )
 
 __all__ = [
+    "dedupe_stream",
     "mutate_stream",
     "running_user_stats",
     "sessionize",

@@ -10,7 +10,7 @@ aggregation and gap-based sessionization.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -204,6 +204,28 @@ def running_user_stats(
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def dedupe_stream(
+    events: DataFrame,
+    cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: drop rows whose ``cols`` content
+    already appeared within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup state store is
+    BOUNDED by the watermark — a plain ``dropDuplicates`` on a stream
+    keeps every key forever and OOMs on an unbounded source. Rows
+    arriving later than ``watermark`` after a duplicate's event time
+    may be emitted again: that is the documented trade of bounded
+    state; size the horizon to the source's real duplication window."""
+    if isinstance(cols, str):
+        cols = [cols]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(cols)
     )
 
 

@@ -106,3 +106,26 @@ def test_mutate_stream(spark):
     pdf = spark.sql("SELECT * FROM mut_stream").toPandas()
     frac = (pdf["event_type"] == "UNKNOWN").mean()
     assert 0.4 < frac < 0.6
+
+
+def test_dedupe_stream_drops_duplicates(spark, tmp_path):
+    """Duplicate rows injected into the stream are dropped within the
+    watermark horizon; the surviving set equals batch-exact dedup."""
+    import shutil
+
+    from gecko_spark.streaming import dedupe_stream
+
+    src = tmp_path / "events_dup"
+    src.mkdir()
+    # file 1: the original events; file 2: an exact copy (late dupes)
+    shutil.copy(f"{SF}/events.parquet", src / "part1.parquet")
+    shutil.copy(f"{SF}/events.parquet", src / "part2.parquet")
+
+    events = stream_events(spark, str(src))
+    deduped = dedupe_stream(events, ["event_id"], watermark="365 days")
+    _run(deduped, "dedup_stream_sink")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream_sink").first()
+
+    batch_n = load_table(spark, SF, "events").count()
+    assert got["d"] == batch_n
+    assert got["n"] == batch_n
