@@ -62,6 +62,12 @@ def asof_join(
     the left row, giving allow-exact-matches semantics. The whole join
     is one hash-partition shuffle + sort per side — no broadcast
     needed, no skew beyond what the key distribution itself carries.
+
+    Without ``by`` the window is a single global ordered pass (an
+    as-of join with no keys is inherently a total merge of both
+    inputs); supply keys whenever the data has them. Null ``on``
+    values sort first and should be filtered out by the caller —
+    their as-of position is undefined (pandas rejects them outright).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
