@@ -129,3 +129,52 @@ def test_band_join(spark):
     assert got == {"low": 30, "mid": 30, "high": 40}
     plan = band_join(facts, bands, "v")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_randomized_vs_pandas(spark):
+    """Seeded fuzz: random key/ts tables (unique (key, ts) on the right)
+    must match pandas.merge_asof in both directions and with tolerance."""
+    import numpy as np
+
+    rng = np.random.default_rng(727)
+    for trial in range(5):
+        n_l, n_r = int(rng.integers(5, 60)), int(rng.integers(5, 60))
+        keys = ["a", "b", "c"]
+        lt = pd.DataFrame(
+            {
+                "k": rng.choice(keys, n_l),
+                "ts": rng.integers(0, 100, n_l),
+                "lv": np.arange(n_l),
+            }
+        )
+        rt = (
+            pd.DataFrame(
+                {
+                    "k": rng.choice(keys, n_r),
+                    "ts": rng.integers(0, 100, n_r),
+                    "rv": rng.integers(0, 1000, n_r),
+                }
+            )
+            .drop_duplicates(["k", "ts"])
+            .reset_index(drop=True)
+        )
+        ldf = spark.createDataFrame(lt)
+        rdf = spark.createDataFrame(rt)
+        for direction in ["backward", "forward"]:
+            for tol in [None, 10]:
+                got = (
+                    asof_join(ldf, rdf, on="ts", by="k", direction=direction, tolerance=tol)
+                    .orderBy("k", "ts", "lv")
+                    .toPandas()
+                )
+                want = pd.merge_asof(
+                    lt.sort_values(["ts", "lv"], kind="stable"),
+                    rt.sort_values("ts", kind="stable"),
+                    on="ts",
+                    by="k",
+                    direction=direction,
+                    tolerance=tol,
+                ).sort_values(["k", "ts", "lv"], kind="stable")
+                assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist(), (
+                    f"trial={trial} direction={direction} tol={tol}"
+                )
