@@ -1801,6 +1801,42 @@ WHERE rnk <= 5
 """
 
 
+def _dedup_embedding(spark, sf):
+    """Hyperplane-LSH embedding near-dup with planes="first_k" — the
+    sketch bits, bucket join, and exact-cosine verification all use
+    strict-fold arithmetic, replayed exactly by the oracle."""
+    from gecko_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.1, n_planes=8, planes="first_k"
+    ).select("id_a", "id_b", F.round(F.col("cosine") * 1e9).cast("long").alias("cos_1e9"))
+
+
+def _dedup_embedding_sql(n_planes: int = 8, threshold: float = 0.1) -> str:
+    plane_rows = ", ".join(f"({p}, {1 << p})" for p in range(n_planes))
+    proj = _sql_seq_dot("e.embedding", "p.pvec")
+    cos = f"{_sql_seq_dot('l.vec', 'r.vec')} / ({_sql_l2('l.vec')} * {_sql_l2('r.vec')})"
+    return f"""
+WITH plane_ids(p, pw) AS (
+  VALUES {plane_rows}
+), planes AS (
+  SELECT p, pw, embedding AS pvec FROM embeddings JOIN plane_ids ON vec_id = p
+), sketched AS (
+  SELECT e.vec_id AS doc, e.embedding AS vec,
+         SUM(CASE WHEN {proj} > 0 THEN p.pw ELSE 0 END) AS sketch
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding
+), pairs AS (
+  SELECT l.doc AS id_a, r.doc AS id_b, {cos} AS cosine
+  FROM sketched l JOIN sketched r
+    ON l.sketch = r.sketch AND l.doc < r.doc
+)
+SELECT id_a, id_b, CAST(round(cosine * 1e9) AS BIGINT) AS cos_1e9
+FROM pairs WHERE cosine >= {threshold}
+"""
+
+
 def _topk_ivf(spark, sf):
     """IVF ANN with ``init="first_k"`` — deterministic centroids and
     sequential-fold float arithmetic end to end, so the assignment,
@@ -2122,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_embedding_pairs": _dedup_embedding,
         "topk_cosine_bruteforce": _topk_cosine,
         "topk_cosine_ivf": _topk_ivf,
         "text_stats": _text_stats,
@@ -2185,6 +2222,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": _dedup_minhash_sql(),
         "dedup_simhash_pairs": _dedup_simhash_sql(),
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
+        "dedup_embedding_pairs": _dedup_embedding_sql(),
         "topk_cosine_bruteforce": _TOPK_COSINE_SQL,
         "topk_cosine_ivf": _topk_ivf_sql(),
         "text_stats": _TEXT_STATS_SQL,

@@ -183,6 +183,19 @@ def bench_queries(spark, sf_dir):
     ]:
         timed(name, lambda n=name: _run(qs[n](spark, sf_dir)))
 
+    # matrix-scoring top-k at a 100-query load (the HOF path is ~5×
+    # slower here and the gap grows with queries × dim)
+    def _matrix_topk():
+        from gecko_spark.operators.similarity import cosine_topk_matrix
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        _run(cosine_topk_matrix(emb, queries, k=10))
+
+    timed("topk_cosine_matrix_100q", _matrix_topk)
+
     return out
 
 

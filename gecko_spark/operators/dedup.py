@@ -662,13 +662,21 @@ def embedding_cosine_pairs(
     n_planes: int = 16,
     seed: int = 0,
     dim: Optional[int] = None,
+    planes: str = "random",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
-    Random-hyperplane LSH: ``n_planes`` signed projections form a bucket
-    key (highly similar vectors collide with probability
+    Hyperplane LSH: ``n_planes`` signed projections form a bucket key
+    (highly similar vectors collide with probability
     ``(1 − θ/π)^n``); cosine verified exactly inside the bucket with
     ``zip_with``/``aggregate`` dot products. One shuffle on the sketch.
+
+    ``planes="random"`` (default) draws Gaussian unit hyperplanes from
+    ``seed`` — best bucket geometry. ``planes="first_k"`` uses the raw
+    vectors of the ``n_planes`` lowest ids as projection planes: fully
+    reproducible by an independent engine (the ``dedup_embedding_pairs``
+    DuckDB oracle replays sketching AND verification bit-for-bit), at
+    some bucket-quality cost — the IVF ``init="first_k"`` trade.
 
     ``dim`` defaults to the inferred vector dimensionality (a
     mismatched plane length would null-pad the projection and silently
@@ -682,13 +690,37 @@ def embedding_cosine_pairs(
 
     if dim is None:
         dim = infer_dim(df, vec_col)
+    if planes == "first_k":
+        rows = df.orderBy(id_col).limit(n_planes).select(vec_col).toPandas()
+        if len(rows) < n_planes:
+            raise ValueError("not enough rows for first_k planes")
+        plane_vecs = [[float(x) for x in v] for v in rows[vec_col]]
+        sketch = F.lit(0).cast("long")
+        for i, pv in enumerate(plane_vecs):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), F.lit(pv), lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            sketch = sketch + F.shiftleft((proj > 0).cast("long"), i)
+    elif planes == "random":
+        sketch = random_hyperplane_sketch(F.col(vec_col), n_planes, seed, dim=dim)
+    else:
+        raise ValueError(f"unknown planes {planes!r}")
+
     base = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("vec"),
-        random_hyperplane_sketch(F.col(vec_col), n_planes, seed, dim=dim).alias(
-            "sketch"
-        ),
+        sketch.alias("sketch"),
     )
+    # persist before the self-join: both sides would recompute the
+    # n_planes interpreted-HOF projections otherwise (see
+    # minhash_candidate_pairs)
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(

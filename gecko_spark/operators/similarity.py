@@ -22,6 +22,7 @@ __all__ = [
     "cosine_sim",
     "random_hyperplane_sketch",
     "cosine_topk_bruteforce",
+    "cosine_topk_matrix",
     "cosine_topk_ivf",
     "infer_dim",
     "ivf_assign",
@@ -124,6 +125,72 @@ def cosine_topk_bruteforce(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def cosine_topk_matrix(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for LARGE query sets: one BLAS matmul per
+    Arrow batch.
+
+    The query matrix is collected once (queries are small by
+    definition) and closed over into a ``mapInPandas`` kernel: each
+    corpus batch scores against ALL queries in a single ``B×D @ D×Q``
+    float64 matmul, keeps only the per-batch top-k rows per query
+    (argpartition), and the global winner set is resolved with one
+    window over ``batches × Q × k`` candidate rows — the corpus is
+    scanned once, shuffles only the tiny candidate set, and nothing
+    interpreted runs per element.
+
+    Same semantics as :func:`cosine_topk_bruteforce` (rank by cosine
+    desc, id asc); use this path when ``queries × dim`` makes the
+    per-element HOF arithmetic the bottleneck. Ties at the last ulp
+    may order differently than the fold-based path — float summation
+    association differs between BLAS and a sequential fold.
+    """
+    import pandas as pd
+
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError("queries is empty")
+    qm = np.array(qpdf[query_vec_col].tolist(), dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    qids = qpdf[query_id_col].tolist()
+    nq = len(qids)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(cm, axis=1)
+            cn[cn == 0] = 1.0
+            sims = (cm @ qm.T) / cn[:, None] / qn[None, :]  # B×Q
+            kk = min(k, sims.shape[0])
+            # per-query partial top-k inside the batch
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # kk×Q
+            ids = pdf[id_col].to_numpy()
+            out = {
+                "query_id": [qids[q] for q in range(nq) for _ in range(kk)],
+                "vec_id": [ids[top[i, q]] for q in range(nq) for i in range(kk)],
+                "cosine": [sims[top[i, q], q] for q in range(nq) for i in range(kk)],
+            }
+            yield pd.DataFrame(out)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _score, f"query_id {qid_type}, vec_id {id_type}, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def _seq_dot(a, b) -> float:

@@ -441,3 +441,25 @@ def test_filter_documents_and_normalize(spark, docs):
     assert not pdf["n"].str.contains("  ").any()
     renorm = norm.select(normalize_text(F.col("n"), strip_punct=True).alias("n")).toPandas()
     assert (pdf["n"] == renorm["n"]).all()
+
+
+def test_cosine_topk_matrix_matches_bruteforce(spark):
+    from gecko_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_matrix,
+    )
+    from gecko_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = cosine_topk_bruteforce(emb, qs, k=5).select("query_id", "vec_id").toPandas()
+    mx = cosine_topk_matrix(emb, qs, k=5).select("query_id", "vec_id").toPandas()
+    key = lambda pdf: set(map(tuple, pdf.values))
+    assert key(bf) == key(mx)
+    # ranks agree wherever cosines are distinct (random vectors: everywhere)
+    bf2 = cosine_topk_bruteforce(emb, qs, k=5).select("query_id", "vec_id", "rank").toPandas()
+    mx2 = cosine_topk_matrix(emb, qs, k=5).select("query_id", "vec_id", "rank").toPandas()
+    m = bf2.merge(mx2, on=["query_id", "vec_id"])
+    assert (m["rank_x"] == m["rank_y"]).all()

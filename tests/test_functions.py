@@ -110,3 +110,47 @@ def test_cldr_helpers():
     assert unescape_kb_char("&amp;") == "&"
     assert unescape_kb_char("\\u{22}") == '"'
     assert unescape_kb_char("a") == "a"
+
+
+# -- portable hash: NumPy kernels vs their DuckDB SQL builders ---------------
+
+
+def test_portable_hash_matches_duckdb_sql():
+    """The same strings hashed by the NumPy kernels and by the generated
+    DuckDB SQL must agree exactly — this is the property every
+    signature/fingerprint oracle rests on."""
+    import duckdb
+    import numpy as np
+
+    from gecko_spark.functions.portable_hash import (
+        P1,
+        P2,
+        poly_hash_strings,
+        sql_horner,
+        sql_window_hashes,
+        window_hashes,
+    )
+
+    rng = np.random.default_rng(99)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 _#"
+    strings = [
+        "".join(rng.choice(list(alphabet), rng.integers(0, 30)))
+        for _ in range(200)
+    ] + ["", "a", "ab", "abcd", "abcde", "exactly5!"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in strings])
+
+    for prime in (P1, P2):
+        got = con.execute(
+            f"SELECT CASE WHEN length(s) = 0 THEN 0 ELSE {sql_horner('s', prime)} END FROM t"
+        ).fetchall()
+        want = poly_hash_strings(strings, prime)
+        assert [g[0] for g in got] == list(want)
+
+    for n in (3, 5, 8):
+        got = con.execute(f"SELECT {sql_window_hashes('s', n, P1)} FROM t").fetchall()
+        for (g,), s in zip(got, strings):
+            w = window_hashes(s, n, P1) if s else []
+            assert list(g) == list(w), (s, n)
