@@ -77,6 +77,24 @@ def test_load_config_table_tsv(tmp_path):
     assert df["0"].tolist() == ["a", "b"]
 
 
+def test_load_config_table_encoding(tmp_path):
+    """Reference parity: config CSVs in non-UTF-8 encodings
+    (reference gecko/generator.py:153-161 exposes `encoding`)."""
+    p = tmp_path / "latin.csv"
+    p.write_bytes("name,freq\nMüller,3\nJürgen,1\n".encode("latin-1"))
+    df = load_config_table(str(p), ["name", "freq"], encoding="latin-1")
+    assert df["name"].tolist() == ["Müller", "Jürgen"]
+
+
+def test_load_config_table_empty_strings_preserved(tmp_path):
+    """keep_default_na parity (reference generator.py:158): empty CSV
+    fields stay empty strings, never NaN."""
+    p = tmp_path / "empty.csv"
+    p.write_text("v,n\n,5\nx,2\n")
+    df = load_config_table(str(p), ["v", "n"])
+    assert df["v"].tolist() == ["", "x"]
+
+
 def test_load_frequency_table_validation(tmp_path):
     p = tmp_path / "bad.csv"
     p.write_text("v,n\nx,-1\n")
