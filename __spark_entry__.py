@@ -1286,6 +1286,51 @@ FROM events GROUP BY event_type
 """
 
 
+def _gen_datasource(spark, sf):
+    """Generation through the registered Python DataSource
+    (sources/datasource.py): spark.read.format("gecko") with a JSON
+    spec. Draws ride the same LCG over the absolute row index, so the
+    oracle is the same SQL the to_data_frame queries use — proving the
+    source's partition-parallel scan is value-identical to the
+    projection-over-range plan."""
+    import json
+
+    from gecko_spark.sources.datasource import GeckoDataSource
+
+    spark.dataSource.register(GeckoDataSource)
+    spec = [
+        {"name": "u", "type": "uniform", "low": 10.0, "high": 20.0, "precision": 4},
+        {
+            "name": "fruit",
+            "type": "freq",
+            "values": ["apple", "banana", "orange"],
+            "weights": [100, 50, 80],
+        },
+    ]
+    return (
+        spark.read.format("gecko")
+        .option("rows", GEN_N)
+        .option("seed", 230)
+        .option("numPartitions", 8)
+        .option("spec", json.dumps(spec))
+        .load()
+    )
+
+
+_GEN_DATASOURCE_SQL = f"""
+SELECT "range" AS __idx__,
+       printf('%.4f', {_u('"range"', 230, 0, stream=0)} * 10.0 + 10.0) AS u,
+       CASE WHEN ui < 100 THEN 'apple'
+            WHEN ui < 150 THEN 'banana'
+            ELSE 'orange' END AS fruit
+FROM (
+  SELECT "range",
+         CAST(FLOOR({_u('"range"', 231, 0, stream=0)} * 230.0) AS BIGINT) AS ui
+  FROM range(0, {GEN_N})
+)
+"""
+
+
 def _gen_function(spark, sf):
     # G1 escape hatch with a deterministic function → exact oracle
     return to_data_frame(
@@ -2129,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_group": _gen_group,
         "gen_group_exact": _gen_group_exact,
         "gen_function": _gen_function,
+        "gen_datasource": _gen_datasource,
         # mutators (M5–M16, M18–M20 via chain/permute/splice)
         "mut_missing_value": _mut_missing,
         "mut_missing_strict_p": _mut_missing_strict,
@@ -2194,6 +2240,7 @@ def oracle_sql() -> dict[str, str]:
         "gen_freq_multi": _GEN_FREQ_MULTI_SQL,
         "gen_datetime": _GEN_DATETIME_SQL,
         "gen_function": _GEN_FUNCTION_SQL,
+        "gen_datasource": _GEN_DATASOURCE_SQL,
         "gen_group": _gen_group_sql(),
         "gen_group_exact": _gen_group_exact_sql(),
         "mut_missing_value": _MUT_MISSING_SQL,
