@@ -904,7 +904,43 @@ class _PhoneticReplacement(Mutator):
             conds = c if conds is None else (conds | c)
         return conds
 
+    def _rule_match_cond(self, col, rule) -> Column:
+        """JVM-side exact replica of the kernel's per-rule match mask."""
+        pattern, _, flag = rule
+        pat = re.escape(pattern)
+        if flag == "^":
+            return col.rlike(f"^{pat}")
+        if flag == "$":
+            return col.rlike(f"{pat}$")
+        return col.rlike(f".{pat}.")
+
+    def _transform_with_frame(self, df, col, rand, selected):
+        if df.isStreaming:
+            return self._transform(col, rand, selected)
+        # ONE aggregation job: global per-rule match counts among
+        # selected rows. The descending-frequency rule order (and with
+        # it each row's accept/skip draw sequence) becomes a property
+        # of the dataset, not of Arrow batch boundaries — the
+        # reference computes its frequencies globally too
+        # (gecko/mutator.py:443-449).
+        aggs = [
+            F.sum(
+                F.when(selected & self._rule_match_cond(col, r), 1).otherwise(0)
+            ).alias(str(i))
+            for i, r in enumerate(self.rules)
+        ]
+        row = df.select(*aggs).first()
+        counts = [int(row[str(i)] or 0) for i in range(len(self.rules))]
+        order = sorted(
+            (r for r in range(len(self.rules)) if counts[r] > 0),
+            key=lambda r: (-counts[r], r),
+        )
+        return self._kernel(col, rand, selected, order)
+
     def _transform(self, col, rand, selected):
+        return self._kernel(col, rand, selected, None)
+
+    def _kernel(self, col, rand, selected, global_order):
         rules = self.rules
 
         @F.pandas_udf(T.StringType())
@@ -931,13 +967,19 @@ class _PhoneticReplacement(Mutator):
                     )
 
             options = match.sum(axis=0).astype(np.float64)
-            # rule order: descending batch frequency; rows keep an
+            # rule order: descending frequency; rows keep an
             # inverse-options acceptance chance with decrementing
-            # counters so rare rules win (gecko/mutator.py:443-478)
-            freq_order = sorted(
-                (r for r in range(len(rules)) if match[r].any()),
-                key=lambda r: -int(match[r].sum()),
-            )
+            # counters so rare rules win (gecko/mutator.py:443-478).
+            # A global order (from the pre-pass) keeps every row's
+            # draw sequence batch-invariant; the batch-local fallback
+            # serves streams.
+            if global_order is not None:
+                freq_order = global_order
+            else:
+                freq_order = sorted(
+                    (r for r in range(len(rules)) if match[r].any()),
+                    key=lambda r: -int(match[r].sum()),
+                )
             au = u.to_numpy(np.float64)
             done = np.zeros(n, dtype=bool)
             for step, r in enumerate(freq_order):
@@ -1001,7 +1043,49 @@ class _RegexReplacement(Mutator):
             raise ValueError("must provide at least one regex replacement rule")
         self.rules = rules
 
+    def _transform_with_frame(self, df, col, rand, selected):
+        if df.isStreaming or len(self.rules) == 1:
+            # one rule: order is trivially global already
+            return self._kernel(col, rand, selected, None if len(self.rules) > 1 else [0])
+        # Global per-rule match counts among selected rows. Python
+        # regex semantics differ from Java's, so the count pass is an
+        # Arrow kernel too (one extra scan — the price of the
+        # reference's two-phase favor-rare design, SURVEY §3.3).
+        rules = self.rules
+        zeros = [0] * len(rules)
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _match_flags(vals: pd.Series, sel: pd.Series) -> pd.Series:
+            mask = sel.fillna(False).to_numpy(dtype=bool)
+            vals_np = vals.fillna("").to_numpy(dtype=object)
+            out = [
+                [1 if p.search(vals_np[i]) is not None else 0 for p, _ in rules]
+                if mask[i]
+                else zeros
+                for i in range(len(vals_np))
+            ]
+            return pd.Series(out)
+
+        row = (
+            df.select(_match_flags(col, selected).alias("c"))
+            .select(
+                *[F.element_at("c", i + 1).alias(str(i)) for i in range(len(rules))]
+            )
+            .groupBy()
+            .agg(*[F.sum(str(i)).alias(str(i)) for i in range(len(rules))])
+            .first()
+        )
+        counts = [int(row[str(i)] or 0) for i in range(len(rules))]
+        order = sorted(
+            (r for r in range(len(rules)) if counts[r] > 0),
+            key=lambda r: (-counts[r], r),
+        )
+        return self._kernel(col, rand, selected, order)
+
     def _transform(self, col, rand, selected):
+        return self._kernel(col, rand, selected, None)
+
+    def _kernel(self, col, rand, selected, global_order):
         rules = self.rules
 
         def _apply_rule(value: str, pattern: re.Pattern, subs: dict[str, str]) -> str:
@@ -1051,10 +1135,13 @@ class _RegexReplacement(Mutator):
             for r, (pattern, _) in enumerate(rules):
                 match[r] = np.array([pattern.search(v) is not None for v in vals_np])
             options = match.sum(axis=0).astype(np.float64)
-            freq_order = sorted(
-                (r for r in range(len(rules)) if match[r].any()),
-                key=lambda r: -int(match[r].sum()),
-            )
+            if global_order is not None:
+                freq_order = global_order
+            else:
+                freq_order = sorted(
+                    (r for r in range(len(rules)) if match[r].any()),
+                    key=lambda r: -int(match[r].sum()),
+                )
             au = u.to_numpy(np.float64)
             done = np.zeros(n, dtype=bool)
             for step, r in enumerate(freq_order):

@@ -371,3 +371,38 @@ def spark_from_pandas(pdf):
     pdf = pdf.copy()
     pdf["__idx__"] = range(len(pdf))
     return spark.createDataFrame(pdf)
+
+
+def test_phonetic_output_partitioning_independent(spark):
+    """With competing rules (rows matching several), the rule order is
+    computed dataset-wide, so output is identical under any partition
+    layout — batch-local ordering would let batch boundaries change
+    which rule claims a row."""
+    import pandas as pd
+
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators import mutators as M
+
+    tbl = pd.DataFrame(
+        {
+            "source": ["an", "ana", "na"],
+            "target": ["en", "eni", "no"],
+            "flags": ["", "", ""],
+        }
+    )
+    words = ["banana", "bandana", "cabana", "anagram", "manna", "savanna"] * 50
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, w string"
+    )
+    mut = M.with_phonetic_replacement_table(tbl, "source", "target", "flags")
+
+    out1 = (
+        mut.apply(df.repartition(1), "w", 0.8, rand=LcgRandom("id", 5))
+        .orderBy("id").toPandas()
+    )
+    out8 = (
+        mut.apply(df.repartition(8), "w", 0.8, rand=LcgRandom("id", 5))
+        .orderBy("id").toPandas()
+    )
+    assert out1["w"].tolist() == out8["w"].tolist()
+    assert (out1["w"] != pd.Series(words)).any()
