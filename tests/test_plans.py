@@ -1,0 +1,84 @@
+"""Plan-shape regression tests: the scale claims in README/PLANS.md,
+asserted against the executed plan so refactors can't silently
+reintroduce shuffles, lose pushdown, or drop broadcasts."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_generator_spec_is_one_narrow_stage(spark, fruit_freq):
+    from gecko_spark.operators import generators as G
+    from gecko_spark.plans.pipeline import to_data_frame
+
+    df = to_data_frame(
+        spark,
+        [
+            ("fruit", G.from_frequency_table(fruit_freq, "fruit", "count")),
+            ("u", G.from_uniform_distribution(0, 1)),
+            ("d", G.from_datetime_range("2020-01-01", "2021-01-01", "%Y-%m-%d", "d")),
+        ],
+        1000,
+        seed=1,
+    )
+    p = _plan(df)
+    assert "Exchange" not in p, "generation must not shuffle"
+    assert "Join" not in p, "independent columns must not join"
+
+
+def test_mutator_chain_adds_no_exchange(spark, fruit_freq):
+    from gecko_spark.operators import generators as G
+    from gecko_spark.operators import mutators as M
+    from gecko_spark.plans.pipeline import mutate_data_frame, to_data_frame
+
+    base = to_data_frame(
+        spark,
+        [("fruit", G.from_frequency_table(fruit_freq, "fruit", "count"))],
+        1000,
+        seed=1,
+        keep_index=True,
+    )
+    out = mutate_data_frame(
+        base,
+        [
+            ("fruit", (0.2, M.with_delete())),
+            ("fruit", (0.2, M.with_uppercase())),
+            ("fruit", (0.2, M.with_repeat())),
+        ],
+        seed=2,
+        key_columns=["__idx__"],
+    )
+    assert "Exchange" not in _plan(out), "pure-Column mutator chains must stay narrow"
+
+
+def test_q6_filters_and_projection_reach_the_scan(spark):
+    p = _plan(entry.queries()["q6_revenue_filter"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    assert "GreaterThanOrEqual(l_shipda" in p
+    # projection pruned to the 4 referenced columns
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in p
+
+
+def test_q5_dimensions_broadcast(spark):
+    p = _plan(entry.queries()["q5_region_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "dimension joins must broadcast at this scale"
+
+
+def test_asof_join_single_exchange_single_window(spark):
+    p = _plan(entry.queries()["q_asof_join"](spark, SF))
+    assert p.count("Window") >= 1
+    # one hash exchange for the window (AQE may add nothing else)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
