@@ -71,6 +71,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # lets GeckoDataSource's opt-in __idx__ range pruning work
+        # (sources/datasource.py); harmless when no python source reads
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("GECKO_SPARK_DRIVER_MEM", "16g"))
     )

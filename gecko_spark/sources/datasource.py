@@ -77,6 +77,13 @@ class GeckoDataSource(DataSource):
         return f"__idx__ bigint, {cols}"
 
     def reader(self, schema) -> "GeckoReader":
+        # pushFilters is opt-in: Spark refuses ANY read from a reader
+        # that defines pushFilters while
+        # spark.sql.python.filterPushdown.enabled is false (get_spark
+        # turns it on), so the plain reader stays the safe default for
+        # foreign sessions.
+        if str(self.options.get("filterPushdown", "false")).lower() == "true":
+            return GeckoPushdownReader(self.options)
         return GeckoReader(self.options)
 
 
@@ -87,11 +94,18 @@ class GeckoReader(DataSourceReader):
         self.n_parts = int(options.get("numPartitions", 8))
         self.spec = json.loads(options["spec"])
 
+        self.lo_bound = 0
+        self.hi_bound = self.rows
+
     def partitions(self):
-        step = max(1, -(-self.rows // self.n_parts))
+        lo0, hi0 = self.lo_bound, max(self.lo_bound, self.hi_bound)
+        span = hi0 - lo0
+        if span <= 0:
+            return [_RangePartition(0, 0)]
+        step = max(1, -(-span // self.n_parts))
         return [
-            _RangePartition(lo, min(lo + step, self.rows))
-            for lo in range(0, self.rows, step)
+            _RangePartition(lo, min(lo + step, hi0))
+            for lo in range(lo0, hi0, step)
         ]
 
     def read(self, partition: _RangePartition) -> Iterator:
@@ -146,3 +160,44 @@ class GeckoReader(DataSourceReader):
             ts = pd.Series(start + k.astype(f"timedelta64[{np_unit}]"))
             return pa.array(ts.dt.strftime(c["format"]).tolist())
         raise ValueError(f"unknown column type {c['type']!r}")
+
+
+class GeckoPushdownReader(GeckoReader):
+    """GeckoReader + ``__idx__`` range pruning (opt-in via the
+    ``filterPushdown`` option; needs
+    ``spark.sql.python.filterPushdown.enabled=true`` — get_spark sets
+    it)."""
+
+    def pushFilters(self, filters):
+        """Comparison predicates on ``__idx__`` shrink the generated
+        row-id interval, so pruned partitions are never even emitted —
+        the source-level analogue of partition pruning. Every filter is
+        also returned as unsupported, keeping Spark's post-scan
+        evaluation as the correctness backstop (pruning here is an
+        optimization, never the filter's only evaluation)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            if getattr(f, "attribute", None) != ("__idx__",):
+                continue
+            v = getattr(f, "value", None)
+            if not isinstance(v, int):
+                continue
+            if isinstance(f, EqualTo):
+                self.lo_bound = max(self.lo_bound, v)
+                self.hi_bound = min(self.hi_bound, v + 1)
+            elif isinstance(f, GreaterThan):
+                self.lo_bound = max(self.lo_bound, v + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo_bound = max(self.lo_bound, v)
+            elif isinstance(f, LessThan):
+                self.hi_bound = min(self.hi_bound, v)
+            elif isinstance(f, LessThanOrEqual):
+                self.hi_bound = min(self.hi_bound, v + 1)
+        return filters

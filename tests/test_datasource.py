@@ -90,3 +90,27 @@ def test_source_usable_from_sql(spark):
     assert set(got) == {"apple", "banana", "orange"}
     # 100/230, 50/230, 80/230 within 2%
     assert abs(got["apple"] / N - 100 / 230) < 0.02
+
+
+def test_source_pushes_idx_range(spark):
+    """__idx__ comparison filters shrink the generated interval: the
+    pruned read returns exactly the filtered rows, and its values equal
+    the unpruned read's (draws are keyed on absolute index, so pruning
+    cannot shift them)."""
+    full = (
+        spark.read.format("gecko")
+        .option("rows", N)
+        .option("seed", SEED)
+        .option("numPartitions", 8)
+        .option("filterPushdown", "true")
+        .option("spec", json.dumps(SPEC))
+        .load()
+        .filter("__idx__ >= 500 AND __idx__ < 600")
+        .orderBy("__idx__")
+        .toPandas()
+    )
+    assert len(full) == 100
+    assert full["__idx__"].tolist() == list(range(500, 600))
+    baseline = _read(spark, 8).orderBy("__idx__").toPandas().iloc[500:600]
+    assert full["u"].tolist() == baseline["u"].tolist()
+    assert full["fruit"].tolist() == baseline["fruit"].tolist()
