@@ -129,3 +129,20 @@ def test_dedupe_stream_drops_duplicates(spark, tmp_path):
     batch_n = load_table(spark, SF, "events").count()
     assert got["d"] == batch_n
     assert got["n"] == batch_n
+
+
+def test_stream_static_enrichment_join(spark):
+    """Stream-static join: the events stream enriched with a static
+    dimension (broadcast per micro-batch, no stream-side state)."""
+    events = stream_events(spark, f"{SF}/events.parquet")
+    users = (
+        load_table(spark, SF, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    enriched = events.join(F.broadcast(users), "user_id", "left")
+    _run(enriched.groupBy("c_mktsegment").count(), "stream_enrich_sink", mode="complete")
+    got = {r["c_mktsegment"]: r["count"] for r in spark.sql(
+        "SELECT * FROM stream_enrich_sink"
+    ).collect()}
+    batch_total = load_table(spark, SF, "events").count()
+    assert sum(got.values()) == batch_total
