@@ -248,16 +248,116 @@ def filter_documents(
     return df.filter(cond)
 
 
-def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+_STAT_NAMES = [
+    "n_chars", "n_tokens", "mean_token_len", "alpha_ratio", "punct_ratio",
+    "stopword_ratio", "upper_ratio", "quality", "lang_pred",
+    "n_ws_tokens", "n_bpe_tokens", "fp",
+]
+
+
+def _text_stats_struct(text: Column) -> Column:
+    """All text stats in ONE Arrow kernel (struct column).
+
+    Tokenization happens once per document and feeds every derived
+    stat — the à-la-carte Column functions above re-tokenize per stat
+    and run as interpreted HOFs, which is ~4× slower when you want the
+    whole panel. Values are identical to the Column implementations
+    (same regex semantics on this module's ASCII-oriented classes, same
+    float64 expression order), so the ``text_stats`` DuckDB oracle
+    covers both paths."""
+    from gecko_spark.functions.portable_hash import P1, P2, poly_hash_strings
+
+    word_re = re.compile(r"\w+")  # == the [\p{L}\p{N}_]+ runs tokens() keeps
+    alpha_re = re.compile(r"[A-Za-z]")
+    punct_re = re.compile(r"[.,;:!?'\"()\[\]-]")
+    upper_re = re.compile(r"[A-Z]")
+    ws_re = re.compile(r"\S+")
+    bpe_re = re.compile(_BPE_ISH)
+    langs = list(_STOPWORDS)
+    lang_sets = [set(_STOPWORDS[lang]) for lang in langs]
+    all_stop = set().union(*lang_sets)
+
+    fields = T.StructType(
+        [
+            T.StructField("n_chars", T.IntegerType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("mean_token_len", T.DoubleType()),
+            T.StructField("alpha_ratio", T.DoubleType()),
+            T.StructField("punct_ratio", T.DoubleType()),
+            T.StructField("stopword_ratio", T.DoubleType()),
+            T.StructField("upper_ratio", T.DoubleType()),
+            T.StructField("quality", T.DoubleType()),
+            T.StructField("lang_pred", T.StringType()),
+            T.StructField("n_ws_tokens", T.IntegerType()),
+            T.StructField("n_bpe_tokens", T.IntegerType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(fields)
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        n = len(texts)
+        out = {name: [None] * n for name in _STAT_NAMES}
+        joined_for_fp = [""] * n
+        for i, t in enumerate(texts):
+            s = t or ""
+            toks = word_re.findall(s.lower())
+            n_chars = len(s)
+            n_tokens = len(toks)
+            safe_chars = float(max(n_chars, 1))
+            safe_toks = float(max(n_tokens, 1))
+            n_alpha = len(alpha_re.findall(s))
+            n_stop = sum(1 for tk in toks if tk in all_stop)
+            distinct = set(toks)
+            scores = [len(distinct & ls) for ls in lang_sets]
+            best = max(scores) if scores else 0
+            lang = langs[scores.index(best)] if best > 0 else "und"
+            len_score = min(n_chars / 200.0, 1.0)
+            alpha_score = n_alpha / safe_chars
+            stop_score = min(n_stop / max(n_tokens * 0.2, 1.0), 1.0)
+            out["n_chars"][i] = n_chars
+            out["n_tokens"][i] = n_tokens
+            out["mean_token_len"][i] = float(sum(len(tk) for tk in toks)) / safe_toks
+            out["alpha_ratio"][i] = n_alpha / safe_chars
+            out["punct_ratio"][i] = len(punct_re.findall(s)) / safe_chars
+            out["stopword_ratio"][i] = n_stop / safe_toks
+            out["upper_ratio"][i] = len(upper_re.findall(s)) / safe_chars
+            out["quality"][i] = len_score * 0.3 + alpha_score * 0.4 + stop_score * 0.3
+            out["lang_pred"][i] = lang
+            out["n_ws_tokens"][i] = len(ws_re.findall(s))
+            out["n_bpe_tokens"][i] = len(bpe_re.findall(s))
+            joined_for_fp[i] = " ".join(sorted(distinct))
+        h1 = poly_hash_strings(joined_for_fp, P1)
+        h2 = poly_hash_strings(joined_for_fp, P2)
+        out["fp"] = list(h1 * P2 + h2)
+        return pd.DataFrame(out)
+
+    return _stats(text)
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", engine: str = "arrow"
+) -> DataFrame:
     """Convenience: attach all text-analysis columns to a documents
-    table. Input columns whose names clash with a computed stat (e.g. a
-    pre-existing ``n_chars``) are replaced, not duplicated — a
-    duplicate column name would make every downstream reference
-    ambiguous."""
+    table. ``engine="arrow"`` (default) computes the full panel in one
+    tokenize-once kernel; ``engine="column"`` composes the individual
+    JVM Column functions (useful when only Column expressions are
+    allowed, e.g. inside another select). Input columns whose names
+    clash with a computed stat (e.g. a pre-existing ``n_chars``) are
+    replaced, not duplicated — a duplicate column name would make every
+    downstream reference ambiguous."""
     from gecko_spark.operators.dedup import ensure_parallelism
 
     df = ensure_parallelism(df)
     t = F.col(text_col)
+    base = [c for c in df.columns if c not in set(_STAT_NAMES)]
+    if engine == "arrow":
+        with_s = df.select(*base, _text_stats_struct(t).alias("__s__"))
+        return with_s.select(
+            *base, *[F.col("__s__").getField(name).alias(name) for name in _STAT_NAMES]
+        )
+    if engine != "column":
+        raise ValueError("engine must be 'arrow' or 'column'")
     stats = [
         *quality_features(t),
         quality_score(t).alias("quality"),
@@ -266,10 +366,4 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         token_count(t, "bpe_ish").alias("n_bpe_tokens"),
         fingerprint(t).alias("fp"),
     ]
-    stat_names = {
-        "n_chars", "n_tokens", "mean_token_len", "alpha_ratio", "punct_ratio",
-        "stopword_ratio", "upper_ratio", "quality", "lang_pred",
-        "n_ws_tokens", "n_bpe_tokens", "fp",
-    }
-    base = [c for c in df.columns if c not in stat_names]
     return df.select(*base, *stats)
