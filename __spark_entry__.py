@@ -1510,12 +1510,12 @@ def _mut_replacement_inline(spark, sf):
 
 def _mut_replacement_inline_sql() -> str:
     """Exact oracle for inline replacement with order="global": the
-    per-source frequencies (among selected rows) are a SQL aggregate,
-    a row's claiming source is the ascending (frequency, source)
-    minimum over its matches — exactly the kernel's loop — and the
-    replacement splices at the first occurrence. The OCR table maps
-    every source to exactly one target, so the target draw
-    (floor(u·1) = 0) never branches."""
+    per-source frequencies (over ALL rows, like the reference's
+    bitmask counts) are a SQL aggregate, a row's claiming source is
+    the ascending (frequency, source) minimum over its matches —
+    exactly the kernel's loop — and the replacement splices at the
+    first occurrence. The OCR table maps every source to exactly one
+    target, so the target draw (floor(u·1) = 0) never branches."""
     srcs = list(_OCR_TABLE["source"])
     tgts = dict(zip(_OCR_TABLE["source"], _OCR_TABLE["target"]))
     alt = "|".join(srcs)  # sources are literal alphanumerics
@@ -1530,7 +1530,7 @@ WITH base AS (
   VALUES {vals}
 ), freqs AS (
   SELECT s.src, s.tgt,
-         (SELECT COUNT(*) FROM base b WHERE b.sel AND contains(b.p_name, s.src)) AS f
+         (SELECT COUNT(*) FROM base b WHERE contains(b.p_name, s.src)) AS f
   FROM srcs s
 ), claimed AS (
   SELECT p_partkey, src, tgt FROM (
@@ -1959,27 +1959,24 @@ _STOP_EN = [
 
 
 def _text_stats(spark, sf):
-    from gecko_spark.operators.text import (
-        language_id,
-        quality_features,
-        quality_score,
-        token_count,
-    )
+    """Full text panel via the tokenize-once Arrow kernel (text.py's
+    default engine; bit-identical to the Column compositions — the
+    oracle covers both)."""
+    from gecko_spark.operators.text import text_stats
 
     docs = load_table(spark, sf, "documents")
-    t = F.col("text")
-    qf = quality_features(t)
-    return docs.select(
+    st = text_stats(docs)
+    return st.select(
         "doc_id",
-        qf[0].cast("long").alias("n_chars"),
-        qf[1].cast("long").alias("n_tokens"),
-        F.round(qf[2], 6).alias("mean_token_len"),
-        F.round(qf[3], 6).alias("alpha_ratio"),
-        F.round(qf[6], 6).alias("upper_ratio"),
-        F.round(quality_score(t), 6).alias("quality"),
-        language_id(t).alias("lang_pred"),
-        token_count(t, "whitespace").cast("long").alias("n_ws_tokens"),
-        token_count(t, "bpe_ish").cast("long").alias("n_bpe_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+        F.round("quality", 6).alias("quality"),
+        "lang_pred",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
     )
 
 

@@ -786,13 +786,15 @@ class _ReplacementTable(Mutator):
             # streams keep the reference-faithful-but-batch-local order
             return self._transform(col, rand, selected)
         # ONE aggregation job measures global per-source match counts
-        # among selected rows — the reference's favor-rare ordering is
-        # computed over the whole dataset, not per batch
-        # (gecko/mutator.py:618-624; SURVEY §3.3 step 3). This also
-        # makes the output independent of batch boundaries, which is
-        # what lets the driver's DuckDB oracle replay it exactly.
+        # over ALL rows — exactly the reference's bitmask counts
+        # (gecko/mutator.py:592-599 marks every matching row before
+        # the :618-624 frequency sort; SURVEY §3.3 steps 1+3). Not
+        # filtering by the selection column keeps the pre-pass free of
+        # per-row hash draws, and makes the output independent of
+        # batch boundaries — which is what lets the driver's DuckDB
+        # oracle replay it exactly.
         aggs = [
-            F.sum(F.when(selected & col.contains(src), 1).otherwise(0)).alias(str(i))
+            F.sum(F.when(col.contains(src), 1).otherwise(0)).alias(str(i))
             for i, src in enumerate(self.sources)
         ]
         row = df.select(*aggs).first()
@@ -891,41 +893,39 @@ class _PhoneticReplacement(Mutator):
 
     def _eligible(self, col, rand):
         conds = None
-        for pattern, _, flag in self.rules:
-            pat = re.escape(pattern)
-            if flag == "^":
-                c = col.rlike(f"^{pat}")
-            elif flag == "$":
-                c = col.rlike(f"{pat}$")
-            else:
-                # middle match: pattern with at least one char on each side,
-                # i.e. contained in value[1:-1] (gecko/mutator.py:422)
-                c = col.rlike(f".{pat}.")
+        for rule in self.rules:
+            c = self._rule_match_cond(col, rule)
             conds = c if conds is None else (conds | c)
         return conds
 
     def _rule_match_cond(self, col, rule) -> Column:
-        """JVM-side exact replica of the kernel's per-rule match mask."""
+        """JVM-side exact replica of the kernel's per-rule match mask —
+        literal string predicates, not regexes (a regex per rule per
+        row made the global-order pre-pass the most expensive stage of
+        the whole mutator at 1M rows)."""
         pattern, _, flag = rule
-        pat = re.escape(pattern)
         if flag == "^":
-            return col.rlike(f"^{pat}")
+            return col.startswith(pattern)
         if flag == "$":
-            return col.rlike(f"{pat}$")
-        return col.rlike(f".{pat}.")
+            return col.endswith(pattern)
+        # middle: contained in value[1:-1] (gecko/mutator.py:422)
+        return col.substr(
+            F.lit(2), F.greatest(F.length(col) - F.lit(2), F.lit(0))
+        ).contains(pattern)
 
     def _transform_with_frame(self, df, col, rand, selected):
         if df.isStreaming:
             return self._transform(col, rand, selected)
-        # ONE aggregation job: global per-rule match counts among
-        # selected rows. The descending-frequency rule order (and with
-        # it each row's accept/skip draw sequence) becomes a property
-        # of the dataset, not of Arrow batch boundaries — the
-        # reference computes its frequencies globally too
-        # (gecko/mutator.py:443-449).
+        if len(self.rules) == 1:
+            return self._kernel(col, rand, selected, [0])
+        # ONE aggregation job: global per-rule match counts over ALL
+        # rows (the reference's bitmask counts, gecko/mutator.py:
+        # 411-424 + 443-449). The descending-frequency rule order (and
+        # with it each row's accept/skip draw sequence) becomes a
+        # property of the dataset, not of Arrow batch boundaries.
         aggs = [
             F.sum(
-                F.when(selected & self._rule_match_cond(col, r), 1).otherwise(0)
+                F.when(self._rule_match_cond(col, r), 1).otherwise(0)
             ).alias(str(i))
             for i, r in enumerate(self.rules)
         ]
@@ -1052,22 +1052,18 @@ class _RegexReplacement(Mutator):
         # Arrow kernel too (one extra scan — the price of the
         # reference's two-phase favor-rare design, SURVEY §3.3).
         rules = self.rules
-        zeros = [0] * len(rules)
 
         @F.pandas_udf(T.ArrayType(T.LongType()))
-        def _match_flags(vals: pd.Series, sel: pd.Series) -> pd.Series:
-            mask = sel.fillna(False).to_numpy(dtype=bool)
+        def _match_flags(vals: pd.Series) -> pd.Series:
             vals_np = vals.fillna("").to_numpy(dtype=object)
             out = [
-                [1 if p.search(vals_np[i]) is not None else 0 for p, _ in rules]
-                if mask[i]
-                else zeros
-                for i in range(len(vals_np))
+                [1 if p.search(v) is not None else 0 for p, _ in rules]
+                for v in vals_np
             ]
             return pd.Series(out)
 
         row = (
-            df.select(_match_flags(col, selected).alias("c"))
+            df.select(_match_flags(col).alias("c"))
             .select(
                 *[F.element_at("c", i + 1).alias(str(i)) for i in range(len(rules))]
             )
