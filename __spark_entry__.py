@@ -1882,6 +1882,42 @@ FROM pairs WHERE cosine >= {threshold}
 """
 
 
+def _sketch_kmv(spark, sf):
+    """KMV distinct-count sketch (operators/sketches.py): one-pass
+    mergeable estimator whose ESTIMATE is bit-reproducible — the
+    portable hash makes even the order statistics engine-independent,
+    so the oracle matches the approximate answer exactly (impossible
+    for HLL/theta sketches across engines)."""
+    from gecko_spark.operators.sketches import kmv_distinct_estimate
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("v")
+    )
+    return kmv_distinct_estimate(li, "v", k=256)
+
+
+def _sketch_kmv_sql(k: int = 256) -> str:
+    from gecko_spark.functions.portable_hash import P1, P2, sql_horner
+    from gecko_spark.operators.sketches import _A1, _A2, _B1, _B2, _M
+
+    h1 = f"(({sql_horner('v', P1)}) * {_A1} + {_B1}) % {P1}"
+    h2 = f"(({sql_horner('v', P2)}) * {_A2} + {_B2}) % {P2}"
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+), hashes AS (
+  SELECT ({h1}) * {P2} + ({h2}) AS h FROM vals
+), topk AS (
+  SELECT h FROM hashes ORDER BY h LIMIT {k}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+       CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE {float(k - 1)!r} * CAST({_M} AS DOUBLE) / CAST(MAX(h) AS DOUBLE)
+       END AS estimate
+FROM topk
+"""
+
+
 def _topk_ivf(spark, sf):
     """IVF ANN with ``init="first_k"`` — deterministic centroids and
     sequential-fold float arithmetic end to end, so the assignment,
@@ -2202,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_embedding_pairs": _dedup_embedding,
+        "sketch_kmv_distinct": _sketch_kmv,
         "topk_cosine_bruteforce": _topk_cosine,
         "topk_cosine_ivf": _topk_ivf,
         "text_stats": _text_stats,
@@ -2267,6 +2304,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _dedup_simhash_sql(),
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": _dedup_embedding_sql(),
+        "sketch_kmv_distinct": _sketch_kmv_sql(),
         "topk_cosine_bruteforce": _TOPK_COSINE_SQL,
         "topk_cosine_ivf": _topk_ivf_sql(),
         "text_stats": _TEXT_STATS_SQL,

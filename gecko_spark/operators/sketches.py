@@ -1,0 +1,115 @@
+"""Sketches for approximate analytics with exact reproducibility.
+
+KMV (k-minimum-values) distinct-count estimation: hash every value
+with the engine-portable polynomial (functions/portable_hash.py), keep
+the k smallest distinct hashes, estimate
+``n_distinct ≈ (k-1) · M / h_k`` where ``h_k`` is the k-th smallest
+hash and ``M`` the hash range. Because the hash is portable integer
+arithmetic — not an engine builtin — the *estimate itself* is
+bit-reproducible by an independent engine: the ``sketch_kmv_distinct``
+contract query hash-matches a DuckDB oracle exactly, something no
+HLL/theta implementation can do across engines.
+
+Scale shape: one pass, partial per input partition (each Arrow batch
+keeps only its k smallest), one tiny final reduction over
+``partitions × k`` candidate rows. No full shuffle, no distinct — the
+classic mergeable-sketch contract (union = merge + re-truncate).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gecko_spark.functions.portable_hash import P1, P2, poly_hash_strings
+
+__all__ = ["kmv_hash", "kmv_sketch", "kmv_distinct_estimate", "kmv_merge_estimate"]
+
+# hash range: s1 ∈ [0, P1), s2 ∈ [0, P2) packed as s1·P2 + s2 < P1·P2
+_M = P1 * P2
+# affine scramble constants (distinct multipliers decorrelate the two
+# residues: short strings have small polynomial values, so the raw
+# (h1, h2) pair is far from uniform over the packed range)
+_A1, _B1 = 1103515245, 12345
+_A2, _B2 = 69069, 362437
+
+
+def kmv_hash(col: Union[str, Column]) -> Column:
+    """62-bit portable hash of a string column: two-prime polynomial
+    residues, each passed through its own affine scramble, packed as
+    ``s1·P2 + s2``. The scrambles are what make the packed value
+    uniform enough for order statistics — raw residues of short
+    strings cluster near zero. Nulls hash like the empty string."""
+
+    @F.pandas_udf(T.LongType())
+    def _h(vals: pd.Series) -> pd.Series:
+        s = ["" if v is None else str(v) for v in vals]
+        s1 = (poly_hash_strings(s, P1) * _A1 + _B1) % P1
+        s2 = (poly_hash_strings(s, P2) * _A2 + _B2) % P2
+        return pd.Series(s1 * P2 + s2)
+
+    return _h(F.col(col) if isinstance(col, str) else col)
+
+
+def kmv_sketch(df: DataFrame, col: Union[str, Column], k: int = 1024) -> DataFrame:
+    """The sketch itself: the k smallest distinct hashes (one row per
+    hash, column ``h``). Each Arrow batch contributes at most k
+    candidates (map-side truncation), the final k-of-all is a tiny
+    sort — ``partitions × k`` rows, not data-sized."""
+    if k < 2:
+        raise ValueError("k must be ≥ 2")
+    h = kmv_hash(col)
+
+    hashed = df.select(h.alias("__h__"))
+
+    # map-side truncation: each batch contributes at most k candidates
+    def _partial_iter(batches):
+        for pdf in batches:
+            u = np.unique(pdf["__h__"].to_numpy(np.int64))
+            yield pd.DataFrame({"h": u[:k]})
+
+    partials = hashed.mapInPandas(_partial_iter, "h long")
+    return partials.select("h").distinct().orderBy("h").limit(k)
+
+
+def kmv_distinct_estimate(df: DataFrame, col: Union[str, Column], k: int = 1024) -> DataFrame:
+    """One-row DataFrame ``(n_seen, estimate)``: the KMV distinct-count
+    estimate, or the exact distinct count when fewer than k distinct
+    hashes exist (the sketch then IS the distinct set)."""
+    sk = kmv_sketch(df, col, k)
+    return sk.agg(
+        F.count("*").alias("n_seen"),
+        F.max("h").alias("h_k"),
+    ).select(
+        F.col("n_seen").cast("long").alias("n_seen"),
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(_M)) / F.col("h_k").cast("double"))
+        .alias("estimate"),
+    )
+
+
+def kmv_merge_estimate(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
+    """Union estimate from two sketches WITHOUT the raw data — the
+    mergeability property: union the hash sets, re-truncate to k,
+    re-apply the estimator."""
+    merged = (
+        sketch_a.select("h")
+        .unionByName(sketch_b.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    return merged.agg(
+        F.count("*").alias("n_seen"), F.max("h").alias("h_k")
+    ).select(
+        F.col("n_seen").cast("long").alias("n_seen"),
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(_M)) / F.col("h_k").cast("double"))
+        .alias("estimate"),
+    )

@@ -1,0 +1,58 @@
+"""KMV distinct-count sketch: accuracy, exact-mode, mergeability,
+partition independence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gecko_spark.operators.sketches import (
+    kmv_distinct_estimate,
+    kmv_merge_estimate,
+    kmv_sketch,
+)
+
+
+def _ids(spark, lo, hi, dupes=3):
+    return (
+        spark.range(lo, hi)
+        .withColumn("v", F.concat(F.lit("user_"), (F.col("id") % ((hi - lo) // dupes)) + lo))
+        .select("v")
+    )
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    n_distinct = 20_000
+    df = spark.range(0, 60_000).select(
+        F.concat(F.lit("u"), (F.col("id") % n_distinct)).alias("v")
+    )
+    row = kmv_distinct_estimate(df, "v", k=1024).first()
+    # KMV relative error ~ 1/sqrt(k-1) ≈ 3.1%; allow 3 sigma
+    assert abs(row["estimate"] - n_distinct) / n_distinct < 0.1
+    assert row["n_seen"] == 1024
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(0, 500).select(F.concat(F.lit("x"), "id").alias("v"))
+    row = kmv_distinct_estimate(df, "v", k=1024).first()
+    assert row["n_seen"] == 500
+    assert row["estimate"] == 500.0
+
+
+def test_kmv_partitioning_independent(spark):
+    df = spark.range(0, 30_000).select(F.concat(F.lit("p"), F.col("id") % 7_000).alias("v"))
+    a = kmv_distinct_estimate(df.repartition(2), "v", k=256).first()
+    b = kmv_distinct_estimate(df.repartition(17), "v", k=256).first()
+    assert a["estimate"] == b["estimate"]
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    k = 256
+    left = spark.range(0, 10_000).select(F.concat(F.lit("m"), "id").alias("v"))
+    right = spark.range(5_000, 15_000).select(F.concat(F.lit("m"), "id").alias("v"))
+    merged = kmv_merge_estimate(
+        kmv_sketch(left, "v", k), kmv_sketch(right, "v", k), k
+    ).first()
+    direct = kmv_distinct_estimate(left.unionByName(right), "v", k).first()
+    assert merged["estimate"] == direct["estimate"]
+    # true union distinct = 15_000
+    assert abs(merged["estimate"] - 15_000) / 15_000 < 0.25
