@@ -1882,6 +1882,56 @@ FROM pairs WHERE cosine >= {threshold}
 """
 
 
+def _sample_stratified(spark, sf):
+    """Portable stratified sampling (operators/sampling.py): exact
+    sample MEMBERSHIP replayed by the oracle, not just counts."""
+    from gecko_spark.operators.sampling import stratified_sample
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return stratified_sample(
+        o,
+        "o_orderpriority",
+        {"1-URGENT": 0.5, "3-MEDIUM": 0.25},
+        rand=LcgRandom("o_orderkey", 311),
+        default_fraction=0.05,
+    )
+
+
+def _sample_stratified_sql() -> str:
+    u = lcg_uniform_sql("o_orderkey", 311, 11, stream=0)
+    return f"""
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE {u} < CASE o_orderpriority
+              WHEN '1-URGENT' THEN 0.5
+              WHEN '3-MEDIUM' THEN 0.25
+              ELSE 0.05 END
+"""
+
+
+def _sample_reservoir(spark, sf):
+    """Deterministic per-group reservoir: the 3 smallest hash draws per
+    market segment."""
+    from gecko_spark.operators.sampling import hash_sample_n
+
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return hash_sample_n(
+        c, 3, rand=LcgRandom("c_custkey", 312), by="c_mktsegment", tiebreak="c_custkey"
+    )
+
+
+def _sample_reservoir_sql() -> str:
+    u = lcg_uniform_sql("c_custkey", 312, 11, stream=0)
+    return f"""
+SELECT c_custkey, c_mktsegment FROM (
+  SELECT c_custkey, c_mktsegment,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY {u}, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 3
+"""
+
+
 def _sketch_kmv(spark, sf):
     """KMV distinct-count sketch (operators/sketches.py): one-pass
     mergeable estimator whose ESTIMATE is bit-reproducible — the
@@ -2239,6 +2289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_embedding_pairs": _dedup_embedding,
         "sketch_kmv_distinct": _sketch_kmv,
+        "sample_stratified": _sample_stratified,
+        "sample_reservoir_n": _sample_reservoir,
         "topk_cosine_bruteforce": _topk_cosine,
         "topk_cosine_ivf": _topk_ivf,
         "text_stats": _text_stats,
@@ -2305,6 +2357,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": _dedup_embedding_sql(),
         "sketch_kmv_distinct": _sketch_kmv_sql(),
+        "sample_stratified": _sample_stratified_sql(),
+        "sample_reservoir_n": _sample_reservoir_sql(),
         "topk_cosine_bruteforce": _TOPK_COSINE_SQL,
         "topk_cosine_ivf": _topk_ivf_sql(),
         "text_stats": _TEXT_STATS_SQL,

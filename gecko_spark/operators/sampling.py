@@ -1,0 +1,82 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Both operators draw from a :class:`~gecko_spark.core.RandomSource`
+keyed on row identity, so samples are reproducible across cluster
+layouts, partition counts, and engines — ``df.sample``/``sampleBy``
+use Spark's internal per-partition RNG and reproduce only on an
+identical physical plan. With an ``LcgRandom`` the exact sample
+membership is replayable in SQL (see the ``sample_*`` contract
+queries in ``__spark_entry__.py``).
+
+* :func:`stratified_sample` — per-stratum Bernoulli keep-fractions
+  (downsample over-represented sources/languages), one narrow filter.
+* :func:`hash_sample_n` — exactly n rows per group, chosen as the n
+  smallest hash draws: a deterministic distributed reservoir. One
+  window pass; groups smaller than n keep all rows.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gecko_spark.core import RandomSource
+
+__all__ = ["stratified_sample", "hash_sample_n"]
+
+# salt layout: 0 reserved (mutator selection); samplers draw on salt 11
+_SALT_SAMPLE = 11
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: Union[str, Column],
+    fractions: Mapping[str, float],
+    rand: RandomSource,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability; strata absent from
+    ``fractions`` keep ``default_fraction`` (0 drops them — the usual
+    allowlist behavior for corpus mixing)."""
+    for s, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for stratum {s!r} out of [0, 1]: {f}")
+    stratum = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    frac = F.lit(float(default_fraction))
+    for s, f in sorted(fractions.items()):
+        frac = F.when(stratum == F.lit(s), F.lit(float(f))).otherwise(frac)
+    return df.filter(rand.uniform(_SALT_SAMPLE) < frac)
+
+
+def hash_sample_n(
+    df: DataFrame,
+    n: int,
+    rand: RandomSource,
+    by: Union[str, Sequence[str], None] = None,
+    tiebreak: Union[str, Column, None] = None,
+) -> DataFrame:
+    """Exactly ``min(n, group size)`` rows per group — the rows with
+    the ``n`` smallest hash draws. Pass the table's key as
+    ``tiebreak``: hash draws live in a 2^31 space, so two keys CAN
+    collide, and an untied sort makes the boundary row partition-
+    dependent. Without ``by`` the window is global (single ordered
+    pass — fine for driver-bounded n, use ``by`` at scale)."""
+    if n < 1:
+        raise ValueError("n must be ≥ 1")
+    if isinstance(by, str):
+        by = [by]
+    by = list(by or [])
+    u = rand.uniform(_SALT_SAMPLE)
+    order = [u.asc()]
+    if tiebreak is not None:
+        order.append(
+            (F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).asc()
+        )
+    w = Window.partitionBy(*by).orderBy(*order)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__rn__")
+    )

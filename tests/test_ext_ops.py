@@ -463,3 +463,49 @@ def test_cosine_topk_matrix_matches_bruteforce(spark):
     mx2 = cosine_topk_matrix(emb, qs, k=5).select("query_id", "vec_id", "rank").toPandas()
     m = bf2.merge(mx2, on=["query_id", "vec_id"])
     assert (m["rank_x"] == m["rank_y"]).all()
+
+
+# -- sampling ----------------------------------------------------------------
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 30_000).select(
+        "id", (F.col("id") % 3).cast("string").alias("s")
+    )
+    out = stratified_sample(
+        df, "s", {"0": 0.5, "1": 0.1}, rand=LcgRandom("id", 9), default_fraction=0.0
+    )
+    got = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+    assert "2" not in got  # default 0 drops unlisted strata
+    assert abs(got["0"] / 10_000 - 0.5) < 0.03
+    assert abs(got["1"] / 10_000 - 0.1) < 0.02
+    # identical membership on a different layout
+    a = out.orderBy("id").toPandas()
+    b = (
+        stratified_sample(
+            df.repartition(13), "s", {"0": 0.5, "1": 0.1},
+            rand=LcgRandom("id", 9), default_fraction=0.0,
+        )
+        .orderBy("id").toPandas()
+    )
+    assert a["id"].tolist() == b["id"].tolist()
+
+
+def test_hash_sample_n_exact_group_sizes(spark):
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.sampling import hash_sample_n
+
+    df = spark.range(0, 10_000).select(
+        "id", (F.col("id") % 5).cast("string").alias("g")
+    )
+    out = hash_sample_n(df, 7, rand=LcgRandom("id", 10), by="g", tiebreak="id")
+    sizes = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert all(v == 7 for v in sizes.values()) and len(sizes) == 5
+    # small groups keep everything
+    tiny = hash_sample_n(
+        df.filter("id < 3"), 7, rand=LcgRandom("id", 10), tiebreak="id"
+    )
+    assert tiny.count() == 3
