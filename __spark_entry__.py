@@ -1932,6 +1932,42 @@ SELECT c_custkey, c_mktsegment FROM (
 """
 
 
+def _sample_weighted(spark, sf):
+    """Efraimidis–Spirakis weighted reservoir (exact membership oracle
+    — ln() agrees between engines, like the Box–Muller generator)."""
+    from gecko_spark.operators.sampling import weighted_sample_n
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return weighted_sample_n(
+        o,
+        5,
+        "o_totalprice",
+        rand=LcgRandom("o_orderkey", 313),
+        by="o_orderpriority",
+        tiebreak="o_orderkey",
+    ).select("o_orderkey", "o_orderpriority")
+
+
+def _sample_weighted_sql() -> str:
+    u = lcg_uniform_sql("o_orderkey", 313, 11, stream=0)
+    eps = float(2.0 ** -31)
+    return f"""
+SELECT o_orderkey, o_orderpriority FROM (
+  SELECT o_orderkey, o_orderpriority,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY (CASE WHEN o_totalprice > 0
+                          THEN ln(GREATEST({u}, {eps!r})) / o_totalprice
+                          ELSE CAST('-infinity' AS DOUBLE) END) DESC,
+                    o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 5
+"""
+
+
 def _sketch_kmv(spark, sf):
     """KMV distinct-count sketch (operators/sketches.py): one-pass
     mergeable estimator whose ESTIMATE is bit-reproducible — the
@@ -2291,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": _sketch_kmv,
         "sample_stratified": _sample_stratified,
         "sample_reservoir_n": _sample_reservoir,
+        "sample_weighted_n": _sample_weighted,
         "topk_cosine_bruteforce": _topk_cosine,
         "topk_cosine_ivf": _topk_ivf,
         "text_stats": _text_stats,
@@ -2359,6 +2396,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv_distinct": _sketch_kmv_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_reservoir_n": _sample_reservoir_sql(),
+        "sample_weighted_n": _sample_weighted_sql(),
         "topk_cosine_bruteforce": _TOPK_COSINE_SQL,
         "topk_cosine_ivf": _topk_ivf_sql(),
         "text_stats": _TEXT_STATS_SQL,

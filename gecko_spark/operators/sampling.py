@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from gecko_spark.core import RandomSource
 
-__all__ = ["stratified_sample", "hash_sample_n"]
+__all__ = ["stratified_sample", "hash_sample_n", "weighted_sample_n"]
 
 # salt layout: 0 reserved (mutator selection); samplers draw on salt 11
 _SALT_SAMPLE = 11
@@ -70,6 +70,50 @@ def hash_sample_n(
     by = list(by or [])
     u = rand.uniform(_SALT_SAMPLE)
     order = [u.asc()]
+    if tiebreak is not None:
+        order.append(
+            (F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).asc()
+        )
+    w = Window.partitionBy(*by).orderBy(*order)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__rn__")
+    )
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight: Union[str, Column],
+    rand: RandomSource,
+    by: Union[str, Sequence[str], None] = None,
+    tiebreak: Union[str, Column, None] = None,
+) -> DataFrame:
+    """Weighted sampling without replacement, exactly ``n`` per group:
+    Efraimidis–Spirakis A-Res — each row gets key ``u^(1/w)``
+    (equivalently ordered by ``ln(u)/w`` descending, which avoids the
+    pow), the n largest keys win. Heavier rows win proportionally more
+    often; rows with weight ≤ 0 rank below every positive-weight row
+    (they only appear when a group has fewer than n positive-weight
+    rows). Same determinism contract
+    as :func:`hash_sample_n` — membership is a pure function of
+    (row key, seed)."""
+    if n < 1:
+        raise ValueError("n must be ≥ 1")
+    if isinstance(by, str):
+        by = [by]
+    by = list(by or [])
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    u = rand.uniform(_SALT_SAMPLE)
+    # ln(u)/w is -inf-safe: u ∈ [0, 1) can be 0 → ln undefined; clamp
+    # by the LCG's own granularity (draws are k/2^31, so the smallest
+    # nonzero is 2^-31 — use it for the zero draw)
+    safe_u = F.greatest(u, F.lit(2.0 ** -31))
+    key = F.when(wcol > 0, F.log(safe_u) / wcol.cast("double")).otherwise(
+        F.lit(float("-inf"))
+    )
+    order = [key.desc()]
     if tiebreak is not None:
         order.append(
             (F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).asc()

@@ -509,3 +509,24 @@ def test_hash_sample_n_exact_group_sizes(spark):
         df.filter("id < 3"), 7, rand=LcgRandom("id", 10), tiebreak="id"
     )
     assert tiny.count() == 3
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.sampling import weighted_sample_n
+
+    # 1000 rows, 10 of them 100x heavier; sample 100 repeatedly via
+    # different seeds and check the heavy rows are strongly enriched
+    df = spark.range(0, 1000).select(
+        "id", F.when(F.col("id") < 10, 100.0).otherwise(1.0).alias("w")
+    )
+    heavy_hits = 0
+    for seed in range(5):
+        out = weighted_sample_n(
+            df, 100, "w", rand=LcgRandom("id", 400 + seed), tiebreak="id"
+        )
+        heavy_hits += out.filter("id < 10").count()
+    # heavy rows: weight share 1000/1990 ≈ 50% of early picks; with
+    # n=100 of 1000 they should almost all be selected (~10/10 per draw)
+    assert heavy_hits >= 40  # ≥ 8 of 10 per seed on average
+    assert weighted_sample_n(df, 100, "w", rand=LcgRandom("id", 1), tiebreak="id").count() == 100
