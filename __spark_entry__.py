@@ -1258,6 +1258,68 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _q12(spark, sf):
+    """TPC-H Q12 shape: join + conditional CASE-sum aggregation (the
+    high/low priority split computed inside one aggregate pass)."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def _q19(spark, sf):
+    """TPC-H Q19 shape: disjunction of conjunctive predicate branches —
+    Catalyst pushes the common conjuncts and keeps the OR as one scan
+    filter (no union of scans)."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    branch1 = (
+        (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    )
+    branch2 = (
+        (F.col("p_size") <= 25) & (F.col("l_quantity") > 20) & (F.col("l_quantity") <= 40)
+    )
+    return (
+        j.filter((F.col("l_discount") >= 0.02) & (branch1 | branch2))
+        .agg(
+            F.sum(_cents("l_extendedprice")).alias("sum_price_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_discount >= 0.02
+  AND ((p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_size <= 25 AND l_quantity > 20 AND l_quantity <= 40))
+"""
+
+
 def _q_json_props(spark, sf):
     """Semi-structured column processing: parse the events ``props``
     JSON with a typed schema (from_json stays JVM-side — no Python in
@@ -2284,6 +2346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": _q17,
         "q_distinct_counts": _q_distinct_counts,
         "q_json_props": _q_json_props,
+        "q12_shipmode_priority": _q12,
+        "q19_branch_revenue": _q19,
         # generators (G2–G7)
         "gen_uniform": _gen_uniform,
         "gen_normal": _gen_normal,
@@ -2357,6 +2421,8 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty_revenue": _Q17_SQL,
         "q_distinct_counts": _Q_DISTINCT_SQL,
         "q_json_props": _Q_JSON_SQL,
+        "q12_shipmode_priority": _Q12_SQL,
+        "q19_branch_revenue": _Q19_SQL,
         "gen_uniform": _GEN_UNIFORM_SQL,
         "gen_normal": _GEN_NORMAL_SQL,
         "gen_freq_single": _GEN_FREQ_SINGLE_SQL,
