@@ -1047,10 +1047,11 @@ class _RegexReplacement(Mutator):
         if df.isStreaming or len(self.rules) == 1:
             # one rule: order is trivially global already
             return self._kernel(col, rand, selected, None if len(self.rules) > 1 else [0])
-        # Global per-rule match counts among selected rows. Python
-        # regex semantics differ from Java's, so the count pass is an
-        # Arrow kernel too (one extra scan — the price of the
-        # reference's two-phase favor-rare design, SURVEY §3.3).
+        # Global per-rule match counts over ALL rows (the reference's
+        # bitmask counts). Python regex semantics differ from Java's,
+        # so the count pass is an Arrow kernel too (one extra scan —
+        # the price of the reference's two-phase favor-rare design,
+        # SURVEY §3.3).
         rules = self.rules
 
         @F.pandas_udf(T.ArrayType(T.LongType()))
