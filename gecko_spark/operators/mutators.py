@@ -657,7 +657,12 @@ class _WithFunction(Mutator):
         def _apply(vals: pd.Series, sel: pd.Series) -> pd.Series:
             out = vals.copy()
             mask = sel.fillna(False).to_numpy(dtype=bool)
-            out[mask] = [str(func(v, *args, **kwargs)) for v in vals[mask]]
+            # a None return stays null — str() would turn it into the
+            # literal string "None"
+            out[mask] = [
+                None if r is None else str(r)
+                for r in (func(v, *args, **kwargs) for v in vals[mask])
+            ]
             return out
 
         return _apply(col, selected)
@@ -665,7 +670,9 @@ class _WithFunction(Mutator):
 
 def with_function(func: Callable[..., str], *args, **kwargs) -> Mutator:
     """Arbitrary scalar ``func(value) -> str`` on selected rows — the
-    non-vectorized escape hatch (gecko/mutator.py:76-117)."""
+    non-vectorized escape hatch (gecko/mutator.py:76-117). Selected
+    null rows reach ``func`` as ``None`` (the reference passes NaN);
+    handling them is the function's contract."""
     return _WithFunction(func, args, kwargs)
 
 

@@ -406,3 +406,45 @@ def test_phonetic_output_partitioning_independent(spark):
     )
     assert out1["w"].tolist() == out8["w"].tolist()
     assert (out1["w"] != pd.Series(words)).any()
+
+
+def test_all_simple_mutators_null_and_empty_safe(spark):
+    """Null and empty-string rows must never crash a mutator kernel and
+    nulls must stay null (the reference's masked update can't resurrect
+    a NaN; neither may we)."""
+    import pandas as pd
+
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators import mutators as M
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([None, "", "a", "ab", "abc", None, ""] * 30)],
+        "id long, v string",
+    )
+    muts = [
+        M.with_missing_value("N/A"),
+        M.with_insert(),
+        M.with_delete(),
+        M.with_transpose(),
+        M.with_substitute(),
+        M.with_lowercase(),
+        M.with_uppercase(),
+        M.with_repeat(),
+        # func receives None for null rows (reference passes NaN —
+        # handling is the function's contract)
+        M.with_function(lambda s: s[::-1] if s else s),
+        M.with_replacement_table(
+            pd.DataFrame({"source": ["a"], "target": ["x"]}), "source", "target",
+            inline=True,
+        ),
+        M.with_phonetic_replacement_table(
+            pd.DataFrame({"source": ["ab"], "target": ["ba"], "flags": ["^"]}),
+            "source", "target", "flags",
+        ),
+    ]
+    for mut in muts:
+        out = mut.apply(df, "v", 0.9, rand=LcgRandom("id", 3)).toPandas()
+        orig = df.toPandas()
+        nulls = orig["v"].isna()
+        assert out["v"][nulls].isna().all(), f"{mut.name} resurrected a null"
+        assert len(out) == len(orig), mut.name
