@@ -530,3 +530,27 @@ def test_weighted_sample_favors_heavy_rows(spark):
     # n=100 of 1000 they should almost all be selected (~10/10 per draw)
     assert heavy_hits >= 40  # ≥ 8 of 10 per seed on average
     assert weighted_sample_n(df, 100, "w", rand=LcgRandom("id", 1), tiebreak="id").count() == 100
+
+
+def test_text_and_dedup_kernels_null_safe(spark):
+    """Null/empty documents must flow through every text/dedup kernel."""
+    from gecko_spark.operators.text import text_stats
+    import gecko_spark.operators.dedup as D
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a"), (3, "hello world hello"), (4, None)],
+        "doc_id long, text string",
+    )
+    st = text_stats(df).toPandas()
+    assert len(st) == 5
+    assert st.loc[st["doc_id"] == 0, "n_chars"].iloc[0] == 0
+    assert st.loc[st["doc_id"] == 0, "lang_pred"].iloc[0] == "und"
+
+    sigs = df.select(D.minhash_signature(F.col("text")).alias("s")).toPandas()
+    assert all(len(s) == 64 for s in sigs["s"])
+    sh = df.select(D.simhash(F.col("text")).alias("h")).toPandas()
+    assert sh["h"].iloc[0] == 0 and sh["h"].iloc[1] == 0
+
+    pairs = D.minhash_candidate_pairs(df, "doc_id", "text")
+    # the two null and one empty doc share the empty signature -> pairs
+    assert pairs.filter("id_a = 0 AND id_b = 4").count() == 1
