@@ -26,6 +26,7 @@ __all__ = [
     "cosine_topk_ivf",
     "infer_dim",
     "ivf_assign",
+    "kmeans_fit",
     "write_ivf_index",
     "read_ivf_index",
 ]
@@ -227,6 +228,70 @@ def _sample_centroids(
                 centroids[c] = members.mean(axis=0)
         norms = np.linalg.norm(centroids, axis=1, keepdims=True)
         centroids = centroids / np.maximum(norms, 1e-12)
+    return centroids
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 5,
+    seed: int = 0,
+    id_col: Optional[str] = None,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL corpus (normalized
+    centroids, cosine assignment) — the scale path when a driver
+    sample (``_sample_centroids``) would under-represent the data.
+
+    Each iteration is exactly two jobs: (1) assignment — an argmax over
+    broadcast centroid dot products, pure Column algebra; (2) update —
+    per-cluster vector means via ``posexplode`` to (cluster, dim) and
+    one hash aggregation with map-side partial sums; only k×dim
+    aggregated rows ever reach the driver. Initialization takes the k
+    lowest-id vectors when ``id_col`` is given (deterministic), else a
+    seeded sample. Empty clusters keep their previous centroid, like
+    the sample-based trainer."""
+    dim = infer_dim(corpus, vec_col)
+    if id_col is not None:
+        rows = corpus.orderBy(id_col).limit(k).select(vec_col).toPandas()
+        if len(rows) < k:
+            raise ValueError("not enough rows for k centroids")
+        centroids = np.array(rows[vec_col].tolist(), dtype=np.float64)
+    else:
+        frac = min(1.0, (k * 16) / max(corpus.count(), 1))
+        sample = np.array(
+            corpus.select(vec_col).sample(frac, seed=seed).limit(k * 16).toPandas()[vec_col].tolist(),
+            dtype=np.float64,
+        )
+        if len(sample) < k:
+            raise ValueError("not enough rows to seed centroids")
+        rng = np.random.default_rng(seed)
+        centroids = sample[rng.choice(len(sample), k, replace=False)]
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    centroids = centroids / np.maximum(norms, 1e-12)
+
+    vec = F.col(vec_col)
+    for _ in range(iters):
+        scores = F.array(
+            *[dot(vec, F.lit([float(x) for x in centroids[c]])) for c in range(k)]
+        )
+        assign = (F.array_position(scores, F.array_max(scores)) - F.lit(1)).cast("int")
+        sums = (
+            corpus.select(assign.alias("c"), F.posexplode(vec).alias("d", "x"))
+            .groupBy("c", "d")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        acc = np.zeros((k, dim), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in sums:
+            acc[r["c"], r["d"]] = r["s"]
+            cnt[r["c"]] = r["n"]
+        nonempty = cnt > 0
+        new_c[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        norms = np.linalg.norm(new_c, axis=1, keepdims=True)
+        centroids = new_c / np.maximum(norms, 1e-12)
     return centroids
 
 

@@ -554,3 +554,35 @@ def test_text_and_dedup_kernels_null_safe(spark):
     pairs = D.minhash_candidate_pairs(df, "doc_id", "text")
     # the two null and one empty doc share the empty signature -> pairs
     assert pairs.filter("id_a = 0 AND id_b = 4").count() == 1
+
+
+def test_kmeans_fit_distributed(spark):
+    """Distributed Lloyd's: k unit centroids, assignments cover ≥ most
+    clusters, and inertia does not increase across refits."""
+    import numpy as np
+
+    from gecko_spark.operators.similarity import dot, infer_dim, kmeans_fit
+    from gecko_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c1 = kmeans_fit(emb, k=8, iters=1, id_col="vec_id")
+    c5 = kmeans_fit(emb, k=8, iters=5, id_col="vec_id")
+    assert c5.shape == (8, infer_dim(emb, "embedding"))
+    assert np.allclose(np.linalg.norm(c5, axis=1), 1.0)
+
+    def mean_best_cos(cents):
+        scores = F.array(
+            *[dot(F.col("embedding"), F.lit([float(x) for x in c])) for c in cents]
+        )
+        vnorm = F.sqrt(
+            F.aggregate(
+                F.col("embedding"), F.lit(0.0),
+                lambda a, v: a + v.cast("double") * v.cast("double"),
+            )
+        )
+        return emb.select(
+            (F.array_max(scores) / vnorm).alias("s")
+        ).agg(F.avg("s")).first()[0]
+
+    # more Lloyd iterations must not make the fit worse
+    assert mean_best_cos(c5) >= mean_best_cos(c1) - 1e-9
