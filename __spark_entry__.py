@@ -1258,6 +1258,47 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _q10(spark, sf):
+    """TPC-H Q10 shape: fact-dim join chain + revenue aggregation +
+    top-20 — the returned-items report. Dimension joins broadcast; the
+    top-k is a single ordered limit over the aggregated (small) side."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    n = load_table(spark, sf, "nation")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_disc_price_1e4()).alias("revenue_1e4"))
+        .orderBy(F.col("revenue_1e4").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+    return rev
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS revenue_1e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_1e4 DESC, c_custkey
+LIMIT 20
+"""
+
+
 def _q12(spark, sf):
     """TPC-H Q12 shape: join + conditional CASE-sum aggregation (the
     high/low priority split computed inside one aggregate pass)."""
@@ -2346,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": _q17,
         "q_distinct_counts": _q_distinct_counts,
         "q_json_props": _q_json_props,
+        "q10_returned_items": _q10,
         "q12_shipmode_priority": _q12,
         "q19_branch_revenue": _q19,
         # generators (G2–G7)
@@ -2421,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty_revenue": _Q17_SQL,
         "q_distinct_counts": _Q_DISTINCT_SQL,
         "q_json_props": _Q_JSON_SQL,
+        "q10_returned_items": _Q10_SQL,
         "q12_shipmode_priority": _Q12_SQL,
         "q19_branch_revenue": _Q19_SQL,
         "gen_uniform": _GEN_UNIFORM_SQL,
