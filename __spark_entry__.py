@@ -1299,6 +1299,105 @@ LIMIT 20
 """
 
 
+def _q13(spark, sf):
+    """TPC-H Q13 shape: LEFT OUTER join with a predicate inside the
+    join condition (not a post-filter — that would drop the zero-order
+    customers the query exists to count), then a two-level aggregation
+    into an order-count histogram."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def _q14(spark, sf):
+    """TPC-H Q14 shape: promo revenue share — a ratio of two
+    conditional sums in one aggregate pass; both sums exact-integer so
+    the final division is one deterministic float op."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    promo = F.col("p_type") == "PROMO"
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(promo, _disc_price_1e4()).otherwise(F.lit(0).cast("long"))).cast("double")
+            / F.sum(_disc_price_1e4()).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((1.0 - l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+         AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def _q18(spark, sf):
+    """TPC-H Q18 shape: large-volume customers — aggregate subquery
+    with HAVING feeding an IN-list (planned as a semi join), then the
+    detail re-joined for output."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "total_qty")
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def _q12(spark, sf):
     """TPC-H Q12 shape: join + conditional CASE-sum aggregation (the
     high/low priority split computed inside one aggregate pass)."""
@@ -2389,6 +2488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": _q_json_props,
         "q10_returned_items": _q10,
         "q12_shipmode_priority": _q12,
+        "q13_order_histogram": _q13,
+        "q14_promo_share": _q14,
+        "q18_large_volume": _q18,
         "q19_branch_revenue": _q19,
         # generators (G2–G7)
         "gen_uniform": _gen_uniform,
@@ -2465,6 +2567,9 @@ def oracle_sql() -> dict[str, str]:
         "q_json_props": _Q_JSON_SQL,
         "q10_returned_items": _Q10_SQL,
         "q12_shipmode_priority": _Q12_SQL,
+        "q13_order_histogram": _Q13_SQL,
+        "q14_promo_share": _Q14_SQL,
+        "q18_large_volume": _Q18_SQL,
         "q19_branch_revenue": _Q19_SQL,
         "gen_uniform": _GEN_UNIFORM_SQL,
         "gen_normal": _GEN_NORMAL_SQL,
