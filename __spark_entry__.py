@@ -1299,6 +1299,52 @@ LIMIT 20
 """
 
 
+def _q7(spark, sf):
+    """TPC-H Q7 shape: the nation dimension joined TWICE under
+    different roles (supplier vs customer side) with a cross-pair
+    predicate — exercises self-aliased broadcast dims."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") < F.col("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.sn_key)
+        .join(F.broadcast(n2), c.c_nationkey == n2.cn_key)
+        .filter(pair & (F.year("l_shipdate") == 1997))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(_disc_price_1e4()).alias("volume_1e4"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS volume_1e4,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name AND year(l_shipdate) = 1997
+GROUP BY n1.n_name, n2.n_name
+"""
+
+
 def _q13(spark, sf):
     """TPC-H Q13 shape: LEFT OUTER join with a predicate inside the
     join condition (not a post-filter — that would drop the zero-order
@@ -2488,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": _q_json_props,
         "q10_returned_items": _q10,
         "q12_shipmode_priority": _q12,
+        "q7_nation_volume": _q7,
         "q13_order_histogram": _q13,
         "q14_promo_share": _q14,
         "q18_large_volume": _q18,
@@ -2567,6 +2614,7 @@ def oracle_sql() -> dict[str, str]:
         "q_json_props": _Q_JSON_SQL,
         "q10_returned_items": _Q10_SQL,
         "q12_shipmode_priority": _Q12_SQL,
+        "q7_nation_volume": _Q7_SQL,
         "q13_order_histogram": _Q13_SQL,
         "q14_promo_share": _Q14_SQL,
         "q18_large_volume": _Q18_SQL,
