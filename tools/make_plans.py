@@ -57,6 +57,36 @@ def main():
         "drops the rest.",
     )
 
+    # bucketed warehouse: write once, join forever without exchanges
+    import tempfile
+
+    from gecko_spark.sources.testdata import load_table
+    from gecko_spark.sources.warehouse import read_table, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="plans_wh_")
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "plans_b_orders", ["o_orderkey"], 8, path=f"{base}/o")
+    write_bucketed(lineitem, "plans_b_li", ["o_orderkey"], 8, path=f"{base}/l")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cap(
+            "bucketed join: zero Exchange — the shuffle was paid at write time",
+            read_table(spark, "plans_b_orders").join(
+                read_table(spark, "plans_b_li"), "o_orderkey"
+            ),
+            "Both tables bucketed by o_orderkey into 8 buckets; the sort-merge "
+            "join reads co-located buckets directly (broadcast disabled here to "
+            "show the no-shuffle path — at this SF the dim would broadcast).",
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS plans_b_orders")
+        spark.sql("DROP TABLE IF EXISTS plans_b_li")
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — executed-plan evidence for the scale claims\n\n"
