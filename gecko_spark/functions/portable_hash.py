@@ -19,8 +19,12 @@ cost vs xxhash64 is negligible inside the Arrow kernels: hashing is a
 padded int64 matrix product per batch, one BLAS call.
 
 All arithmetic stays inside int64: code points < 2^21, powers < 2^31,
-so a padded row-sum is < L·2^52 for widths L up to ~2000; callers
-chunk wider windows (none of the current operators come close).
+so each dot-product term is < 2^52 and a row-sum of up to 2048 terms
+stays < 2^63. ``poly_hash_strings`` folds longer strings in
+2048-column chunks with a mod-p reduction between chunks (Horner over
+chunks: ``h = h·BASE^w + chunk_hash mod p``), so hashes stay exact —
+and bit-identical to the DuckDB Horner oracle — for unbounded input
+lengths.
 """
 
 from __future__ import annotations
@@ -60,12 +64,21 @@ def powers(n: int, prime: int = P1) -> np.ndarray:
     return out
 
 
+# Safe dot-product width: each term is cp·power < 2^21·2^31 = 2^52, so a
+# 2048-term row-sum stays below 2^63 (int64) with headroom.
+_CHUNK = 2048
+
+
 def poly_hash_strings(strings: list[str], prime: int = P1) -> np.ndarray:
-    """Polynomial hash of every string in one padded matrix product.
+    """Polynomial hash of every string via padded matrix products.
 
     Left-pads with zeros to the batch max length (leading zeros do not
-    change the polynomial value), then one int64 matmul mod ``prime``.
-    Empty strings (and the empty batch) hash to 0.
+    change the polynomial value), then folds the int64 matrix in
+    ``_CHUNK``-column chunks left→right with a mod-``prime`` reduction
+    between chunks (``acc = acc·BASE^w + chunk_hash mod p``) — exact
+    for any length, where a single unbounded matmul would silently
+    wrap mod 2^64 past ~2048 columns. Empty strings (and the empty
+    batch) hash to 0.
     """
     if not strings:
         return np.empty(0, dtype=np.int64)
@@ -77,12 +90,22 @@ def poly_hash_strings(strings: list[str], prime: int = P1) -> np.ndarray:
     for r, c in enumerate(enc):
         if len(c):
             mat[r, max_len - len(c):] = c
-    return (mat @ powers(max_len, prime)) % prime
+    acc = np.zeros(len(strings), dtype=np.int64)
+    for start in range(0, max_len, _CHUNK):
+        chunk = mat[:, start:start + _CHUNK]
+        w = chunk.shape[1]
+        acc = (acc * pow(BASE, w, prime) + (chunk @ powers(w, prime)) % prime) % prime
+    return acc
 
 
 def window_hashes(s: str, n: int, prime: int = P1) -> np.ndarray:
     """Hashes of every length-``n`` window of ``s`` (one hash of the
     whole string if it is shorter), via sliding_window_view @ powers."""
+    if n > _CHUNK:
+        raise ValueError(
+            f"window size {n} exceeds the int64-exact dot-product bound "
+            f"({_CHUNK}); current operators use n ≤ 16"
+        )
     cp = code_points(s)
     if len(cp) == 0:
         return np.empty(0, dtype=np.int64)

@@ -368,13 +368,20 @@ def connected_components(
     ``(node, component)`` where ``component`` is the minimum node id
     reachable from ``node``.
 
-    Large-star-ish min-label propagation: each round every node adopts
-    the smallest label in its neighborhood (its own included), checked
-    by an aggregate count of changed labels; converges in
-    O(log(diameter)) rounds for near-dup graphs (tiny diameters in
-    practice). Each round is ONE shuffle join + aggregate; labels are
-    checkpointed via localCheckpoint to keep the plan from growing
+    Min-label propagation with pointer jumping: each round every node
+    adopts the smallest label in its neighborhood (its own included),
+    then shortcuts through its label's label (``component :=
+    labels[component]``). The jump step halves chain depth per round,
+    so convergence is O(log(diameter)) rounds — plain neighbor
+    propagation alone would need O(diameter). Each round is one
+    shuffle join + aggregate plus one self-join for the jump; labels
+    are checkpointed via localCheckpoint to keep the plan from growing
     unboundedly on a 1000-executor cluster.
+
+    If labels still changed after ``max_iterations`` rounds a
+    ``GeckoWarning`` is emitted — callers (e.g.
+    ``minhash_dedupe_transitive``) would otherwise silently keep extra
+    duplicates from split components.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -387,17 +394,33 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         # each node's candidate label: min over neighbors' labels and its own
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "component")
         )
-        new_labels = (
+        propagated = (
             labels.select("node", "component")
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component := labels[component]. Every label value
+        # is itself a node, so the self-join always hits; chains halve in
+        # depth each round, giving the O(log d) bound.
+        jump = propagated.select(
+            F.col("node").alias("j_node"), F.col("component").alias("j_comp")
+        )
+        new_labels = (
+            propagated.join(jump, propagated.component == jump.j_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("j_comp", "component")
+                ).alias("component"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -409,7 +432,20 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        from gecko_spark.core import GeckoWarning
+
+        warnings.warn(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations; component labels may be split "
+            f"(increase max_iterations)",
+            GeckoWarning,
+            stacklevel=2,
+        )
     return labels
 
 

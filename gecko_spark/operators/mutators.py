@@ -210,19 +210,36 @@ class Mutator:
 class _MissingValue(Mutator):
     name = "with_missing_value"
 
-    def __init__(self, value: str = ""):
+    def __init__(self, value: str = "", nulls_eligible: bool = False):
         self.value = value
+        self.nulls_eligible = nulls_eligible
 
     def _eligible(self, col, rand):
-        return col != F.lit(self.value)  # gecko/mutator.py:678
+        # SQL three-valued logic: ``col != value`` is NULL for null rows,
+        # so nulls are ineligible by default (nulls stay null, and don't
+        # count in the strict_p rescale denominator). The reference's
+        # pandas ``srs != value`` is True for NaN, so it DOES overwrite
+        # missing rows (gecko/mutator.py:678) — pass
+        # ``nulls_eligible=True`` for that reference-exact behavior.
+        cmp = col != F.lit(self.value)
+        if self.nulls_eligible:
+            return cmp | col.isNull()
+        return cmp
 
     def _mutate(self, col, rand):
         return F.lit(self.value)
 
 
-def with_missing_value(value: str = "") -> Mutator:
-    """Overwrite selected rows with a sentinel (gecko/mutator.py:658-702)."""
-    return _MissingValue(value)
+def with_missing_value(value: str = "", nulls_eligible: bool = False) -> Mutator:
+    """Overwrite selected rows with a sentinel (gecko/mutator.py:658-702).
+
+    Null policy: by default null rows are left null and are NOT counted
+    as mutable for p-rescaling — a documented divergence from the
+    reference, whose ``srs != value`` comparison treats NaN as eligible
+    and fills it with the sentinel. Set ``nulls_eligible=True`` to
+    reproduce the reference exactly on null-bearing input.
+    """
+    return _MissingValue(value, nulls_eligible=nulls_eligible)
 
 
 def _charset_list(charset: Union[str, Sequence[str]]) -> list[str]:

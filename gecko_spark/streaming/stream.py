@@ -23,6 +23,7 @@ __all__ = [
     "sessionize",
     "running_user_stats",
     "mutate_stream",
+    "dedupe_stream",
 ]
 
 EVENTS_SCHEMA = T.StructType(

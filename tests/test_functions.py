@@ -172,3 +172,33 @@ def test_portable_hash_matches_duckdb_sql():
         for (g,), s in zip(got, strings):
             w = window_hashes(s, n, P1) if s else []
             assert list(g) == list(w), (s, n)
+
+
+def test_poly_hash_long_strings_exact():
+    """Chunked fold stays exact (vs a pure-Python Horner reference) far
+    past the ~2048-column bound where a single int64 matmul would wrap
+    mod 2^64 — the ADVICE round-1 finding (astral-plane/CJK long docs)."""
+    from gecko_spark.functions.portable_hash import (
+        BASE,
+        P1,
+        P2,
+        poly_hash_strings,
+    )
+
+    def horner(s, p):
+        h = 0
+        for ch in s:
+            h = (h * BASE + ord(ch)) % p
+        return h
+
+    longs = [
+        "\U0001F600" * 60_000,           # astral plane, cp ~ 2^17
+        "中文" * 150_000,        # CJK, 300k chars
+        "a" * 2_047, "b" * 2_048, "c" * 2_049,  # chunk-boundary widths
+        "xyz" * 40_000 + "tail",
+        "short", "",
+    ]
+    for prime in (P1, P2):
+        got = list(poly_hash_strings(longs, prime))
+        want = [horner(s, prime) for s in longs]
+        assert got == want

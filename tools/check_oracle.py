@@ -26,6 +26,14 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns), ignore_index=True)
 
 
+def kind(dtype) -> str:
+    """Dtype class as the driver's value-hash sees it: ints of any width
+    hash identically, but int vs float differs (``2`` vs ``2.0``) — the
+    exact failure mode of round 1's ten HUGEINT-widened oracles."""
+    k = dtype.kind
+    return "int" if k in "iu" else ("dt" if k == "M" else k)
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -68,9 +76,18 @@ def main():
             print(f"FAIL  {name}: rows {len(g)} vs {len(x)}")
             n_fail += 1
             continue
+        bad_kinds = [
+            (c, str(g[c].dtype), str(x[c].dtype))
+            for c in g.columns
+            if kind(g[c].dtype) != kind(x[c].dtype)
+        ]
+        if bad_kinds:
+            print(f"FAIL  {name}: dtype-class mismatch {bad_kinds}")
+            n_fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(
-                g, x, check_dtype=False, check_exact=False, rtol=0, atol=0
+                g, x, check_dtype=False, check_exact=True
             )
             ok = True
         except AssertionError as ex:
