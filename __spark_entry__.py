@@ -1506,6 +1506,380 @@ WHERE l_discount >= 0.02
 """
 
 
+def _q2(spark, sf):
+    """TPC-H Q2 shape: correlated min-cost subquery (min supplier price
+    per part within a region), decorrelated into ONE window-min over the
+    part key — a single shuffle, vs groupBy+self-join's two. The
+    supplier→nation→region dim chain broadcasts. No partsupp table in
+    the test schema, so lineitem serves as the part-supplier link and
+    extendedprice (exact cents) as the cost."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    p = load_table(spark, sf, "part")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = li.join(eu_supp, li.l_suppkey == eu_supp.s_suppkey).select(
+        "l_partkey", "s_name", "n_name", _cents("l_extendedprice").alias("price_cents")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("cost_cents", F.min("price_cents").over(w)).filter(
+        F.col("price_cents") == F.col("cost_cents")
+    )
+    parts = p.filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        best.join(parts, best.l_partkey == parts.p_partkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "cost_cents")
+        .distinct()
+    )
+
+
+_Q2_SQL = """
+WITH eu AS (
+  SELECT l_partkey, s_name, n_name,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT DISTINCT p_partkey, p_brand, s_name, n_name, price_cents AS cost_cents
+FROM part JOIN eu ON p_partkey = eu.l_partkey
+WHERE p_size <= 15 AND p_type = 'STANDARD'
+  AND price_cents = (SELECT MIN(e2.price_cents) FROM eu e2
+                     WHERE e2.l_partkey = part.p_partkey)
+"""
+
+
+def _q11(spark, sf):
+    """TPC-H Q11 shape: per-group value filtered against a GLOBAL
+    scalar aggregate (groups holding >0.1% of total). The scalar is a
+    one-row broadcast; the threshold compare is cross-multiplied
+    (value·1000 > total) so it stays integer-exact — no float division
+    on either engine."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    vals = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .select("l_partkey", _disc_price_1e4().alias("v"))
+    )
+    per_part = vals.groupBy("l_partkey").agg(F.sum("v").alias("part_value_1e4"))
+    total = vals.agg(F.sum("v").alias("total_1e4"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value_1e4") * 1000 > F.col("total_1e4"))
+        .select("l_partkey", "part_value_1e4")
+    )
+
+
+_Q11_SQL = """
+WITH vals AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * CAST(round((1.0 - l_discount) * 100) AS BIGINT) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT l_partkey, CAST(SUM(v) AS BIGINT) AS part_value_1e4
+FROM vals GROUP BY l_partkey
+HAVING CAST(SUM(v) AS BIGINT) * 1000 > (SELECT CAST(SUM(v) AS BIGINT) FROM vals)
+"""
+
+
+def _q15(spark, sf):
+    """TPC-H Q15 shape: max-over-view — quarterly revenue per supplier,
+    keep the supplier(s) matching the global max. The max is a one-row
+    broadcast against the already-aggregated (small) side; revenue is
+    exact 1e-4 units so the equality is bit-safe."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price_1e4()).alias("total_rev_1e4"))
+    )
+    mx = rev.agg(F.max("total_rev_1e4").alias("mx"))
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_1e4") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev_1e4")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS total_rev_1e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_1e4
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev_1e4 = (SELECT MAX(total_rev_1e4) FROM rev)
+"""
+
+
+def _q16(spark, sf):
+    """TPC-H Q16 shape: distinct-count per group with a NOT IN
+    exclusion list — the NOT IN plans as a broadcast anti-join (the
+    excluded-supplier list is small by contract), then one
+    expand-based COUNT(DISTINCT)."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    p = load_table(spark, sf, "part")
+    bad = s.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_key"))
+    li2 = li.join(F.broadcast(bad), li.l_suppkey == bad.bad_key, "left_anti")
+    parts = p.filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 5, 9, 14, 23, 36, 45)
+    )
+    return (
+        parts.join(li2, parts.p_partkey == li2.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 5, 9, 14, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def _q20(spark, sf):
+    """TPC-H Q20 shape: nested EXISTS chain — suppliers (in one
+    nation) who shipped >50 units of some 'small%' part in 1997. Inner
+    HAVING aggregate → join to the part filter → left-semi into the
+    supplier dim. Each nesting level is one hash join; nothing
+    re-correlates per row."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    p = load_table(spark, sf, "part")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    small_parts = p.filter(F.col("p_name").like("small%")).select("p_partkey")
+    qual = (
+        shipped.join(small_parts, shipped.l_partkey == small_parts.p_partkey)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND EXISTS (
+    SELECT 1
+    FROM (SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l_suppkey, l_partkey HAVING qty > 50) sh
+    JOIN part ON sh.l_partkey = p_partkey
+    WHERE p_name LIKE 'small%' AND sh.l_suppkey = s_suppkey)
+"""
+
+
+def _q21(spark, sf):
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same relation
+    (suppliers who were the ONLY late shipper of a multi-supplier
+    order). The two correlated quantifiers decorrelate into ONE
+    per-order aggregate — countDistinct(supplier) ≥ 2 replays EXISTS,
+    countDistinct(late supplier) = 1 replays NOT EXISTS — so the fact
+    table is scanned once, not three times. 'Late' is shipdate more
+    than 60 days past orderdate (the schema has no commit/receipt
+    dates)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    o_f = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    l1 = li.join(o_f, li.l_orderkey == o_f.o_orderkey).withColumn(
+        "late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast(
+            "int"
+        ),
+    )
+    stats = l1.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    qual = (
+        l1.filter(F.col("late") == 1)
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qual.join(s, qual.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_1")),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+def _q22(spark, sf):
+    """TPC-H Q22 shape: substring-derived group key, scalar AVG
+    subquery, and NOT EXISTS(orders) — customers in selected 'country
+    codes' (last two digits of c_name) richer than the positive-balance
+    average who never placed an urgent order (the filtered NOT EXISTS —
+    unfiltered no-orders is vacuously empty in the test data, where
+    every customer has orders). The average compare is cross-multiplied
+    into int64 (bal·n > sum) so no float division is compared; the NOT
+    EXISTS is a left-anti join over the pre-filtered orders side."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    codes = ["11", "17", "25", "33", "42", "56", "91"]
+    base = c.select(
+        "c_custkey",
+        F.substring("c_name", -2, 2).alias("cntrycode"),
+        _cents("c_acctbal").alias("bal_cents"),
+    ).filter(F.col("cntrycode").isin(codes))
+    pos = base.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_cents"), F.count("*").alias("n_pos")
+    )
+    return (
+        base.join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            base.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal_cents").alias("totacctbal_cents"),
+        )
+    )
+
+
+_Q22_SQL = """
+WITH base AS (
+  SELECT c_custkey,
+         substr(c_name, length(c_name) - 1, 2) AS cntrycode,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE substr(c_name, length(c_name) - 1, 2)
+        IN ('11', '17', '25', '33', '42', '56', '91')
+), pos AS (
+  SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_pos
+  FROM base WHERE bal_cents > 0
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM base, pos
+WHERE bal_cents * n_pos > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+"""
+
+
+def _q_skew_join(spark, sf):
+    """Skew-path contract query (operators/skew.py): salted_join spreads
+    each join key over 8 salt buckets (orders side replicated ×8), then
+    salted_groupby_agg two-phases the aggregation on o_orderpriority — a
+    5-value key where EVERY group is hot (~12k rows/group at sf0.01,
+    ~2.4B at 100 TB: one reducer per group without the salt). The oracle
+    is the plain join+group — salting must be value-invisible."""
+    from gecko_spark.operators.skew import salted_groupby_agg, salted_join
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", _cents("l_extendedprice").alias("price_cents")
+    )
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, ["l_orderkey"], buckets=8)
+    return salted_groupby_agg(
+        j,
+        ["o_orderpriority"],
+        {
+            "n_items": ("count", "l_orderkey"),
+            "sum_price_cents": ("sum", "price_cents"),
+        },
+        buckets=32,
+    )
+
+
+_Q_SKEW_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def _q_json_props(spark, sf):
     """Semi-structured column processing: parse the events ``props``
     JSON with a typed schema (from_json stays JVM-side — no Python in
@@ -2595,6 +2969,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": _q14,
         "q18_large_volume": _q18,
         "q19_branch_revenue": _q19,
+        # decorrelation shapes (TPC-H Q2/Q11/Q15/Q16/Q20/Q21/Q22)
+        "q2_min_cost_supplier": _q2,
+        "q11_important_stock": _q11,
+        "q15_top_supplier": _q15,
+        "q16_supplier_cnt": _q16,
+        "q20_qty_threshold": _q20,
+        "q21_waiting_supplier": _q21,
+        "q22_global_sales_opportunity": _q22,
+        "q_skew_join": _q_skew_join,
     }
 
 
@@ -2671,4 +3054,12 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "doc_normalize_filter": _DOC_NORMALIZE_SQL,
         "doc_fingerprints": _doc_fingerprints_sql(),
+        "q2_min_cost_supplier": _Q2_SQL,
+        "q11_important_stock": _Q11_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q16_supplier_cnt": _Q16_SQL,
+        "q20_qty_threshold": _Q20_SQL,
+        "q21_waiting_supplier": _Q21_SQL,
+        "q22_global_sales_opportunity": _Q22_SQL,
+        "q_skew_join": _Q_SKEW_SQL,
     }
