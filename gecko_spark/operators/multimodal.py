@@ -1,13 +1,16 @@
 """Multimodal column plumbing: images/audio/video as opaque binary
 columns with typed metadata.
 
-The container has no codec libraries, so the decode step is STUBBED:
-``decode`` functions raise ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded by
-the content hash) produces correctly-shaped output. Everything
-Spark-side is real and tested: schemas, Arrow batch shapes,
-``mapInPandas`` iterator plumbing, partition sizing — swapping the stub
-for PIL/ffmpeg is a one-function change on the executors.
+Image decode/resize is REAL for uncompressed formats: the pure-Python
+codecs in :mod:`gecko_spark.functions.codecs` handle BMP (24/32-bit
+BI_RGB) and binary PPM/PGM with nothing beyond struct + NumPy, so
+``fake=False`` works end-to-end in this container for those payloads.
+Compressed formats (PNG/JPEG) and video containers still raise
+``NotImplementedError`` — PIL/ffmpeg on the executors is a
+one-function swap. ``fake=True`` keeps the deterministic content-hash
+stub (any payload, fixed shapes) for plumbing tests. Everything
+Spark-side — schemas, Arrow batch shapes, ``mapInPandas`` iterator
+plumbing, partition sizing — is identical in both modes.
 """
 
 from __future__ import annotations
@@ -80,6 +83,27 @@ def _fake_decode(content: bytes, out_dim: int) -> np.ndarray:
     return rng.standard_normal(out_dim).astype(np.float32)
 
 
+def _real_features(content: bytes, out_dim: int) -> np.ndarray:
+    """Decode (BMP/PPM/PGM) and pool to a deterministic ``out_dim``
+    feature vector: grayscale → nearest-resample onto a ⌈√d⌉×⌈√d⌉ grid
+    → flatten → scale to [0, 1]. Integer-exact sampling, so the vector
+    is reproducible bit-for-bit anywhere."""
+    from gecko_spark.functions.codecs import decode_image, resize_nearest
+
+    img = decode_image(content)
+    gray = (
+        (
+            img[:, :, 0].astype(np.uint32)
+            + img[:, :, 1].astype(np.uint32)
+            + img[:, :, 2].astype(np.uint32)
+        )
+        // 3
+    ).astype(np.uint8)[:, :, None]
+    d = int(np.ceil(np.sqrt(out_dim)))
+    grid = resize_nearest(gray, d, d).ravel()[:out_dim]
+    return (grid.astype(np.float32) / np.float32(255.0)).astype(np.float32)
+
+
 def decode_image_features(
     df: DataFrame,
     out_dim: int = 32,
@@ -94,9 +118,10 @@ def decode_image_features(
     pulling the next, so executor memory is bounded by batch size, not
     partition size — the pattern that survives 100 TB of images.
 
-    ``fake=False`` raises NotImplementedError at executor time (no
-    codec libs in this container); ``fake=True`` runs the deterministic
-    stub end-to-end.
+    ``fake=False`` decodes BMP/PPM/PGM payloads with the pure-Python
+    codecs and pools them into grid features; unsupported (compressed)
+    payloads raise ``UnsupportedImageError`` at executor time.
+    ``fake=True`` runs the content-hash stub on any payload.
     """
     out_schema = T.StructType(
         [
@@ -107,14 +132,10 @@ def decode_image_features(
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        extract = _fake_decode if fake else _real_features
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires a codec library (PIL/opencv) on the "
-                    "executors; run with fake=True for the deterministic stub"
-                )
             feats = [
-                _fake_decode(bytes(c) if c is not None else b"", out_dim).tolist()
+                extract(bytes(c) if c is not None else b"", out_dim).tolist()
                 for c in pdf["content"]
             ]
             yield pd.DataFrame(
@@ -131,8 +152,12 @@ def decode_image_features(
 def resize_images(
     df: DataFrame, width: int, height: int, fake: bool = False
 ) -> DataFrame:
-    """Resize each image payload; output keeps the media schema with
-    updated meta. Stubbed decode (see module docstring)."""
+    """Resize each image payload with nearest-neighbor sampling.
+
+    ``fake=False`` decodes BMP/PPM/PGM via the pure-Python codecs and
+    re-encodes the resized pixels as binary PPM (P6) — a real
+    pixel-accurate path; ``fake=True`` keeps the payload-truncation
+    stub for arbitrary bytes."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -144,24 +169,30 @@ def resize_images(
     )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from gecko_spark.functions.codecs import (
+                decode_image,
+                encode_ppm,
+                resize_nearest,
+            )
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires a codec library on the executors; "
-                    "run with fake=True for the deterministic stub"
-                )
-            # stub: deterministic truncation/padding of the payload to
-            # width*height bytes — preserves the real dataflow shape
-            target = width * height
-            out = []
-            for c in pdf["content"]:
+            out, mimes = [], []
+            for c, m in zip(pdf["content"], pdf["mime"]):
                 b = bytes(c) if c is not None else b""
-                out.append((b * (target // max(len(b), 1) + 1))[:target])
+                if fake:
+                    # stub: deterministic truncation/padding of the payload
+                    # to width*height bytes — preserves the dataflow shape
+                    target = width * height
+                    out.append((b * (target // max(len(b), 1) + 1))[:target])
+                    mimes.append(m)
+                else:
+                    out.append(encode_ppm(resize_nearest(decode_image(b), width, height)))
+                    mimes.append("image/x-portable-pixmap")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "content": out,
-                    "mime": pdf["mime"],
+                    "mime": mimes,
                     "width": width,
                     "height": height,
                 }

@@ -287,9 +287,11 @@ def test_decode_image_features_fake(spark, docs):
     assert a == b
 
 
-def test_decode_without_codec_raises(spark, docs):
+def test_decode_unsupported_format_raises(spark, docs):
+    # text payloads are neither BMP nor PPM — the real path must surface
+    # the honest unsupported-format boundary, not fabricate features
     media = MM.media_table(spark, docs.limit(2), "doc_id", "text", "image/png")
-    with pytest.raises(Exception, match="codec library"):
+    with pytest.raises(Exception, match="unsupported image format"):
         MM.decode_image_features(media, fake=False).collect()
 
 
