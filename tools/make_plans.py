@@ -19,7 +19,11 @@ def main():
 
     def cap(title, df, note):
         plan = df._jdf.queryExecution().executedPlan().toString()
-        lines = [line.rstrip() for line in plan.splitlines()]
+        lines = [
+            line.rstrip() if len(line.rstrip()) <= 400
+            else line.rstrip()[:400] + " ... (line truncated)"
+            for line in plan.splitlines()
+        ]
         if len(lines) > 60:
             lines = lines[:60] + ["... (truncated)"]
         sections.append(f"## {title}\n\n{note}\n\n```\n" + "\n".join(lines) + "\n```\n")
@@ -55,6 +59,46 @@ def main():
         "PushedFilters carries the shipdate/discount/quantity predicates; "
         "ReadSchema is the 4-column projection — the scan, not Spark, "
         "drops the rest.",
+    )
+
+    cap(
+        "skew join: salted join + two-phase aggregation",
+        qs["q_skew_join"](spark, sf),
+        "salted_join spreads each (possibly hot) join key over 8 salt "
+        "buckets — the orders side is the exploded/replicated build — and "
+        "salted_groupby_agg splits the 5-value (all-hot) group key into "
+        "partial (key, salt) aggregates before the final merge: no single "
+        "reducer ever sees a whole hot key. Oracle-exact vs the unsalted "
+        "plain join (q_skew_join).",
+    )
+
+    cap(
+        "IVF probe: partition-pruned candidate scan",
+        qs["topk_cosine_ivf"](spark, sf),
+        "The corpus is pre-assigned to centroid lists; each query probes "
+        "only its nprobe nearest lists, so the scored candidate set is a "
+        "filtered fraction of the corpus (filter on list id ahead of the "
+        "scoring join) instead of a full cross join — the brute-force "
+        "baseline's crossJoin shrinks to per-list joins.",
+    )
+
+    # connected components: per-round plan stays flat thanks to
+    # localCheckpoint truncation
+    from gecko_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6)],
+        "id_a long, id_b long",
+    )
+    cap(
+        "connected_components: round output truncated at a checkpoint",
+        connected_components(pairs, max_iterations=3),
+        "After 3 label-propagation + pointer-jump rounds the plan root is a "
+        "`Scan ExistingRDD` — each round's `localCheckpoint()` cuts the "
+        "lineage, so round N's plan is ONE join+agg+jump over a "
+        "materialized RDD, not an N-deep tree. Without the checkpoint the "
+        "plan (and task serialization time) would grow per round — the "
+        "thing that kills iterative jobs at cluster scale.",
     )
 
     # bucketed warehouse: write once, join forever without exchanges
