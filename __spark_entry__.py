@@ -2879,6 +2879,101 @@ FROM base
 """
 
 
+_TOKS_CTE = """toks AS (
+  SELECT doc_id,
+         COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                              t -> len(t) > 0), []) AS tk
+  FROM documents
+)"""
+
+
+def _grams_cte(n: int, distinct: bool) -> str:
+    lst = (
+        f"list_transform(range(1, greatest(len(tk) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(tk[i:i+{n - 1}], ' '))"
+    )
+    if distinct:
+        lst = f"list_distinct({lst})"
+    return f"SELECT doc_id, unnest({lst}) AS gram FROM toks"
+
+
+def _decontam_overlap(spark, sf):
+    """Decontamination overlap (operators/decontam.py): distinct shared
+    word 4-grams between the train split (doc_id % 10 != 0) and the
+    held-out split (doc_id % 10 == 0) — inverted-index join, exact."""
+    from gecko_spark.operators.decontam import ngram_overlap_pairs
+
+    docs = load_table(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    return ngram_overlap_pairs(train, test, "doc_id", "text", n=4)
+
+
+_DECONTAM_OVERLAP_SQL = f"""
+WITH {_TOKS_CTE},
+grams AS ({_grams_cte(4, distinct=True)}),
+train_g AS (SELECT doc_id AS train_id, gram FROM grams WHERE doc_id % 10 <> 0),
+test_g AS (SELECT doc_id AS test_id, gram FROM grams WHERE doc_id % 10 = 0)
+SELECT train_id, test_id, COUNT(*) AS n_shared
+FROM train_g JOIN test_g USING (gram)
+GROUP BY train_id, test_id
+"""
+
+
+def _decontam_filter(spark, sf):
+    """Decontaminated train split: every train doc sharing ≥1 word
+    4-gram with any held-out doc is dropped (left-anti join)."""
+    from gecko_spark.operators.decontam import decontaminate
+
+    docs = load_table(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    return decontaminate(train, test, "doc_id", "text", n=4, min_shared=1).select(
+        "doc_id"
+    )
+
+
+_DECONTAM_FILTER_SQL = f"""
+WITH {_TOKS_CTE},
+grams AS ({_grams_cte(4, distinct=True)}),
+train_g AS (SELECT doc_id AS train_id, gram FROM grams WHERE doc_id % 10 <> 0),
+test_g AS (SELECT doc_id AS test_id, gram FROM grams WHERE doc_id % 10 = 0)
+SELECT doc_id FROM documents d
+WHERE doc_id % 10 <> 0
+  AND NOT EXISTS (SELECT 1 FROM train_g JOIN test_g USING (gram)
+                  WHERE train_g.train_id = d.doc_id)
+"""
+
+
+def _text_repetition(spark, sf):
+    """Gopher-style repetition profile (text.py::repetition_profile):
+    token totals + most-frequent 2-/3-gram occurrence counts per doc."""
+    from gecko_spark.operators.text import repetition_profile
+
+    docs = load_table(spark, sf, "documents")
+    return repetition_profile(docs, "doc_id", "text", ns=(2, 3))
+
+
+_TEXT_REPETITION_SQL = f"""
+WITH {_TOKS_CTE},
+base AS (SELECT doc_id, len(tk) AS n_tokens,
+                len(list_distinct(tk)) AS n_distinct_tokens
+         FROM toks),
+g2 AS ({_grams_cte(2, distinct=False)}),
+t2 AS (SELECT doc_id, MAX(c) AS top_2gram_n
+       FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram)
+       GROUP BY doc_id),
+g3 AS ({_grams_cte(3, distinct=False)}),
+t3 AS (SELECT doc_id, MAX(c) AS top_3gram_n
+       FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram)
+       GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       COALESCE(top_2gram_n, 0) AS top_2gram_n,
+       COALESCE(top_3gram_n, 0) AS top_3gram_n
+FROM base LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2978,6 +3073,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": _q21,
         "q22_global_sales_opportunity": _q22,
         "q_skew_join": _q_skew_join,
+        # decontamination + repetition quality (beyond-reference, round 2)
+        "decontam_overlap": _decontam_overlap,
+        "decontam_filter": _decontam_filter,
+        "text_repetition": _text_repetition,
     }
 
 
@@ -3062,4 +3161,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_supplier": _Q21_SQL,
         "q22_global_sales_opportunity": _Q22_SQL,
         "q_skew_join": _Q_SKEW_SQL,
+        "decontam_overlap": _DECONTAM_OVERLAP_SQL,
+        "decontam_filter": _DECONTAM_FILTER_SQL,
+        "text_repetition": _TEXT_REPETITION_SQL,
     }

@@ -1,0 +1,141 @@
+"""Benchmark decontamination: remove training documents that overlap an
+evaluation/test set.
+
+The standard large-LM hygiene step (beyond the reference's surface,
+like dedup.py): a training document is *contaminated* when it shares at
+least ``min_shared`` distinct word n-grams with any test document. The
+whole pipeline is exact and engine-portable — token n-grams are joined
+as plain strings, so a DuckDB oracle replays it bit-for-bit.
+
+Scale shape (100 TB training side, small-by-comparison test side):
+
+* n-gram extraction is pure JVM column algebra (``slice`` +
+  ``array_join`` over the tokenizer's output) inside whole-stage
+  codegen — no Python anywhere;
+* the overlap is an inverted-index equi-join keyed on the n-gram —
+  ONE shuffle of (gram, id) pairs, never an all-pairs product;
+* ubiquitous n-grams (boilerplate shared by half the corpus) would
+  explode the co-occurrence join quadratically, so grams hitting more
+  than ``max_test_df`` test documents are dropped via a broadcast
+  anti-join BEFORE the big join — the same hot-key guard as
+  ``dedup.ngram_jaccard_pairs``. Dropping an everywhere-gram only
+  removes evidence that was never discriminative; the cap is
+  documented behavior, not silent truncation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gecko_spark.operators.text import tokens
+
+__all__ = [
+    "token_ngrams",
+    "ngram_overlap_pairs",
+    "decontaminate",
+    "contamination_report",
+]
+
+
+def token_ngrams(text: Column, n: int) -> Column:
+    """Distinct word ``n``-grams of ``text`` as array<string> ("w1 w2 …
+    wn"), built from the shared tokenizer (text.py::tokens). Documents
+    shorter than ``n`` tokens yield an empty array."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, is {n}")
+    tk = tokens(text)
+    # explicit short-doc guard: sequence(1, 0) would run DESCENDING in
+    # Spark ([1, 0]) and slice(tk, 0, n) throws under ANSI mode
+    grams = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def _gram_index(df: DataFrame, id_col: str, text_col: str, n: int, out_id: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(token_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+
+
+def ngram_overlap_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    max_test_df: Optional[int] = None,
+) -> DataFrame:
+    """(train_id, test_id, n_shared): distinct shared word n-grams per
+    contaminated (train, test) document pair.
+
+    ``max_test_df``: drop n-grams occurring in more than this many TEST
+    documents before joining (hot-gram guard, see module docstring).
+    None disables the cap — exact but quadratic in a hot gram's
+    document frequency."""
+    train_g = _gram_index(train, id_col, text_col, n, "train_id")
+    test_g = _gram_index(test, id_col, text_col, n, "test_id")
+    if max_test_df is not None:
+        hot = (
+            test_g.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_test_df)
+            .select("gram")
+        )
+        test_g = test_g.join(F.broadcast(hot), "gram", "left_anti")
+    return (
+        train_g.join(test_g, "gram")
+        .groupBy("train_id", "test_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_shared: int = 1,
+    max_test_df: Optional[int] = None,
+) -> DataFrame:
+    """Training rows with NO test contamination: drops every train doc
+    sharing ≥ ``min_shared`` distinct n-grams with any test doc. One
+    gram-join + one left-anti join."""
+    bad = (
+        ngram_overlap_pairs(train, test, id_col, text_col, n, max_test_df)
+        .filter(F.col("n_shared") >= min_shared)
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(bad, id_col, "left_anti")
+
+
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_shared: int = 1,
+    max_test_df: Optional[int] = None,
+) -> DataFrame:
+    """Per TEST document: how much of the training set touches it —
+    (test_id, n_contaminated_train_docs, max_shared, total_shared).
+    The eval-integrity view of the same overlap join."""
+    pairs = ngram_overlap_pairs(train, test, id_col, text_col, n, max_test_df).filter(
+        F.col("n_shared") >= min_shared
+    )
+    return pairs.groupBy("test_id").agg(
+        F.count("*").alias("n_contaminated_train_docs"),
+        F.max("n_shared").alias("max_shared"),
+        F.sum("n_shared").alias("total_shared"),
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "normalize_text",
     "filter_documents",
     "text_stats",
+    "repetition_profile",
 ]
 
 # A BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
@@ -367,3 +368,59 @@ def text_stats(
         fingerprint(t).alias("fp"),
     ]
     return df.select(*base, *stats)
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ns=(2, 3)
+) -> DataFrame:
+    """Gopher-style repetition signals per document: token totals plus,
+    for each n in ``ns``, the occurrence count of the document's MOST
+    frequent word n-gram (``top_{n}gram_n``). Repetitive documents
+    (boilerplate, keyword stuffing, decoding loops) show a high
+    top-n-gram share of total n-grams; filter on e.g.
+    ``top_2gram_n / (n_tokens - 1) > 0.2``.
+
+    Relational formulation, not per-row array wrangling: explode all
+    (non-distinct) n-grams → count per (doc, gram) → max per doc. Each
+    n costs one shuffle keyed on (doc, gram) — skew-free (a document's
+    grams spread across that key space) and linear at 100 TB. Counts
+    only (no float ratios) so the DuckDB oracle compares exactly; which
+    gram wins a tie doesn't matter because only the count is returned.
+    """
+    # null text counts as empty, not null-propagating sizes
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    tk = tokens(t)
+    base = df.select(
+        F.col(id_col),
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_distinct_tokens"),
+    )
+
+    def _gram_list(n: int) -> Column:
+        # closure over the plain int n — the lambda must stay single-arg
+        # (a second arg would make Spark pass the element INDEX into it)
+        arr = tokens(t)
+        return F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(arr, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    out = base
+    for n in ns:
+        grams = df.select(
+            F.col(id_col), F.explode(_gram_list(n)).alias("gram")
+        )
+        top = (
+            grams.groupBy(id_col, "gram")
+            .agg(F.count("*").alias("c"))
+            .groupBy(id_col)
+            .agg(F.max("c").alias(f"top_{n}gram_n"))
+        )
+        # left join: docs shorter than n tokens have no n-grams -> 0
+        out = out.join(top, id_col, "left").withColumn(
+            f"top_{n}gram_n", F.coalesce(f"top_{n}gram_n", F.lit(0))
+        )
+    return out

@@ -588,3 +588,103 @@ def test_kmeans_fit_distributed(spark):
 
     # more Lloyd iterations must not make the fit worse
     assert mean_best_cos(c5) >= mean_best_cos(c1) - 1e-9
+
+
+# -- decontamination + repetition profile ------------------------------------
+
+
+def test_token_ngrams_edges(spark):
+    from gecko_spark.operators.decontam import token_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, ""), (4, None), (5, "x y x y x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: sorted(r["g"])
+        for r in df.select("doc_id", token_ngrams(F.col("text"), 3).alias("g")).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []  # shorter than n
+    assert got[3] == []
+    assert got[4] == []  # null text -> no grams
+    assert got[5] == ["x y x", "y x y"]  # distinct
+
+
+def test_decontaminate_membership(spark):
+    from gecko_spark.operators.decontam import (
+        contamination_report,
+        decontaminate,
+        ngram_overlap_pairs,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),
+            (2, "completely unrelated words here nothing shared"),
+            (3, "quick brown fox appears again in this doc"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")], "doc_id long, text string"
+    )
+    pairs = {
+        (r["train_id"], r["test_id"]): r["n_shared"]
+        for r in ngram_overlap_pairs(train, test, "doc_id", "text", n=3).collect()
+    }
+    # 'quick brown fox' shared by docs 1 and 3; doc 1 also shares 'the quick brown'
+    assert pairs[(1, 100)] == 2 and pairs[(3, 100)] == 1
+    assert (2, 100) not in pairs
+
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, test, "doc_id", "text", n=3).collect()
+    )
+    assert kept == [2]
+    # min_shared=2 keeps the single-gram overlap
+    kept2 = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, test, "doc_id", "text", n=3, min_shared=2).collect()
+    )
+    assert kept2 == [2, 3]
+
+    rep = contamination_report(train, test, "doc_id", "text", n=3).collect()[0]
+    assert rep["test_id"] == 100
+    assert rep["n_contaminated_train_docs"] == 2
+    assert rep["max_shared"] == 2 and rep["total_shared"] == 3
+
+
+def test_decontam_hot_gram_guard(spark):
+    from gecko_spark.operators.decontam import ngram_overlap_pairs
+
+    # gram 'a b c' occurs in BOTH test docs -> dropped at max_test_df=1
+    train = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(10, "a b c x"), (11, "z a b c")], "doc_id long, text string"
+    )
+    full = ngram_overlap_pairs(train, test, "doc_id", "text", n=3).count()
+    capped = ngram_overlap_pairs(
+        train, test, "doc_id", "text", n=3, max_test_df=1
+    ).count()
+    assert full == 2 and capped == 0
+
+
+def test_repetition_profile(spark):
+    from gecko_spark.operators.text import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),       # top bigram 'spam spam' x3
+            (2, "all words are different"),
+            (3, "ab"),                         # shorter than 3 -> trigram 0
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_profile(df, "doc_id", "text").collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct_tokens"] == 1
+    assert got[1]["top_2gram_n"] == 3 and got[1]["top_3gram_n"] == 2
+    assert got[2]["top_2gram_n"] == 1 and got[2]["top_3gram_n"] == 1
+    assert got[3]["n_tokens"] == 1 and got[3]["top_2gram_n"] == 0
+    assert got[4]["n_tokens"] == 0 and got[4]["top_3gram_n"] == 0
