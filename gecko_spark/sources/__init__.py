@@ -14,6 +14,7 @@ from gecko_spark.sources.tables import (
     load_replacement_table,
 )
 from gecko_spark.sources.cldr import load_cldr_candidates
+from gecko_spark.sources.sinks import compact, write_partitioned
 
 __all__ = [
     "load_config_table",
@@ -22,4 +23,6 @@ __all__ = [
     "load_regex_table",
     "load_replacement_table",
     "load_cldr_candidates",
+    "write_partitioned",
+    "compact",
 ]

@@ -50,3 +50,60 @@ def test_bucketed_agg_has_no_exchange(spark, bucketed):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "aggregation on the bucket key must not shuffle"
     assert agg.count() > 0
+
+
+# -- partitioned sinks (sources/sinks.py) ------------------------------------
+
+
+def _data_files(path):
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out += [os.path.join(root, f) for f in files if not f.startswith(("_", "."))]
+    return out
+
+
+def test_write_partitioned_one_file_per_partition(spark, tmp_path):
+    from gecko_spark.sources.sinks import write_partitioned
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_langs = docs.select("lang").distinct().count()
+    out = str(tmp_path / "by_lang")
+    # source has many input tasks; without the repartition each task
+    # could write into every lang dir
+    write_partitioned(docs.repartition(8), out, ["lang"])
+    files = _data_files(out)
+    assert len(files) == n_langs  # exactly one file per partition dir
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    a = docs.orderBy("doc_id").select("doc_id", "text", "lang").toPandas()
+    b = back.orderBy("doc_id").select("doc_id", "text", "lang").toPandas()
+    assert a.equals(b)
+
+
+def test_write_partitioned_sharded_hot_partition(spark, tmp_path):
+    from gecko_spark.sources.sinks import write_partitioned
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_langs = docs.select("lang").distinct().count()
+    out = str(tmp_path / "sharded")
+    write_partitioned(docs.repartition(8), out, ["lang"], files_per_partition=3)
+    files = _data_files(out)
+    assert n_langs < len(files) <= 3 * n_langs
+    assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    from gecko_spark.sources.sinks import compact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "littered")
+    # simulate a streaming sink: many tasks × partitions -> many files
+    docs.repartition(16).write.partitionBy("lang").parquet(out)
+    n_rows = docs.count()
+    before, after = compact(spark, out, ["lang"])
+    n_langs = docs.select("lang").distinct().count()
+    assert before > n_langs  # it was littered
+    assert after == n_langs
+    assert spark.read.parquet(out).count() == n_rows
