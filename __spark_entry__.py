@@ -1745,15 +1745,20 @@ def _q21(spark, sf):
             "int"
         ),
     )
-    stats = l1.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # ONE pass over the fact: reduce to (order, supplier) grain first.
+    # Both downstream branches (per-order stats, qualifying suppliers)
+    # consume THIS aggregate, whose shuffle child is identical in both —
+    # Spark reuses the exchange, so lineitem is scanned once, not twice.
+    per_os = l1.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("late").alias("n_late_rows")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("n_late_rows") > 0).cast("int")).alias("n_late_supp"),
     )
     qual = (
-        l1.filter(F.col("late") == 1)
-        .join(stats, "l_orderkey")
+        per_os.filter(F.col("n_late_rows") > 0)
+        .join(per_order, "l_orderkey")
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     return (
@@ -1763,7 +1768,7 @@ def _q21(spark, sf):
             s.s_nationkey == n.n_nationkey,
         )
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
     )
 
 

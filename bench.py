@@ -180,6 +180,10 @@ def bench_queries(spark, sf_dir):
         "dedup_minhash_pairs",
         "text_stats",
         "topk_cosine_bruteforce",
+        "decontam_filter",
+        "text_repetition",
+        "q_skew_join",
+        "q21_waiting_supplier",
     ]:
         timed(name, lambda n=name: _run(qs[n](spark, sf_dir)))
 

@@ -387,31 +387,25 @@ def repetition_profile(
     only (no float ratios) so the DuckDB oracle compares exactly; which
     gram wins a tie doesn't matter because only the count is returned.
     """
-    # null text counts as empty, not null-propagating sizes
+    from gecko_spark.operators.decontam import ngrams_of_tokens
+
+    # null text counts as empty, not null-propagating sizes; tokenize
+    # ONCE into a stored array — an inline tokens(t) inside the gram
+    # lambda would re-tokenize per element (see ngrams_of_tokens)
     t = F.coalesce(F.col(text_col), F.lit(""))
-    tk = tokens(t)
-    base = df.select(
+    toked = df.select(F.col(id_col), tokens(t).alias("__tk__"))
+    base = toked.select(
         F.col(id_col),
-        F.size(tk).alias("n_tokens"),
-        F.size(F.array_distinct(tk)).alias("n_distinct_tokens"),
+        F.size("__tk__").alias("n_tokens"),
+        F.size(F.array_distinct("__tk__")).alias("n_distinct_tokens"),
     )
-
-    def _gram_list(n: int) -> Column:
-        # closure over the plain int n — the lambda must stay single-arg
-        # (a second arg would make Spark pass the element INDEX into it)
-        arr = tokens(t)
-        return F.when(
-            F.size(arr) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(arr, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
     out = base
     for n in ns:
-        grams = df.select(
-            F.col(id_col), F.explode(_gram_list(n)).alias("gram")
+        grams = toked.select(
+            F.col(id_col),
+            F.explode(
+                ngrams_of_tokens(F.col("__tk__"), n, distinct=False)
+            ).alias("gram"),
         )
         top = (
             grams.groupBy(id_col, "gram")
