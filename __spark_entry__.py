@@ -2979,6 +2979,75 @@ FROM base LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
 """
 
 
+def _sketch_cm_counts(spark, sf):
+    """Count-min sketch table (sketches.py::cm_sketch) over order
+    priorities: every (row, bucket) counter — deterministic portable
+    bucketing, so the oracle rebuilds the identical sketch."""
+    from gecko_spark.operators.sketches import cm_sketch
+
+    o = load_table(spark, sf, "orders")
+    return cm_sketch(o, "o_orderpriority", depth=4, width=64).select(
+        F.col("row").alias("hash_row"), "bucket", "cnt"
+    )
+
+
+def _cm_sql_parts(depth: int = 4, width: int = 64):
+    from gecko_spark.functions.portable_hash import P1, sql_horner
+    from gecko_spark.operators.sketches import cm_params
+
+    params = cm_params(depth)
+    rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
+    return P1, sql_horner("o_orderpriority", P1), rows, width
+
+
+def _sketch_cm_counts_sql() -> str:
+    p1, horner, rows, w = _cm_sql_parts()
+    return f"""
+WITH params(j, a, b) AS (VALUES {rows}),
+h AS (SELECT {horner} AS hv FROM orders),
+bk AS (SELECT j, CAST((hv * a + b) % {p1} % {w} AS INTEGER) AS bucket
+       FROM h CROSS JOIN params)
+SELECT j AS hash_row, bucket, COUNT(*) AS cnt
+FROM bk GROUP BY j, bucket
+"""
+
+
+def _sketch_cm_estimate(spark, sf):
+    """Point-frequency estimates from the CM sketch for the five
+    priority values plus one absent probe (estimate 0): min over hash
+    rows, never an undercount."""
+    from gecko_spark.operators.sketches import cm_estimate, cm_sketch
+
+    o = load_table(spark, sf, "orders")
+    sk = cm_sketch(o, "o_orderpriority", depth=4, width=64)
+    vals = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW", "9-ABSENT"]
+    return cm_estimate(sk, vals, depth=4, width=64)
+
+
+def _sketch_cm_estimate_sql() -> str:
+    p1, horner, rows, w = _cm_sql_parts()
+    from gecko_spark.functions.portable_hash import sql_horner
+
+    probe_horner = sql_horner("v", 2_147_483_647)
+    return f"""
+WITH params(j, a, b) AS (VALUES {rows}),
+h AS (SELECT {horner} AS hv FROM orders),
+bk AS (SELECT j, CAST((hv * a + b) % {p1} % {w} AS INTEGER) AS bucket
+       FROM h CROSS JOIN params),
+sketch AS (SELECT j, bucket, COUNT(*) AS cnt FROM bk GROUP BY j, bucket),
+probes AS (
+  SELECT v AS value, j,
+         CAST((({probe_horner}) * a + b) % {p1} % {w} AS INTEGER) AS bucket
+  FROM (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'), ('4-NOT SPECIFIED'),
+               ('5-LOW'), ('9-ABSENT')) t(v)
+  CROSS JOIN params
+)
+SELECT value, MIN(COALESCE(cnt, 0)) AS estimate
+FROM probes LEFT JOIN sketch USING (j, bucket)
+GROUP BY value
+"""
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3082,6 +3151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": _decontam_overlap,
         "decontam_filter": _decontam_filter,
         "text_repetition": _text_repetition,
+        "sketch_cm_counts": _sketch_cm_counts,
+        "sketch_cm_estimate": _sketch_cm_estimate,
     }
 
 
@@ -3169,4 +3240,6 @@ def oracle_sql() -> dict[str, str]:
         "decontam_overlap": _DECONTAM_OVERLAP_SQL,
         "decontam_filter": _DECONTAM_FILTER_SQL,
         "text_repetition": _TEXT_REPETITION_SQL,
+        "sketch_cm_counts": _sketch_cm_counts_sql(),
+        "sketch_cm_estimate": _sketch_cm_estimate_sql(),
     }

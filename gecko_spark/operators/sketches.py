@@ -29,7 +29,16 @@ from pyspark.sql import types as T
 
 from gecko_spark.functions.portable_hash import P1, P2, poly_hash_strings
 
-__all__ = ["kmv_hash", "kmv_sketch", "kmv_distinct_estimate", "kmv_merge_estimate"]
+__all__ = [
+    "kmv_hash",
+    "kmv_sketch",
+    "kmv_distinct_estimate",
+    "kmv_merge_estimate",
+    "cm_params",
+    "cm_sketch",
+    "cm_estimate",
+    "cm_merge",
+]
 
 # hash range: s1 ∈ [0, P1), s2 ∈ [0, P2) packed as s1·P2 + s2 < P1·P2
 _M = P1 * P2
@@ -112,4 +121,100 @@ def kmv_merge_estimate(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> Data
         F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
         .otherwise(F.lit(float(k - 1)) * F.lit(float(_M)) / F.col("h_k").cast("double"))
         .alias("estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: fixed-memory frequency estimates, mergeable, and —
+# because bucketing is portable integer arithmetic — exactly replayable
+# by the DuckDB oracle (sketch_cm_counts / sketch_cm_estimate).
+# ---------------------------------------------------------------------------
+
+
+def cm_params(depth: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine constants for the ``depth`` hash rows
+    (universal hashing over the P1 field)."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, P1 - 1), rnd.randrange(0, P1 - 1)) for _ in range(depth)
+    ]
+
+
+def _cm_buckets(col: Union[str, Column], depth: int, width: int, seed: int) -> Column:
+    """array<int> of length ``depth``: the value's bucket in each hash
+    row — ``((a_j·h + b_j) mod P1) mod width`` over the portable
+    polynomial hash ``h``. One Arrow kernel per batch."""
+    params = cm_params(depth, seed)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _b(vals: pd.Series) -> pd.Series:
+        s = ["" if v is None else str(v) for v in vals]
+        h = poly_hash_strings(s, P1)
+        cols = [((h * a + b) % P1 % width).astype(np.int32) for a, b in params]
+        mat = np.stack(cols, axis=1)
+        return pd.Series(list(mat))
+
+    return _b(F.col(col) if isinstance(col, str) else col)
+
+
+def cm_sketch(
+    df: DataFrame,
+    col: Union[str, Column],
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """The sketch as a (row, bucket, cnt) table — at most depth×width
+    rows regardless of input size.
+
+    Scale shape: the groupBy key space IS the sketch (≤ depth·width
+    distinct keys), so map-side partial aggregation reduces every task
+    to ≤ depth·width rows before the one tiny shuffle — a fixed-memory
+    pass over any input size, the mergeable-sketch contract."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    b = _cm_buckets(col, depth, width, seed)
+    exploded = df.select(F.posexplode(b).alias("row", "bucket"))
+    return exploded.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    values: list[str],
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """(value, estimate) for each queried value: min over hash rows of
+    its bucket's counter — the classic CM upper-bound estimate (never
+    under-counts; over-counts only on bucket collisions). The query
+    list is small by contract (driver-side bucket computation +
+    broadcast join against the ≤ depth·width sketch)."""
+    params = cm_params(depth, seed)
+    h = poly_hash_strings([v if v is not None else "" for v in values], P1)
+    rows = [
+        (v, j, int((int(hv) * a + b) % P1 % width))
+        for v, hv in zip(values, h)
+        for j, (a, b) in enumerate(params)
+    ]
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame(rows, "value string, row int, bucket int")
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["row", "bucket"], "left")
+        .groupBy("value")
+        # a missing counter means nothing hashed there: count 0
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("estimate"))
+    )
+
+
+def cm_merge(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Merged sketch of the UNION of the two inputs without the raw
+    data: counters add cell-wise (same depth/width/seed required)."""
+    return (
+        sketch_a.unionByName(sketch_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
     )

@@ -56,3 +56,40 @@ def test_kmv_merge_equals_union_sketch(spark):
     assert merged["estimate"] == direct["estimate"]
     # true union distinct = 15_000
     assert abs(merged["estimate"] - 15_000) / 15_000 < 0.25
+
+
+# -- count-min sketch --------------------------------------------------------
+
+
+def test_cm_sketch_bounds_and_estimates(spark):
+    from gecko_spark.operators.sketches import cm_estimate, cm_sketch
+
+    df = spark.createDataFrame(
+        [(v,) for v in ["a"] * 100 + ["b"] * 40 + ["c"] * 7], "v string"
+    )
+    sk = cm_sketch(df, "v", depth=4, width=256)
+    pdf = sk.toPandas()
+    assert len(pdf) <= 4 * 256
+    # every hash row's counters sum to the row count
+    assert (pdf.groupby("row")["cnt"].sum() == 147).all()
+    est = {
+        r["value"]: r["estimate"]
+        for r in cm_estimate(sk, ["a", "b", "c", "zzz"], depth=4, width=256).collect()
+    }
+    # CM never undercounts; with 3 values in 256 buckets there are no
+    # collisions, so estimates are exact and the absent value reads 0
+    assert est == {"a": 100, "b": 40, "c": 7, "zzz": 0}
+
+
+def test_cm_merge_equals_union_sketch(spark):
+    from gecko_spark.operators.sketches import cm_merge, cm_sketch
+
+    a = spark.createDataFrame([(v,) for v in ["x"] * 10 + ["y"] * 3], "v string")
+    b = spark.createDataFrame([(v,) for v in ["x"] * 5 + ["z"] * 8], "v string")
+    merged = cm_merge(
+        cm_sketch(a, "v", depth=3, width=64), cm_sketch(b, "v", depth=3, width=64)
+    )
+    direct = cm_sketch(a.unionByName(b), "v", depth=3, width=64)
+    m = merged.orderBy("row", "bucket").toPandas()
+    d = direct.orderBy("row", "bucket").toPandas()
+    assert m.astype("int64").equals(d.astype("int64"))
