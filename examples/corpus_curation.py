@@ -7,9 +7,15 @@ way a 100 TB pretraining-data job would chain them:
   3. near-dup removal   (dedup.minhash_dedupe_transitive — MinHash+LSH
                          candidate pairs, connected components, keep
                          the minimum id per duplicate cluster)
-  4. enrichment         (text.text_stats + fingerprints, one projection)
-  5. as-of context join (joins.asof_join — attach each doc's nearest
+  4. decontamination    (decontam.decontaminate — drop train docs that
+                         share word n-grams with a held-out eval split)
+  5. repetition gate    (text.repetition_profile — drop docs whose top
+                         bigram dominates the token stream)
+  6. enrichment         (text.text_stats + fingerprints, one projection)
+  7. as-of context join (joins.asof_join — attach each doc's nearest
                          preceding event by ingest order, single shuffle)
+  8. partitioned write  (sinks.write_partitioned — one file per lang
+                         partition, no small-files litter)
 
 Every stage is a lazy DataFrame transform; nothing collects to the
 driver. Run: python examples/corpus_curation.py [sf_dir] [out_dir]
@@ -27,9 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gecko_spark import get_spark
+from gecko_spark.operators.decontam import decontaminate
 from gecko_spark.operators.dedup import dedupe_exact, minhash_dedupe_transitive
 from gecko_spark.operators.joins import asof_join
-from gecko_spark.operators.text import filter_documents, text_stats
+from gecko_spark.operators.text import filter_documents, repetition_profile, text_stats
+from gecko_spark.sources.sinks import write_partitioned
 from gecko_spark.sources.testdata import load_table
 
 
@@ -41,7 +49,21 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     neardup = minhash_dedupe_transitive(
         exact, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16
     )
-    enriched = text_stats(neardup)
+
+    # decontaminate against a held-out split (stand-in for a real eval
+    # set): any train doc sharing a 6-gram with it is dropped
+    heldout = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    train = neardup.filter(F.col("doc_id") % 97 != 0)
+    clean = decontaminate(train, heldout, "doc_id", "text", n=6)
+
+    # repetition gate: top bigram must not dominate the token stream
+    rep = repetition_profile(clean, "doc_id", "text", ns=(2,))
+    keep = rep.filter(
+        F.col("top_2gram_n") * 4 <= F.greatest(F.col("n_tokens") - 1, F.lit(1))
+    ).select("doc_id")
+    gated2 = clean.join(keep, "doc_id", "left_semi")
+
+    enriched = text_stats(gated2)
 
     # context: latest event at-or-before the doc id treated as an
     # ingest sequence number (synthetic corpus has no timestamps; on a
@@ -63,9 +85,9 @@ def main() -> None:
     spark = get_spark(app_name="corpus-curation-example")
     try:
         result = curate(spark, sf_dir)
-        result.write.mode("overwrite").parquet(f"{out_dir}/curated")
+        write_partitioned(result, f"{out_dir}/curated", ["lang"])
         n = spark.read.parquet(f"{out_dir}/curated").count()
-        print(f"curated corpus: {n} docs -> {out_dir}/curated")
+        print(f"curated corpus: {n} docs -> {out_dir}/curated (one file per lang)")
     finally:
         spark.stop()
 
