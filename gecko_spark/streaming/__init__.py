@@ -1,6 +1,7 @@
 """Structured Streaming surface of the engine."""
 
 from gecko_spark.streaming.stream import (
+    decontaminate_stream,
     dedupe_stream,
     mutate_stream,
     running_user_stats,
@@ -10,6 +11,7 @@ from gecko_spark.streaming.stream import (
 )
 
 __all__ = [
+    "decontaminate_stream",
     "dedupe_stream",
     "mutate_stream",
     "running_user_stats",

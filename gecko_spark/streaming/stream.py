@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -24,6 +25,7 @@ __all__ = [
     "running_user_stats",
     "mutate_stream",
     "dedupe_stream",
+    "decontaminate_stream",
 ]
 
 EVENTS_SCHEMA = T.StructType(
@@ -240,3 +242,58 @@ def mutate_stream(events: DataFrame, mutator_lst, seed: int = 0) -> DataFrame:
     from gecko_spark.plans.pipeline import mutate_data_frame
 
     return mutate_data_frame(events, mutator_lst, seed=seed)
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Streaming decontamination: drop stream documents sharing any word
+    ``n``-gram with a STATIC reference set (an eval split, a blocklist
+    corpus).
+
+    Shape: the decision must stay ROW-LOCAL — the batch formulation
+    (explode grams → join → anti-join the ids back) needs a second join
+    against the stream, and stream-stream anti joins are unsupported.
+    Instead the reference's distinct grams are computed ONCE (one batch
+    job), shipped as a broadcast variable, and each stream row runs a
+    set-membership test in an Arrow kernel: stateless, exactly-once per
+    row, no watermark. Right-sized for eval-split references (the
+    decontamination contract); for corpus-scale references run the
+    batch ``decontaminate`` inside ``foreachBatch`` instead."""
+    from gecko_spark.operators.decontam import ngrams_of_tokens
+    from gecko_spark.operators.text import tokens
+
+    ref_grams = frozenset(
+        r["gram"]
+        for r in (
+            reference.select(tokens(F.col(text_col)).alias("__tk__"))
+            .select(F.explode(ngrams_of_tokens(F.col("__tk__"), n)).alias("gram"))
+            .distinct()
+            .collect()
+        )
+    )
+    spark = reference.sparkSession
+    bc = spark.sparkContext.broadcast(ref_grams)
+
+    @F.pandas_udf(T.BooleanType())
+    def _contaminated(tk: pd.Series) -> pd.Series:
+        grams = bc.value
+        out = []
+        for a in tk:
+            if a is None or len(a) < n:
+                out.append(False)
+                continue
+            out.append(
+                any(" ".join(a[i : i + n]) in grams for i in range(len(a) - n + 1))
+            )
+        return pd.Series(out)
+
+    return (
+        docs.withColumn("__tk__", tokens(F.col(text_col)))
+        .filter(~_contaminated(F.col("__tk__")))
+        .drop("__tk__")
+    )

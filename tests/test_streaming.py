@@ -146,3 +146,32 @@ def test_stream_static_enrichment_join(spark):
     ).collect()}
     batch_total = load_table(spark, SF, "events").count()
     assert sum(got.values()) == batch_total
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """Streaming decontamination drops exactly the docs the batch
+    operator drops — stream-static anti join, no state store."""
+    from gecko_spark.operators.decontam import decontaminate
+    from gecko_spark.streaming import decontaminate_stream
+
+    docs_path = f"{SF}/documents.parquet"
+    batch_docs = spark.read.parquet(docs_path)
+    reference = batch_docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    train = batch_docs.filter(F.col("doc_id") % 7 != 0)
+
+    expected = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, reference, "doc_id", "text", n=5).collect()
+    )
+
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .parquet(docs_path.replace("documents.parquet", "[d]ocuments.parquet"))
+        .filter(F.col("doc_id") % 7 != 0)
+    )
+    clean = decontaminate_stream(stream, reference, "doc_id", "text", n=5)
+    _run(clean, "decontam_stream_sink")
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM decontam_stream_sink").collect()
+    )
+    assert got == expected and len(got) > 0
