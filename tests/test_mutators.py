@@ -448,3 +448,22 @@ def test_all_simple_mutators_null_and_empty_safe(spark):
         nulls = orig["v"].isna()
         assert out["v"][nulls].isna().all(), f"{mut.name} resurrected a null"
         assert len(out) == len(orig), mut.name
+
+
+def test_missing_value_nulls_eligible_opt_in(spark):
+    """Default: nulls stay null (SQL three-valued eligibility); with
+    nulls_eligible=True null rows are filled with the sentinel — the
+    reference's NaN behavior (gecko/mutator.py:678)."""
+    import gecko_spark.operators.mutators as M
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id long, v string"
+    )
+    kept = M.with_missing_value("XX").apply(df, "v", p=1.0, seed=5)
+    got = {r["id"]: r["v"] for r in kept.collect()}
+    assert got[2] is None and got[4] is None
+    assert got[1] == "XX" and got[3] == "XX"
+
+    filled = M.with_missing_value("XX", nulls_eligible=True).apply(df, "v", p=1.0, seed=5)
+    got2 = {r["id"]: r["v"] for r in filled.collect()}
+    assert got2 == {1: "XX", 2: "XX", 3: "XX", 4: "XX"}
