@@ -1849,6 +1849,120 @@ GROUP BY cntrycode
 """
 
 
+def _q8(spark, sf):
+    """TPC-H Q8 shape: market share — one nation's slice of regional
+    revenue per order year. Numerator and denominator ride the SAME
+    aggregate pass as exact 1e-4-unit ints (conditional sum vs total
+    sum); the share is one double division at the end, so both engines
+    derive the identical float."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    p = load_table(spark, sf, "part")
+    n_c = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n_s = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    vol = _disc_price_1e4()
+    from_nation = (F.col("supp_nation") == "NATION_3").cast("long")
+    return (
+        li.join(p.filter(F.col("p_type") == "ECONOMY"), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(vol * from_nation).alias("nation_vol_1e4"),
+            F.sum(vol).alias("total_vol_1e4"),
+        )
+        .select(
+            "o_year",
+            "nation_vol_1e4",
+            "total_vol_1e4",
+            (
+                F.col("nation_vol_1e4").cast("double")
+                / F.col("total_vol_1e4").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+_Q8_SQL = """
+WITH vols AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * CAST(round((1.0 - l_discount) * 100) AS BIGINT) AS vol,
+         CASE WHEN n2.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+)
+SELECT o_year,
+       CAST(SUM(vol * is_nation) AS BIGINT) AS nation_vol_1e4,
+       CAST(SUM(vol) AS BIGINT) AS total_vol_1e4,
+       CAST(CAST(SUM(vol * is_nation) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(vol) AS BIGINT) AS DOUBLE) AS mkt_share
+FROM vols GROUP BY o_year
+"""
+
+
+def _q9(spark, sf):
+    """TPC-H Q9 shape: profit by supplier nation × order year over a
+    part-name filter. The schema has no partsupp, so unit cost is the
+    part's retail price (cents); profit stays exact int64:
+    disc_price_1e4 − retail_cents·qty·100."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    s = load_table(spark, sf, "supplier")
+    p = load_table(spark, sf, "part")
+    n = load_table(spark, sf, "nation")
+    profit = _disc_price_1e4() - (
+        _cents("p_retailprice")
+        * F.col("l_quantity").cast("long")
+        * F.lit(100).cast("long")
+    )
+    return (
+        li.join(
+            p.filter(F.col("p_name").like("%gear%")), li.l_partkey == p.p_partkey
+        )
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_1e4"), F.count("*").alias("n_items"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1.0 - l_discount) * 100) AS BIGINT)
+                - CAST(round(p_retailprice * 100) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_1e4,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
 def _q_skew_join(spark, sf):
     """Skew-path contract query (operators/skew.py): salted_join spreads
     each join key over 8 salt buckets (orders side replicated ×8), then
@@ -3146,6 +3260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_qty_threshold": _q20,
         "q21_waiting_supplier": _q21,
         "q22_global_sales_opportunity": _q22,
+        "q8_market_share": _q8,
+        "q9_product_profit": _q9,
         "q_skew_join": _q_skew_join,
         # decontamination + repetition quality (beyond-reference, round 2)
         "decontam_overlap": _decontam_overlap,
@@ -3236,6 +3352,8 @@ def oracle_sql() -> dict[str, str]:
         "q20_qty_threshold": _Q20_SQL,
         "q21_waiting_supplier": _Q21_SQL,
         "q22_global_sales_opportunity": _Q22_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q9_product_profit": _Q9_SQL,
         "q_skew_join": _Q_SKEW_SQL,
         "decontam_overlap": _DECONTAM_OVERLAP_SQL,
         "decontam_filter": _DECONTAM_FILTER_SQL,
