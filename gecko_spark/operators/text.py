@@ -371,7 +371,11 @@ def text_stats(
 
 
 def repetition_profile(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ns=(2, 3)
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns=(2, 3),
+    engine: str = "arrow",
 ) -> DataFrame:
     """Gopher-style repetition signals per document: token totals plus,
     for each n in ``ns``, the occurrence count of the document's MOST
@@ -380,13 +384,18 @@ def repetition_profile(
     top-n-gram share of total n-grams; filter on e.g.
     ``top_2gram_n / (n_tokens - 1) > 0.2``.
 
-    Relational formulation, not per-row array wrangling: explode all
-    (non-distinct) n-grams → count per (doc, gram) → max per doc. Each
-    n costs one shuffle keyed on (doc, gram) — skew-free (a document's
-    grams spread across that key space) and linear at 100 TB. Counts
-    only (no float ratios) so the DuckDB oracle compares exactly; which
-    gram wins a tie doesn't matter because only the count is returned.
+    Every signal is a function of the document ALONE, so the default
+    ``engine="arrow"`` computes the whole profile in one stateless
+    Arrow kernel — ZERO shuffles at any scale. ``engine="relational"``
+    keeps the explode → count(doc, gram) → max formulation (one
+    shuffle per n; useful when the gram index is wanted as a byproduct
+    or Python workers are unavailable). Both produce identical counts
+    (which gram wins a tie doesn't matter because only the count is
+    returned), exactly matched by the ``text_repetition`` DuckDB
+    oracle; null text counts as empty.
     """
+    if engine not in ("arrow", "relational"):
+        raise ValueError("engine must be 'arrow' or 'relational'")
     from gecko_spark.operators.decontam import ngrams_of_tokens
 
     # null text counts as empty, not null-propagating sizes; tokenize
@@ -394,6 +403,44 @@ def repetition_profile(
     # lambda would re-tokenize per element (see ngrams_of_tokens)
     t = F.coalesce(F.col(text_col), F.lit(""))
     toked = df.select(F.col(id_col), tokens(t).alias("__tk__"))
+
+    if engine == "arrow":
+        ns = tuple(ns)
+        fields = [
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("n_distinct_tokens", T.IntegerType()),
+            *[T.StructField(f"top_{n}gram_n", T.LongType()) for n in ns],
+        ]
+
+        @F.pandas_udf(T.StructType(fields))
+        def _profile(tk: pd.Series) -> pd.DataFrame:
+            from collections import Counter
+
+            rows = []
+            for a in tk:
+                toks = list(a) if a is not None else []
+                row = [len(toks), len(set(toks))]
+                for n in ns:
+                    if len(toks) < n:
+                        row.append(0)
+                    else:
+                        counts = Counter(
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        )
+                        row.append(max(counts.values()))
+                rows.append(row)
+            return pd.DataFrame(
+                rows, columns=[f.name for f in fields]
+            )
+
+        names = [f.name for f in fields]
+        return toked.select(
+            F.col(id_col), _profile(F.col("__tk__")).alias("__p__")
+        ).select(
+            id_col, *[F.col("__p__").getField(nm).alias(nm) for nm in names]
+        )
+
     base = toked.select(
         F.col(id_col),
         F.size("__tk__").alias("n_tokens"),

@@ -688,3 +688,15 @@ def test_repetition_profile(spark):
     assert got[2]["top_2gram_n"] == 1 and got[2]["top_3gram_n"] == 1
     assert got[3]["n_tokens"] == 1 and got[3]["top_2gram_n"] == 0
     assert got[4]["n_tokens"] == 0 and got[4]["top_3gram_n"] == 0
+
+
+def test_repetition_profile_engines_agree(spark, docs):
+    from gecko_spark.operators.text import repetition_profile
+
+    a = repetition_profile(docs, "doc_id", "text", engine="arrow").orderBy("doc_id").toPandas()
+    r = (
+        repetition_profile(docs, "doc_id", "text", engine="relational")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert a.astype("int64").equals(r[a.columns].astype("int64"))
