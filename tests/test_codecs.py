@@ -119,3 +119,59 @@ def test_spark_real_decode_and_resize(spark):
         assert r["mime"] == "image/x-portable-pixmap"
         out = decode_ppm(bytes(r["content"]))
         assert (out == resize_nearest(RGB_2X2, 4, 4)).all()
+
+
+# -- property tests -----------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _images(draw):
+    h = draw(st.integers(1, 12))
+    w = draw(st.integers(1, 12))
+    data = draw(
+        st.binary(min_size=h * w * 3, max_size=h * w * 3)
+    )
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+@given(_images())
+@settings(max_examples=40, deadline=None)
+def test_ppm_roundtrip_any_image(img):
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+
+@given(_images())
+@settings(max_examples=40, deadline=None)
+def test_resize_same_size_is_identity(img):
+    h, w = img.shape[:2]
+    assert (resize_nearest(img, w, h) == img).all()
+
+
+@given(_images(), st.integers(1, 10), st.integers(1, 10))
+@settings(max_examples=40, deadline=None)
+def test_resize_output_pixels_come_from_source(img, w2, h2):
+    out = resize_nearest(img, w2, h2)
+    assert out.shape == (h2, w2, 3)
+    src = {tuple(p) for row in img for p in row}
+    assert all(tuple(p) in src for row in out for p in row)
+
+
+def _encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP encoder for the round-trip test."""
+    h, w = img.shape[:2]
+    rows = []
+    for r in range(h - 1, -1, -1):
+        row = img[r, :, ::-1].tobytes()
+        rows.append(row + b"\x00" * (-len(row) % 4))
+    pixels = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54) + dib + pixels
+
+
+@given(_images())
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_any_image(img):
+    assert (decode_bmp(_encode_bmp(img)) == img).all()
