@@ -700,3 +700,44 @@ def test_repetition_profile_engines_agree(spark, docs):
         .toPandas()
     )
     assert a.astype("int64").equals(r[a.columns].astype("int64"))
+
+
+def test_decontam_bloom_prefilter_exact(spark, docs):
+    """The bloom prefilter must be result-invisible: identical overlap
+    pairs with and without it, at any filter size (FPs pruned by the
+    exact join, no false negatives by construction)."""
+    from gecko_spark.operators.decontam import ngram_overlap_pairs
+
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    plain = ngram_overlap_pairs(train, test, "doc_id", "text", n=4).toPandas()
+    for bits in (1 << 10, 1 << 16):
+        bloomed = ngram_overlap_pairs(
+            train, test, "doc_id", "text", n=4, bloom_bits_count=bits
+        ).toPandas()
+        key = ["train_id", "test_id"]
+        a = plain.sort_values(key, ignore_index=True)
+        b = bloomed.sort_values(key, ignore_index=True)
+        assert a.equals(b), bits
+
+
+def test_bloom_bits_membership(spark):
+    import numpy as np
+
+    from gecko_spark.functions.portable_hash import P1, poly_hash_strings
+    from gecko_spark.operators.decontam import _BLOOM_K, _BLOOM_PARAMS, bloom_bits
+
+    grams = spark.createDataFrame([("alpha beta",), ("gamma delta",)], "gram string")
+    bits = bloom_bits(grams, 1 << 12)
+
+    def might(v):
+        h = poly_hash_strings([v], P1)[0]
+        for a, b in _BLOOM_PARAMS[:_BLOOM_K]:
+            pos = (h * a + b) % P1 % (1 << 12)
+            if not (int(bits[pos // 64]) >> (pos % 64)) & 1:
+                return False
+        return True
+
+    assert might("alpha beta") and might("gamma delta")
+    # overwhelmingly likely negative at 4096 bits with 2 entries
+    assert not might("zzz unseen gram qqq")
