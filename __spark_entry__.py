@@ -3162,6 +3162,52 @@ GROUP BY value
 """
 
 
+def _pack_sequences(spark, sf):
+    """Sequence packing (operators/packing.py): documents → (shard,
+    pack) token-budget bins, 8 shards × 512-token budget, plus the
+    per-pack manifest totals. Exact integer window arithmetic — the
+    oracle replays the identical assignment."""
+    from gecko_spark.operators.packing import pack_manifest, pack_sequences
+    from gecko_spark.operators.text import word_token_count
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", word_token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs,
+        "doc_id",
+        "n_tokens",
+        budget=512,
+        n_shards=8,
+        # portable shard (doc_id % 8) so DuckDB replays the assignment;
+        # the default is xxhash64, which no other engine reproduces
+        shard_col=F.pmod(F.col("doc_id"), F.lit(8)).cast("int"),
+    )
+    return pack_manifest(packed).orderBy("shard", "pack")
+
+
+_PACK_SQL = """
+WITH toked AS (
+  SELECT doc_id,
+         CAST(len(COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                       t -> len(t) > 0), [])) AS INTEGER) AS n_tokens,
+         CAST(doc_id % 8 AS INTEGER) AS shard
+  FROM documents
+), packed AS (
+  SELECT shard,
+         CAST((SUM(CAST(n_tokens AS BIGINT)) OVER w - n_tokens) // 512 AS INTEGER)
+           AS pack,
+         n_tokens
+  FROM toked
+  WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT shard, pack, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens_total
+FROM packed GROUP BY shard, pack
+"""
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3269,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "sketch_cm_counts": _sketch_cm_counts,
         "sketch_cm_estimate": _sketch_cm_estimate,
+        "pack_sequences": _pack_sequences,
     }
 
 
@@ -3360,4 +3407,5 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _TEXT_REPETITION_SQL,
         "sketch_cm_counts": _sketch_cm_counts_sql(),
         "sketch_cm_estimate": _sketch_cm_estimate_sql(),
+        "pack_sequences": _PACK_SQL,
     }

@@ -741,3 +741,45 @@ def test_bloom_bits_membership(spark):
     assert might("alpha beta") and might("gamma delta")
     # overwhelmingly likely negative at 4096 bits with 2 entries
     assert not might("zzz unseen gram qqq")
+
+
+# -- sequence packing --------------------------------------------------------
+
+
+def test_pack_sequences_invariants(spark):
+    from gecko_spark.operators.packing import pack_manifest, pack_sequences
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=100, n_shards=4).toPandas()
+    assert len(packed) == 200  # every doc assigned exactly once
+    assert packed["pack"].ge(0).all()
+    # within a shard, pack ids are non-decreasing in doc order and the
+    # pack index equals the doc's starting token offset DIV budget
+    for _, g in packed.sort_values("doc_id").groupby("shard"):
+        starts = g["n_tokens"].cumsum() - g["n_tokens"]
+        assert (g["pack"] == starts // 100).all()
+        assert g["pack"].is_monotonic_increasing
+    m = pack_manifest(
+        pack_sequences(df, "doc_id", "n_tokens", budget=100, n_shards=4), "n_tokens"
+    ).toPandas()
+    assert m["n_tokens_total"].sum() == sum(n for _, n in rows)
+    # pack index range is bounded by the shard's token total: the last
+    # start offset is < total, so pack <= (total - 1) // budget
+    bounds = m.groupby("shard")["n_tokens_total"].sum()
+    for shard, g in m.groupby("shard"):
+        assert g["pack"].max() <= (bounds[shard] - 1) // 100
+
+
+def test_pack_sequences_custom_shard_portable(spark):
+    from gecko_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(i, 5) for i in range(40)], "doc_id long, n_tokens int")
+    packed = pack_sequences(
+        df, "doc_id", "n_tokens", budget=20, n_shards=4,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(4)).cast("int"),
+    ).toPandas()
+    assert set(packed["shard"]) == {0, 1, 2, 3}
+    # 10 docs x 5 tokens per shard, budget 20 -> packs 0,0,0,0,1,1,1,1,2,2
+    one = packed[packed["shard"] == 1].sort_values("doc_id")
+    assert list(one["pack"]) == [0, 0, 0, 0, 1, 1, 1, 1, 2, 2]
