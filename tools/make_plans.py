@@ -101,6 +101,22 @@ def main():
         "thing that kills iterative jobs at cluster scale.",
     )
 
+    cap(
+        "repetition profile: zero exchanges (stateless Arrow kernel)",
+        qs["text_repetition"](spark, sf),
+        "Every repetition signal is a function of the document alone, so "
+        "the whole profile is one ArrowEvalPython over the scan — no "
+        "Exchange anywhere in the plan, at any scale.",
+    )
+
+    cap(
+        "sequence packing: one shuffle (the per-shard window sort)",
+        qs["pack_sequences"](spark, sf),
+        "Offset packing = a single windowed cumulative sum partitioned by "
+        "shard; the only exchanges are the window's hash partitioning and "
+        "the manifest aggregation. No iteration, no driver loop.",
+    )
+
     # bucketed warehouse: write once, join forever without exchanges
     import tempfile
 
