@@ -264,17 +264,30 @@ def minhash_candidate_pairs(
     rows_per_band = num_hashes // bands
 
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_size, seed)
-    with_sig = ensure_parallelism(df).select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    # Materialize the signatures ONCE: every later stage (band explode,
+    # both similarity-join sides) references this frame, and without a
+    # persist Spark recomputes the Arrow signature kernel per reference
+    # — measured 2× kernel cost at sf0.1. MEMORY_AND_DISK so oversized
+    # corpora spill instead of OOM.
+    from pyspark import StorageLevel
 
+    with_sig = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc"), sig.alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # The banded index carries (doc, band, bucket) ONLY — the signature
+    # stays behind in with_sig instead of riding the ×bands explode
+    # (which would duplicate every 64-long array 16×, making the
+    # candidate shuffle 16× wider; measured 5.0 s → 2.6 s at sf0.1).
     # The bucket key is the raw signature slice itself (array<bigint>),
-    # not an engine hash of it: the shuffle key is rows_per_band
-    # bigints instead of one (a few extra bytes per row), and in
+    # not an engine hash of it: a few extra bytes per row, and in
     # exchange the bucketing is engine-portable — the DuckDB oracle
     # reproduces it exactly, with zero collision risk on top of the
     # signature's own.
     banded = with_sig.select(
         "doc",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -288,17 +301,7 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    # Materialize the banded signatures before the self-join: both join
-    # sides (and the bucket-size guard) reference this frame, and
-    # without a persist Spark recomputes the Arrow signature kernel
-    # once per reference — measured 2× kernel cost at sf0.1. The
-    # persisted frame is (id, sig, band, bucket): narrow rows,
-    # MEMORY_AND_DISK so oversized corpora spill instead of OOM.
-    from pyspark import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket_size is not None:
         oversized = (
@@ -309,32 +312,43 @@ def minhash_candidate_pairs(
         )
         banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
 
+    # narrow self-join → DISTINCT candidate pairs (a pair colliding in
+    # several bands is similarity-scored once, not once per band)
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    cand = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc") < F.col("r.doc")),
         )
-        .select(
-            F.col("l.doc").alias("id_a"),
-            F.col("r.doc").alias("id_b"),
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda x, y: x == y),
-                        lambda eq: eq,
-                    )
-                ).cast("double")
-                / F.lit(float(num_hashes))
-            ).alias("est_jaccard"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.first("est_jaccard").alias("est_jaccard"))
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
     )
-    return pairs
+
+    # one Arrow kernel evaluates est_jaccard per distinct pair — the
+    # interpreted zip_with/filter HOF pair was ~2× slower here (it
+    # re-evaluates per raw band collision and stays out of codegen)
+    @F.pandas_udf(T.DoubleType())
+    def _sig_sim(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        if not len(sa):
+            return pd.Series(np.empty(0, dtype=np.float64))
+        a = np.stack(sa.to_numpy())
+        b = np.stack(sb.to_numpy())
+        return pd.Series((a == b).sum(axis=1) / float(a.shape[1]))
+
+    sa = with_sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("__sig_a__"))
+    sb = with_sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("__sig_b__"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _sig_sim(F.col("__sig_a__"), F.col("__sig_b__")).alias("est_jaccard"),
+        )
+    )
 
 
 def minhash_dedupe(
