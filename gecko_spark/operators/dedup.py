@@ -657,6 +657,15 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq`` drops ultra-common shingles from the index (the
     classic hot-key guard — a shingle in f docs generates O(f²) pairs).
+
+    SCALE WARNING: with the default ``max_shingle_freq=None`` this is
+    the EXACT algorithm and is quadratic in every shingle's document
+    frequency — on a low-entropy corpus (boilerplate, tiny vocabulary)
+    the co-occurrence join explodes long before 100 TB. Set a cap
+    (e.g. ``max_shingle_freq=1000``), or use
+    :func:`minhash_candidate_pairs`, whose banding + bucket-size guard
+    bounds the pair expansion by construction; exact mode is for
+    modest corpora or verifying a sample of MinHash candidates.
     """
     sh = df.select(
         F.col(id_col).alias("doc"),

@@ -175,3 +175,24 @@ def test_decontaminate_stream_matches_batch(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT doc_id FROM decontam_stream_sink").collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_cm_sketch_on_stream_matches_batch(spark):
+    """cm_sketch is one groupBy aggregate, so it runs unchanged on a
+    stream (complete mode) and converges to the batch sketch."""
+    from gecko_spark.operators.sketches import cm_sketch
+
+    events = stream_events(spark, f"{SF}/events.parquet")
+    sk = cm_sketch(events, "event_type", depth=3, width=128)
+    _run(sk, "cm_stream_sink", mode="complete")
+    got = (
+        spark.sql("SELECT * FROM cm_stream_sink")
+        .orderBy("row", "bucket")
+        .toPandas()
+    )
+    batch = (
+        cm_sketch(load_table(spark, SF, "events"), "event_type", depth=3, width=128)
+        .orderBy("row", "bucket")
+        .toPandas()
+    )
+    assert got.astype("int64").equals(batch.astype("int64"))
