@@ -1,10 +1,15 @@
 """Local replica of the driver's t2 correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
 same sf dir, compare row count + column names + order-insensitive
-values. Usage: python tools/check_oracle.py [sf_dir] [name ...]"""
+values. Usage:
+
+    python tools/check_oracle.py [sf_dir] [name ...]
+    python tools/check_oracle.py --json OUT.json [sf_dir]   # driver-style report
+"""
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -35,8 +40,14 @@ def kind(dtype) -> str:
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
     spark = get_spark(app_name="oracle-check", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -46,6 +57,17 @@ def main():
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+
+    def record(name, *, rows_match, schema_match, hash_match, spark_rows, oracle_rows, err):
+        report[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -54,26 +76,37 @@ def main():
             got = fn(spark, sf).toPandas()
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
+            record(name, rows_match=False, schema_match=False, hash_match=False,
+                   spark_rows=None, oracle_rows=None, err=f"spark: {ex}")
             n_fail += 1
             continue
         if name not in oracles:
             status = "ROWS" if len(got) >= 0 else "FAIL"
             print(f"{status}  {name}: rows={len(got)} ({time.time()-t0:.1f}s) [no oracle]")
+            record(name, rows_match=True, schema_match=None, hash_match=None,
+                   spark_rows=len(got), oracle_rows=None, err=None)
             n_rows_only += 1
             continue
         try:
             exp = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
+            record(name, rows_match=False, schema_match=False, hash_match=False,
+                   spark_rows=len(got), oracle_rows=None, err=f"duckdb: {ex}")
             n_fail += 1
             continue
         g, x = canon(got), canon(exp)
         if list(g.columns) != list(x.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} vs {list(x.columns)}")
+            record(name, rows_match=len(g) == len(x), schema_match=False,
+                   hash_match=False, spark_rows=len(g), oracle_rows=len(x),
+                   err="column mismatch")
             n_fail += 1
             continue
         if len(g) != len(x):
             print(f"FAIL  {name}: rows {len(g)} vs {len(x)}")
+            record(name, rows_match=False, schema_match=True, hash_match=False,
+                   spark_rows=len(g), oracle_rows=len(x), err="row count")
             n_fail += 1
             continue
         bad_kinds = [
@@ -83,6 +116,9 @@ def main():
         ]
         if bad_kinds:
             print(f"FAIL  {name}: dtype-class mismatch {bad_kinds}")
+            record(name, rows_match=True, schema_match=False, hash_match=False,
+                   spark_rows=len(g), oracle_rows=len(x),
+                   err=f"dtype-class {bad_kinds}")
             n_fail += 1
             continue
         try:
@@ -93,6 +129,9 @@ def main():
         except AssertionError as ex:
             ok = False
             msg = str(ex).splitlines()[0:4]
+        record(name, rows_match=True, schema_match=True, hash_match=ok,
+               spark_rows=len(g), oracle_rows=len(x),
+               err=None if ok else "value mismatch")
         if ok:
             print(f"PASS  {name}: rows={len(g)} ({time.time()-t0:.1f}s)")
             n_pass += 1
@@ -106,6 +145,10 @@ def main():
                 print(f"      oracle: {x.loc[i].to_dict()}")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
