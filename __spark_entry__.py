@@ -1563,9 +1563,10 @@ WHERE p_size <= 15 AND p_type = 'STANDARD'
 
 def _q11(spark, sf):
     """TPC-H Q11 shape: per-group value filtered against a GLOBAL
-    scalar aggregate (groups holding >0.1% of total). The scalar is a
-    one-row broadcast; the threshold compare is cross-multiplied
-    (value·1000 > total) so it stays integer-exact — no float division
+    scalar aggregate (groups holding >0.02% of total — chosen to stay
+    non-empty from sf0.01 through sf0.1). The scalar is a one-row
+    broadcast; the threshold compare is cross-multiplied
+    (value·5000 > total) so it stays integer-exact — no float division
     on either engine."""
     li = load_table(spark, sf, "lineitem")
     s = load_table(spark, sf, "supplier")
@@ -1582,7 +1583,7 @@ def _q11(spark, sf):
     total = vals.agg(F.sum("v").alias("total_1e4"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value_1e4") * 1000 > F.col("total_1e4"))
+        .filter(F.col("part_value_1e4") * 5000 > F.col("total_1e4"))
         .select("l_partkey", "part_value_1e4")
     )
 
@@ -1599,7 +1600,7 @@ WITH vals AS (
 )
 SELECT l_partkey, CAST(SUM(v) AS BIGINT) AS part_value_1e4
 FROM vals GROUP BY l_partkey
-HAVING CAST(SUM(v) AS BIGINT) * 1000 > (SELECT CAST(SUM(v) AS BIGINT) FROM vals)
+HAVING CAST(SUM(v) AS BIGINT) * 5000 > (SELECT CAST(SUM(v) AS BIGINT) FROM vals)
 """
 
 
@@ -1676,7 +1677,7 @@ GROUP BY p_brand, p_type, p_size
 
 def _q20(spark, sf):
     """TPC-H Q20 shape: nested EXISTS chain — suppliers (in one
-    nation) who shipped >50 units of some 'small%' part in 1997. Inner
+    nation) who shipped >30 units of some 'small%' part in 1997. Inner
     HAVING aggregate → join to the part filter → left-semi into the
     supplier dim. Each nesting level is one hash join; nothing
     re-correlates per row."""
@@ -1691,7 +1692,7 @@ def _q20(spark, sf):
         )
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
-        .filter(F.col("qty") > 50)
+        .filter(F.col("qty") > 30)
     )
     small_parts = p.filter(F.col("p_name").like("small%")).select("p_partkey")
     qual = (
@@ -1719,7 +1720,7 @@ WHERE n_name = 'NATION_3'
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
             AND l_shipdate < TIMESTAMP '1998-01-01'
-          GROUP BY l_suppkey, l_partkey HAVING qty > 50) sh
+          GROUP BY l_suppkey, l_partkey HAVING qty > 30) sh
     JOIN part ON sh.l_partkey = p_partkey
     WHERE p_name LIKE 'small%' AND sh.l_suppkey = s_suppkey)
 """
