@@ -13,8 +13,11 @@ Run: python examples/person_pipeline.py [n_rows] [out_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pandas as pd
 
