@@ -3143,7 +3143,7 @@ def _sketch_cm_estimate_sql() -> str:
     p1, horner, rows, w = _cm_sql_parts()
     from gecko_spark.functions.portable_hash import sql_horner
 
-    probe_horner = sql_horner("v", 2_147_483_647)
+    probe_horner = sql_horner("v", p1)
     return f"""
 WITH params(j, a, b) AS (VALUES {rows}),
 h AS (SELECT {horner} AS hv FROM orders),

@@ -240,9 +240,17 @@ def minhash_candidate_pairs(
     shingle_size: int = 5,
     seed: int = 0,
     max_bucket_size: Optional[int] = 5000,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band bucket, with the
     signature-estimated Jaccard similarity.
+
+    ``persist_signatures=True`` caches the signature frame
+    (MEMORY_AND_DISK) because three downstream stages reference it; the
+    cache lives until the returned DataFrame is garbage-collected or
+    the session clears it — long-lived sessions sweeping MANY corpora
+    should call ``spark.catalog.clearCache()`` between sweeps or pass
+    ``False`` (signatures then recompute once per reference).
 
     Returns columns ``(id_a, id_b, est_jaccard)`` with id_a < id_b.
 
@@ -271,11 +279,11 @@ def minhash_candidate_pairs(
     # corpora spill instead of OOM.
     from pyspark import StorageLevel
 
-    with_sig = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("doc"), sig.alias("sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    with_sig = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), sig.alias("sig")
     )
+    if persist_signatures:
+        with_sig = with_sig.persist(StorageLevel.MEMORY_AND_DISK)
 
     # The banded index carries (doc, band, bucket) ONLY — the signature
     # stays behind in with_sig instead of riding the ×bands explode

@@ -134,10 +134,17 @@ def decode_image_features(
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         extract = _fake_decode if fake else _real_features
         for pdf in batches:
-            feats = [
-                extract(bytes(c) if c is not None else b"", out_dim).tolist()
-                for c in pdf["content"]
-            ]
+            feats = []
+            for c in pdf["content"]:
+                # null/empty payloads yield null features instead of
+                # poisoning the whole batch (the unsupported-format
+                # boundary is about real payloads we can't decode)
+                if not fake and (c is None or len(c) == 0):
+                    feats.append(None)
+                else:
+                    feats.append(
+                        extract(bytes(c) if c is not None else b"", out_dim).tolist()
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -179,7 +186,12 @@ def resize_images(
             out, mimes = [], []
             for c, m in zip(pdf["content"], pdf["mime"]):
                 b = bytes(c) if c is not None else b""
-                if fake:
+                if not fake and len(b) == 0:
+                    # null/empty payload: null output row, don't poison
+                    # the batch (see decode_image_features)
+                    out.append(None)
+                    mimes.append(m)
+                elif fake:
                     # stub: deterministic truncation/padding of the payload
                     # to width*height bytes — preserves the dataflow shape
                     target = width * height

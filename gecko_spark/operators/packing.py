@@ -57,7 +57,14 @@ def pack_sequences(
     if shard_col is None:
         shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
     out = df.withColumn("shard", shard_col)
-    w = Window.partitionBy("shard").orderBy(id_col)
+    # explicit ROWS frame: Spark's default for an ordered window is
+    # RANGE, which sums PEER rows (equal ids) together and would give
+    # duplicate ids the same start offset instead of stacking them
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum(F.col(n_tokens_col).cast("long")).over(w)
     start = cum - F.col(n_tokens_col).cast("long")
     # start/budget is exact in double up to 2^53 tokens per shard —

@@ -201,9 +201,11 @@ def cm_estimate(
     ]
     spark = sketch.sparkSession
     probes = spark.createDataFrame(rows, "value string, row int, bucket int")
+    # broadcast the SKETCH (build side of the left join — a hint on the
+    # preserved left side of a LeftOuter join is ignored by Spark);
+    # it is ≤ depth×width rows by construction
     return (
-        F.broadcast(probes)
-        .join(sketch, ["row", "bucket"], "left")
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("value")
         # a missing counter means nothing hashed there: count 0
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("estimate"))

@@ -68,8 +68,15 @@ def write_partitioned(
         # distinct-count job over the partition columns — negligible next
         # to the write it sizes.
         n_tuples = max(df.select(*partition_by).distinct().count(), 1)
+        # hash only xxhash64-able columns (maps are rejected by the
+        # expression); every row has at least the partition columns
+        hashable = [
+            f.name
+            for f in df.schema.fields
+            if not f.dataType.typeName().startswith("map")
+        ] or list(partition_by)
         shard = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.xxhash64(*[F.col(c) for c in hashable]),
             F.lit(files_per_partition),
         )
         out = df.repartition(n_tuples * files_per_partition, *keys, shard)
@@ -92,10 +99,13 @@ def compact(
     count; returns (files_before, files_after).
 
     Reads the full dataset, rewrites via :func:`write_partitioned` into
-    a temp sibling, then atomically swaps directories — the pattern for
-    compacting streaming-sink output without breaking readers mid-job
-    (readers see either the old or the new layout, never a partial
-    delete)."""
+    a temp sibling, then swaps directories with two renames. The swap
+    is NOT atomic (POSIX has no two-directory exchange): there is a
+    brief window where ``path`` is absent — readers must tolerate a
+    retry, or the caller should schedule compaction in a read-quiet
+    window. Crash-safe: a leftover ``__old__`` from a crashed run is
+    restored (if ``path`` vanished) or cleared before starting, and the
+    data always exists in full under one of the two names."""
     import os
     import shutil
 
@@ -105,13 +115,22 @@ def compact(
             total += sum(1 for f in files if not f.startswith(("_", ".")))
         return total
 
+    tmp = path.rstrip("/") + "__compacting__"
+    old = path.rstrip("/") + "__old__"
+    # recover/clean any debris from a previous crashed run
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # prior run died after the second rename
+        else:
+            os.rename(old, path)  # prior run died between the renames
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
     before = _count_files(path)
     df = spark.read.format(fmt).load(path)
-    tmp = path.rstrip("/") + "__compacting__"
     write_partitioned(
         df, tmp, partition_by, files_per_partition=files_per_partition, fmt=fmt
     )
-    old = path.rstrip("/") + "__old__"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -783,3 +783,48 @@ def test_pack_sequences_custom_shard_portable(spark):
     # 10 docs x 5 tokens per shard, budget 20 -> packs 0,0,0,0,1,1,1,1,2,2
     one = packed[packed["shard"] == 1].sort_values("doc_id")
     assert list(one["pack"]) == [0, 0, 0, 0, 1, 1, 1, 1, 2, 2]
+
+
+def test_pack_sequences_duplicate_ids_rows_frame(spark):
+    """Duplicate ids must STACK (ROWS frame), not share a start offset
+    (Spark's default RANGE frame sums peer rows together)."""
+    from gecko_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10), (2, 10)], "doc_id long, n_tokens int"
+    )
+    packed = pack_sequences(
+        df, "doc_id", "n_tokens", budget=15, n_shards=1,
+        shard_col=F.lit(0),
+    ).toPandas()
+    # starts 0,10,20,30 -> packs 0,0,1,2 (RANGE would give 20,20,20,30)
+    assert sorted(packed["pack"]) == [0, 0, 1, 2]
+
+
+def test_multimodal_null_content_yields_null_not_error(spark):
+    from gecko_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, None, "image/bmp")], "media_id long, content binary, mime string"
+    )
+    feats = MM.decode_image_features(df, out_dim=4, fake=False).collect()
+    assert feats[0]["features"] is None
+    resized = MM.resize_images(df, 2, 2, fake=False).collect()
+    assert resized[0]["content"] is None
+
+
+def test_compact_recovers_from_crash_debris(spark, tmp_path):
+    import os
+    import shutil
+
+    from gecko_spark.sources.sinks import compact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "d")
+    docs.repartition(4).write.partitionBy("lang").parquet(out)
+    n = docs.count()
+    # simulate a crash between the two renames: path gone, __old__ present
+    os.rename(out, out + "__old__")
+    before, after = compact(spark, out, ["lang"])
+    assert spark.read.parquet(out).count() == n
+    assert not os.path.exists(out + "__old__")
