@@ -39,6 +39,8 @@ __all__ = [
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
+    "write_minhash_index",
+    "dedupe_against_index",
 ]
 
 # 31-bit Mersenne prime: (h % P) * a + b stays well inside int64
@@ -801,3 +803,122 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted signature index
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+    seed: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's MinHash signatures as a parquet index
+    ``(doc, sig)`` — the continuous-ingestion companion to
+    :func:`minhash_candidate_pairs`: signatures are computed ONCE per
+    corpus lifetime, and each new batch dedupes against the index
+    without touching the historical text. ``mode="append"`` grows the
+    index with already-accepted batches."""
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_size, seed)
+    df.select(F.col(id_col).alias("doc"), sig.alias("sig")).write.mode(mode).parquet(
+        path
+    )
+
+
+def dedupe_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 0,
+    max_bucket_size: Optional[int] = 5000,
+) -> DataFrame:
+    """New-batch rows that are NOT near-duplicates of the indexed
+    corpus (``index`` = ``(doc, sig)`` from :func:`write_minhash_index`
+    — pass the same num_hashes/shingle_size/seed).
+
+    Scale shape: signatures are computed for the NEW batch only; both
+    sides band-explode to (doc, band, bucket) and meet in ONE equi-join
+    keyed on (band, bucket) — the historical corpus is never re-read,
+    re-tokenized, or re-signed. Collisions verify against the full
+    signatures (est_jaccard ≥ threshold) before a row is dropped; the
+    hot-bucket guard caps degenerate buckets on the INDEX side the same
+    way minhash_candidate_pairs does. Intra-batch duplicates are NOT
+    removed here — run minhash_dedupe on the accepted batch before
+    appending it to the index."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rpb = num_hashes // bands
+
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_size, seed)
+    new_sig = new_df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+
+    def band_frame(s: DataFrame) -> DataFrame:
+        return s.select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.slice(F.col("sig"), b * rpb + 1, rpb).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    new_banded = band_frame(new_sig)
+    idx_banded = band_frame(index)
+    if max_bucket_size is not None:
+        oversized = (
+            idx_banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__n__"))
+            .filter(F.col("__n__") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        idx_banded = idx_banded.join(
+            F.broadcast(oversized), ["band", "bucket"], "left_anti"
+        )
+
+    cand = (
+        new_banded.alias("n")
+        .join(
+            idx_banded.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket")),
+        )
+        .select(F.col("n.doc").alias("new_doc"), F.col("i.doc").alias("idx_doc"))
+        .distinct()
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def _sig_sim(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        if not len(sa):
+            return pd.Series(np.empty(0, dtype=np.float64))
+        a = np.stack(sa.to_numpy())
+        b = np.stack(sb.to_numpy())
+        return pd.Series((a == b).sum(axis=1) / float(a.shape[1]))
+
+    ns = new_sig.select(F.col("doc").alias("new_doc"), F.col("sig").alias("__sa__"))
+    isg = index.select(F.col("doc").alias("idx_doc"), F.col("sig").alias("__sb__"))
+    dupes = (
+        cand.join(ns, "new_doc")
+        .join(isg, "idx_doc")
+        .filter(_sig_sim(F.col("__sa__"), F.col("__sb__")) >= threshold)
+        .select(F.col("new_doc").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dupes, id_col, "left_anti")

@@ -828,3 +828,45 @@ def test_compact_recovers_from_crash_debris(spark, tmp_path):
     before, after = compact(spark, out, ["lang"])
     assert spark.read.parquet(out).count() == n
     assert not os.path.exists(out + "__old__")
+
+
+def test_incremental_dedupe_against_index(spark, tmp_path):
+    """Continuous-ingestion flow: index a corpus once, dedupe a new
+    batch against it without re-reading corpus text, append survivors."""
+    from gecko_spark.operators.dedup import (
+        dedupe_against_index,
+        write_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "completely unrelated text about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, "doc_id", "text", idx_path)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river"),   # exact dup of 1
+            (11, "the quick brown fox jumps over the lazy cat near the river"),   # near dup of 1
+            (12, "fresh document with entirely new content and no overlap"),
+        ],
+        "doc_id long, text string",
+    )
+    index = spark.read.parquet(idx_path)
+    kept = dedupe_against_index(batch, index, "doc_id", "text", threshold=0.5)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [12]
+
+    # append the accepted batch; a re-send of doc 12 now dedupes too
+    write_minhash_index(kept, "doc_id", "text", idx_path, mode="append")
+    resend = batch.filter(F.col("doc_id") == 12).withColumn(
+        "doc_id", F.lit(99).cast("long")
+    )
+    again = dedupe_against_index(
+        resend, spark.read.parquet(idx_path), "doc_id", "text", threshold=0.5
+    )
+    assert again.count() == 0
