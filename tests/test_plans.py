@@ -82,3 +82,48 @@ def test_asof_join_single_exchange_single_window(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_repetition_profile_has_zero_exchanges(spark):
+    from gecko_spark.operators.text import repetition_profile
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(repetition_profile(docs, "doc_id", "text"))
+    assert "Exchange" not in p, "arrow repetition profile must not shuffle"
+    assert "ArrowEvalPython" in p
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    from gecko_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=512, n_shards=4)
+    p = _plan(packed)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # ROWS frame, not the peer-summing RANGE default
+    assert "RowFrame" in p and "RangeFrame" not in p
+
+
+def test_salted_agg_two_level_plan(spark):
+    from gecko_spark.operators.skew import salted_groupby_agg
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    out = salted_groupby_agg(
+        o, ["o_orderpriority"], {"n": ("count", "o_orderkey")}, buckets=8
+    )
+    p = _plan(out)
+    # two aggregation exchanges: (key, salt) partial then key merge
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "__salt__" in p
+
+
+def test_cm_estimate_broadcasts_sketch(spark):
+    from gecko_spark.operators.sketches import cm_estimate, cm_sketch
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    sk = cm_sketch(o, "o_orderpriority", depth=3, width=64)
+    est = cm_estimate(sk, ["1-URGENT"], depth=3, width=64)
+    p = _plan(est)
+    assert "BroadcastHashJoin" in p and "BuildRight" in p, p
