@@ -870,3 +870,38 @@ def test_incremental_dedupe_against_index(spark, tmp_path):
         resend, spark.read.parquet(idx_path), "doc_id", "text", threshold=0.5
     )
     assert again.count() == 0
+
+
+def test_round2_ops_partitioning_independent(spark, docs):
+    """Decontam overlap, repetition profile, and packing must produce
+    identical results regardless of input partitioning — the engine's
+    core determinism contract."""
+    from gecko_spark.operators.decontam import ngram_overlap_pairs
+    from gecko_spark.operators.packing import pack_sequences
+    from gecko_spark.operators.text import repetition_profile
+
+    def norm(df, keys):
+        return df.orderBy(*keys).toPandas().reset_index(drop=True)
+
+    for parts in (2, 11):
+        d = docs.repartition(parts)
+        train = d.filter(F.col("doc_id") % 5 != 0)
+        test = d.filter(F.col("doc_id") % 5 == 0)
+        ov = norm(
+            ngram_overlap_pairs(train, test, "doc_id", "text", n=4),
+            ["train_id", "test_id"],
+        )
+        rep = norm(repetition_profile(d, "doc_id", "text"), ["doc_id"])
+        pk = norm(
+            pack_sequences(
+                d.select("doc_id", F.length("text").alias("n_tokens")),
+                "doc_id", "n_tokens", budget=512, n_shards=4,
+            ),
+            ["doc_id"],
+        )
+        if parts == 2:
+            ov0, rep0, pk0 = ov, rep, pk
+        else:
+            assert ov.equals(ov0)
+            assert rep.equals(rep0)
+            assert pk.equals(pk0)
