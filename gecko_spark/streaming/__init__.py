@@ -3,6 +3,7 @@
 from gecko_spark.streaming.stream import (
     decontaminate_stream,
     dedupe_stream,
+    pack_stream,
     mutate_stream,
     running_user_stats,
     sessionize,
@@ -13,6 +14,7 @@ from gecko_spark.streaming.stream import (
 __all__ = [
     "decontaminate_stream",
     "dedupe_stream",
+    "pack_stream",
     "mutate_stream",
     "running_user_stats",
     "sessionize",

@@ -26,6 +26,7 @@ __all__ = [
     "mutate_stream",
     "dedupe_stream",
     "decontaminate_stream",
+    "pack_stream",
 ]
 
 EVENTS_SCHEMA = T.StructType(
@@ -296,4 +297,74 @@ def decontaminate_stream(
         docs.withColumn("__tk__", tokens(F.col(text_col)))
         .filter(~_contaminated(F.col("__tk__")))
         .drop("__tk__")
+    )
+
+
+def pack_stream(
+    docs: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    n_shards: int = 64,
+    watermark_col: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sequence packing: assign arriving documents to
+    ~``budget``-token bins, continuing pack numbering across
+    micro-batches.
+
+    The batch operator (operators/packing.py) re-derives offsets from a
+    window over the whole corpus; a stream cannot, so each shard keeps
+    ONE state tuple — the running token offset — in
+    ``applyInPandasWithState`` and extends it per batch: state size is
+    O(n_shards), not O(history). Within a micro-batch documents pack in
+    ``id_col`` order; ACROSS batches assignment depends on arrival
+    order, which is the inherent streaming trade (the batch operator is
+    the deterministic replay)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField(n_tokens_col, T.LongType()),
+            T.StructField("pack", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("offset", T.LongType())])
+
+    def assign(key, pdfs, state: GroupState):
+        (shard,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        (offset,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col)
+            toks = pdf[n_tokens_col].astype("int64")
+            starts = offset + toks.cumsum() - toks
+            offset = int(offset + toks.sum())
+            yield pd.DataFrame(
+                {
+                    "shard": shard,
+                    id_col: pdf[id_col].astype("int64"),
+                    n_tokens_col: toks,
+                    "pack": (starts // budget).astype("int32"),
+                }
+            )
+        state.update((offset,))
+
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    out = docs.withColumn("shard", shard)
+    if watermark_col is not None:
+        out = out.withWatermark(watermark_col, watermark)
+    return (
+        out.groupBy("shard")
+        .applyInPandasWithState(
+            assign,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -196,3 +196,37 @@ def test_cm_sketch_on_stream_matches_batch(spark):
         .toPandas()
     )
     assert got.astype("int64").equals(batch.astype("int64"))
+
+
+def test_pack_stream_offsets_continue_across_batches(spark, tmp_path):
+    """Streaming packing keeps one running offset per shard: packs from
+    a later micro-batch continue where the earlier batch stopped."""
+    import pathlib
+    import shutil
+
+    from gecko_spark.streaming import pack_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").cast("long").alias("n_tokens")
+    )
+    src = pathlib.Path(tmp_path) / "stream_src"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(src / "b1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*/")
+    packed = pack_stream(stream, "doc_id", "n_tokens", budget=1000, n_shards=4)
+    _run(packed, "pack_stream_sink")
+    got = spark.sql("SELECT * FROM pack_stream_sink").toPandas()
+
+    assert len(got) == docs.count()  # every doc assigned exactly once
+    total = docs.agg(F.sum("n_tokens")).first()[0]
+    assert got["n_tokens"].sum() == total
+    # per shard: max pack index consistent with the shard's total tokens
+    per_shard = got.groupby("shard")["n_tokens"].sum()
+    for shard, g in got.groupby("shard"):
+        assert g["pack"].max() <= (per_shard[shard] - 1) // 1000
+        # continuing offsets: packs cover 0..max contiguously
+        assert set(g["pack"]) == set(range(g["pack"].max() + 1))
