@@ -856,7 +856,13 @@ def dedupe_against_index(
     hot-bucket guard caps degenerate buckets on the INDEX side the same
     way minhash_candidate_pairs does. Intra-batch duplicates are NOT
     removed here — run minhash_dedupe on the accepted batch before
-    appending it to the index."""
+    appending it to the index.
+
+    LAZY-EVALUATION WARNING: the returned DataFrame references
+    ``index`` lazily. Materialize it (write it out, or checkpoint)
+    BEFORE appending the accepted batch to the index — re-evaluating
+    the plan after the append dedupes the batch against ITSELF and
+    silently yields zero rows (see examples/incremental_ingest.py)."""
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rpb = num_hashes // bands
