@@ -61,16 +61,23 @@ def main():
         "drops the rest.",
     )
 
-    cap(
-        "skew join: salted join + two-phase aggregation",
-        qs["q_skew_join"](spark, sf),
-        "salted_join spreads each (possibly hot) join key over 8 salt "
-        "buckets — the orders side is the exploded/replicated build — and "
-        "salted_groupby_agg splits the 5-value (all-hot) group key into "
-        "partial (key, salt) aggregates before the final merge: no single "
-        "reducer ever sees a whole hot key. Oracle-exact vs the unsalted "
-        "plain join (q_skew_join).",
-    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cap(
+            "skew join: salted join + two-phase aggregation",
+            qs["q_skew_join"](spark, sf),
+            "salted_join spreads each (possibly hot) join key over 8 salt "
+            "buckets — the orders side is the exploded/replicated build — and "
+            "salted_groupby_agg splits the 5-value (all-hot) group key into "
+            "partial (key, salt) aggregates before the final merge: no single "
+            "reducer ever sees a whole hot key. Broadcast disabled for this "
+            "capture to show the shuffle path the salt exists for (at toy "
+            "scale AQE would broadcast the replicated side and hide it). "
+            "Oracle-exact vs the unsalted plain join (q_skew_join).",
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
     cap(
         "IVF probe: partition-pruned candidate scan",
