@@ -3209,6 +3209,43 @@ FROM packed GROUP BY shard, pack
 """
 
 
+def _sketch_kmv_by_group(spark, sf):
+    """Per-group KMV distinct estimates (sketches.py::kmv_group_estimate):
+    distinct parts per return flag, k=128 — every per-group ESTIMATE
+    bit-matches the oracle thanks to the portable hash."""
+    from gecko_spark.operators.sketches import kmv_group_estimate
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", F.col("l_partkey").cast("string").alias("v")
+    )
+    return kmv_group_estimate(li, "l_returnflag", "v", k=128)
+
+
+def _sketch_kmv_by_group_sql(k: int = 128) -> str:
+    from gecko_spark.functions.portable_hash import P1, P2, sql_horner
+    from gecko_spark.operators.sketches import _A1, _A2, _B1, _B2, _M
+
+    h1 = f"(({sql_horner('v', P1)}) * {_A1} + {_B1}) % {P1}"
+    h2 = f"(({sql_horner('v', P2)}) * {_A2} + {_B2}) % {P2}"
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT l_returnflag, CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+), hashes AS (
+  SELECT l_returnflag, ({h1}) * {P2} + ({h2}) AS h FROM vals
+), ranked AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM hashes
+), topk AS (SELECT l_returnflag, h FROM ranked WHERE rn <= {k})
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_seen,
+       CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE {float(k - 1)!r} * CAST({_M} AS DOUBLE) / CAST(MAX(h) AS DOUBLE)
+       END AS estimate
+FROM topk GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3316,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "sketch_cm_counts": _sketch_cm_counts,
         "sketch_cm_estimate": _sketch_cm_estimate,
+        "sketch_kmv_by_group": _sketch_kmv_by_group,
         "pack_sequences": _pack_sequences,
     }
 
@@ -3408,5 +3446,6 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _TEXT_REPETITION_SQL,
         "sketch_cm_counts": _sketch_cm_counts_sql(),
         "sketch_cm_estimate": _sketch_cm_estimate_sql(),
+        "sketch_kmv_by_group": _sketch_kmv_by_group_sql(),
         "pack_sequences": _PACK_SQL,
     }

@@ -34,6 +34,7 @@ __all__ = [
     "kmv_sketch",
     "kmv_distinct_estimate",
     "kmv_merge_estimate",
+    "kmv_group_estimate",
     "cm_params",
     "cm_sketch",
     "cm_estimate",
@@ -219,4 +220,40 @@ def cm_merge(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         sketch_a.unionByName(sketch_b)
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def kmv_group_estimate(
+    df: DataFrame,
+    key_cols,
+    col: Union[str, Column],
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate: one row per key with
+    ``(n_seen, estimate)`` — the bounded-memory companion to an exact
+    per-group COUNT(DISTINCT) when the group count or cardinality makes
+    exactness expensive.
+
+    Scale shape: distinct (key, hash) → per-key window keeps the k
+    smallest hashes (WindowGroupLimit prunes map-side, so at most k
+    rows per key reach the final sort) → one aggregate. Same portable
+    hash as :func:`kmv_sketch`, so every per-group ESTIMATE is
+    bit-reproducible by the DuckDB oracle."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if k < 2:
+        raise ValueError("k must be ≥ 2")
+    from pyspark.sql import Window
+
+    h = kmv_hash(col)
+    hashed = df.select(*key_cols, h.alias("__h__")).distinct()
+    w = Window.partitionBy(*key_cols).orderBy("__h__")
+    topk = hashed.withColumn("__rn__", F.row_number().over(w)).filter(
+        F.col("__rn__") <= k
+    )
+    return topk.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.when(F.count("*") < k, F.count("*").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(_M)) / F.max("__h__").cast("double"))
+        .alias("estimate"),
     )

@@ -93,3 +93,18 @@ def test_cm_merge_equals_union_sketch(spark):
     m = merged.orderBy("row", "bucket").toPandas()
     d = direct.orderBy("row", "bucket").toPandas()
     assert m.astype("int64").equals(d.astype("int64"))
+
+
+def test_kmv_group_estimate_accuracy_and_exact_small_groups(spark):
+    from gecko_spark.operators.sketches import kmv_group_estimate
+
+    rows = [("big", f"v{i}") for i in range(5000)] + [
+        ("small", f"s{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    est = {r["g"]: r for r in kmv_group_estimate(df, "g", "v", k=256).collect()}
+    # small group under k: the sketch IS the distinct set -> exact
+    assert est["small"]["n_seen"] == 40 and est["small"]["estimate"] == 40.0
+    # big group: k-truncated estimate within ~15% at k=256
+    assert est["big"]["n_seen"] == 256
+    assert abs(est["big"]["estimate"] - 5000) / 5000 < 0.15
