@@ -3253,68 +3253,14 @@ FROM topk GROUP BY l_returnflag
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries 1–50 are the driver-graded window (the driver evaluates the
-    # first 50 dict entries, CORRECTNESS_r01): every SURVEY.md §2 operator
-    # (G1–G8, M1–M20), all beyond-reference training-data ops, and five
-    # flagship relational shapes. The remaining relational variants (51+)
-    # are strict-locally verified by tools/check_oracle.py at driver
-    # strictness — same compare, same data.
+    # first 50 dict entries). Round-2 graded the §2 operator surface
+    # (CORRECTNESS_r02: 50/50 pass); round-3 rotates the 38 queries that
+    # had only strict-local rows into the window, keeping 12 representative
+    # round-2-green entries (one per kernel family) as regression cover.
+    # Everything past slot 50 stays strict-locally verified by
+    # tools/check_oracle.py at driver strictness — same compare, same data.
     return {
-        # generators (G1–G8) — 9
-        "gen_uniform": _gen_uniform,
-        "gen_normal": _gen_normal,
-        "gen_freq_single": _gen_freq_single,
-        "gen_freq_multi": _gen_freq_multi,
-        "gen_datetime": _gen_datetime,
-        "gen_group": _gen_group,
-        "gen_group_exact": _gen_group_exact,
-        "gen_function": _gen_function,
-        "gen_datasource": _gen_datasource,
-        # mutators (M1, M5–M16, M18–M20) — 17
-        "mut_missing_value": _mut_missing,
-        "mut_missing_strict_p": _mut_missing_strict,
-        "mut_uppercase": _mut_uppercase,
-        "mut_lowercase": _mut_lowercase,
-        "mut_repeat": _mut_repeat,
-        "mut_insert": _mut_insert,
-        "mut_delete": _mut_delete,
-        "mut_substitute": _mut_substitute,
-        "mut_transpose": _mut_transpose,
-        "mut_categorical": _mut_categorical,
-        "mut_permute": _mut_permute,
-        "mut_datetime_offset": _mut_datetime_offset,
-        "mut_replacement_whole": _mut_replacement_whole,
-        "mut_generator_splice": _mut_splice,
-        "mut_chain": _mut_chain,
-        "mut_function": _mut_function,
-        "mut_group": _mut_group,
-        # table-driven Arrow kernels (M2–M4, M17) — 4
-        "mut_cldr_keymap": _mut_cldr,
-        "mut_replacement_inline": _mut_replacement_inline,
-        "mut_phonetic": _mut_phonetic,
-        "mut_regex": _mut_regex,
-        # beyond-reference training-data ops — 15
-        "dedup_exact": _dedup_exact,
-        "dedup_groups": _dedup_groups,
-        "dedup_minhash_pairs": _dedup_minhash,
-        "dedup_simhash_pairs": _dedup_simhash,
-        "dedup_ngram_jaccard": _dedup_jaccard,
-        "dedup_embedding_pairs": _dedup_embedding,
-        "sketch_kmv_distinct": _sketch_kmv,
-        "sample_stratified": _sample_stratified,
-        "sample_reservoir_n": _sample_reservoir,
-        "sample_weighted_n": _sample_weighted,
-        "topk_cosine_bruteforce": _topk_cosine,
-        "topk_cosine_ivf": _topk_ivf,
-        "text_stats": _text_stats,
-        "doc_normalize_filter": _doc_normalize_filter,
-        "doc_fingerprints": _doc_fingerprints,
-        # flagship relational shapes — 5 (entries 46–50)
-        "q1_pricing_summary": _q1,
-        "q6_revenue_filter": _q6,
-        "q7_nation_volume": _q7,
-        "q10_returned_items": _q10,
-        "q_asof_join": _q_asof_join,
-        # --- entries 51+ : relational variants, strict-locally verified ---
+        # --- relational variants, never driver-graded before round 3 — 21
         "q3_shipping_priority": _q3,
         "q5_region_revenue": _q5,
         "q_window_topk_orders": _q_topk,
@@ -3336,7 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": _q14,
         "q18_large_volume": _q18,
         "q19_branch_revenue": _q19,
-        # decorrelation shapes (TPC-H Q2/Q11/Q15/Q16/Q20/Q21/Q22)
+        # decorrelation shapes (TPC-H Q2/Q11/Q15/Q16/Q20/Q21/Q22, Q8/Q9) — 10
         "q2_min_cost_supplier": _q2,
         "q11_important_stock": _q11,
         "q15_top_supplier": _q15,
@@ -3347,7 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8,
         "q9_product_profit": _q9,
         "q_skew_join": _q_skew_join,
-        # decontamination + repetition quality (beyond-reference, round 2)
+        # decontamination + repetition + sketches + packing — 7
         "decontam_overlap": _decontam_overlap,
         "decontam_filter": _decontam_filter,
         "text_repetition": _text_repetition,
@@ -3355,6 +3301,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cm_estimate": _sketch_cm_estimate,
         "sketch_kmv_by_group": _sketch_kmv_by_group,
         "pack_sequences": _pack_sequences,
+        # round-2-green regression cover, one per kernel family — 12
+        # (slots 39–50; all had driver PASS rows in CORRECTNESS_r02)
+        "gen_uniform": _gen_uniform,
+        "gen_group": _gen_group,
+        "mut_chain": _mut_chain,
+        "mut_phonetic": _mut_phonetic,
+        "mut_regex": _mut_regex,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_pairs": _dedup_minhash,
+        "sketch_kmv_distinct": _sketch_kmv,
+        "sample_stratified": _sample_stratified,
+        "topk_cosine_ivf": _topk_ivf,
+        "text_stats": _text_stats,
+        "q1_pricing_summary": _q1,
+        # --- entries 51+ : driver-green in round 2, strict-local since ---
+        "gen_normal": _gen_normal,
+        "gen_freq_single": _gen_freq_single,
+        "gen_freq_multi": _gen_freq_multi,
+        "gen_datetime": _gen_datetime,
+        "gen_group_exact": _gen_group_exact,
+        "gen_function": _gen_function,
+        "gen_datasource": _gen_datasource,
+        "mut_missing_value": _mut_missing,
+        "mut_missing_strict_p": _mut_missing_strict,
+        "mut_uppercase": _mut_uppercase,
+        "mut_lowercase": _mut_lowercase,
+        "mut_repeat": _mut_repeat,
+        "mut_insert": _mut_insert,
+        "mut_delete": _mut_delete,
+        "mut_substitute": _mut_substitute,
+        "mut_transpose": _mut_transpose,
+        "mut_categorical": _mut_categorical,
+        "mut_permute": _mut_permute,
+        "mut_datetime_offset": _mut_datetime_offset,
+        "mut_replacement_whole": _mut_replacement_whole,
+        "mut_generator_splice": _mut_splice,
+        "mut_function": _mut_function,
+        "mut_group": _mut_group,
+        "mut_cldr_keymap": _mut_cldr,
+        "mut_replacement_inline": _mut_replacement_inline,
+        "dedup_groups": _dedup_groups,
+        "dedup_simhash_pairs": _dedup_simhash,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_embedding_pairs": _dedup_embedding,
+        "sample_reservoir_n": _sample_reservoir,
+        "sample_weighted_n": _sample_weighted,
+        "topk_cosine_bruteforce": _topk_cosine,
+        "doc_normalize_filter": _doc_normalize_filter,
+        "doc_fingerprints": _doc_fingerprints,
+        "q6_revenue_filter": _q6,
+        "q7_nation_volume": _q7,
+        "q10_returned_items": _q10,
+        "q_asof_join": _q_asof_join,
     }
 
 
