@@ -2529,22 +2529,30 @@ FROM pairs GROUP BY id_a, id_b HAVING MIN(hamming) <= {max_hamming}
 
 
 def _dedup_jaccard(spark, sf):
-    from gecko_spark.operators.dedup import ngram_jaccard_pairs
+    # prefix-filtered exact mode (AllPairs) + df-cap 500: identical
+    # output to the naive inverted-index join on any corpus where no
+    # 4-gram tops 500 docs (true at sf0.001/0.01 — max df 415/402), and
+    # the capped universe keeps the sf0.1 low-entropy corpus from going
+    # quadratic (naive Σf² = 1.9e9 rows; capped = 33M, prefix-join far
+    # less). The oracle replicates the cap.
+    from gecko_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
     docs = load_table(spark, sf, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=4, threshold=0.35).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    return ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", n=4, threshold=0.35, max_shingle_freq=500
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 _DEDUP_JACCARD_SQL = """
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id AS doc,
          unnest(list_distinct(list_transform(
            range(1, greatest(length(lower(text)) - 3, 1) + 1),
            i -> substr(lower(text), CAST(i AS INTEGER), 4)))) AS shingle
   FROM documents
 ),
+df AS (SELECT shingle, count(*) AS f FROM sh0 GROUP BY shingle),
+sh AS (SELECT sh0.doc, sh0.shingle FROM sh0 JOIN df USING (shingle) WHERE df.f <= 500),
 sizes AS (SELECT doc, count(*) AS set_size FROM sh GROUP BY doc),
 inter AS (
   SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS i

@@ -38,6 +38,7 @@ __all__ = [
     "simhash_jvm",
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_prefix",
     "embedding_cosine_pairs",
     "write_minhash_index",
     "dedupe_against_index",
@@ -712,6 +713,109 @@ def ngram_jaccard_pairs(
             (
                 F.col("inter").cast("double")
                 / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard via prefix filtering (AllPairs, Bayardo et
+    al., WWW'07): identical output to :func:`ngram_jaccard_pairs`, but
+    the candidate join only touches each document's *prefix* — its
+    rarest ``|d| − ⌈t·|d|⌉ + 1`` shingles under a global
+    frequency-ascending order. Two sets with Jaccard ≥ t must share a
+    prefix token, so no qualifying pair is missed; candidates are then
+    verified exactly with ``array_intersect`` on the full shingle sets.
+
+    Why this is the 100 TB path: the naive inverted-index join costs
+    Σ_s f(s)² over every shingle's document frequency — quadratic in the
+    hottest shingle (1.9e9 intermediate rows on the sf0.1 documents
+    corpus). Prefix tokens are by construction the *rarest* per
+    document, so the self-join's per-key fan-out stays small even on
+    low-entropy corpora; the verification join is linear in the (small)
+    candidate count. Everything is JVM column algebra — the only wide
+    ops are one shuffle keyed on shingle (frequency join), one
+    ``groupBy(doc)``, and the prefix-token self-join.
+
+    ``max_shingle_freq`` has the same capped-universe semantics as in
+    :func:`ngram_jaccard_pairs` (sizes count the post-cap universe).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("f"))
+            .filter(F.col("f") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+    # global canonical order: (frequency asc, shingle asc) — both sides
+    # of the self-join must sort tokens identically or the prefix
+    # theorem does not hold
+    ranked = sh.join(freq, "shingle")
+
+    docs = (
+        ranked.groupBy("doc")
+        .agg(F.sort_array(F.collect_list(F.struct("f", "shingle"))).alias("tk"))
+        .select(
+            "doc",
+            F.col("tk.shingle").alias("toks"),
+            F.size("tk").alias("sz"),
+        )
+    )
+    # prefix length p = sz − ⌈t·sz⌉ + 1 (≥ 1)
+    p = F.greatest(
+        F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")).cast("int") + F.lit(1),
+        F.lit(1),
+    )
+    pref = docs.select("doc", "sz", "toks", F.slice("toks", F.lit(1), p).alias("prefix"))
+
+    from pyspark import StorageLevel
+
+    pref = pref.persist(StorageLevel.MEMORY_AND_DISK)
+
+    idx = pref.select("doc", "sz", F.explode("prefix").alias("token"))
+    a, b = idx.alias("a"), idx.alias("b")
+    # length filter: J(A,B) ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (
+                F.greatest(F.col("a.sz"), F.col("b.sz")) * F.lit(float(threshold))
+                <= F.least(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+    fa = pref.select(F.col("doc").alias("id_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("size_a"))
+    fb = pref.select(F.col("doc").alias("id_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("size_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter.cast("double")
+                / (F.col("size_a") + F.col("size_b") - inter).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -118,6 +118,33 @@ def test_ngram_jaccard_exact_values(spark, dup_docs):
     assert est[(0, 2)] > 0.8
 
 
+def test_ngram_jaccard_prefix_matches_naive(spark, docs):
+    """Prefix filtering (AllPairs) is exact: byte-identical pair set and
+    similarities vs the naive inverted-index join, at several thresholds."""
+    sample = docs.limit(120)
+    for t in (0.3, 0.5, 0.8):
+        naive = D.ngram_jaccard_pairs(sample, "doc_id", "text", n=4, threshold=t).toPandas()
+        pref = D.ngram_jaccard_pairs_prefix(
+            sample, "doc_id", "text", n=4, threshold=t
+        ).toPandas()
+        key = lambda d: d.sort_values(["id_a", "id_b"], ignore_index=True)
+        pd.testing.assert_frame_equal(key(naive), key(pref), check_exact=False, rtol=1e-9)
+
+
+def test_ngram_jaccard_prefix_capped_matches_naive_capped(spark, docs):
+    """With a document-frequency cap both modes define the same capped
+    shingle universe — outputs must still agree."""
+    sample = docs.limit(120)
+    naive = D.ngram_jaccard_pairs(
+        sample, "doc_id", "text", n=4, threshold=0.35, max_shingle_freq=40
+    ).toPandas()
+    pref = D.ngram_jaccard_pairs_prefix(
+        sample, "doc_id", "text", n=4, threshold=0.35, max_shingle_freq=40
+    ).toPandas()
+    key = lambda d: d.sort_values(["id_a", "id_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(key(naive), key(pref), check_exact=False, rtol=1e-9)
+
+
 # -- documents table sanity --------------------------------------------------
 
 
