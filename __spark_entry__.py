@@ -1878,7 +1878,7 @@ def _q8(spark, sf):
         .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n_s), s.s_nationkey == F.col("sn_key"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(vol * from_nation).alias("nation_vol_1e4"),
             F.sum(vol).alias("total_vol_1e4"),
@@ -1942,7 +1942,10 @@ def _q9(spark, sf):
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
         .agg(F.sum(profit).alias("profit_1e4"), F.count("*").alias("n_items"))
     )
 
@@ -2471,7 +2474,9 @@ def _dedup_simhash(spark, sf):
     from gecko_spark.operators.dedup import simhash_candidate_pairs
 
     docs = load_table(spark, sf, "documents")
-    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=8)
+    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=8).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
 
 
 def _dedup_simhash_sql(bits: int = 64, chunks: int = 4, max_hamming: int = 8) -> str:
@@ -2523,7 +2528,7 @@ WITH toks AS (
   SELECT l.doc AS id_a, r.doc AS id_b, bit_count(xor(l.sh, r.sh)) AS hamming
   FROM blocked l JOIN blocked r ON l.c = r.c AND l.key = r.key AND l.doc < r.doc
 )
-SELECT id_a, id_b, MIN(hamming) AS hamming
+SELECT id_a, id_b, CAST(MIN(hamming) AS BIGINT) AS hamming
 FROM pairs GROUP BY id_a, id_b HAVING MIN(hamming) <= {max_hamming}
 """
 
@@ -3079,7 +3084,12 @@ def _text_repetition(spark, sf):
     from gecko_spark.operators.text import repetition_profile
 
     docs = load_table(spark, sf, "documents")
-    return repetition_profile(docs, "doc_id", "text", ns=(2, 3))
+    out = repetition_profile(docs, "doc_id", "text", ns=(2, 3))
+    # exact-width parity with the BIGINT-producing oracle (len() in
+    # DuckDB): counts up-cast to long at the contract edge
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long")).withColumn(
+        "n_distinct_tokens", F.col("n_distinct_tokens").cast("long")
+    )
 
 
 _TEXT_REPETITION_SQL = f"""

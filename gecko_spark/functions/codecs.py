@@ -9,16 +9,19 @@ multimodal path REAL (not stubbed) for them:
   4-byte row padding, BGR(A) channel order.
 - **PPM/PGM** (Netpbm ``P6``/``P5`` magic): binary RGB/grayscale,
   maxval ≤ 255, ``#`` comments.
+- **PNG** (``\\x89PNG`` magic): non-interlaced 8-bit gray / gray+alpha /
+  RGB / RGBA / palette — stdlib ``zlib`` inflate + per-scanline
+  unfiltering (all five filter types), no external deps.
 
-Anything compressed (PNG/JPEG/...) still raises
-:class:`UnsupportedImageError` — a honest boundary, surfaced per-batch
-inside the executors. All functions are deterministic, so pipelines
-built on them stay oracle-checkable.
+JPEG/video still raise :class:`UnsupportedImageError` — a honest
+boundary, surfaced per-batch inside the executors. All functions are
+deterministic, so pipelines built on them stay oracle-checkable.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -30,6 +33,7 @@ __all__ = [
     "encode_ppm",
     "decode_bmp",
     "decode_ppm",
+    "decode_png",
 ]
 
 
@@ -37,8 +41,13 @@ class UnsupportedImageError(NotImplementedError):
     """Payload is not one of the pure-Python-decodable formats."""
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def sniff_format(data: bytes) -> str:
-    """'bmp' | 'ppm' | 'pgm' | 'unknown' from magic bytes."""
+    """'bmp' | 'ppm' | 'pgm' | 'png' | 'unknown' from magic bytes."""
+    if data[:8] == _PNG_SIG:
+        return "png"
     if len(data) >= 2:
         if data[:2] == b"BM":
             return "bmp"
@@ -135,6 +144,129 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
+# PNG color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering. ``raw`` is the inflated IDAT
+    stream: ``height`` rows of ``1 + stride`` bytes (filter tag + data).
+    Returns (height, stride) uint8 of reconstructed bytes.
+
+    None/Up rows are whole-row vectorized; Sub is a per-byte-lane
+    cumulative sum (recon[i] = raw[i] + recon[i-bpp] telescopes to a
+    running sum mod 256); Average/Paeth depend on the left *recon*
+    byte so they run a per-pixel-column loop — still O(stride), and
+    scanlines are short relative to Arrow batch sizes."""
+    rows = raw.reshape(height, 1 + stride)
+    tags, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(height):
+        t, line = int(tags[y]), data[y]
+        if t == 0:  # None
+            rec = line.copy()
+        elif t == 1:  # Sub
+            rec = line.copy()
+            for k in range(bpp):
+                rec[k::bpp] = np.cumsum(rec[k::bpp], dtype=np.uint64) & 0xFF
+        elif t == 2:  # Up
+            rec = ((line + prev) & 0xFF).astype(np.uint8)
+        elif t == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            line16 = line.astype(np.uint16)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line16[i] + ((int(left) + int(prev[i])) >> 1)) & 0xFF
+        elif t == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise UnsupportedImageError(f"bad PNG filter type {t} on row {y}")
+        out[y] = rec
+        prev = rec.astype(np.uint16)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG (gray / gray+alpha / RGB /
+    RGBA / palette) into (H, W, 3) uint8 RGB using only stdlib zlib.
+    Alpha is dropped (matches :func:`decode_bmp`'s 32-bit handling)."""
+    if data[:8] != _PNG_SIG:
+        raise UnsupportedImageError("not a PNG payload")
+    pos, width = 8, -1
+    height = bit_depth = color_type = -1
+    palette: bytes | None = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise UnsupportedImageError("truncated PNG chunk")
+        pos += 12 + length  # len + type + body + CRC (CRC not verified)
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack_from(">IIBBBBB", body, 0)
+            )
+            if comp != 0 or filt != 0:
+                raise UnsupportedImageError("nonstandard PNG compression/filter method")
+            if interlace != 0:
+                raise UnsupportedImageError("interlaced (Adam7) PNG unsupported")
+            if bit_depth != 8:
+                raise UnsupportedImageError(f"{bit_depth}-bit PNG (8-bit only)")
+            if color_type not in _PNG_CHANNELS:
+                raise UnsupportedImageError(f"PNG color type {color_type}")
+        elif ctype == b"PLTE":
+            palette = bytes(body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width <= 0 or height <= 0:
+        raise UnsupportedImageError(f"bad PNG dimensions {width}x{height}")
+    if not idat:
+        raise UnsupportedImageError("PNG has no IDAT data")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as exc:
+        raise UnsupportedImageError(f"corrupt PNG zlib stream: {exc}") from exc
+    if raw.size != height * (1 + stride):
+        raise UnsupportedImageError(
+            f"PNG payload {raw.size} bytes, expected {height * (1 + stride)}"
+        )
+    px = _png_unfilter(raw, height, stride, ch).reshape(height, width, ch)
+    if color_type == 2:  # RGB
+        rgb = px
+    elif color_type == 6:  # RGBA
+        rgb = px[:, :, :3]
+    elif color_type == 0:  # gray
+        rgb = np.repeat(px, 3, axis=2)
+    elif color_type == 4:  # gray + alpha
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # palette
+        if palette is None:
+            raise UnsupportedImageError("palette PNG missing PLTE chunk")
+        lut = np.frombuffer(palette, dtype=np.uint8)
+        if lut.size % 3:
+            raise UnsupportedImageError("bad PLTE length")
+        lut = lut.reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= lut.shape[0]:
+            raise UnsupportedImageError("palette index out of range")
+        rgb = lut[idx]
+    return np.ascontiguousarray(rgb)
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Decode any supported payload into (H, W, 3) uint8 RGB."""
     fmt = sniff_format(data)
@@ -142,10 +274,12 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if fmt in ("ppm", "pgm"):
         return decode_ppm(data)
+    if fmt == "png":
+        return decode_png(data)
     raise UnsupportedImageError(
         "unsupported image format (pure-Python codecs cover uncompressed "
-        "BMP and binary PPM/PGM; compressed formats need PIL/opencv on "
-        "the executors)"
+        "BMP, binary PPM/PGM, and non-interlaced 8-bit PNG; JPEG/video "
+        "need PIL/opencv on the executors)"
     )
 
 

@@ -175,3 +175,129 @@ def _encode_bmp(img: np.ndarray) -> bytes:
 @settings(max_examples=40, deadline=None)
 def test_bmp_roundtrip_any_image(img):
     assert (decode_bmp(_encode_bmp(img)) == img).all()
+
+
+# -- PNG ---------------------------------------------------------------------
+
+import zlib
+
+from gecko_spark.functions.codecs import decode_png
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _filter_row(line, prev, bpp, t):
+    """Forward PNG filter (spec RFC 2083 §6) for the encoder side."""
+    line = line.astype(np.int16)
+    prev = prev.astype(np.int16)
+    left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]]) if len(line) > bpp else np.zeros_like(line)
+    upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]]) if len(prev) > bpp else np.zeros_like(prev)
+    if t == 0:
+        out = line
+    elif t == 1:
+        out = line - left
+    elif t == 2:
+        out = line - prev
+    elif t == 3:
+        out = line - ((left + prev) >> 1)
+    else:
+        p = left + prev - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+        out = line - pred
+    return (out & 0xFF).astype(np.uint8)
+
+
+def _encode_png(img: np.ndarray, color_type: int, filters) -> bytes:
+    """Minimal PNG encoder emitting a chosen filter type per row."""
+    h, w = img.shape[:2]
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    px = img.reshape(h, w * ch)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        t = filters[y % len(filters)]
+        raw.append(t)
+        raw += _filter_row(px[y], prev, ch, t).tobytes()
+        prev = px[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_rgb_all_filter_types():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        data = _encode_png(img, 2, filters)
+        assert sniff_format(data) == "png"
+        assert (decode_png(data) == img).all(), f"filters={filters}"
+
+
+def test_png_rgba_drops_alpha():
+    rng = np.random.default_rng(8)
+    rgba = rng.integers(0, 256, (5, 7, 4), dtype=np.uint8)
+    out = decode_png(_encode_png(rgba, 6, [0, 4]))
+    assert (out == rgba[:, :, :3]).all()
+
+
+def test_png_gray_and_gray_alpha():
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, (6, 4, 1), dtype=np.uint8)
+    assert (decode_png(_encode_png(g, 0, [1, 2])) == np.repeat(g, 3, axis=2)).all()
+    ga = np.concatenate([g, np.full_like(g, 128)], axis=2)
+    assert (decode_png(_encode_png(ga, 4, [3])) == np.repeat(g, 3, axis=2)).all()
+
+
+def test_png_palette():
+    lut = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 3], [3, 0]], dtype=np.uint8)[..., None]
+    data = _encode_png(idx, 3 if False else 0, [0])  # encode indices as gray stream
+    # splice color type 3 + PLTE into the gray-encoded stream
+    ihdr = struct.pack(">IIBBBBB", 2, 3, 8, 3, 0, 0, 0)
+    body = data[8:]
+    # rebuild: IHDR(type 3) + PLTE + rest after original IHDR chunk
+    first_len = struct.unpack(">I", body[:4])[0]
+    rest = body[12 + first_len:]
+    data3 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", lut.tobytes())
+        + rest
+    )
+    assert (decode_png(data3) == lut[idx[:, :, 0]]).all()
+
+
+def test_png_rejects_unsupported():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    data = bytearray(_encode_png(img, 2, [0]))
+    # flip interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12th IHDR byte)
+    data[8 + 8 + 12] = 1
+    with pytest.raises(UnsupportedImageError, match="interlaced"):
+        decode_png(bytes(data))
+    with pytest.raises(UnsupportedImageError):
+        decode_png(b"\x89PNG\r\n\x1a\njunk")
+    with pytest.raises(UnsupportedImageError, match="not a PNG"):
+        decode_png(b"BMnope")
+
+
+@given(_images(), st.sampled_from([[0], [1], [2], [3], [4], [4, 3, 2, 1, 0]]))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_any_image(img, filters):
+    assert (decode_png(_encode_png(img, 2, filters)) == img).all()
+
+
+def test_decode_image_dispatches_png():
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    assert (decode_image(_encode_png(img, 2, [0])) == img).all()

@@ -122,9 +122,9 @@ def main():
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(
-                g, x, check_dtype=False, check_exact=True
-            )
+            # exact dtype width too (int32 vs int64 fails): local
+            # strictness strictly dominates the driver's hash compare
+            pd.testing.assert_frame_equal(g, x, check_exact=True)
             ok = True
         except AssertionError as ex:
             ok = False
