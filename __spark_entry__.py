@@ -3078,6 +3078,62 @@ WHERE doc_id % 10 <> 0
 """
 
 
+def _decontam_filter_bloom(spark, sf):
+    """Same decontamination contract as ``decontam_filter`` but through
+    the bloom prefilter path (decontam.py: bloom bitset built
+    distributedly via per-word bit_or, broadcast to prune train grams
+    before the join). The bloom is a PREfilter with an exact-result
+    guarantee — false positives only add candidate grams that the exact
+    join then rejects — so the oracle is the identical plain-join SQL."""
+    from gecko_spark.operators.decontam import decontaminate
+
+    docs = load_table(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    return decontaminate(
+        train, test, "doc_id", "text", n=4, min_shared=1, bloom_bits_count=1 << 18
+    ).select("doc_id")
+
+
+def _dedup_transitive(spark, sf):
+    """End-to-end transitive MinHash dedup
+    (dedup.py::minhash_dedupe_transitive): candidate pairs → min-label
+    connected components → keep the min-id survivor per cluster. A~B
+    and B~C collapse to ONE survivor even when A~C never met in a
+    bucket — the property the pairwise contract queries can't see."""
+    from gecko_spark.operators.dedup import minhash_dedupe_transitive
+
+    docs = load_table(spark, sf, "documents")
+    return minhash_dedupe_transitive(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle_size=5
+    ).select("doc_id")
+
+
+def _dedup_transitive_sql(threshold: float = 0.8) -> str:
+    """DuckDB oracle: replay the exact MinHash pair generation
+    (_dedup_minhash_sql — bit-for-bit portable signatures), then close
+    the >=threshold pair graph with a recursive CTE (min-label
+    reachability) and drop every node that is not its component's
+    minimum. Survivors = documents minus losers."""
+    pairs_sql = _dedup_minhash_sql()
+    return f"""
+WITH RECURSIVE mh_pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE est_jaccard >= {threshold}
+  UNION
+  SELECT id_b, id_a FROM mh_pairs WHERE est_jaccard >= {threshold}
+),
+walk(node, comp) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node
+),
+cc AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> comp)
+"""
+
+
 def _text_repetition(spark, sf):
     """Gopher-style repetition profile (text.py::repetition_profile):
     token totals + most-frequent 2-/3-gram occurrence counts per doc."""
@@ -3311,9 +3367,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8,
         "q9_product_profit": _q9,
         "q_skew_join": _q_skew_join,
-        # decontamination + repetition + sketches + packing — 7
+        # decontamination + repetition + sketches + packing — 9
         "decontam_overlap": _decontam_overlap,
         "decontam_filter": _decontam_filter,
+        "decontam_filter_bloom": _decontam_filter_bloom,  # new in round 4
+        "dedup_transitive": _dedup_transitive,  # new in round 4
         "text_repetition": _text_repetition,
         "sketch_cm_counts": _sketch_cm_counts,
         "sketch_cm_estimate": _sketch_cm_estimate,
@@ -3460,6 +3518,8 @@ def oracle_sql() -> dict[str, str]:
         "q_skew_join": _Q_SKEW_SQL,
         "decontam_overlap": _DECONTAM_OVERLAP_SQL,
         "decontam_filter": _DECONTAM_FILTER_SQL,
+        "decontam_filter_bloom": _DECONTAM_FILTER_SQL,
+        "dedup_transitive": _dedup_transitive_sql(),
         "text_repetition": _TEXT_REPETITION_SQL,
         "sketch_cm_counts": _sketch_cm_counts_sql(),
         "sketch_cm_estimate": _sketch_cm_estimate_sql(),

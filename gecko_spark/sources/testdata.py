@@ -1,12 +1,23 @@
 """Loaders for the driver's TPC-H-ish parquet tables (TESTDATA.md).
 
-One wrinkle: ``events.parquet`` stores ``ts`` as parquet
-``TIMESTAMP(NANOS)``, which Spark rejects by default
-(PARQUET_TYPE_ILLEGAL). The loader flips
-``spark.sql.legacy.parquet.nanosAsLong`` so the column arrives as an
-int64 nanosecond count, then converts it to a proper ``timestamp``
-column JVM-side (``timestamp_micros(ns div 1000)``) — no Python in the
-path, pushdown on every other column unaffected.
+Two wrinkles, both around parquet timestamp physical types (the driver
+has shipped both shapes across rounds, so the loader handles either):
+
+- ``TIMESTAMP(NANOS)``: Spark rejects it by default
+  (PARQUET_TYPE_ILLEGAL). The loader flips
+  ``spark.sql.legacy.parquet.nanosAsLong`` so the column arrives as an
+  int64 nanosecond count, then converts it to a proper ``timestamp``
+  column JVM-side (``timestamp_micros(ns div 1000)``).
+- ``timestamp[us]`` with ``isAdjustedToUTC=false``: Spark 3.4+ infers
+  ``TIMESTAMP_NTZ`` (``spark.sql.parquet.inferTimestampNTZ.enabled``
+  defaults to true), which breaks ``unix_millis``/``to_utc_timestamp``
+  consumers. The loader disables that inference so scans produce plain
+  ``TIMESTAMP`` (session tz pinned to UTC ⇒ identical wall-clock to the
+  DuckDB oracle's naive timestamps) — keeping the column a native
+  TIMESTAMP at the scan means date/ts predicate pushdown stays intact,
+  rather than hiding behind an NTZ→LTZ cast.
+
+No Python in either path; pushdown on every other column unaffected.
 """
 
 from __future__ import annotations
@@ -32,6 +43,7 @@ TABLES = [
 ]
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+_NTZ_CONF = "spark.sql.parquet.inferTimestampNTZ.enabled"
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
@@ -50,6 +62,20 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*cols)
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    # Defensive backstop for builds where the NTZ-inference conf does not
+    # exist: session tz is pinned UTC, so the cast preserves wall-clock.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
+        return df
+    return df.select(
+        *[
+            F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy scan).
 
@@ -58,10 +84,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     output must not depend on whoever built the SparkSession."""
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        if spark.conf.get(_NTZ_CONF, "true") != "false":
+            spark.conf.set(_NTZ_CONF, "false")
+    except Exception:
+        pass  # conf absent on this build — _normalize_ntz covers it
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return _read_events(spark, path)
-    return spark.read.parquet(path)
+        return _normalize_ntz(_read_events(spark, path))
+    return _normalize_ntz(spark.read.parquet(path))
 
 
 def load_tables(
