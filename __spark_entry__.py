@@ -3168,6 +3168,142 @@ FROM base LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
 """
 
 
+def _text_pii_redact(spark, sf):
+    """PII redaction (text.py::redact_pii): mask + count emails / IPv4
+    / phone spans, pure JVM regexp algebra. The corpus has no natural
+    PII, so the query plants a deterministic email+IP+phone per doc
+    (derived from doc_id) before redacting — the patterns are
+    exercised on every row and the oracle rebuilds the same input."""
+    from gecko_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org at 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1 555-012-3456"),
+        ).alias("text"),
+    )
+    out = redact_pii(planted, "text")
+    # exact-width parity with the BIGINT-producing oracle (len() in
+    # DuckDB): Spark size() is int32
+    return out.select(
+        "doc_id",
+        "text_redacted",
+        *[F.col(c).cast("long").alias(c) for c in ("n_email", "n_ipv4", "n_phone")],
+    )
+
+
+def _pii_sql() -> str:
+    from gecko_spark.operators.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    planted = (
+        "COALESCE(text, '') || ' reach user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.org at 192.168.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 or +1 555-012-3456'"
+    )
+    # redaction applies the patterns in PII_PATTERNS order; counts are
+    # measured on the pre-redaction text (same contract as redact_pii)
+    red = planted
+    for kind, pat in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{esc}', '<{kind}>', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all({planted}, '{pats[k].replace(chr(39), chr(39)*2)}')) "
+        f"AS n_{k}"
+        for k in ("email", "ipv4", "phone")
+    )
+    return f"""
+SELECT doc_id, {red} AS text_redacted, {counts}
+FROM documents
+"""
+
+
+def _text_tfidf(spark, sf):
+    """Per-document top-3 TF-IDF terms (text.py::tfidf_top_terms):
+    explode → (doc,term) count → doc-frequency over the reduced index
+    → 1-row-broadcast corpus size → rank window. Rank orders by the
+    ROUNDED score so the ordering is engine-portable (see docstring)."""
+    from gecko_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        "tfidf",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_TFIDF_SQL = f"""
+WITH {_TOKS_CTE},
+terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _emb_quantize(spark, sf):
+    """Symmetric per-vector int8 quantization
+    (similarity.py::quantize_int8), exploded to scalar rows at the
+    contract edge (arrays don't hash portably across pandas reprs).
+    Explicit floor(x+0.5) half-up keeps the quantized values bit-equal
+    across engines."""
+    from gecko_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf, "embeddings")
+    q = quantize_int8(emb.select("vec_id", "embedding"))
+    return q.select(
+        "vec_id",
+        F.posexplode("embedding_q8").alias("pos", "q"),
+        F.col("embedding_scale").alias("scale"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("q").cast("long").alias("q"),
+        "scale",
+    )
+
+
+_EMB_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v
+)
+SELECT vec_id,
+       unnest(range(len(e))) AS pos,
+       unnest(CASE WHEN maxabs = 0
+                   THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(e, x -> CAST(floor(x / maxabs * 127 + 0.5) AS BIGINT))
+              END) AS q,
+       CASE WHEN maxabs = 0 THEN 0.0 ELSE maxabs / 127.0 END AS scale
+FROM m
+"""
+
+
 def _sketch_cm_counts(spark, sf):
     """Count-min sketch table (sketches.py::cm_sketch) over order
     priorities: every (row, bucket) counter — deterministic portable
@@ -3372,6 +3508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_filter": _decontam_filter,
         "decontam_filter_bloom": _decontam_filter_bloom,  # new in round 4
         "dedup_transitive": _dedup_transitive,  # new in round 4
+        "text_pii_redact": _text_pii_redact,  # new in round 4
+        "text_tfidf_top3": _text_tfidf,  # new in round 4
+        "emb_quantize_int8": _emb_quantize,  # new in round 4
         "text_repetition": _text_repetition,
         "sketch_cm_counts": _sketch_cm_counts,
         "sketch_cm_estimate": _sketch_cm_estimate,
@@ -3520,6 +3659,9 @@ def oracle_sql() -> dict[str, str]:
         "decontam_filter": _DECONTAM_FILTER_SQL,
         "decontam_filter_bloom": _DECONTAM_FILTER_SQL,
         "dedup_transitive": _dedup_transitive_sql(),
+        "text_pii_redact": _pii_sql(),
+        "text_tfidf_top3": _TFIDF_SQL,
+        "emb_quantize_int8": _EMB_QUANTIZE_SQL,
         "text_repetition": _TEXT_REPETITION_SQL,
         "sketch_cm_counts": _sketch_cm_counts_sql(),
         "sketch_cm_estimate": _sketch_cm_estimate_sql(),

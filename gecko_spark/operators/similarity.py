@@ -29,6 +29,8 @@ __all__ = [
     "kmeans_fit",
     "write_ivf_index",
     "read_ivf_index",
+    "quantize_int8",
+    "dequantize_int8",
 ]
 
 
@@ -51,6 +53,49 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: replaces ``vec_col``
+    with ``{vec_col}_q8`` (array<int> in [-127, 127]) plus a
+    ``{vec_col}_scale`` (double) such that ``x ≈ q * scale``.
+
+    4× (fp32) / 8× (fp64) storage and shuffle-volume reduction for an
+    ANN candidate index — the shape every large-scale embedding store
+    uses. Pure JVM column algebra (transform / array_max / floor), so
+    it quantizes at scan speed with zero Python and zero shuffles.
+
+    Determinism contract: ``q = floor(x / maxabs * 127 + 0.5)``
+    (explicit half-up in exact IEEE ops, elements cast to double
+    first) rather than an engine's ``round`` — ROUND on doubles is
+    half-even in some engines and half-away in others, which would
+    break bit-exact cross-engine parity. All-zero vectors quantize to
+    all-zero with scale 0.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    q = F.when(maxabs == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x / maxabs * F.lit(127.0) + F.lit(0.5)).cast("int"),
+        )
+    )
+    scale = F.when(maxabs == 0.0, F.lit(0.0)).otherwise(maxabs / F.lit(127.0))
+    others = [c for c in df.columns if c != vec_col]
+    return df.select(
+        *others, q.alias(f"{vec_col}_q8"), scale.alias(f"{vec_col}_scale")
+    )
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "embedding_q8", scale_col: str = "embedding_scale"
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8` (lossy): ``x̂ = q * scale`` as
+    array<double>, named ``{q_col}_deq``."""
+    deq = F.transform(
+        F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)
+    )
+    return df.select(*df.columns, deq.alias(f"{q_col}_deq"))
 
 
 def _unit_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:

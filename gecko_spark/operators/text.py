@@ -34,6 +34,9 @@ __all__ = [
     "filter_documents",
     "text_stats",
     "repetition_profile",
+    "PII_PATTERNS",
+    "redact_pii",
+    "tfidf_top_terms",
 ]
 
 # A BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
@@ -465,3 +468,120 @@ def repetition_profile(
             f"top_{n}gram_n", F.coalesce(f"top_{n}gram_n", F.lit(0))
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the RE2 ∩ Java-regex common dialect (no
+# backreferences, no lookaround) so the DuckDB oracle replays them
+# verbatim. Ordered: redaction applies top to bottom, so an email is
+# masked before the phone pattern could eat its digits.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    # `\+?` sits OUTSIDE the leading `\b` (no word boundary exists
+    # between a space and `+`, so `\b\+?` could never consume the
+    # plus); the last separator+digits group is atomic-optional — a
+    # trailing `[-. ]?[0-9]{0,4}` would let the separator match a
+    # following space with zero digits and swallow it
+    ("phone", r"\+?\b[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{1,4})?\b"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns=None,
+    token_fmt: str = "<{kind}>",
+) -> DataFrame:
+    """Mask PII spans in ``text_col`` and count matches per kind.
+
+    Adds ``{text_col}_redacted`` plus one ``n_{kind}`` count column per
+    pattern. Pure JVM column algebra (``regexp_replace`` +
+    ``regexp_extract_all``) — whole-stage codegen, zero shuffles, zero
+    Python: the per-row cost is the regex scans and nothing else, so
+    the operator runs at full parquet-scan speed on any cluster size.
+
+    Counts are measured on the ORIGINAL text, before any replacement,
+    so kinds never steal each other's matches; the redacted text
+    applies the patterns in order.
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    red = t
+    for kind, pat in patterns:
+        red = F.regexp_replace(red, pat, token_fmt.format(kind=kind))
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{kind}")
+        for kind, pat in patterns
+    ]
+    return df.select(
+        *df.columns, red.alias(f"{text_col}_redacted"), *counts
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document:
+    ``(id, term, tf, df, tfidf, rank)``.
+
+    Plan shape (the one you'd want at 100 TB): tokenize → explode →
+    ``(doc, term)`` count (one shuffle, map-side combined) → document
+    frequency per term (second aggregation over the already-reduced
+    index, NOT the raw corpus) → corpus size N joined in as a 1-row
+    broadcast → per-doc top-k via a rank window over the scored index.
+    Nothing driver-side; the raw corpus is read once.
+
+    ``tfidf = tf * ln(N / df)`` ROUNDED to 6 decimals, and the rank
+    orders by the rounded score (ties broken by term ascending):
+    rounding first makes the ordering reproducible across engines —
+    two terms whose scores are equal in real arithmetic (e.g.
+    ``2·ln(10)`` vs ``ln(100)``) can differ in the last ulp between
+    libm implementations, which would otherwise flip ranks at the
+    top-k boundary.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n_docs = df.select(
+        F.count("*").alias("__n_docs__")
+    )  # 1 row — broadcast nested-loop join, no shuffle
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("__n_docs__").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+        .drop("__n_docs__")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

@@ -1,0 +1,154 @@
+"""Round-4 training-pipeline ops: PII redaction, TF-IDF top terms,
+int8 embedding quantization."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gecko_spark.operators.similarity import dequantize_int8, quantize_int8
+from gecko_spark.operators.text import redact_pii, tfidf_top_terms
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "write bob.smith+x@sub.example.co.uk or root@10.1.2.3"),
+            (2, "call +1 555-867-5309 then 555-123-4567 after lunch"),
+            (3, "server at 192.168.0.255 and 8.8.8.8, ports later"),
+            (4, "nothing sensitive here"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestRedactPii:
+    def test_masks_and_counts(self, spark, pii_docs):
+        got = {
+            r["doc_id"]: r
+            for r in redact_pii(pii_docs).collect()
+        }
+        # root@10.1.2.3 is NOT an email under the pattern (host must
+        # end in an alphabetic TLD) — but its host IS an ipv4 match
+        assert got[1]["n_email"] == 1
+        assert got[1]["n_ipv4"] == 1
+        assert "bob.smith+x@sub.example.co.uk" not in got[1]["text_redacted"]
+        assert "<email>" in got[1]["text_redacted"]
+        assert got[2]["n_phone"] == 2
+        assert got[2]["text_redacted"] == "call <phone> then <phone> after lunch"
+        assert got[3]["n_ipv4"] == 2
+        assert got[3]["text_redacted"] == "server at <ipv4> and <ipv4>, ports later"
+        assert got[4]["text_redacted"] == "nothing sensitive here"
+        assert got[5]["text_redacted"] == ""
+        assert got[5]["n_email"] == got[5]["n_ipv4"] == got[5]["n_phone"] == 0
+
+    def test_counts_use_original_text(self, spark):
+        # counts are measured on the ORIGINAL text, so earlier
+        # redactions reshaping the string never change later counts
+        df = spark.createDataFrame(
+            [(1, "a@b.co 555-123-4567 a@b.co")], "doc_id long, text string"
+        )
+        r = redact_pii(df).collect()[0]
+        assert r["n_email"] == 2
+        assert r["n_phone"] == 1
+        assert r["text_redacted"] == "<email> <phone> <email>"
+
+    def test_no_python_in_plan(self, spark, pii_docs):
+        plan = redact_pii(pii_docs)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
+
+
+class TestTfidfTopTerms:
+    def test_small_corpus_exact(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "apple apple banana"),
+                (2, "banana cherry"),
+                (3, "cherry cherry cherry date"),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_top_terms(docs, k=2)
+        rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+        # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+        r11 = rows[(1, 1)]
+        assert r11["term"] == "apple" and r11["tf"] == 2 and r11["df"] == 1
+        assert r11["tfidf"] == round(2 * math.log(3), 6)
+        assert rows[(1, 2)]["term"] == "banana"
+        # doc 3: cherry tf=3 df=2 vs date tf=1 df=1: 3*ln(1.5)=1.216>ln(3)=1.099
+        assert rows[(3, 1)]["term"] == "cherry"
+        assert rows[(3, 2)]["term"] == "date"
+
+    def test_k_bounds_and_min_df(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b")], "doc_id long, text string"
+        )
+        assert tfidf_top_terms(docs, k=3).groupBy("doc_id").count().agg(
+            F.max("count")
+        ).collect()[0][0] <= 3
+        only_shared = tfidf_top_terms(docs, k=10, min_df=2)
+        assert {r["term"] for r in only_shared.collect()} == {"a", "b"}
+
+    def test_rank_ties_break_by_term(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "zebra yak zebra yak"), (2, "other words")],
+            "doc_id long, text string",
+        )
+        rows = {r["rank"]: r["term"] for r in
+                tfidf_top_terms(docs, k=2).filter(F.col("doc_id") == 1).collect()}
+        # identical (tf, df) -> identical score -> alphabetical order
+        assert rows == {1: "yak", 2: "zebra"}
+
+
+class TestQuantizeInt8:
+    def test_values_and_scale(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+        assert got[1]["embedding_q8"] == [64, -127, 32]
+        assert got[1]["embedding_scale"] == pytest.approx(2.0 / 127.0)
+        assert got[2]["embedding_q8"] == [0, 0, 0]
+        assert got[2]["embedding_scale"] == 0.0
+
+    def test_roundtrip_error_bound(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        q = quantize_int8(df)
+        deq = dequantize_int8(q)
+        joined = deq.join(df, "vec_id").select(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "embedding_q8_deq", lambda a, b: F.abs(a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, v: F.greatest(acc, v),
+            ).alias("max_err"),
+            F.col("embedding_scale").alias("scale"),
+        )
+        for r in joined.collect():
+            # half-up rounding: |x - q*scale| <= scale/2 (+ fp slack)
+            assert r["max_err"] <= r["scale"] / 2 + 1e-12
+
+    def test_q8_range_and_jvm_only(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        q = quantize_int8(df)
+        mm = q.select(
+            F.array_min("embedding_q8").alias("lo"), F.array_max("embedding_q8").alias("hi")
+        ).agg(F.min("lo"), F.max("hi")).collect()[0]
+        assert mm[0] >= -127 and mm[1] <= 127
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "Exchange" not in plan

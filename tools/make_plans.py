@@ -109,6 +109,19 @@ def main():
     )
 
     cap(
+        "decontam bloom prefilter: train grams pruned BEFORE the shuffle",
+        qs["decontam_filter_bloom"](spark, sf),
+        "The test-gram Bloom bitset (built distributedly via per-word "
+        "`bit_or`, only num_bits/64 rows reach the driver) is broadcast "
+        "and applied as an ArrowEvalPython filter on the TRAIN gram index "
+        "**below** the join's Exchange — at 100 TB almost no train gram "
+        "survives it, so the shuffled index shrinks from corpus-sized to "
+        "near-contaminated-only. False positives pass and are rejected by "
+        "the exact join that follows, so the result is identical to the "
+        "plain path (same oracle as `decontam_filter`).",
+    )
+
+    cap(
         "repetition profile: zero exchanges (stateless Arrow kernel)",
         qs["text_repetition"](spark, sf),
         "Every repetition signal is a function of the document alone, so "
