@@ -3228,7 +3228,13 @@ def _text_tfidf(spark, sf):
     """Per-document top-3 TF-IDF terms (text.py::tfidf_top_terms):
     explode → (doc,term) count → doc-frequency over the reduced index
     → 1-row-broadcast corpus size → rank window. Rank orders by the
-    ROUNDED score so the ordering is engine-portable (see docstring)."""
+    ROUNDED score so the ordering is engine-portable (see docstring).
+
+    Oracle-parity note: the DuckDB oracle (_TOKS_CTE) tokenizes with the
+    ASCII class ``[^a-z0-9_]+`` while Spark's ``tokens()`` splits on the
+    Unicode class ``[^\\p{L}\\p{N}_]+``; the two agree because the test
+    corpus is ASCII (same documented assumption as _dedup_minhash_sql).
+    On non-ASCII corpora use ``tokens()`` as the single source of truth."""
     from gecko_spark.operators.text import tfidf_top_terms
 
     docs = load_table(spark, sf, "documents")

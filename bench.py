@@ -257,7 +257,11 @@ def main():
         "sf": sf,
     }
     if errors:
+        # A failing query would otherwise shrink the headline total and
+        # masquerade as a cross-round speedup; flag the total as partial
+        # so round-over-round comparisons skip it.
         result["errors"] = errors
+        result["partial"] = True
     print(json.dumps(result))
 
 

@@ -388,6 +388,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    on_nonconvergence: str = "warn",
 ) -> DataFrame:
     """Cluster a pair list into connected components: returns
     ``(node, component)`` where ``component`` is the minimum node id
@@ -403,11 +404,18 @@ def connected_components(
     are checkpointed via localCheckpoint to keep the plan from growing
     unboundedly on a 1000-executor cluster.
 
-    If labels still changed after ``max_iterations`` rounds a
-    ``GeckoWarning`` is emitted — callers (e.g.
-    ``minhash_dedupe_transitive``) would otherwise silently keep extra
-    duplicates from split components.
+    If labels still changed after ``max_iterations`` rounds the result
+    may carry SPLIT components (extra surviving duplicates).
+    ``on_nonconvergence`` controls what happens then: ``"warn"``
+    (default) emits a ``GeckoWarning`` and returns the partial labels;
+    ``"raise"`` raises ``RuntimeError`` — use it when the caller needs
+    oracle-exact closure (the contract queries do, via
+    ``minhash_dedupe_transitive``'s pass-through).
     """
+    if on_nonconvergence not in ("warn", "raise"):
+        raise ValueError(
+            f"on_nonconvergence must be 'warn' or 'raise', got {on_nonconvergence!r}"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -460,17 +468,18 @@ def connected_components(
             converged = True
             break
     if not converged:
+        msg = (
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations; component labels may be split "
+            f"(increase max_iterations)"
+        )
+        if on_nonconvergence == "raise":
+            raise RuntimeError(msg)
         import warnings
 
         from gecko_spark.core import GeckoWarning
 
-        warnings.warn(
-            f"connected_components did not converge within "
-            f"{max_iterations} iterations; component labels may be split "
-            f"(increase max_iterations)",
-            GeckoWarning,
-            stacklevel=2,
-        )
+        warnings.warn(msg, GeckoWarning, stacklevel=2)
     return labels
 
 
@@ -483,15 +492,24 @@ def minhash_dedupe_transitive(
     bands: int = 16,
     shingle_size: int = 5,
     seed: int = 0,
+    max_iterations: int = 20,
+    on_nonconvergence: str = "warn",
 ) -> DataFrame:
     """Drop near-duplicates with TRANSITIVE closure: candidate pairs →
     connected components → keep the min-id representative per cluster.
     A~B and B~C collapse to one survivor even when A~C was never a
-    candidate pair."""
+    candidate pair.
+
+    ``max_iterations`` / ``on_nonconvergence`` pass through to
+    ``connected_components``; use ``on_nonconvergence="raise"`` when the
+    output must match an exact-closure oracle (split components on long
+    duplicate chains would otherwise silently keep extra duplicates)."""
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_size, seed
     ).filter(F.col("est_jaccard") >= threshold)
-    comps = connected_components(pairs)
+    comps = connected_components(
+        pairs, max_iterations=max_iterations, on_nonconvergence=on_nonconvergence
+    )
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

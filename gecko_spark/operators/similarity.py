@@ -55,7 +55,9 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", strict: bool = False
+) -> DataFrame:
     """Symmetric per-vector int8 quantization: replaces ``vec_col``
     with ``{vec_col}_q8`` (array<int> in [-127, 127]) plus a
     ``{vec_col}_scale`` (double) such that ``x ≈ q * scale``.
@@ -71,16 +73,35 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     half-even in some engines and half-away in others, which would
     break bit-exact cross-engine parity. All-zero vectors quantize to
     all-zero with scale 0.
+
+    Malformed inputs are explicit, not garbage: empty vectors quantize
+    to an empty array with scale 0.0; a NULL vector stays NULL; a
+    vector containing NaN yields NULL ``_q8``/``_scale`` (default) or
+    raises at execution time when ``strict=True`` — previously NaN fell
+    into the non-zero branch and produced arrays of nulls with a NaN
+    scale, which propagated silently into downstream indexes.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(v, F.abs))
-    q = F.when(maxabs == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+    has_nan = F.exists(v, F.isnan)
+    # coalesce: empty arrays give a NULL array_max — route them through
+    # the zero branch (empty q8, scale 0.0) instead of the divide.
+    is_zero = F.coalesce(maxabs, F.lit(0.0)) == 0.0
+    q = F.when(is_zero, F.transform(v, lambda x: F.lit(0))).otherwise(
         F.transform(
             v,
             lambda x: F.floor(x / maxabs * F.lit(127.0) + F.lit(0.5)).cast("int"),
         )
     )
-    scale = F.when(maxabs == 0.0, F.lit(0.0)).otherwise(maxabs / F.lit(127.0))
+    scale = F.when(is_zero, F.lit(0.0)).otherwise(maxabs / F.lit(127.0))
+    if strict:
+        bad = F.raise_error(
+            F.lit(f"quantize_int8: NaN element in `{vec_col}`")
+        )
+        q = F.when(has_nan, bad).otherwise(q)
+    else:
+        q = F.when(has_nan, F.lit(None)).otherwise(q)
+        scale = F.when(has_nan, F.lit(None).cast("double")).otherwise(scale)
     others = [c for c in df.columns if c != vec_col]
     return df.select(
         *others, q.alias(f"{vec_col}_q8"), scale.alias(f"{vec_col}_scale")

@@ -347,6 +347,24 @@ def test_connected_components_chain(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_nonconvergence_modes(spark):
+    import pytest
+
+    from gecko_spark.core import GeckoWarning
+    from gecko_spark.operators.dedup import connected_components
+
+    # a 6-node chain cannot converge in 1 iteration
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with pytest.warns(GeckoWarning, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1, on_nonconvergence="raise")
+    with pytest.raises(ValueError, match="on_nonconvergence"):
+        connected_components(pairs, on_nonconvergence="explode")
+
+
 def test_minhash_dedupe_transitive(spark, docs):
     from gecko_spark.operators.dedup import minhash_dedupe, minhash_dedupe_transitive
 

@@ -152,3 +152,29 @@ class TestQuantizeInt8:
         assert mm[0] >= -127 and mm[1] <= 127
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "Exchange" not in plan
+
+    def test_malformed_vectors_explicit(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, float("nan")]), (2, []), (3, None), (4, [2.0, -1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+        # NaN -> explicit NULL output, not an array of nulls + NaN scale
+        assert got[1]["embedding_q8"] is None
+        assert got[1]["embedding_scale"] is None
+        # empty -> empty with scale 0, not a null scale
+        assert got[2]["embedding_q8"] == []
+        assert got[2]["embedding_scale"] == 0.0
+        # NULL vector stays NULL
+        assert got[3]["embedding_q8"] is None
+        # well-formed row unaffected (half-up: -63.5 + 0.5 -> -63)
+        assert got[4]["embedding_q8"] == [127, -63]
+
+    def test_strict_raises_on_nan(self, spark):
+        from py4j.protocol import Py4JJavaError
+
+        df = spark.createDataFrame(
+            [(1, [1.0, float("nan")])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises((Py4JJavaError, Exception), match="NaN element"):
+            quantize_int8(df, strict=True).collect()
