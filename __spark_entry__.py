@@ -1973,16 +1973,20 @@ def _q_skew_join(spark, sf):
     salted_groupby_agg two-phases the aggregation on o_orderpriority — a
     5-value key where EVERY group is hot (~12k rows/group at sf0.01,
     ~2.4B at 100 TB: one reducer per group without the salt). The oracle
-    is the plain join+group — salting must be value-invisible."""
+    is the plain join+group — salting must be value-invisible.
+
+    Both salts use the narrow ``salt_on`` form (join/group key + one
+    within-group disambiguator, skew.py::_salt) so a wide table salts at
+    2-column hash cost instead of hashing the full row."""
     from gecko_spark.operators.skew import salted_groupby_agg, salted_join
 
     li = load_table(spark, sf, "lineitem").select(
-        "l_orderkey", _cents("l_extendedprice").alias("price_cents")
+        "l_orderkey", "l_linenumber", _cents("l_extendedprice").alias("price_cents")
     )
     o = load_table(spark, sf, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    j = salted_join(li, o, ["l_orderkey"], buckets=8)
+    j = salted_join(li, o, ["l_orderkey"], buckets=8, salt_on=["l_linenumber"])
     return salted_groupby_agg(
         j,
         ["o_orderpriority"],
@@ -1991,6 +1995,7 @@ def _q_skew_join(spark, sf):
             "sum_price_cents": ("sum", "price_cents"),
         },
         buckets=32,
+        salt_on=["l_orderkey", "l_linenumber"],
     )
 
 
@@ -3469,14 +3474,76 @@ FROM topk GROUP BY l_returnflag
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries 1–50 are the driver-graded window (the driver evaluates the
-    # first 50 dict entries). Round-2 graded the §2 operator surface
-    # (CORRECTNESS_r02: 50/50 pass); round-3 rotates the 38 queries that
-    # had only strict-local rows into the window, keeping 12 representative
-    # round-2-green entries (one per kernel family) as regression cover.
-    # Everything past slot 50 stays strict-locally verified by
-    # tools/check_oracle.py at driver strictness — same compare, same data.
+    # first 50 dict entries). Rotation history: round 2 graded the §2
+    # operator surface (CORRECTNESS_r02 50/50), round 4 graded the
+    # relational/LLM-ops surface (CORRECTNESS_r04 50/50). Round 5 rotates
+    # the 43 entries whose newest driver row is still r02 into slots
+    # 1–43 — after this round no contract query's driver row is >2 rounds
+    # old — and keeps 7 r04-green entries as regression cover in slots
+    # 44–50, picked from the families whose code changed this round
+    # (quantize NaN guard, connected_components convergence control,
+    # skew-salt slimming). Everything past slot 50 stays strict-locally
+    # verified by tools/check_oracle.py at driver strictness — same
+    # compare, same data.
     return {
-        # --- relational variants, never driver-graded before round 3 — 21
+        # --- slots 1–43: newest driver row is r02 — re-grade this round
+        # generators (incl. gen_datasource, codec-adjacent paths)
+        "gen_normal": _gen_normal,
+        "gen_freq_single": _gen_freq_single,
+        "gen_freq_multi": _gen_freq_multi,
+        "gen_datetime": _gen_datetime,
+        "gen_group_exact": _gen_group_exact,
+        "gen_function": _gen_function,
+        "gen_datasource": _gen_datasource,
+        # mutators
+        "mut_missing_value": _mut_missing,
+        "mut_missing_strict_p": _mut_missing_strict,
+        "mut_uppercase": _mut_uppercase,
+        "mut_lowercase": _mut_lowercase,
+        "mut_repeat": _mut_repeat,
+        "mut_insert": _mut_insert,
+        "mut_delete": _mut_delete,
+        "mut_substitute": _mut_substitute,
+        "mut_transpose": _mut_transpose,
+        "mut_categorical": _mut_categorical,
+        "mut_permute": _mut_permute,
+        "mut_datetime_offset": _mut_datetime_offset,
+        "mut_replacement_whole": _mut_replacement_whole,
+        "mut_generator_splice": _mut_splice,
+        "mut_function": _mut_function,
+        "mut_group": _mut_group,
+        "mut_cldr_keymap": _mut_cldr,
+        "mut_replacement_inline": _mut_replacement_inline,
+        # dedup/sampling/similarity/text (incl. dedup_ngram_jaccard whose
+        # contract default switched to prefix filtering in round 3)
+        "dedup_groups": _dedup_groups,
+        "dedup_simhash_pairs": _dedup_simhash,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_embedding_pairs": _dedup_embedding,
+        "sample_reservoir_n": _sample_reservoir,
+        "sample_weighted_n": _sample_weighted,
+        "topk_cosine_bruteforce": _topk_cosine,
+        "doc_normalize_filter": _doc_normalize_filter,
+        "doc_fingerprints": _doc_fingerprints,
+        "sketch_kmv_distinct": _sketch_kmv,
+        "sample_stratified": _sample_stratified,
+        "topk_cosine_ivf": _topk_ivf,
+        "text_stats": _text_stats,
+        # relational (fell just outside round 4's window)
+        "q1_pricing_summary": _q1,
+        "q6_revenue_filter": _q6,
+        "q7_nation_volume": _q7,
+        "q10_returned_items": _q10,
+        "q_asof_join": _q_asof_join,
+        # --- slots 44–50: r04-green regression cover, code-touched first
+        "q_skew_join": _q_skew_join,  # skew salt slimmed round 5
+        "dedup_transitive": _dedup_transitive,  # convergence control round 5
+        "emb_quantize_int8": _emb_quantize,  # NaN/empty guard round 5
+        "text_tfidf_top3": _text_tfidf,
+        "decontam_filter_bloom": _decontam_filter_bloom,
+        "pack_sequences": _pack_sequences,
+        "q21_waiting_supplier": _q21,
+        # --- entries 51+: driver-green in round 4, strict-local since ---
         "q3_shipping_priority": _q3,
         "q5_region_revenue": _q5,
         "q_window_topk_orders": _q_topk,
@@ -3498,32 +3565,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": _q14,
         "q18_large_volume": _q18,
         "q19_branch_revenue": _q19,
-        # decorrelation shapes (TPC-H Q2/Q11/Q15/Q16/Q20/Q21/Q22, Q8/Q9) — 10
         "q2_min_cost_supplier": _q2,
         "q11_important_stock": _q11,
         "q15_top_supplier": _q15,
         "q16_supplier_cnt": _q16,
         "q20_qty_threshold": _q20,
-        "q21_waiting_supplier": _q21,
         "q22_global_sales_opportunity": _q22,
         "q8_market_share": _q8,
         "q9_product_profit": _q9,
-        "q_skew_join": _q_skew_join,
-        # decontamination + repetition + sketches + packing — 9
         "decontam_overlap": _decontam_overlap,
         "decontam_filter": _decontam_filter,
-        "decontam_filter_bloom": _decontam_filter_bloom,  # new in round 4
-        "dedup_transitive": _dedup_transitive,  # new in round 4
-        "text_pii_redact": _text_pii_redact,  # new in round 4
-        "text_tfidf_top3": _text_tfidf,  # new in round 4
-        "emb_quantize_int8": _emb_quantize,  # new in round 4
+        "text_pii_redact": _text_pii_redact,
         "text_repetition": _text_repetition,
         "sketch_cm_counts": _sketch_cm_counts,
         "sketch_cm_estimate": _sketch_cm_estimate,
         "sketch_kmv_by_group": _sketch_kmv_by_group,
-        "pack_sequences": _pack_sequences,
-        # round-2-green regression cover, one per kernel family — 12
-        # (slots 39–50; all had driver PASS rows in CORRECTNESS_r02)
         "gen_uniform": _gen_uniform,
         "gen_group": _gen_group,
         "mut_chain": _mut_chain,
@@ -3531,50 +3587,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mut_regex": _mut_regex,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_pairs": _dedup_minhash,
-        "sketch_kmv_distinct": _sketch_kmv,
-        "sample_stratified": _sample_stratified,
-        "topk_cosine_ivf": _topk_ivf,
-        "text_stats": _text_stats,
-        "q1_pricing_summary": _q1,
-        # --- entries 51+ : driver-green in round 2, strict-local since ---
-        "gen_normal": _gen_normal,
-        "gen_freq_single": _gen_freq_single,
-        "gen_freq_multi": _gen_freq_multi,
-        "gen_datetime": _gen_datetime,
-        "gen_group_exact": _gen_group_exact,
-        "gen_function": _gen_function,
-        "gen_datasource": _gen_datasource,
-        "mut_missing_value": _mut_missing,
-        "mut_missing_strict_p": _mut_missing_strict,
-        "mut_uppercase": _mut_uppercase,
-        "mut_lowercase": _mut_lowercase,
-        "mut_repeat": _mut_repeat,
-        "mut_insert": _mut_insert,
-        "mut_delete": _mut_delete,
-        "mut_substitute": _mut_substitute,
-        "mut_transpose": _mut_transpose,
-        "mut_categorical": _mut_categorical,
-        "mut_permute": _mut_permute,
-        "mut_datetime_offset": _mut_datetime_offset,
-        "mut_replacement_whole": _mut_replacement_whole,
-        "mut_generator_splice": _mut_splice,
-        "mut_function": _mut_function,
-        "mut_group": _mut_group,
-        "mut_cldr_keymap": _mut_cldr,
-        "mut_replacement_inline": _mut_replacement_inline,
-        "dedup_groups": _dedup_groups,
-        "dedup_simhash_pairs": _dedup_simhash,
-        "dedup_ngram_jaccard": _dedup_jaccard,
-        "dedup_embedding_pairs": _dedup_embedding,
-        "sample_reservoir_n": _sample_reservoir,
-        "sample_weighted_n": _sample_weighted,
-        "topk_cosine_bruteforce": _topk_cosine,
-        "doc_normalize_filter": _doc_normalize_filter,
-        "doc_fingerprints": _doc_fingerprints,
-        "q6_revenue_filter": _q6,
-        "q7_nation_volume": _q7,
-        "q10_returned_items": _q10,
-        "q_asof_join": _q_asof_join,
     }
 
 

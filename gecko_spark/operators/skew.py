@@ -26,20 +26,52 @@ _REAGG = {
 }
 
 
+def _salt(
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_on: Sequence[str] | None,
+    buckets: int,
+) -> Column:
+    """Deterministic (retry-safe) salt in [0, buckets).
+
+    The salt must be a pure function of the row — under partial stage
+    recomputation after a fetch failure, ``F.rand()`` re-rolls and
+    routes replayed rows to different (key, salt) groups than the
+    already-finished reducers consumed, double-counting or losing rows
+    (core.py randomness policy) — AND it must vary WITHIN a key group
+    (hashing the key alone would map a hot key to one bucket, salting
+    nothing).
+
+    ``salt_on`` names the disambiguator column(s) that vary within a
+    group — typically the table's primary key; the hash covers
+    (keys + salt_on) only, so a 100-column table salts at 2-column
+    hash cost. When None, falls back to hashing every column, which is
+    always correct but hashes the full row width."""
+    cols = [*keys, *salt_on] if salt_on else df.columns
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets)
+    ).cast("int")
+
+
 def salted_groupby_agg(
     df: DataFrame,
     keys: Sequence[str],
     aggs: dict[str, tuple[str, str]],
     buckets: int = 32,
+    salt_on: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation immune to hot grouping keys.
 
     ``aggs`` maps output column → (agg_name, input column), with
     agg_name ∈ {sum, count, min, max} (the re-aggregable set). Phase 1
-    groups by (keys, random salt) — the hot key's rows spread over
-    ``buckets`` reducers; phase 2 merges the ≤ buckets partials per key.
-    Shuffle volume: phase 2 moves at most ``buckets × distinct-keys``
-    rows, independent of skew.
+    groups by (keys, deterministic salt) — the hot key's rows spread
+    over ``buckets`` reducers; phase 2 merges the ≤ buckets partials per
+    key. Shuffle volume: phase 2 moves at most ``buckets ×
+    distinct-keys`` rows, independent of skew.
+
+    ``salt_on``: column(s) that vary within a group (e.g. the primary
+    key) — keeps the salt hash at (keys + salt_on) width instead of the
+    full row; see :func:`_salt`.
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, is {buckets}")
@@ -48,14 +80,7 @@ def salted_groupby_agg(
             raise ValueError(
                 f"agg `{fn}` for `{name}` is not re-aggregable; use one of {sorted(_REAGG)}"
             )
-    # DETERMINISTIC salt (content hash, not F.rand()): under partial
-    # stage recomputation after a fetch failure, rand() re-rolls and
-    # routes replayed rows to different (key, salt) groups than the
-    # already-finished reducers consumed — rows double-count or vanish.
-    # A pure function of the row is retry-safe (core.py randomness policy).
-    salted = df.withColumn(
-        "__salt__", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)).cast("int")
-    )
+    salted = df.withColumn("__salt__", _salt(df, keys, salt_on, buckets))
     partial = salted.groupBy(*keys, "__salt__").agg(
         *[
             _REAGG[fn][0](col).alias(f"__p_{name}")
@@ -76,14 +101,18 @@ def salted_join(
     on: Sequence[str],
     buckets: int = 16,
     how: str = "inner",
+    salt_on: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join tolerant of hot keys on the ``skewed`` side.
 
-    The skewed side gets a random salt in [0, buckets); ``other`` is
-    replicated ``buckets`` times (explode over a literal range — so its
-    shuffle volume grows ×buckets: keep it the smaller input). The join
-    key becomes (on..., salt), spreading each hot key over ``buckets``
-    reducers.
+    The skewed side gets a deterministic salt in [0, buckets);
+    ``other`` is replicated ``buckets`` times (explode over a literal
+    range — so its shuffle volume grows ×buckets: keep it the smaller
+    input). The join key becomes (on..., salt), spreading each hot key
+    over ``buckets`` reducers.
+
+    ``salt_on``: column(s) that vary within a join-key group — keeps
+    the salt hash at (on + salt_on) width; see :func:`_salt`.
 
     Only ``inner``/``left``(outer)/``left_semi`` are supported: in
     right/full-outer modes the unmatched replicas of ``other`` would
@@ -95,11 +124,7 @@ def salted_join(
             f"salted_join supports inner/left/left_semi joins, not `{how}`"
         )
     on = list(on)
-    # deterministic content-hash salt — see salted_groupby_agg
-    salted = skewed.withColumn(
-        "__salt__",
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(buckets)).cast("int"),
-    )
+    salted = skewed.withColumn("__salt__", _salt(skewed, on, salt_on, buckets))
     replicated = other.withColumn(
         "__salt__", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

@@ -410,6 +410,54 @@ def test_salted_join_matches_plain(spark):
     assert got[["k", "lv", "rv"]].equals(exp[["k", "lv", "rv"]])
 
 
+def test_salt_on_narrow_hash_parity_and_spread(spark):
+    """salt_on=(key + disambiguator) must (a) produce identical results,
+    (b) hash only the named columns, and (c) still spread a hot key
+    across buckets (hashing the key alone would not)."""
+    from gecko_spark.operators.skew import _salt, salted_groupby_agg, salted_join
+
+    wide = spark.range(0, 10_000).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").alias("pk"),
+        (F.col("id") * 3 % 101).alias("v"),
+        *[(F.col("id") + i).alias(f"pad{i}") for i in range(8)],
+    )
+    got = (
+        salted_groupby_agg(
+            wide, ["k"], {"n": ("count", "v"), "s": ("sum", "v")},
+            buckets=8, salt_on=["pk"],
+        )
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = (
+        wide.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"))
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got[["k", "n", "s"]].equals(exp[["k", "n", "s"]])
+
+    # (b) the hash expression covers exactly (keys + salt_on)
+    salted = wide.withColumn("__salt__", _salt(wide, ["k"], ["pk"], 8))
+    plan = salted._jdf.queryExecution().analyzed().toString()
+    import re
+
+    args = re.search(r"xxhash64\(([^)]*)\)", plan).group(1)
+    assert "pad" not in args and "k" in args and "pk" in args
+
+    # (c) a 100%-hot key still lands in every bucket
+    hot = spark.range(0, 1000).select(F.lit(0).alias("k"), F.col("id").alias("pk"))
+    n_buckets = (
+        hot.withColumn("__salt__", _salt(hot, ["k"], ["pk"], 8))
+        .select("__salt__").distinct().count()
+    )
+    assert n_buckets == 8
+
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(7)], "k long, rv string")
+    gj = salted_join(wide, right, ["k"], buckets=4, salt_on=["pk"]).orderBy("pk").toPandas()
+    ej = wide.join(right, "k").orderBy("pk").toPandas()
+    assert gj[["k", "pk", "rv"]].equals(ej[["k", "pk", "rv"]])
+
+
 def test_ivf_index_roundtrip_and_pruned_search(spark, embeddings, tmp_path):
     from gecko_spark.operators.similarity import (
         cosine_topk_ivf,

@@ -71,7 +71,12 @@ def main():
             "buckets — the orders side is the exploded/replicated build — and "
             "salted_groupby_agg splits the 5-value (all-hot) group key into "
             "partial (key, salt) aggregates before the final merge: no single "
-            "reducer ever sees a whole hot key. Broadcast disabled for this "
+            "reducer ever sees a whole hot key. The salt hash is NARROW "
+            "(`xxhash64` over join/group key + one within-group "
+            "disambiguator via `salt_on`, skew.py::_salt) — not the full "
+            "row — so a 100-column table salts at 2-column hash cost; the "
+            "capture below shows `xxhash64(l_orderkey, l_linenumber)` "
+            "only. Broadcast disabled for this "
             "capture to show the shuffle path the salt exists for (at toy "
             "scale AQE would broadcast the replicated side and hide it). "
             "Oracle-exact vs the unsalted plain join (q_skew_join).",
