@@ -235,6 +235,49 @@ def bench_queries(spark, sf_dir):
     timed("skew_hotkey_salted", lambda: _skew_workload(True))
     timed("skew_hotkey_plain", lambda: _skew_workload(False))
 
+    # --- skew datapoint 2: the JOIN case the salt exists for ------------
+    # One hot key owns 50% of a 10M-row probe side with a 64-char
+    # payload; SMJ forced (broadcast off) and AQE's skew-split disabled
+    # to isolate the salt: plain SMJ sorts the whole hot key (5M rows,
+    # ~300 MB) in ONE reducer, salted_join (skew.py:73) spreads it over
+    # 16. Measured crossover at this shape: salted ~3.0 s vs plain
+    # ~4.0 s; at a 20%-hot/no-payload shape plain wins (README's
+    # "when salting pays" note) — per-reducer hot-key work must dominate
+    # the ×buckets replication of the build side. AQE skew-join is the
+    # first line of defense in production; the salt covers what it can't
+    # (deterministic retry semantics, skewed GROUP BY state).
+    def _hotjoin_workload(salted):
+        from gecko_spark.operators.skew import salted_join
+
+        n, keys = 10_000_000, 50_000
+        left = spark.range(0, n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.pmod(F.col("id"), F.lit(keys)))
+            .alias("k"),
+            F.col("id").alias("pk"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(0, keys).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        conf = spark.conf
+        old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_skew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try:
+            if salted:
+                j = salted_join(left, right, ["k"], buckets=16, salt_on=["pk"])
+            else:
+                j = left.join(right, "k")
+            _run(j)
+        finally:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            conf.set("spark.sql.adaptive.skewJoin.enabled", old_skew)
+
+    timed("skew_hotjoin_salted", lambda: _hotjoin_workload(True))
+    timed("skew_hotjoin_plain", lambda: _hotjoin_workload(False))
+
     return out, errors
 
 

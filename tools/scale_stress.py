@@ -1,0 +1,219 @@
+"""Scale-stress harness: measure how the headline LLM-pipeline operators
+scale BEYOND the driver's sf0.1 (5k docs) — the one claim PLANS.md alone
+can't prove.
+
+The corpora are built by the ENGINE'S OWN generators + mutators
+(to_data_frame word sampling -> mutate_data_frame near-dup planting), so
+the dup structure the dedup operators hunt is real and controlled:
+~20% of docs get a 1-char-deleted near-duplicate (Jaccard >> 0.8 at
+shingle size 5) and a fifth of those get a second-generation mutation —
+A~B~C chains that only the transitive path collapses.
+
+Usage:
+    python tools/scale_stress.py                 # 50k / 150k / 500k docs
+    python tools/scale_stress.py 20000 60000     # custom base sizes
+
+Writes corpora under scratch/scale_<n>/documents.parquet (gitignored),
+appends measured wall-times + fitted scaling exponents to SCALE.md.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as e  # noqa: E402
+from gecko_spark import get_spark  # noqa: E402
+from gecko_spark.operators import generators as G  # noqa: E402
+from gecko_spark.operators import mutators as M  # noqa: E402
+from gecko_spark.plans.pipeline import mutate_data_frame, to_data_frame  # noqa: E402
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scratch")
+
+# the four ops the round-4 verdict named as the unmeasured 100 TB claims
+OPS = ["dedup_minhash_pairs", "dedup_transitive", "decontam_filter_bloom", "pack_sequences"]
+
+_BASE_WORDS = (
+    "spark query column batch line order part scan fast agg sort small "
+    "vector join filter shuffle stage task page block cache disk memory "
+    "read write merge split hash range index token stream state window "
+    "group count plan tree node edge list map set key value row table"
+).split()
+
+
+def _vocab(n: int = 400) -> list[str]:
+    out = list(_BASE_WORDS)
+    i = 0
+    while len(out) < n:
+        out.append(f"{_BASE_WORDS[i % len(_BASE_WORDS)]}{i}")
+        i += 1
+    return out[:n]
+
+
+def make_corpus(spark, n_base: int, out_dir: str, seed: int = 97) -> int:
+    """Generate a documents table with planted near-dup structure; returns
+    total row count. Schema matches testdata documents exactly."""
+    words = _vocab()
+    # Zipf-ish counts so shingle/bucket frequencies are skewed like text
+    freq = pd.DataFrame(
+        {"word": words, "count": [str(max(1, 100_000 // (r + 1))) for r in range(len(words))]}
+    )
+    n_words = 48
+    spec = [(f"w{i}", G.from_frequency_table(freq, "word", "count")) for i in range(n_words)]
+    spec.append(("doclen", G.from_uniform_distribution(16, n_words + 1, raw=True)))
+    df = to_data_frame(
+        spark, spec, n_base, seed=seed, keep_index=True,
+        num_partitions=max(8, n_base // 250_000),
+    )
+    text = F.array_join(
+        F.slice(F.array(*[f"w{i}" for i in range(n_words)]), F.lit(1), F.col("doclen").cast("int")),
+        " ",
+    )
+    base = df.select(F.col("__idx__").alias("doc_id"), text.alias("text"))
+
+    # generation 1: 20% of docs near-duplicated (single char deletion)
+    g1 = mutate_data_frame(
+        base.filter(F.col("doc_id") % 5 == 1),
+        [("text", (1.0, M.with_delete()))],
+        seed=seed + 1,
+        key_columns=["doc_id"],
+    ).select((F.col("doc_id") + n_base).alias("doc_id"), "text")
+    # generation 2: a fifth of g1 mutated again -> A~B~C transitive chains
+    g2 = mutate_data_frame(
+        g1.filter(F.col("doc_id") % 25 == (1 + n_base) % 25),
+        [("text", (1.0, M.with_delete()))],
+        seed=seed + 2,
+        key_columns=["doc_id"],
+    ).select((F.col("doc_id") + n_base).alias("doc_id"), "text")
+
+    corpus = base.unionByName(g1).unionByName(g2).select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), F.pmod(F.col("doc_id"), F.lit(10))).alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    path = os.path.join(out_dir, "documents.parquet")
+    corpus.repartition(max(8, n_base // 50_000)).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def _noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def measure(spark, sf_dir: str) -> dict[str, float]:
+    qs = e.queries()
+    out = {}
+    for name in OPS:
+        t0 = time.time()
+        _noop(qs[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def plan_shape(spark, sf_dir: str, name: str) -> tuple[int, int]:
+    """(n_exchanges, n_arrow_kernels) in the executed plan — the shape
+    fingerprint that must NOT grow with data size."""
+    plan = e.queries()[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange"), plan.count("ArrowEvalPython")
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [50_000, 150_000, 500_000]
+    spark = get_spark(app_name="scale-stress", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    os.makedirs(SCRATCH, exist_ok=True)
+    dirs, counts = [], []
+    try:
+        for n in sizes:
+            d = os.path.join(SCRATCH, f"scale_{n}")
+            if not os.path.exists(os.path.join(d, "documents.parquet")):
+                t0 = time.time()
+                total = make_corpus(spark, n, d)
+                print(f"generated {d}: {total} docs in {time.time() - t0:.1f}s", flush=True)
+            dirs.append(d)
+            counts.append(
+                spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+            )
+
+        # warm FS cache + JIT once on the smallest corpus
+        measure(spark, dirs[0])
+        rows = [measure(spark, d) for d in dirs]
+        for d, r in zip(dirs, rows):
+            print(d, r, flush=True)
+
+        shapes = {
+            name: [plan_shape(spark, d, name) for d in (dirs[0], dirs[-1])]
+            for name in OPS
+        }
+    finally:
+        spark.stop()
+
+    lines = [
+        "# SCALE — measured scaling of the headline LLM-pipeline operators",
+        "",
+        "Corpora self-generated by the engine (tools/scale_stress.py): word-"
+        "frequency documents with ~20% planted near-duplicates (1-char-deletion "
+        "mutants, Jaccard >> 0.8) and second-generation A~B~C chains. Wall-clock "
+        f"on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], one run per cell "
+        "after a full warmup sweep (generation time excluded).",
+        "",
+        "| docs | " + " | ".join(OPS) + " |",
+        "|---:|" + "---:|" * len(OPS),
+    ]
+    for cnt, r in zip(counts, rows):
+        lines.append(
+            f"| {cnt:,} | " + " | ".join(f"{r[o]:.2f} s" for o in OPS) + " |"
+        )
+    lines += [
+        "",
+        "## Fitted scaling exponent (t ∝ n^α, log-log least squares)",
+        "",
+        "| op | α | verdict |",
+        "|---|---:|---|",
+    ]
+    logn = [math.log(c) for c in counts]
+    for op in OPS:
+        logt = [math.log(max(r[op], 1e-3)) for r in rows]
+        npts = len(logn)
+        mx, my = sum(logn) / npts, sum(logt) / npts
+        alpha = sum((x - mx) * (y - my) for x, y in zip(logn, logt)) / sum(
+            (x - mx) ** 2 for x in logn
+        )
+        verdict = "near-linear" if alpha <= 1.2 else ("n log n-ish" if alpha <= 1.45 else "SUPERLINEAR — investigate")
+        lines.append(f"| {op} | {alpha:.2f} | {verdict} |")
+    lines += [
+        "",
+        "## Plan-shape invariance (smallest vs largest corpus)",
+        "",
+        "| op | exchanges | Arrow kernels |",
+        "|---|---|---|",
+    ]
+    for op, (small, big) in shapes.items():
+        same = "unchanged" if small == big else f"CHANGED {small} -> {big}"
+        lines.append(f"| {op} | {small[0]} vs {big[0]} ({same}) | {small[1]} vs {big[1]} |")
+    lines += [
+        "",
+        "α is measured against total wall-clock including fixed per-job overhead "
+        "(scheduling, Arrow batch setup), which deflates α at small sizes — the "
+        "top two sizes dominate the fit. Exponents ≤ ~1.2 + unchanged plan "
+        "shapes are the two properties the 100 TB design claims rest on: every "
+        "candidate-pair path stays bucketed (no quadratic blowup with corpus "
+        "size) and no operator's plan grows with data volume.",
+        "",
+    ]
+    with open("SCALE.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote SCALE.md")
+
+
+if __name__ == "__main__":
+    main()
