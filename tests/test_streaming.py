@@ -3,6 +3,7 @@ table with a memory sink (synchronous processAllAvailable)."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -230,3 +231,117 @@ def test_pack_stream_offsets_continue_across_batches(spark, tmp_path):
         assert g["pack"].max() <= (per_shard[shard] - 1) // 1000
         # continuing offsets: packs cover 0..max contiguously
         assert set(g["pack"]) == set(range(g["pack"].max() + 1))
+
+
+# ---------------------------------------------------------------------------
+# checkpoint restart: kill the query with input pending, resume, and
+# assert exactly-once output + restored operator state
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_restart_dedup_exactly_once(spark, tmp_path):
+    """Stop a watermarked-dedup query, drop a file of duplicates + new
+    rows while it is down, resume from the checkpoint: every event_id
+    appears EXACTLY once in the fault-tolerant sink. Duplicate rows in
+    the post-restart file are only droppable if the dedup state store
+    was restored from the checkpoint — a fresh query would re-emit them."""
+    import pathlib
+
+    from gecko_spark.streaming import dedupe_stream
+
+    src = pathlib.Path(tmp_path) / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    batch = load_table(spark, SF, "events")
+    schema = batch.schema
+
+    def run_until_drained():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*/")
+        q = (
+            dedupe_stream(stream, ["event_id"], watermark="3650 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(src / "b1"))
+    run_until_drained()  # drains b1, then the query is killed
+    # while down: a file holding ALL rows — b1's rows again (duplicates
+    # spanning the restart) plus the odd half (new)
+    batch.coalesce(1).write.parquet(str(src / "b2"))
+    run_until_drained()  # resume from the same checkpoint
+
+    got = spark.read.parquet(out)
+    n_total = batch.count()
+    assert got.count() == n_total
+    assert got.select("event_id").distinct().count() == n_total
+
+
+def test_checkpoint_restart_pack_stream_offsets(spark, tmp_path):
+    """pack_stream's per-shard running offset must survive a query
+    restart: kill after batch 1, resume for batch 2, and compare the
+    full assignment against an exact pandas replay of the
+    (batch1-in-id-order, then batch2-in-id-order) packing. A reset
+    state store would restart every shard's offset at 0 and diverge."""
+    import pathlib
+
+    from gecko_spark.streaming import pack_stream
+
+    budget, n_shards = 1000, 4
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").cast("long").alias("n_tokens")
+    )
+    src = pathlib.Path(tmp_path) / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_until_drained():
+        stream = spark.readStream.schema(docs.schema).parquet(str(src) + "/*/")
+        q = (
+            pack_stream(stream, "doc_id", "n_tokens", budget=budget, n_shards=n_shards)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(src / "b1"))
+    run_until_drained()  # kill with the odd half still unwritten
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b2"))
+    run_until_drained()  # resume
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["shard", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == docs.count()  # exactly once
+
+    # exact replay: same shard hash, batch1 then batch2, id order within each
+    pdf = docs.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+    ).toPandas()
+    expected = {}
+    for shard, g in pdf.groupby("shard"):
+        seq = pd.concat(
+            [
+                g[g["doc_id"] % 2 == 0].sort_values("doc_id"),
+                g[g["doc_id"] % 2 == 1].sort_values("doc_id"),
+            ]
+        )
+        starts = seq["n_tokens"].cumsum() - seq["n_tokens"]
+        for doc_id, pack in zip(seq["doc_id"], starts // budget):
+            expected[doc_id] = (shard, int(pack))
+    for row in got.itertuples():
+        assert expected[row.doc_id] == (row.shard, row.pack), row.doc_id
