@@ -12,14 +12,21 @@ multimodal path REAL (not stubbed) for them:
 - **PNG** (``\\x89PNG`` magic): non-interlaced 8-bit gray / gray+alpha /
   RGB / RGBA / palette — stdlib ``zlib`` inflate + per-scanline
   unfiltering (all five filter types), no external deps.
+- **JPEG** (``\\xff\\xd8\\xff`` magic): BASELINE sequential DCT (SOF0),
+  8-bit, 1- or 3-component, arbitrary chroma subsampling factors and
+  restart markers — pure NumPy Huffman + matrix IDCT (round 5).
+  Progressive (SOF2) / arithmetic / 12-bit JPEGs raise. A matching
+  minimal encoder (:func:`encode_jpeg_baseline`, Annex K tables) exists
+  so tests can build real JPEG bytes without PIL.
 
-JPEG/video still raise :class:`UnsupportedImageError` — a honest
-boundary, surfaced per-batch inside the executors. All functions are
-deterministic, so pipelines built on them stay oracle-checkable.
+Video still raises — a honest boundary, surfaced per-batch inside the
+executors. All functions are deterministic, so pipelines built on them
+stay oracle-checkable.
 """
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 
@@ -34,6 +41,8 @@ __all__ = [
     "decode_bmp",
     "decode_ppm",
     "decode_png",
+    "decode_jpeg",
+    "encode_jpeg_baseline",
 ]
 
 
@@ -45,9 +54,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(data: bytes) -> str:
-    """'bmp' | 'ppm' | 'pgm' | 'png' | 'unknown' from magic bytes."""
+    """'bmp' | 'ppm' | 'pgm' | 'png' | 'jpeg' | 'unknown' from magic."""
     if data[:8] == _PNG_SIG:
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if len(data) >= 2:
         if data[:2] == b"BM":
             return "bmp"
@@ -267,6 +278,490 @@ def decode_png(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU-T T.81), stdlib + NumPy only
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: index i of the scan holds block position _ZIGZAG[i]
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1 example quantization tables (the de-facto standard ones)
+_Q_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+_Q_CHROM = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex K.3 typical Huffman tables: (bits[1..16] counts, symbol values)
+_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8-point DCT-II basis: forward F = T @ x @ T.T, inverse
+# x = T.T @ F @ T (IEEE doubles everywhere -> bit-deterministic)
+_DCT_T = np.zeros((8, 8))
+for _k in range(8):
+    _c = math.sqrt(1.0 / 8.0) if _k == 0 else math.sqrt(2.0 / 8.0)
+    for _n in range(8):
+        _DCT_T[_k, _n] = _c * math.cos((2 * _n + 1) * _k * math.pi / 16.0)
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: map (code_length, code) -> symbol."""
+    table, code, idx = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[idx]
+            code += 1
+            idx += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: map symbol -> (code, code_length)."""
+    out, code, idx = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment, handling
+    0xFF00 byte stuffing; raises on an unexpected marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.buf, self.nbits = 0, 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise UnsupportedImageError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise UnsupportedImageError(
+                        f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                    )
+            self.buf, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.read_bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def align_to_marker(self) -> int:
+        """Byte-align and consume one RSTn marker; returns n."""
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            n = self.data[self.pos + 1] - 0xD0
+            self.pos += 2
+            return n
+        raise UnsupportedImageError("expected JPEG restart marker")
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise UnsupportedImageError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a BASELINE sequential JPEG (SOF0, 8-bit, Huffman) into
+    (H, W, 3) uint8 RGB — stdlib + NumPy only. Supports 1 or 3
+    components, any h/v sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...)
+    with nearest upsampling, and DRI/RSTn restart intervals.
+    Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+    UnsupportedImageError."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise UnsupportedImageError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    width = height = 0
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise UnsupportedImageError(f"bad JPEG marker alignment at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                table = _huff_decode_table(bits, vals)
+                (huff_dc if tc_th >> 4 == 0 else huff_ac)[tc_th & 0xF] = table
+                i += 17 + nvals
+        elif marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq_tq = body[i]
+                if pq_tq >> 4 != 0:
+                    raise UnsupportedImageError("16-bit JPEG quant table")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                qt[pq_tq & 0xF] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise UnsupportedImageError(f"{precision}-bit JPEG (8-bit only)")
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise UnsupportedImageError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}; only "
+                "baseline sequential SOF0 is supported)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            order = []
+            for c in range(ns):
+                cs, td_ta = struct.unpack_from(">BB", body, 1 + 2 * c)
+                comp = next(x for x in comps if x["id"] == cs)
+                comp["dc"] = huff_dc.get(td_ta >> 4)
+                comp["ac"] = huff_ac.get(td_ta & 0xF)
+                if comp["dc"] is None or comp["ac"] is None:
+                    raise UnsupportedImageError("missing JPEG Huffman table")
+                order.append(comp)
+            pos += seglen
+            return _jpeg_scan(data, pos, order, qt, width, height, restart_interval)
+        pos += seglen
+    raise UnsupportedImageError("JPEG has no SOS scan")
+
+
+def _jpeg_scan(data, pos, comps, qt, width, height, restart_interval):
+    if not comps or width <= 0 or height <= 0:
+        raise UnsupportedImageError("JPEG scan before a valid SOF0")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    for c in comps:
+        c["plane"] = np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]))
+        c["pred"] = 0
+        if c["tq"] not in qt:
+            raise UnsupportedImageError(f"missing JPEG quant table {c['tq']}")
+    r = _BitReader(data, pos)
+    Tt = _DCT_T.T
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.align_to_marker()
+                for c in comps:
+                    c["pred"] = 0
+            mcu_count += 1
+            for c in comps:
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64)
+                        s = r.decode_symbol(c["dc"])
+                        c["pred"] += r.receive_extend(s)
+                        coef[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = r.decode_symbol(c["ac"])
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise UnsupportedImageError("JPEG AC index overflow")
+                            coef[k] = r.receive_extend(size)
+                            k += 1
+                        block = np.zeros(64)
+                        block[_ZIGZAG] = coef
+                        block = block.reshape(8, 8) * q
+                        px = Tt @ block @ _DCT_T + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(p[:height, :width])
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
+    if len(planes) != 3:
+        raise UnsupportedImageError(f"{len(planes)}-component JPEG (1 or 3 only)")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.ascontiguousarray(np.clip(np.round(rgb), 0, 255).astype(np.uint8))
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf, self.nbits = 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf, self.nbits = 0, 0
+
+    def flush(self) -> None:
+        while self.nbits:  # pad with 1s per spec
+            self.write(1, 1)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg_baseline(
+    img: np.ndarray,
+    quality: int = 75,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal BASELINE JPEG encoder ((H, W, 3) uint8 RGB -> bytes):
+    Annex K quant tables scaled by ``quality`` (IJG formula), Annex K
+    typical Huffman tables, 4:4:4 by default or 4:2:0 with
+    ``subsample=True``; ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs. Exists so the multimodal tests can
+    hand-build real JPEG payloads without PIL; pairs with
+    :func:`decode_jpeg`."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"need (H, W, 3) uint8, got {img.shape} {img.dtype}")
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    h, w = img.shape[:2]
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q_lum = np.clip((_Q_LUM * scale + 50) // 100, 1, 255)
+    q_chrom = np.clip((_Q_CHROM * scale + 50) // 100, 1, 255)
+
+    f = img.astype(np.float64)
+    yp = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128.0
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128.0
+
+    if subsample:
+        hs, vs = 2, 2
+        ph, pw = -h % 2, -w % 2
+        cbp = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
+        crp = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
+        cb = (cbp[0::2, 0::2] + cbp[1::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 1::2]) / 4.0
+        cr = (crp[0::2, 0::2] + crp[1::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 1::2]) / 4.0
+    else:
+        hs = vs = 1
+
+    def pad_to(p, mult):
+        return np.pad(
+            p, ((0, -p.shape[0] % mult), (0, -p.shape[1] % mult)), mode="edge"
+        )
+
+    yp = pad_to(yp, 8 * vs)
+    cb, cr = pad_to(cb, 8), pad_to(cr, 8)
+
+    enc_dc = [_huff_encode_table(*_HUFF_DC_LUM), _huff_encode_table(*_HUFF_DC_CHROM)]
+    enc_ac = [_huff_encode_table(*_HUFF_AC_LUM), _huff_encode_table(*_HUFF_AC_CHROM)]
+    wtr = _BitWriter()
+    pred = [0, 0, 0]
+
+    def write_block(plane, y0, x0, q, ci):
+        t = 0 if ci == 0 else 1
+        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coef = _DCT_T @ block @ _DCT_T.T
+        # round half away from zero: platform-stable, matches libjpeg
+        qz = np.sign(coef / q) * np.floor(np.abs(coef / q) + 0.5)
+        zz = qz.reshape(-1)[_ZIGZAG].astype(np.int64)
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        s = _jpeg_category(diff)
+        wtr.write(*enc_dc[t][s])
+        if s:
+            wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if nz.size else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                wtr.write(*enc_ac[t][0xF0])
+                run -= 16
+            s = _jpeg_category(v)
+            wtr.write(*enc_ac[t][(run << 4) | s])
+            wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            wtr.write(*enc_ac[t][0x00])
+
+    mcus_y, mcus_x = yp.shape[0] // (8 * vs), yp.shape[1] // (8 * hs)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8])
+                pred[0] = pred[1] = pred[2] = 0
+            mcu_count += 1
+            for by in range(vs):
+                for bx in range(hs):
+                    write_block(yp, (my * vs + by) * 8, (mx * hs + bx) * 8, q_lum, 0)
+            write_block(cb, my * 8, mx * 8, q_chrom, 1)
+            write_block(cr, my * 8, mx * 8, q_chrom, 2)
+    wtr.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tid, q):
+        return seg(0xDB, bytes([tid]) + bytes(q.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+
+    def dht(tc, th, tbl):
+        bits, vals = tbl
+        return seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return (
+        b"\xff\xd8"
+        + dri
+        + dqt(0, q_lum)
+        + dqt(1, q_chrom)
+        + dht(0, 0, _HUFF_DC_LUM)
+        + dht(0, 1, _HUFF_DC_CHROM)
+        + dht(1, 0, _HUFF_AC_LUM)
+        + dht(1, 1, _HUFF_AC_CHROM)
+        + sof
+        + sos
+        + bytes(wtr.out)
+        + b"\xff\xd9"
+    )
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Decode any supported payload into (H, W, 3) uint8 RGB."""
     fmt = sniff_format(data)
@@ -276,10 +771,13 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "jpeg":
+        return decode_jpeg(data)
     raise UnsupportedImageError(
         "unsupported image format (pure-Python codecs cover uncompressed "
-        "BMP, binary PPM/PGM, and non-interlaced 8-bit PNG; JPEG/video "
-        "need PIL/opencv on the executors)"
+        "BMP, binary PPM/PGM, non-interlaced 8-bit PNG, and baseline "
+        "sequential JPEG; progressive JPEG/video need PIL/opencv on the "
+        "executors)"
     )
 
 

@@ -1,16 +1,18 @@
 """Multimodal column plumbing: images/audio/video as opaque binary
 columns with typed metadata.
 
-Image decode/resize is REAL for uncompressed formats: the pure-Python
-codecs in :mod:`gecko_spark.functions.codecs` handle BMP (24/32-bit
-BI_RGB) and binary PPM/PGM with nothing beyond struct + NumPy, so
-``fake=False`` works end-to-end in this container for those payloads.
-Compressed formats (PNG/JPEG) and video containers still raise
-``NotImplementedError`` — PIL/ffmpeg on the executors is a
-one-function swap. ``fake=True`` keeps the deterministic content-hash
-stub (any payload, fixed shapes) for plumbing tests. Everything
-Spark-side — schemas, Arrow batch shapes, ``mapInPandas`` iterator
-plumbing, partition sizing — is identical in both modes.
+Image decode/resize is REAL: the pure-Python codecs in
+:mod:`gecko_spark.functions.codecs` handle BMP (24/32-bit BI_RGB),
+binary PPM/PGM, non-interlaced 8-bit PNG (stdlib zlib), and baseline
+sequential JPEG (NumPy Huffman + matrix IDCT, any chroma subsampling,
+restart markers) with nothing beyond stdlib + NumPy, so ``fake=False``
+works end-to-end in this container for those payloads. Progressive
+JPEG and video containers still raise ``NotImplementedError`` —
+PIL/ffmpeg on the executors is a one-function swap. ``fake=True``
+keeps the deterministic content-hash stub (any payload, fixed shapes)
+for plumbing tests. Everything Spark-side — schemas, Arrow batch
+shapes, ``mapInPandas`` iterator plumbing, partition sizing — is
+identical in both modes.
 """
 
 from __future__ import annotations
@@ -118,10 +120,11 @@ def decode_image_features(
     pulling the next, so executor memory is bounded by batch size, not
     partition size — the pattern that survives 100 TB of images.
 
-    ``fake=False`` decodes BMP/PPM/PGM payloads with the pure-Python
-    codecs and pools them into grid features; unsupported (compressed)
-    payloads raise ``UnsupportedImageError`` at executor time.
-    ``fake=True`` runs the content-hash stub on any payload.
+    ``fake=False`` decodes BMP/PPM/PGM/PNG/baseline-JPEG payloads with
+    the pure-Python codecs and pools them into grid features;
+    unsupported payloads (progressive JPEG, video) raise
+    ``UnsupportedImageError`` at executor time. ``fake=True`` runs the
+    content-hash stub on any payload.
     """
     out_schema = T.StructType(
         [

@@ -301,3 +301,93 @@ def test_png_roundtrip_any_image(img, filters):
 def test_decode_image_dispatches_png():
     img = np.zeros((3, 3, 3), dtype=np.uint8)
     assert (decode_image(_encode_png(img, 2, [0])) == img).all()
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential) — encoder/decoder pair, no PIL anywhere
+# ---------------------------------------------------------------------------
+
+from gecko_spark.functions.codecs import decode_jpeg, encode_jpeg_baseline  # noqa: E402
+
+
+def _smooth_image(shape, seed=9):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    return (img.astype(float) * 0.2 + 110).astype(np.uint8)
+
+
+def test_jpeg_sniff_and_dispatch():
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    data = encode_jpeg_baseline(img, quality=90)
+    assert sniff_format(data) == "jpeg"
+    assert data[:3] == b"\xff\xd8\xff" and data[-2:] == b"\xff\xd9"
+    out = decode_image(data)  # dispatches through decode_jpeg
+    assert out.shape == (8, 8, 3)
+
+
+def test_jpeg_solid_color_exact():
+    img = np.full((16, 16, 3), [200, 30, 90], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=90))
+    assert np.abs(out.astype(int) - img.astype(int)).max() == 0
+
+
+def test_jpeg_gradient_non_multiple_of_8():
+    x = np.linspace(0, 255, 21)
+    y = np.linspace(0, 255, 13)
+    gx, gy = np.meshgrid(x, y)
+    grad = np.stack([gx, gy, np.full((13, 21), 128.0)], axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(grad, quality=90))
+    assert out.shape == grad.shape
+    # lossy, but q90 on a smooth ramp stays within a few code values
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 6
+
+
+def test_jpeg_420_subsampling_decodes():
+    img = _smooth_image((13, 21))
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=90, subsample=True))
+    assert out.shape == img.shape
+    # luma carries most content; chroma averaged over 2x2 => wider bound
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 16
+
+
+def test_jpeg_restart_markers_identical_output():
+    img = _smooth_image((40, 56))
+    plain = decode_jpeg(encode_jpeg_baseline(img, quality=90))
+    rst = decode_jpeg(encode_jpeg_baseline(img, quality=90, restart_interval=3))
+    assert np.array_equal(plain, rst)
+    rst420 = decode_jpeg(
+        encode_jpeg_baseline(img, quality=90, subsample=True, restart_interval=2)
+    )
+    assert rst420.shape == img.shape
+
+
+def test_jpeg_deterministic():
+    img = _smooth_image((17, 19), seed=3)
+    a = encode_jpeg_baseline(img, quality=80)
+    b = encode_jpeg_baseline(img, quality=80)
+    assert a == b
+    assert np.array_equal(decode_jpeg(a), decode_jpeg(b))
+
+
+def test_jpeg_rejects_unsupported():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_baseline(img, quality=90))
+    # flip SOF0 (0xC0) to progressive SOF2 (0xC2)
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(UnsupportedImageError, match="non-baseline"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(UnsupportedImageError, match="not a JPEG"):
+        decode_jpeg(b"BMnope")
+    with pytest.raises(UnsupportedImageError):
+        decode_jpeg(b"\xff\xd8\xff\xe0junkjunkjunk")
+
+
+@given(_images())
+@settings(max_examples=15, deadline=None)
+def test_jpeg_roundtrip_any_image_bounded_error(img):
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=95))
+    # q95 quantization error bound: generous but meaningful (identity
+    # would fail only on a broken transform, not on quant noise)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() <= 24
