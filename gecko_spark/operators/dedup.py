@@ -60,10 +60,24 @@ def ensure_parallelism(df: DataFrame, min_ratio: float = 1.0) -> DataFrame:
     """Round-robin repartition when the scan yields fewer partitions than
     cores (single-file / single-row-group parquet reads collapse to one
     task otherwise). On a real cluster with many input splits this is a
-    no-op — the guard only fires when parallelism is actually starved."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
-        return df.repartition(target)
+    no-op — the guard only fires when parallelism is actually starved.
+
+    Cost note: ``df.inputFiles()`` (analysis + file listing only) short-
+    circuits the common at-scale case — parquet files are splittable, so
+    ``n_partitions >= n_files`` and enough files proves enough splits
+    without converting the plan to an RDD. Only the ambiguous few-files
+    case falls through to the exact ``.rdd.getNumPartitions()`` probe,
+    which is cheap precisely when the input is that small."""
+    target = max(
+        1, int(df.sparkSession.sparkContext.defaultParallelism * min_ratio)
+    )
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-file-backed plan: fall through to the exact probe
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df
 
 
