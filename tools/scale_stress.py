@@ -60,21 +60,40 @@ def _vocab(n: int = 400) -> list[str]:
 
 def make_corpus(spark, n_base: int, out_dir: str, seed: int = 97) -> int:
     """Generate a documents table with planted near-dup structure; returns
-    total row count. Schema matches testdata documents exactly."""
+    total row count. Schema matches testdata documents exactly.
+
+    Entropy matters: a pure small-vocab Zipf corpus makes EVERY doc
+    shingle-similar to every other (the first run of this harness found
+    that out at 620k docs with a >70 GB candidate-pair spill), which no
+    real text corpus does. Every third word slot is therefore a
+    per-slot-seeded uniform-int token (``u<0..200k>``) — unrelated docs
+    stay dissimilar, while the planted mutant copies remain >0.8 Jaccard
+    to their originals."""
     words = _vocab()
     # Zipf-ish counts so shingle/bucket frequencies are skewed like text
     freq = pd.DataFrame(
         {"word": words, "count": [str(max(1, 100_000 // (r + 1))) for r in range(len(words))]}
     )
     n_words = 48
-    spec = [(f"w{i}", G.from_frequency_table(freq, "word", "count")) for i in range(n_words)]
+    spec = []
+    for i in range(n_words):
+        if i % 3 == 2:  # high-entropy slot
+            spec.append((f"w{i}", G.from_uniform_distribution(0, 200_000, raw=True)))
+        else:
+            spec.append((f"w{i}", G.from_frequency_table(freq, "word", "count")))
     spec.append(("doclen", G.from_uniform_distribution(16, n_words + 1, raw=True)))
     df = to_data_frame(
         spark, spec, n_base, seed=seed, keep_index=True,
         num_partitions=max(8, n_base // 250_000),
     )
+    word_cols = [
+        F.concat(F.lit("u"), F.col(f"w{i}").cast("long").cast("string"))
+        if i % 3 == 2
+        else F.col(f"w{i}")
+        for i in range(n_words)
+    ]
     text = F.array_join(
-        F.slice(F.array(*[f"w{i}" for i in range(n_words)]), F.lit(1), F.col("doclen").cast("int")),
+        F.slice(F.array(*word_cols), F.lit(1), F.col("doclen").cast("int")),
         " ",
     )
     base = df.select(F.col("__idx__").alias("doc_id"), text.alias("text"))
