@@ -62,34 +62,47 @@ def make_corpus(spark, n_base: int, out_dir: str, seed: int = 97) -> int:
     """Generate a documents table with planted near-dup structure; returns
     total row count. Schema matches testdata documents exactly.
 
-    Entropy matters: a pure small-vocab Zipf corpus makes EVERY doc
-    shingle-similar to every other (the first run of this harness found
-    that out at 620k docs with a >70 GB candidate-pair spill), which no
-    real text corpus does. Every third word slot is therefore a
-    per-slot-seeded uniform-int token (``u<0..200k>``) — unrelated docs
-    stay dissimilar, while the planted mutant copies remain >0.8 Jaccard
-    to their originals."""
+    Entropy calibration (learned the hard way — two aborted sweeps):
+    with 16 small-Zipf-vocab word slots per doc, every random doc pair
+    shares ~40 5-char shingles (J ≈ 0.1), and with 16 four-row LSH bands
+    that is a ~4e-4 per-pair collision rate — an O(n²) candidate term
+    that spilled >70 GB at 620k docs. Real *deduplicated* web corpora
+    have near-zero random-pair Jaccard; the candidate load there comes
+    from actual near-duplicates. So the base text is high-entropy
+    uniform-int tokens with only 3 of 48 slots drawn from a FLAT
+    400-word vocab (P(pair shares a word) ≈ 2%, J ≈ 0.007, per-pair
+    collision ~1e-9 — the n² term is dead to any realistic n), and the
+    candidate load is the planted ~24% mutant copies (1-char deletion,
+    J > 0.9 to their originals; a fifth mutated twice for A~B~C chains).
+
+    Token encoding matters as much as token identity: ``u<digits>``
+    tokens put every boundary shingle in a ~10³-value space (digit
+    alphabet + fixed ``u`` separator), which alone holds random-pair J
+    near 0.1. Tokens are therefore base-26 encodings of a
+    multiply-shuffled draw — random letters, no shared prefix — putting
+    5-char shingles in a ~26⁵ space."""
     words = _vocab()
-    # Zipf-ish counts so shingle/bucket frequencies are skewed like text
-    freq = pd.DataFrame(
-        {"word": words, "count": [str(max(1, 100_000 // (r + 1))) for r in range(len(words))]}
-    )
+    freq = pd.DataFrame({"word": words, "count": ["1"] * len(words)})
     n_words = 48
     spec = []
     for i in range(n_words):
-        if i % 3 == 2:  # high-entropy slot
-            spec.append((f"w{i}", G.from_uniform_distribution(0, 200_000, raw=True)))
-        else:
+        if i % 16 == 1:  # the three common-vocab slots
             spec.append((f"w{i}", G.from_frequency_table(freq, "word", "count")))
+        else:  # high-entropy slots
+            spec.append((f"w{i}", G.from_uniform_distribution(0, 200_000, raw=True)))
     spec.append(("doclen", G.from_uniform_distribution(16, n_words + 1, raw=True)))
     df = to_data_frame(
         spark, spec, n_base, seed=seed, keep_index=True,
         num_partitions=max(8, n_base // 250_000),
     )
+    def _tok(c):
+        # multiply-shuffle into [0, 26^6), then base-26 (alphabet 0-9a-p):
+        # ~6 high-entropy chars, no fixed prefix or digit bias
+        mixed = (c.cast("long") * F.lit(2654435761)) % F.lit(26**6)
+        return F.lower(F.conv(mixed.cast("string"), 10, 26))
+
     word_cols = [
-        F.concat(F.lit("u"), F.col(f"w{i}").cast("long").cast("string"))
-        if i % 3 == 2
-        else F.col(f"w{i}")
+        F.col(f"w{i}") if i % 16 == 1 else _tok(F.col(f"w{i}"))
         for i in range(n_words)
     ]
     text = F.array_join(
@@ -136,7 +149,21 @@ def measure(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         _noop(qs[name](spark, sf_dir))
         out[name] = round(time.time() - t0, 2)
+        print(f"  {sf_dir.rsplit('/', 1)[-1]} {name}: {out[name]}s", flush=True)
     return out
+
+
+def candidate_pairs(spark, sf_dir: str) -> int:
+    """Untimed evidence query: LSH candidate-pair count must grow
+    ~linearly with docs — superlinear growth is the quadratic-blowup
+    signature that wrecks wall-time at scale."""
+    from gecko_spark.operators.dedup import minhash_candidate_pairs
+    from gecko_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16
+    ).count()
 
 
 def plan_shape(spark, sf_dir: str, name: str) -> tuple[int, int]:
@@ -163,11 +190,21 @@ def main():
                 spark.read.parquet(os.path.join(d, "documents.parquet")).count()
             )
 
+        # pair-count evidence FIRST (cheap, and catches a quadratic
+        # corpus before the timed sweep burns an hour of spill)
+        npairs = [candidate_pairs(spark, d) for d in dirs]
+        print("candidate pairs:", dict(zip(counts, npairs)), flush=True)
+        for (c1, p1), (c2, p2) in zip(zip(counts, npairs), zip(counts[1:], npairs[1:])):
+            growth = math.log(max(p2, 1) / max(p1, 1)) / math.log(c2 / c1)
+            if growth > 1.5:
+                raise SystemExit(
+                    f"candidate pairs grow n^{growth:.2f} between {c1} and "
+                    f"{c2} docs — corpus too self-similar, fix the generator"
+                )
+
         # warm FS cache + JIT once on the smallest corpus
         measure(spark, dirs[0])
         rows = [measure(spark, d) for d in dirs]
-        for d, r in zip(dirs, rows):
-            print(d, r, flush=True)
 
         shapes = {
             name: [plan_shape(spark, d, name) for d in (dirs[0], dirs[-1])]
@@ -185,12 +222,14 @@ def main():
         f"on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], one run per cell "
         "after a full warmup sweep (generation time excluded).",
         "",
-        "| docs | " + " | ".join(OPS) + " |",
-        "|---:|" + "---:|" * len(OPS),
+        "| docs | LSH candidate pairs | " + " | ".join(OPS) + " |",
+        "|---:|---:|" + "---:|" * len(OPS),
     ]
-    for cnt, r in zip(counts, rows):
+    for cnt, np_, r in zip(counts, npairs, rows):
         lines.append(
-            f"| {cnt:,} | " + " | ".join(f"{r[o]:.2f} s" for o in OPS) + " |"
+            f"| {cnt:,} | {np_:,} | "
+            + " | ".join(f"{r[o]:.2f} s" for o in OPS)
+            + " |"
         )
     lines += [
         "",
