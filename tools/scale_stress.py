@@ -216,9 +216,11 @@ def main():
     lines = [
         "# SCALE — measured scaling of the headline LLM-pipeline operators",
         "",
-        "Corpora self-generated by the engine (tools/scale_stress.py): word-"
-        "frequency documents with ~20% planted near-duplicates (1-char-deletion "
-        "mutants, Jaccard >> 0.8) and second-generation A~B~C chains. Wall-clock "
+        "Corpora self-generated by the engine (tools/scale_stress.py): high-"
+        "entropy token documents (realistic ~0 random-pair Jaccard — see the "
+        "make_corpus docstring for the two corpus-entropy failure modes this "
+        "harness caught) with ~24% planted near-duplicates (1-char-deletion "
+        "mutants, Jaccard > 0.9) and second-generation A~B~C chains. Wall-clock "
         f"on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], one run per cell "
         "after a full warmup sweep (generation time excluded).",
         "",
