@@ -632,17 +632,100 @@ def _jpeg_category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
+def _write_coef_block(wtr, zz, pred, enc_dc, enc_ac):
+    """Entropy-code one zigzagged quantized block; returns new DC pred."""
+    diff = int(zz[0]) - pred
+    s = _jpeg_category(diff)
+    wtr.write(*enc_dc[s])
+    if s:
+        wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            wtr.write(*enc_ac[0xF0])
+            run -= 16
+        s = _jpeg_category(v)
+        wtr.write(*enc_ac[(run << 4) | s])
+        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        wtr.write(*enc_ac[0x00])
+    return int(zz[0])
+
+
+def _quantize_block(plane, y0, x0, q):
+    block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+    coef = _DCT_T @ block @ _DCT_T.T
+    # round half away from zero: platform-stable, matches libjpeg
+    qz = np.sign(coef / q) * np.floor(np.abs(coef / q) + 0.5)
+    return qz.reshape(-1)[_ZIGZAG].astype(np.int64)
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_dqt(tid: int, q: np.ndarray) -> bytes:
+    return _jpeg_seg(0xDB, bytes([tid]) + bytes(q.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+
+
+def _jpeg_dht(tc: int, th: int, tbl) -> bytes:
+    bits, vals = tbl
+    return _jpeg_seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+
+
+def _encode_jpeg_gray(yp, h, w, q_lum, restart_interval):
+    yp = np.pad(yp, ((0, -h % 8), (0, -w % 8)), mode="edge")
+    enc_dc = _huff_encode_table(*_HUFF_DC_LUM)
+    enc_ac = _huff_encode_table(*_HUFF_AC_LUM)
+    wtr = _BitWriter()
+    pred = 0
+    n = 0
+    for my in range(yp.shape[0] // 8):
+        for mx in range(yp.shape[1] // 8):
+            if restart_interval and n and n % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + (n // restart_interval - 1) % 8])
+                pred = 0
+            n += 1
+            zz = _quantize_block(yp, my * 8, mx * 8, q_lum)
+            pred = _write_coef_block(wtr, zz, pred, enc_dc, enc_ac)
+    wtr.flush()
+    sof = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = _jpeg_seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return (
+        b"\xff\xd8"
+        + dri
+        + _jpeg_dqt(0, q_lum)
+        + _jpeg_dht(0, 0, _HUFF_DC_LUM)
+        + _jpeg_dht(1, 0, _HUFF_AC_LUM)
+        + sof
+        + sos
+        + bytes(wtr.out)
+        + b"\xff\xd9"
+    )
+
+
 def encode_jpeg_baseline(
     img: np.ndarray,
     quality: int = 75,
     subsample: bool = False,
     restart_interval: int = 0,
+    grayscale: bool = False,
 ) -> bytes:
     """Minimal BASELINE JPEG encoder ((H, W, 3) uint8 RGB -> bytes):
     Annex K quant tables scaled by ``quality`` (IJG formula), Annex K
     typical Huffman tables, 4:4:4 by default or 4:2:0 with
     ``subsample=True``; ``restart_interval`` > 0 emits DRI + RSTn
-    markers every that many MCUs. Exists so the multimodal tests can
+    markers every that many MCUs; ``grayscale=True`` writes a
+    1-component (luma-only) JPEG. Exists so the multimodal tests can
     hand-build real JPEG payloads without PIL; pairs with
     :func:`decode_jpeg`."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
@@ -658,6 +741,11 @@ def encode_jpeg_baseline(
     yp = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
     cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128.0
     cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128.0
+
+    if grayscale:
+        if subsample:
+            raise ValueError("subsample is meaningless for grayscale JPEG")
+        return _encode_jpeg_gray(yp, h, w, q_lum, restart_interval)
 
     if subsample:
         hs, vs = 2, 2
@@ -684,34 +772,8 @@ def encode_jpeg_baseline(
 
     def write_block(plane, y0, x0, q, ci):
         t = 0 if ci == 0 else 1
-        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-        coef = _DCT_T @ block @ _DCT_T.T
-        # round half away from zero: platform-stable, matches libjpeg
-        qz = np.sign(coef / q) * np.floor(np.abs(coef / q) + 0.5)
-        zz = qz.reshape(-1)[_ZIGZAG].astype(np.int64)
-        diff = int(zz[0]) - pred[ci]
-        pred[ci] = int(zz[0])
-        s = _jpeg_category(diff)
-        wtr.write(*enc_dc[t][s])
-        if s:
-            wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        run = 0
-        nz = np.nonzero(zz[1:])[0]
-        last = nz[-1] + 1 if nz.size else 0
-        for k in range(1, last + 1):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                wtr.write(*enc_ac[t][0xF0])
-                run -= 16
-            s = _jpeg_category(v)
-            wtr.write(*enc_ac[t][(run << 4) | s])
-            wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
-            run = 0
-        if last < 63:
-            wtr.write(*enc_ac[t][0x00])
+        zz = _quantize_block(plane, y0, x0, q)
+        pred[ci] = _write_coef_block(wtr, zz, pred[ci], enc_dc[t], enc_ac[t])
 
     mcus_y, mcus_x = yp.shape[0] // (8 * vs), yp.shape[1] // (8 * hs)
     mcu_count = 0
@@ -729,32 +791,26 @@ def encode_jpeg_baseline(
             write_block(cr, my * 8, mx * 8, q_chrom, 2)
     wtr.flush()
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    def dqt(tid, q):
-        return seg(0xDB, bytes([tid]) + bytes(q.reshape(-1)[_ZIGZAG].astype(np.uint8)))
-
-    def dht(tc, th, tbl):
-        bits, vals = tbl
-        return seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
-
-    sof = seg(
+    sof = _jpeg_seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
         + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dri = (
+        _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + dri
-        + dqt(0, q_lum)
-        + dqt(1, q_chrom)
-        + dht(0, 0, _HUFF_DC_LUM)
-        + dht(0, 1, _HUFF_DC_CHROM)
-        + dht(1, 0, _HUFF_AC_LUM)
-        + dht(1, 1, _HUFF_AC_CHROM)
+        + _jpeg_dqt(0, q_lum)
+        + _jpeg_dqt(1, q_chrom)
+        + _jpeg_dht(0, 0, _HUFF_DC_LUM)
+        + _jpeg_dht(0, 1, _HUFF_DC_CHROM)
+        + _jpeg_dht(1, 0, _HUFF_AC_LUM)
+        + _jpeg_dht(1, 1, _HUFF_AC_CHROM)
         + sof
         + sos
         + bytes(wtr.out)

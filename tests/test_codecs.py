@@ -391,3 +391,23 @@ def test_jpeg_roundtrip_any_image_bounded_error(img):
     # would fail only on a broken transform, not on quant noise)
     assert out.shape == img.shape
     assert np.abs(out.astype(int) - img.astype(int)).mean() <= 24
+
+
+def test_jpeg_grayscale_single_component():
+    x = np.linspace(0, 255, 20)
+    g = np.repeat(x[None, :], 12, axis=0)
+    img = np.stack([g, g, g], axis=2).astype(np.uint8)
+    data = encode_jpeg_baseline(img, quality=90, grayscale=True)
+    out = decode_jpeg(data)
+    assert out.shape == (12, 20, 3)
+    # all three channels replicate the luma plane
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.array_equal(out[:, :, 1], out[:, :, 2])
+    assert np.abs(out[:, :, 0].astype(int) - img[:, :, 0].astype(int)).max() <= 6
+    # smaller than the equivalent color stream (no chroma blocks)
+    assert len(data) < len(encode_jpeg_baseline(img, quality=90))
+    # restart markers work on the gray path too
+    rst = decode_jpeg(encode_jpeg_baseline(img, quality=90, grayscale=True, restart_interval=2))
+    assert np.array_equal(out, rst)
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg_baseline(img, grayscale=True, subsample=True)
