@@ -3472,6 +3472,83 @@ FROM topk GROUP BY l_returnflag
 # ---------------------------------------------------------------------------
 
 
+def _text_line_dedupe(spark, sf):
+    """Corpus-level duplicate-line removal (text.py::line_dedupe, the
+    C4/RefinedWeb pipeline stage): drop every segment occurring in >50
+    distinct documents, reassemble survivors in order. The test corpus
+    has no newlines, so the contract query splits on ' ' — the same
+    explode → count-distinct → anti-join → ordered-reassembly plan,
+    exercised as common-token removal. Real multi-line semantics are
+    unit-tested (tests/test_text_extras.py)."""
+    from gecko_spark.operators.text import line_dedupe
+
+    docs = load_table(spark, sf, "documents")
+    return line_dedupe(docs, "doc_id", "text", delimiter=" ", max_docs=50)
+
+
+_LINE_DEDUPE_SQL = """
+WITH segs AS (
+  SELECT doc_id,
+         UNNEST(string_split(COALESCE(text, ''), ' ')) AS line,
+         UNNEST(range(len(string_split(COALESCE(text, ''), ' ')))) AS pos
+  FROM documents
+),
+dup AS (
+  SELECT line FROM segs GROUP BY line HAVING COUNT(DISTINCT doc_id) > 50
+),
+kept AS (
+  SELECT s.doc_id, s.line, s.pos FROM segs s ANTI JOIN dup d USING (line)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text,
+         COUNT(*) AS kept
+  FROM kept GROUP BY doc_id
+),
+orig AS (
+  SELECT doc_id, len(string_split(COALESCE(text, ''), ' ')) AS n
+  FROM documents
+)
+SELECT o.doc_id, COALESCE(r.text, '') AS text,
+       CAST(o.n - COALESCE(r.kept, 0) AS BIGINT) AS lines_removed
+FROM orig o LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def _text_unigram_logprob(spark, sf):
+    """Mean unigram log-probability per doc (text.py::unigram_logprob):
+    the classic cheap LM-quality signal, self-trained on the corpus.
+    Engine-portable by construction: per-token ln p rounded to 6
+    decimals then summed as decimal(28,6) — associative, so Spark's
+    partition order can't drift the sum (ASCII-tokenizer oracle
+    assumption as in _text_tfidf)."""
+    from gecko_spark.operators.text import unigram_logprob
+
+    docs = load_table(spark, sf, "documents")
+    return unigram_logprob(docs, "doc_id", "text")
+
+
+_UNIGRAM_LOGPROB_SQL = f"""
+WITH {_TOKS_CTE},
+toks_flat AS (SELECT doc_id, UNNEST(tk) AS tok FROM toks),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM toks_flat GROUP BY tok),
+total AS (SELECT SUM(cnt) AS total FROM freq),
+logp AS (
+  SELECT t.doc_id,
+         CAST(ROUND(LN(CAST(f.cnt AS DOUBLE) / tt.total), 6)
+              AS DECIMAL(28, 6)) AS lp
+  FROM toks_flat t JOIN freq f USING (tok) CROSS JOIN total tt
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+  FROM logp GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       s.avg_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries 1–50 are the driver-graded window (the driver evaluates the
     # first 50 dict entries). Rotation history: round 2 graded the §2
@@ -3587,6 +3664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mut_regex": _mut_regex,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_pairs": _dedup_minhash,
+        # round-5 additions
+        "text_line_dedupe": _text_line_dedupe,
+        "text_unigram_logprob": _text_unigram_logprob,
     }
 
 
@@ -3685,4 +3765,6 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cm_estimate": _sketch_cm_estimate_sql(),
         "sketch_kmv_by_group": _sketch_kmv_by_group_sql(),
         "pack_sequences": _PACK_SQL,
+        "text_line_dedupe": _LINE_DEDUPE_SQL,
+        "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
     }

@@ -418,6 +418,15 @@ def connected_components(
     are checkpointed via localCheckpoint to keep the plan from growing
     unboundedly on a 1000-executor cluster.
 
+    The edge list itself is eagerly checkpointed ONCE up front: the
+    incoming ``pairs`` frame is typically the tip of an expensive
+    pipeline (minhash sign → band → bucket join → verify), and without
+    materialization every round's neighbor join would re-run that whole
+    pipeline from the scan. Convergence is detected by comparing
+    ``sum(component)`` across rounds — labels are monotonically
+    non-increasing under min-propagation, so the total is unchanged iff
+    no label changed (exact, no join against the previous round needed).
+
     If labels still changed after ``max_iterations`` rounds the result
     may carry SPLIT components (extra surviving duplicates).
     ``on_nonconvergence`` controls what happens then: ``"warn"``
@@ -434,6 +443,7 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint()  # sever the (expensive) pair-pipeline lineage ONCE
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -441,6 +451,14 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    def _total(lf: DataFrame):
+        # decimal(38,0) accumulator: ids are longs, so a plain long sum
+        # could overflow on a billion-node graph; the decimal sum cannot.
+        return lf.agg(
+            F.sum(F.col("component").cast("decimal(38, 0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_total = _total(labels)
     converged = False
     for _ in range(max_iterations):
         # each node's candidate label: min over neighbors' labels and its own
@@ -470,17 +488,12 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_total = _total(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_total == prev_total:
             converged = True
             break
+        prev_total = new_total
     if not converged:
         msg = (
             f"connected_components did not converge within "

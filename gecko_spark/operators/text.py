@@ -37,6 +37,8 @@ __all__ = [
     "PII_PATTERNS",
     "redact_pii",
     "tfidf_top_terms",
+    "line_dedupe",
+    "unigram_logprob",
 ]
 
 # A BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
@@ -584,4 +586,138 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (C4 / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+
+def line_dedupe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Corpus-level duplicate-line removal (the C4 / RefinedWeb pipeline
+    stage): drop every line whose EXACT content occurs in more than
+    ``max_docs`` distinct documents, then reassemble each document from
+    its surviving lines in original order. Returns
+    ``(id, text, lines_removed)`` — a document all of whose lines were
+    dropped survives with empty text, never disappears.
+
+    Plan shape for 100 TB: one split+posexplode (narrow), one
+    count-distinct aggregation keyed on line content (map-side partial
+    agg soaks up hot lines like the empty string), then a LEFT ANTI
+    join of the exploded lines against the FILTERED duplicate-line set
+    — only lines crossing the threshold travel to the anti-join build
+    side, which is usually small enough for AQE to broadcast — and one
+    final per-doc aggregation that rebuilds the text with
+    ``array_sort(struct(pos, line))`` (pos is unique per doc, so the
+    sort is deterministic). The raw corpus is scanned twice (once for
+    the line index, once for the final left join that keeps emptied
+    docs); nothing is collected to the driver.
+
+    ``delimiter`` is a literal string, not a regex. Splitting keeps
+    interior AND trailing empty segments (Spark's ``split`` uses Java
+    ``split(re, -1)``), matching DuckDB's ``string_split`` — so the
+    reassembled text round-trips exactly when nothing is removed.
+    """
+    esc = re.escape(delimiter)
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), esc, -1)
+        ).alias("pos", "line"),
+    )
+    dup_lines = (
+        segs.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("line")
+    )
+    kept = segs.join(dup_lines, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delimiter,
+        ).alias("__text__"),
+        F.count("*").alias("__kept__"),
+    )
+    orig = df.select(
+        F.col(id_col),
+        F.size(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), esc, -1)
+        ).alias("__n_lines__"),
+    )
+    return orig.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("__text__"), F.lit("")).alias(text_col),
+        (F.col("__n_lines__") - F.coalesce(F.col("__kept__"), F.lit(0)))
+        .cast("long")
+        .alias("lines_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model quality score
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the classic cheap
+    LM-quality signal (docs of rare/garbled tokens score low, docs of
+    common fluent tokens score high). The model is the corpus itself:
+    ``p(tok) = count(tok) / total_tokens`` over the whole input.
+    Returns ``(id, n_tokens, avg_logprob)``; docs with zero tokens get
+    NULL avg_logprob.
+
+    Plan shape: tokenize+explode (narrow) → token-frequency aggregation
+    (one shuffle, map-side combined) → total token count derived from
+    the ALREADY-REDUCED frequency table as a 1-row broadcast (the raw
+    corpus is not re-aggregated) → join tokens back to frequencies
+    (AQE broadcasts the vocab side when it fits) → per-doc aggregation.
+
+    Cross-engine determinism: ``ln p`` is rounded to 6 decimals per
+    token and summed as ``decimal(28,6)`` — decimal addition is
+    associative, so the sum is independent of Spark's partition order,
+    where a double sum would drift in the last ulp and break value-hash
+    parity with an oracle. The final mean divides back in double and
+    rounds to 6.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("__total__"))  # 1 row — broadcast
+    logp = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "logp",
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("__total__")), 6
+            ).cast("decimal(28, 6)"),
+        )
+    )
+    scored = logp.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("logp").cast("double") / F.count("*"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.col("avg_logprob"),
     )

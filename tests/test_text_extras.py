@@ -1,5 +1,5 @@
-"""Round-4 training-pipeline ops: PII redaction, TF-IDF top terms,
-int8 embedding quantization."""
+"""Round-4/5 training-pipeline ops: PII redaction, TF-IDF top terms,
+int8 embedding quantization, corpus line dedup, unigram LM scoring."""
 
 import math
 
@@ -7,7 +7,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from gecko_spark.operators.similarity import dequantize_int8, quantize_int8
-from gecko_spark.operators.text import redact_pii, tfidf_top_terms
+from gecko_spark.operators.text import (
+    line_dedupe,
+    redact_pii,
+    tfidf_top_terms,
+    unigram_logprob,
+)
 
 
 @pytest.fixture(scope="module")
@@ -178,3 +183,84 @@ class TestQuantizeInt8:
         )
         with pytest.raises((Py4JJavaError, Exception), match="NaN element"):
             quantize_int8(df, strict=True).collect()
+
+
+class TestLineDedupe:
+    def test_multiline_semantics(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "keep me\ncommon line\nunique a"),
+                (2, "common line\nunique b"),
+                (3, "solo doc"),
+                (4, "common line"),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in line_dedupe(docs, max_docs=1).collect()}
+        assert got[1]["text"] == "keep me\nunique a"
+        assert got[1]["lines_removed"] == 1
+        assert got[2]["text"] == "unique b"
+        # untouched doc round-trips byte-for-byte
+        assert got[3]["text"] == "solo doc" and got[3]["lines_removed"] == 0
+        # fully-emptied doc survives with empty text, never disappears
+        assert got[4]["text"] == "" and got[4]["lines_removed"] == 1
+        assert got[5]["text"] == ""
+
+    def test_order_preserved_and_threshold(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "top\nmid{}\nbottom".format(i)) for i in range(1, 5)],
+            "doc_id long, text string",
+        )
+        # threshold 3: 'top'/'bottom' occur in 4 docs -> dropped; mids stay
+        got = {r["doc_id"]: r for r in line_dedupe(docs, max_docs=3).collect()}
+        assert got[2]["text"] == "mid2" and got[2]["lines_removed"] == 2
+        # threshold 4: nothing crosses, every doc intact incl. line order
+        intact = {r["doc_id"]: r for r in line_dedupe(docs, max_docs=4).collect()}
+        assert intact[2]["text"] == "top\nmid2\nbottom"
+        assert intact[2]["lines_removed"] == 0
+
+    def test_empty_segments_counted(self, spark):
+        # interior/trailing empty lines are real lines: common across
+        # docs -> removed like any other duplicate line
+        docs = spark.createDataFrame(
+            [(1, "a\n\nb"), (2, "c\n\nd")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in line_dedupe(docs, max_docs=1).collect()}
+        assert got[1]["text"] == "a\nb" and got[1]["lines_removed"] == 1
+
+    def test_custom_delimiter(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x y z"), (2, "x q z")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in line_dedupe(docs, delimiter=" ", max_docs=1).collect()
+        }
+        assert got[1]["text"] == "y" and got[1]["lines_removed"] == 2
+
+
+class TestUnigramLogprob:
+    def test_exact_small_corpus(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c"), (3, None)], "doc_id long, text string"
+        )
+        # corpus: a=2, b=2, c=1, total=5
+        got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+        lp = lambda c: round(math.log(c / 5), 6)  # noqa: E731
+        assert got[1]["n_tokens"] == 3
+        assert got[1]["avg_logprob"] == pytest.approx(
+            round((2 * lp(2) + lp(2)) / 3, 6), abs=2e-6
+        )
+        assert got[2]["avg_logprob"] == pytest.approx(
+            round((lp(2) + lp(1)) / 2, 6), abs=2e-6
+        )
+        # empty doc: zero tokens, NULL score — never dropped
+        assert got[3]["n_tokens"] == 0 and got[3]["avg_logprob"] is None
+
+    def test_common_beats_rare(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the the the the"), (2, "qzx vbn")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs).collect()}
+        assert got[1] > got[2]
