@@ -6,13 +6,18 @@ Image decode/resize is REAL: the pure-Python codecs in
 binary PPM/PGM, non-interlaced 8-bit PNG (stdlib zlib), and baseline
 sequential JPEG (NumPy Huffman + matrix IDCT, any chroma subsampling,
 restart markers) with nothing beyond stdlib + NumPy, so ``fake=False``
-works end-to-end in this container for those payloads. Progressive
-JPEG and video containers still raise ``NotImplementedError`` —
-PIL/ffmpeg on the executors is a one-function swap. ``fake=True``
-keeps the deterministic content-hash stub (any payload, fixed shapes)
-for plumbing tests. Everything Spark-side — schemas, Arrow batch
-shapes, ``mapInPandas`` iterator plumbing, partition sizing — is
-identical in both modes.
+works end-to-end in this container for those payloads.
+
+Audio and video-frame paths are REAL for uncompressed containers
+(round 5): PCM **WAV** decode → windowed-RMS features, and
+**Y4M/YUV4MPEG2** parsing → luma-plane frame sampling, both via
+:mod:`gecko_spark.functions.av_codecs` (struct + NumPy only).
+Compressed media (MP3/H.264/...) and progressive JPEG still raise
+``NotImplementedError`` — PIL/ffmpeg on the executors is a
+one-function swap. ``fake=True`` keeps the deterministic content-hash
+stub (any payload, fixed shapes) for plumbing tests. Everything
+Spark-side — schemas, Arrow batch shapes, ``mapInPandas`` iterator
+plumbing, partition sizing — is identical in both modes.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "media_table",
     "decode_image_features",
+    "decode_audio_features",
     "resize_images",
     "sample_video_frames",
 ]
@@ -159,6 +165,87 @@ def decode_image_features(
     return df.select("media_id", "mime", "content").mapInPandas(_decode, out_schema)
 
 
+def _real_audio_features(content: bytes, out_dim: int) -> tuple:
+    """Decode a PCM WAV payload and pool to ``out_dim`` windowed-RMS
+    features in [0, 1] — the classic cheap audio envelope signature
+    (silence ≈ 0, full-scale tone ≈ 0.7). Channel-mean mono mix, then
+    ``out_dim`` equal windows over the sample axis. Returns
+    ``(features, sample_rate, duration_ms)``."""
+    from gecko_spark.functions.av_codecs import decode_wav
+
+    samples, rate = decode_wav(content)
+    n = samples.shape[0]
+    duration_ms = int(n * 1000) // rate
+    if n == 0:
+        return np.zeros(out_dim, dtype=np.float32), rate, 0
+    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    # window i covers [i*n//out_dim, (i+1)*n//out_dim) — integer-exact
+    # bounds so the split is reproducible for any n
+    bounds = (np.arange(out_dim + 1) * n) // out_dim
+    sq = np.concatenate(([0.0], np.cumsum(mono * mono)))
+    widths = np.maximum(bounds[1:] - bounds[:-1], 1)
+    rms = np.sqrt((sq[bounds[1:]] - sq[bounds[:-1]]) / widths)
+    return rms.astype(np.float32), rate, duration_ms
+
+
+def decode_audio_features(
+    df: DataFrame,
+    out_dim: int = 32,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode → feature-extract each audio payload into an
+    array<float> column via ``mapInPandas``, plus decoded metadata
+    (sample_rate, duration_ms).
+
+    ``fake=False`` decodes PCM WAV (8/16-bit, any channel count) with
+    the pure-Python RIFF parser and pools a windowed-RMS envelope;
+    unsupported payloads (MP3, AAC, ...) raise
+    ``UnsupportedMediaError`` at executor time. ``fake=True`` runs the
+    content-hash stub on any payload with NULL metadata. Same bounded
+    Arrow-batch memory shape as :func:`decode_image_features`.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, rates, durs = [], [], []
+            for c in pdf["content"]:
+                b = bytes(c) if c is not None else b""
+                if fake:
+                    feats.append(_fake_decode(b, out_dim).tolist())
+                    rates.append(None)
+                    durs.append(None)
+                elif len(b) == 0:
+                    # null/empty payload: null row, don't poison the batch
+                    feats.append(None)
+                    rates.append(None)
+                    durs.append(None)
+                else:
+                    f, r, d = _real_audio_features(b, out_dim)
+                    feats.append(f.tolist())
+                    rates.append(r)
+                    durs.append(d)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "features": feats,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "mime", "content").mapInPandas(_decode, out_schema)
+
+
 def resize_images(
     df: DataFrame, width: int, height: int, fake: bool = False
 ) -> DataFrame:
@@ -220,7 +307,18 @@ def sample_video_frames(
     df: DataFrame, every_n: int = 10, max_frames: int = 8, fake: bool = False
 ) -> DataFrame:
     """Sample frames from video payloads: one output row per sampled
-    frame (media_id, frame_index, frame binary). Stubbed decode."""
+    frame (media_id, frame_index, frame binary).
+
+    ``fake=False`` parses Y4M/YUV4MPEG2 payloads (the raw-frame
+    interchange format) with the pure-Python parser and emits every
+    ``every_n``-th luma plane as a binary PGM (P5) image — a REAL
+    frame-extraction path with no external deps; compressed containers
+    (MP4/WebM/...) raise ``UnsupportedMediaError`` at executor time.
+    ``fake=True`` keeps the 64-byte-slice stub for arbitrary payloads.
+
+    Output rows fan out (one per frame), so a downstream repartition
+    may be warranted when every_n is small relative to clip length.
+    """
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -230,23 +328,34 @@ def sample_video_frames(
     )
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from gecko_spark.functions.av_codecs import decode_y4m
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decode requires ffmpeg on the executors; "
-                    "run with fake=True for the deterministic stub"
-                )
             ids, idxs, frames = [], [], []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(c) if c is not None else b""
-                # stub: treat every 64-byte slice as one "frame"
-                n_frames = max(len(b) // 64, 1)
-                for j, fi in enumerate(range(0, n_frames, every_n)):
+                if fake:
+                    # stub: treat every 64-byte slice as one "frame"
+                    n_frames = max(len(b) // 64, 1)
+                    for j, fi in enumerate(range(0, n_frames, every_n)):
+                        if j >= max_frames:
+                            break
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(b[fi * 64 : (fi + 1) * 64])
+                    continue
+                if len(b) == 0:
+                    continue  # null/empty payload: no frames, no poison
+                planes, hdr = decode_y4m(b)
+                w, h = hdr["width"], hdr["height"]
+                for j, fi in enumerate(range(0, planes.shape[0], every_n)):
                     if j >= max_frames:
                         break
                     ids.append(mid)
                     idxs.append(fi)
-                    frames.append(b[fi * 64 : (fi + 1) * 64])
+                    frames.append(
+                        b"P5\n%d %d\n255\n" % (w, h) + planes[fi].tobytes()
+                    )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_index": idxs, "frame": frames}
             )
