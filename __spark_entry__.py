@@ -2728,6 +2728,44 @@ SELECT o_orderkey, o_orderpriority FROM (
 """
 
 
+def _sample_mix_corpus(spark, sf):
+    """Corpus mixture rebalancing (operators/sampling.py::mix_corpus):
+    downsample strata to a 3:1:1 en/fr/zh language mixture — the
+    data-mixing stage of a training pipeline. Integer-weight design
+    keeps total and per-stratum caps in exact integer arithmetic, so
+    the oracle replays the EXACT membership, caps included."""
+    from gecko_spark.operators.sampling import mix_corpus
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return mix_corpus(
+        docs,
+        "lang",
+        {"en": 3, "fr": 1, "zh": 1},
+        rand=LcgRandom("doc_id", 314),
+        tiebreak="doc_id",
+    )
+
+
+def _sample_mix_corpus_sql() -> str:
+    u = lcg_uniform_sql("doc_id", 314, 11, stream=0)
+    return f"""
+WITH counts AS (
+  SELECT lang AS g, COUNT(*) AS c FROM documents
+  WHERE lang IN ('en', 'fr', 'zh') GROUP BY lang
+),
+wts(g, w) AS (VALUES ('en', 3), ('fr', 1), ('zh', 1)),
+t AS (SELECT MIN(c * 5 // w) AS t FROM counts JOIN wts USING (g)),
+caps AS (SELECT g, (SELECT t FROM t) * w // 5 AS cap FROM wts),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {u}, doc_id) AS rn
+  FROM documents WHERE lang IN ('en', 'fr', 'zh')
+)
+SELECT doc_id, lang FROM ranked JOIN caps ON ranked.lang = caps.g
+WHERE rn <= cap
+"""
+
+
 def _sketch_kmv(spark, sf):
     """KMV distinct-count sketch (operators/sketches.py): one-pass
     mergeable estimator whose ESTIMATE is bit-reproducible — the
@@ -3667,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions
         "text_line_dedupe": _text_line_dedupe,
         "text_unigram_logprob": _text_unigram_logprob,
+        "sample_mix_corpus": _sample_mix_corpus,
     }
 
 
@@ -3767,4 +3806,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,
         "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+        "sample_mix_corpus": _sample_mix_corpus_sql(),
     }

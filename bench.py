@@ -187,7 +187,10 @@ def bench_queries(spark, sf_dir):
     for name in [
         "dedup_exact",
         "dedup_minhash_pairs",
+        "dedup_transitive",  # round 5: CC edge-checkpoint fix made it benchable
         "text_stats",
+        "text_line_dedupe",
+        "text_unigram_logprob",
         "topk_cosine_bruteforce",
         "decontam_filter",
         "text_repetition",

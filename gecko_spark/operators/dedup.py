@@ -439,11 +439,16 @@ def connected_components(
         raise ValueError(
             f"on_nonconvergence must be 'warn' or 'raise', got {on_nonconvergence!r}"
         )
+    # materialize the (typically expensive) pair pipeline exactly ONCE:
+    # building the symmetric edge list straight off `pairs` would
+    # evaluate it twice (once per union branch)
+    pairs_c = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint()
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs_c.union(pairs_c.select(F.col("dst"), F.col("src")))
         .distinct()
-        .localCheckpoint()  # sever the (expensive) pair-pipeline lineage ONCE
+        .localCheckpoint()  # sever lineage so rounds join a materialized RDD
     )
     labels = (
         edges.select(F.col("src").alias("node"))

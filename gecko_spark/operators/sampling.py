@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from gecko_spark.core import RandomSource
 
-__all__ = ["stratified_sample", "hash_sample_n", "weighted_sample_n"]
+__all__ = [
+    "stratified_sample",
+    "hash_sample_n",
+    "weighted_sample_n",
+    "mix_corpus",
+]
 
 # salt layout: 0 reserved (mutator selection); samplers draw on salt 11
 _SALT_SAMPLE = 11
@@ -78,6 +83,85 @@ def hash_sample_n(
     return (
         df.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= n)
+        .drop("__rn__")
+    )
+
+
+def mix_corpus(
+    df: DataFrame,
+    stratum_col: str,
+    weights: Mapping[str, int],
+    rand: RandomSource,
+    tiebreak: Union[str, Column, None] = None,
+    method: str = "exact",
+) -> DataFrame:
+    """Rebalance a corpus to a target domain mixture — the data-mixing
+    stage of a training pipeline ("50% web, 30% books, 20% code").
+    Returns the LARGEST downsampled corpus whose strata match
+    ``weights`` proportionally; strata absent from ``weights`` are
+    dropped, and no stratum is ever upsampled.
+
+    ``weights`` are integers (mixture ∝ weight), which keeps every
+    derived quantity in exact integer arithmetic — total
+    ``T = min_g floor(count_g * W / w_g)`` and per-stratum cap
+    ``n_g = floor(T * w_g / W)`` are reproducible bit-for-bit in any
+    engine, with no float-rounding drift in the cap computation.
+
+    ``method="exact"`` keeps exactly ``n_g`` rows per stratum (the
+    ``n_g`` smallest hash draws — deterministic; pass the table key as
+    ``tiebreak``): per-stratum window rank, so a stratum's rows sort
+    within its partition — fine when strata are bounded, the wrong
+    shape for one multi-billion-row stratum. ``method="bernoulli"``
+    keeps each row with probability ``n_g / count_g`` — a pure narrow
+    filter (zero shuffles beyond the one count aggregation), the
+    100 TB path, with binomial ±√n wobble per stratum.
+
+    The stratum counts are collected to the driver — that is
+    config-sized (one row per domain), not data-sized.
+    """
+    if method not in ("exact", "bernoulli"):
+        raise ValueError(f"method must be 'exact' or 'bernoulli', got {method!r}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, wt in weights.items():
+        if int(wt) != wt or wt <= 0:
+            raise ValueError(f"weight for stratum {s!r} must be a positive int: {wt}")
+    total_w = sum(int(w) for w in weights.values())
+    counts = {
+        r["__g__"]: r["__c__"]
+        for r in df.groupBy(F.col(stratum_col).alias("__g__"))
+        .agg(F.count("*").alias("__c__"))
+        .collect()
+    }
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(
+            f"strata {missing} in weights but absent from the corpus — "
+            f"a mixture containing them is unsatisfiable without upsampling"
+        )
+    t_total = min(counts[g] * total_w // int(w) for g, w in weights.items())
+    caps = {g: t_total * int(w) // total_w for g, w in weights.items()}
+    stratum = F.col(stratum_col)
+    kept = df.filter(stratum.isin(*weights.keys()))
+    if method == "bernoulli":
+        frac = F.lit(0.0)
+        for g in sorted(weights):
+            frac = F.when(
+                stratum == F.lit(g), F.lit(caps[g] / max(counts[g], 1))
+            ).otherwise(frac)
+        return kept.filter(rand.uniform(_SALT_SAMPLE) < frac)
+    order = [rand.uniform(_SALT_SAMPLE).asc()]
+    if tiebreak is not None:
+        order.append(
+            (F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).asc()
+        )
+    cap = F.lit(0)
+    for g in sorted(weights):
+        cap = F.when(stratum == F.lit(g), F.lit(caps[g])).otherwise(cap)
+    w = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        kept.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= cap)
         .drop("__rn__")
     )
 

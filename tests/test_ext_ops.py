@@ -627,6 +627,62 @@ def test_weighted_sample_favors_heavy_rows(spark):
     assert weighted_sample_n(df, 100, "w", rand=LcgRandom("id", 1), tiebreak="id").count() == 100
 
 
+def test_mix_corpus_exact_mixture(spark):
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.sampling import mix_corpus
+
+    # skewed corpus: a=6000, b=3000, c=1000, d=500 → target 1:1:2 over
+    # a/b/c. Binding stratum is c (cap 2000 wanted, only 1000 there):
+    # T = min(6000*4//1, 3000*4//1, 1000*4//2) = 2000 → caps 500/500/1000
+    df = spark.range(0, 10_500).select(
+        "id",
+        F.when(F.col("id") < 6000, "a")
+        .when(F.col("id") < 9000, "b")
+        .when(F.col("id") < 10_000, "c")
+        .otherwise("d")
+        .alias("g"),
+    )
+    out = mix_corpus(
+        df, "g", {"a": 1, "b": 1, "c": 2}, rand=LcgRandom("id", 77), tiebreak="id"
+    )
+    sizes = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert sizes == {"a": 500, "b": 500, "c": 1000}  # exact, 'd' dropped
+    # membership is layout-independent
+    a1 = out.orderBy("id").toPandas()["id"].tolist()
+    a2 = (
+        mix_corpus(
+            df.repartition(17), "g", {"a": 1, "b": 1, "c": 2},
+            rand=LcgRandom("id", 77), tiebreak="id",
+        )
+        .orderBy("id").toPandas()["id"].tolist()
+    )
+    assert a1 == a2
+
+
+def test_mix_corpus_bernoulli_and_errors(spark):
+    import pytest as _pytest
+
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.sampling import mix_corpus
+
+    df = spark.range(0, 20_000).select(
+        "id", F.when(F.col("id") % 4 < 3, "big").otherwise("small").alias("g")
+    )
+    # big=15000, small=5000, target 1:1 → T=10000, caps 5000/5000
+    out = mix_corpus(
+        df, "g", {"big": 1, "small": 1}, rand=LcgRandom("id", 78),
+        method="bernoulli",
+    )
+    sizes = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    # bernoulli: ±√n wobble around the caps; small keeps ~everything
+    assert abs(sizes["big"] - 5000) < 300
+    assert abs(sizes["small"] - 5000) < 300
+    with _pytest.raises(ValueError, match="absent from the corpus"):
+        mix_corpus(df, "g", {"big": 1, "nope": 1}, rand=LcgRandom("id", 79))
+    with _pytest.raises(ValueError, match="positive int"):
+        mix_corpus(df, "g", {"big": 0.5}, rand=LcgRandom("id", 79))
+
+
 def test_text_and_dedup_kernels_null_safe(spark):
     """Null/empty documents must flow through every text/dedup kernel."""
     from gecko_spark.operators.text import text_stats

@@ -135,6 +135,24 @@ def main():
     )
 
     cap(
+        "line dedup: anti-join against the FILTERED duplicate-line set",
+        qs["text_line_dedupe"](spark, sf),
+        "The dup-line build side is post-threshold (lines in >N docs only) "
+        "— at 100 TB the exploded corpus anti-joins against a small, "
+        "usually-broadcastable set rather than the full line index; the "
+        "per-doc reassembly is the only corpus-sized aggregation.",
+    )
+
+    cap(
+        "unigram logprob: vocab joined back as the reduced index",
+        qs["text_unigram_logprob"](spark, sf),
+        "Token frequencies aggregate once (map-side combined); the corpus "
+        "total derives from that reduced table as a 1-row broadcast, and "
+        "the per-token score join targets the vocab (AQE broadcasts it "
+        "when it fits) — the raw corpus is scanned, never re-aggregated.",
+    )
+
+    cap(
         "sequence packing: one shuffle (the per-shard window sort)",
         qs["pack_sequences"](spark, sf),
         "Offset packing = a single windowed cumulative sum partitioned by "
