@@ -3650,15 +3650,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": _q7,
         "q10_returned_items": _q10,
         "q_asof_join": _q_asof_join,
-        # --- slots 44–50: r04-green regression cover, code-touched first
+        # --- slots 44–47: never-driver-graded round-5 additions ---
+        "text_line_dedupe": _text_line_dedupe,
+        "text_unigram_logprob": _text_unigram_logprob,
+        "sample_mix_corpus": _sample_mix_corpus,
+        # --- slots 47–50: r04-green regression cover, code touched in r5
         "q_skew_join": _q_skew_join,  # skew salt slimmed round 5
-        "dedup_transitive": _dedup_transitive,  # convergence control round 5
+        "dedup_transitive": _dedup_transitive,  # CC materialize-once + convergence control round 5
         "emb_quantize_int8": _emb_quantize,  # NaN/empty guard round 5
-        "text_tfidf_top3": _text_tfidf,
         "decontam_filter_bloom": _decontam_filter_bloom,
+        # --- entries 51+: driver-green in round 4, strict-local since ---
+        "text_tfidf_top3": _text_tfidf,
         "pack_sequences": _pack_sequences,
         "q21_waiting_supplier": _q21,
-        # --- entries 51+: driver-green in round 4, strict-local since ---
         "q3_shipping_priority": _q3,
         "q5_region_revenue": _q5,
         "q_window_topk_orders": _q_topk,
@@ -3702,10 +3706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mut_regex": _mut_regex,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_pairs": _dedup_minhash,
-        # round-5 additions
-        "text_line_dedupe": _text_line_dedupe,
-        "text_unigram_logprob": _text_unigram_logprob,
-        "sample_mix_corpus": _sample_mix_corpus,
     }
 
 
