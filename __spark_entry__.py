@@ -2642,6 +2642,45 @@ FROM pairs WHERE cosine >= {threshold}
 """
 
 
+def _dedup_semantic(spark, sf):
+    """SemDeDup-style clustered near-dup with init="first_k" —
+    centroid assignment (argmax over sequential-fold dots, first-max
+    tie-break) and in-cluster cosine verification are replayed exactly
+    by the oracle. Cf. the LSH variant `_dedup_embedding`: same
+    verification, data-adaptive candidate geometry."""
+    from gecko_spark.operators.dedup import semantic_dedupe_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedupe_pairs(
+        emb, "vec_id", "embedding", threshold=0.1, n_clusters=16, init="first_k"
+    ).select("id_a", "id_b", F.round(F.col("cosine") * 1e9).cast("long").alias("cos_1e9"))
+
+
+def _dedup_semantic_sql(n_clusters: int = 16, threshold: float = 0.1) -> str:
+    assign_dot = _sql_seq_dot("e.embedding", "c.cvec")
+    cos = f"{_sql_seq_dot('l.vec', 'r.vec')} / ({_sql_l2('l.vec')} * {_sql_l2('r.vec')})"
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_clusters}
+), assign AS (
+  SELECT e.vec_id, e.embedding, c.cid, {assign_dot} AS score
+  FROM embeddings e CROSS JOIN cents c
+), best AS (
+  SELECT vec_id AS doc, embedding AS vec, cid AS cluster FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+    FROM assign
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT l.doc AS id_a, r.doc AS id_b, {cos} AS cosine
+  FROM best l JOIN best r
+    ON l.cluster = r.cluster AND l.doc < r.doc
+)
+SELECT id_a, id_b, CAST(round(cosine * 1e9) AS BIGINT) AS cos_1e9
+FROM pairs WHERE cosine >= {threshold}
+"""
+
+
 def _sample_stratified(spark, sf):
     """Portable stratified sampling (operators/sampling.py): exact
     sample MEMBERSHIP replayed by the oracle, not just counts."""
@@ -3654,12 +3693,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedupe": _text_line_dedupe,
         "text_unigram_logprob": _text_unigram_logprob,
         "sample_mix_corpus": _sample_mix_corpus,
-        # --- slots 47–50: r04-green regression cover, code touched in r5
+        "dedup_semantic_pairs": _dedup_semantic,
+        # --- slots 48–50: r04-green regression cover, code touched in r5
         "q_skew_join": _q_skew_join,  # skew salt slimmed round 5
         "dedup_transitive": _dedup_transitive,  # CC materialize-once + convergence control round 5
         "emb_quantize_int8": _emb_quantize,  # NaN/empty guard round 5
-        "decontam_filter_bloom": _decontam_filter_bloom,
         # --- entries 51+: driver-green in round 4, strict-local since ---
+        "decontam_filter_bloom": _decontam_filter_bloom,
         "text_tfidf_top3": _text_tfidf,
         "pack_sequences": _pack_sequences,
         "q21_waiting_supplier": _q21,
@@ -3773,6 +3813,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _dedup_simhash_sql(),
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": _dedup_embedding_sql(),
+        "dedup_semantic_pairs": _dedup_semantic_sql(),
         "sketch_kmv_distinct": _sketch_kmv_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_reservoir_n": _sample_reservoir_sql(),

@@ -188,6 +188,7 @@ def bench_queries(spark, sf_dir):
         "dedup_exact",
         "dedup_minhash_pairs",
         "dedup_transitive",  # round 5: CC edge-checkpoint fix made it benchable
+        "dedup_semantic_pairs",  # round 5: SemDeDup-style clustered near-dup
         "text_stats",
         "text_line_dedupe",
         "text_unigram_logprob",

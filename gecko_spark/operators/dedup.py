@@ -40,6 +40,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "embedding_cosine_pairs",
+    "semantic_dedupe_pairs",
+    "semantic_dedupe",
     "write_minhash_index",
     "dedupe_against_index",
 ]
@@ -957,6 +959,121 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): cluster embeddings, prune within clusters
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedupe_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 0,
+    init: str = "kmeans",
+    max_cluster_size: Optional[int] = None,
+) -> DataFrame:
+    """Semantic near-duplicate pairs à la SemDeDup (Abbas et al. 2023):
+    k-means-cluster the embedding space, then compare vectors ONLY
+    within their cluster — near-duplicates land in the same cluster by
+    construction, so the O(n²) cosine matrix shrinks to
+    ``Σ cluster_size²``, which with ``n_clusters ≈ n/1000`` is ~1000·n.
+
+    Differs from :func:`embedding_cosine_pairs` (hyperplane LSH) in
+    recall geometry: LSH buckets are data-independent slices of the
+    sphere, clusters adapt to where the corpus actually lives — the
+    standard choice when embeddings are strongly clustered (web-scale
+    corpora are). Candidate generation is one shuffle on the cluster
+    id; centroid assignment is broadcast Column algebra
+    (``similarity.ivf_assign`` — the corpus is never collected).
+
+    ``init="kmeans"`` (default) trains centroids on a driver sample —
+    best cluster geometry. ``init="first_k"`` uses the raw vectors of
+    the ``n_clusters`` lowest ids: assignment then uses only strict
+    sequential-fold float arithmetic, so an independent engine (the
+    ``dedup_semantic_pairs`` DuckDB oracle) replays clustering AND
+    verification bit-for-bit — the determinism-over-recall trade.
+
+    ``max_cluster_size`` drops clusters above the cap before the pair
+    expansion (broadcast anti-join, same guard as
+    ``minhash_candidate_pairs``): one degenerate cluster — e.g. a
+    near-zero-vector sink absorbing all boilerplate — would otherwise
+    emit O(f²) pairs. At 100 TB run with ``n_clusters ≈ n/1000`` and a
+    cap a few × the expected cluster size.
+
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b`` and
+    ``cosine >= threshold``.
+    """
+    from gecko_spark.operators.similarity import cosine_sim, ivf_assign
+
+    assigned, _ = ivf_assign(
+        df.select(F.col(id_col), F.col(vec_col)),
+        vec_col,
+        n_centroids=n_clusters,
+        seed=seed,
+        init=init,
+        id_col=id_col if init == "first_k" else None,
+    )
+    base = assigned.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        F.col("__ivf_list__").alias("cluster"),
+    )
+    # persist before the self-join: both sides would recompute the
+    # n_clusters interpreted-HOF assignment dots otherwise (see
+    # embedding_cosine_pairs)
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if max_cluster_size is not None:
+        oversized = (
+            base.groupBy("cluster")
+            .agg(F.count("*").alias("__n__"))
+            .filter(F.col("__n__") > max_cluster_size)
+            .select("cluster")
+        )
+        base = base.join(F.broadcast(oversized), ["cluster"], "left_anti")
+
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            cosine_sim(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedupe(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 0,
+    init: str = "kmeans",
+    max_cluster_size: Optional[int] = None,
+) -> DataFrame:
+    """Drop semantic near-duplicates: for every within-cluster pair at
+    or above ``threshold`` the higher id is removed (single-pass min-id
+    survivorship, same convention as :func:`minhash_dedupe`; feed
+    :func:`semantic_dedupe_pairs` into :func:`connected_components`
+    when transitive closure is needed)."""
+    pairs = semantic_dedupe_pairs(
+        df, id_col, vec_col, threshold, n_clusters, seed, init, max_cluster_size
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

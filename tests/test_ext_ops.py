@@ -1054,3 +1054,74 @@ def test_round2_ops_partitioning_independent(spark, docs):
             assert ov.equals(ov0)
             assert rep.equals(rep0)
             assert pk.equals(pk0)
+
+
+# -- semantic dedup (SemDeDup-style) ----------------------------------------
+
+
+def test_semantic_pairs_match_numpy_within_cluster(spark, embeddings):
+    """first_k clustering is deterministic: the pair set must equal a
+    numpy brute-force restricted to same-argmax-cluster vectors."""
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.semantic_dedupe_pairs(
+            embeddings, "vec_id", "embedding", threshold=0.1,
+            n_clusters=8, init="first_k",
+        ).collect()
+    }
+    pdf = embeddings.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cents = vecs[np.argsort(ids)[:8]]
+    assign = (vecs @ cents.T).argmax(axis=1)
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if assign[i] == assign[j] and cos[i, j] >= 0.1:
+                a, b = int(ids[i]), int(ids[j])
+                expected.add((min(a, b), max(a, b)))
+    assert got == expected
+    assert expected  # non-vacuous: clusters do contain similar pairs
+
+
+def test_semantic_dedupe_drops_planted_near_dup(spark, embeddings):
+    # plant a near-identical copy of vector 7 under a fresh high id
+    base = embeddings.select("vec_id", "embedding")
+    v7 = base.filter(F.col("vec_id") == 7).first()["embedding"]
+    twin = [float(x) + 1e-6 for x in v7]
+    planted = base.unionByName(
+        spark.createDataFrame([(100000, twin)], "vec_id long, embedding array<double>")
+    )
+    pairs = D.semantic_dedupe_pairs(
+        planted, "vec_id", "embedding", threshold=0.999,
+        n_clusters=8, init="kmeans", seed=3,
+    ).collect()
+    assert any(
+        {r["id_a"], r["id_b"]} == {7, 100000} and r["cosine"] > 0.999 for r in pairs
+    )
+    kept = D.semantic_dedupe(
+        planted, "vec_id", "embedding", threshold=0.999,
+        n_clusters=8, init="kmeans", seed=3,
+    )
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert 7 in kept_ids and 100000 not in kept_ids  # min-id survives
+
+
+def test_semantic_cluster_cap_drops_degenerate_cluster(spark):
+    # 99 copies of one direction collapse into a single cluster; the
+    # cap drops it before the O(f^2) pair expansion. first_k centroids
+    # are vec 0 (x-axis) and vec 1 (z-axis); 900/901 lean z-ward so
+    # they land in cluster 1 without being near-dups of vec 1 itself.
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])]
+    rows += [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(2, 100)]
+    rows += [(900, [0.0, 0.6, 0.8, 0.0]), (901, [0.0, 0.6, 0.8, 1e-7])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = D.semantic_dedupe_pairs(
+        df, "vec_id", "embedding", threshold=0.9,
+        n_clusters=2, init="first_k", max_cluster_size=50,
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (900, 901) in ids
+    assert all(a >= 900 for a, _ in ids)  # degenerate cluster dropped
