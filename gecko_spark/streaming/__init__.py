@@ -3,6 +3,7 @@
 from gecko_spark.streaming.stream import (
     decontaminate_stream,
     dedupe_stream,
+    interval_join_streams,
     pack_stream,
     mutate_stream,
     running_user_stats,
@@ -14,6 +15,7 @@ from gecko_spark.streaming.stream import (
 __all__ = [
     "decontaminate_stream",
     "dedupe_stream",
+    "interval_join_streams",
     "pack_stream",
     "mutate_stream",
     "running_user_stats",

@@ -23,6 +23,7 @@ __all__ = [
     "windowed_event_counts",
     "sessionize",
     "running_user_stats",
+    "interval_join_streams",
     "mutate_stream",
     "dedupe_stream",
     "decontaminate_stream",
@@ -55,11 +56,32 @@ _EVENTS_NANOS_SCHEMA = T.StructType(
 )
 
 
+def _sniff_ts_unit(path: str) -> Optional[str]:
+    """Parquet-footer timestamp unit of the ``ts`` column ('ns', 'us',
+    …) or None when it is not a timestamp — one driver-side metadata
+    read of the first matching file."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        cands = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not cands:
+            return None
+        f = cands[0]
+    try:
+        return getattr(pq.read_schema(f).field("ts").type, "unit", None)
+    except Exception:
+        return None
+
+
 def stream_events(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int = 1,
-    nanos_ts: bool = True,
+    nanos_ts="auto",
 ) -> DataFrame:
     """File-source stream over the events table layout (one parquet per
     micro-batch by default — deterministic for tests; swap for
@@ -71,15 +93,25 @@ def stream_events(
     time — so a bare file path is rewritten into an equivalent
     single-match glob (``events.parquet`` → ``[e]vents.parquet``).
 
-    ``nanos_ts=True`` reads the driver's TIMESTAMP(NANOS) ts column as
-    int64 (legacy.parquet.nanosAsLong) and converts JVM-side. NOTE:
-    the conf is intentionally NOT restored — micro-batches resolve the
-    relation while the query runs, so flipping it back would break the
-    live stream. Batch reads of ns files should go through
-    sources/testdata.py::load_table, which save/restores the conf and
-    is unaffected."""
+    ``nanos_ts="auto"`` (default) sniffs the parquet footer: a
+    TIMESTAMP(NANOS) ``ts`` is read as int64
+    (legacy.parquet.nanosAsLong) and converted JVM-side; anything else
+    streams through the plain timestamp schema. The sniff exists
+    because the two cases are NOT distinguishable from inside the
+    stream (the explicit schema pre-empts inference) and dividing a
+    microsecond epoch by 1000 silently relocates every event to 1970 —
+    caught by the interval-join batch-parity test, invisible to
+    count-only assertions. Pass True/False to pin the round-4 driver
+    layout (nanos) / a plain-timestamp layout explicitly. NOTE: in
+    nanos mode the conf is intentionally NOT restored — micro-batches
+    resolve the relation while the query runs, so flipping it back
+    would break the live stream. Batch reads of ns files should go
+    through sources/testdata.py::load_table, which save/restores the
+    conf and is unaffected."""
     import os
 
+    if nanos_ts == "auto":
+        nanos_ts = _sniff_ts_unit(path) == "ns"
     schema = _EVENTS_NANOS_SCHEMA if nanos_ts else EVENTS_SCHEMA
     if nanos_ts:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -231,6 +263,60 @@ def dedupe_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(cols)
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left row with right rows
+    sharing ``key`` whose event time falls in
+    ``[left_ts + lower, left_ts + upper]`` — the canonical correlation
+    shape (click → purchase within 10 minutes, request → response, …).
+
+    Both sides are watermarked and the join condition carries an
+    explicit two-sided event-time bound, which is what lets Spark
+    EVICT state: a buffered left row can stop waiting once the right
+    watermark passes ``left_ts + upper``, so the state store is bounded
+    by ``watermark + (upper − lower)`` of data per key — without the
+    time bound a stream-stream join must buffer both sides forever.
+    ``how`` may be ``inner``, ``leftOuter``, ``rightOuter`` or
+    ``fullOuter`` (outer rows emit only after the watermark seals
+    their wait window — expect them late, that is the semantics).
+
+    Right-side columns that collide with left names are renamed with
+    ``right_prefix`` so the output schema is unambiguous; the join key
+    keeps its left name.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    clash = {c for c in right.columns if c in set(left.columns)}
+    renames = {c: (right_prefix + c) for c in clash}
+    for old, new in renames.items():
+        r = r.withColumnRenamed(old, new)
+    r_key = renames.get(key, key)
+    r_ts = renames.get(right_ts, right_ts)
+    # frame-qualified references (l[...] / r[...]), NOT F.col(name):
+    # when both sides derive from the SAME streaming source (the
+    # common correlate-a-stream-with-itself case), the two plans carry
+    # identical attribute ids underneath the renames and name-based
+    # resolution can silently bind both time operands to one side —
+    # making the interval bound a tautology and the join an unbounded
+    # equi-join. df[col] pins each operand to its own plan.
+    cond = (
+        (l[key] == r[r_key])
+        & (r[r_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower}"))
+        & (r[r_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how).drop(r[r_key])
 
 
 def mutate_stream(events: DataFrame, mutator_lst, seed: int = 0) -> DataFrame:

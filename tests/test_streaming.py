@@ -345,3 +345,50 @@ def test_checkpoint_restart_pack_stream_offsets(spark, tmp_path):
             expected[doc_id] = (shard, int(pack))
     for row in got.itertuples():
         assert expected[row.doc_id] == (row.shard, row.pack), row.doc_id
+
+
+def test_interval_join_streams_matches_batch(spark):
+    """Stream-stream interval join (click → purchase by the same user
+    within 6 hours) emits exactly the pairs the equivalent static join
+    produces — inner joins are sealed by processAllAvailable, so the
+    comparison is exact, not prefix-only."""
+    from gecko_spark.streaming import interval_join_streams
+
+    clicks = stream_events(spark, f"{SF}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    purchases = stream_events(spark, f"{SF}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        key="user_id",
+        lower="0 seconds",
+        upper="6 hours",
+        watermark="30 days",
+    ).select("event_id", "r_event_id", "user_id")
+    _run(joined, "interval_join_sink")
+    got = sorted(
+        (r["event_id"], r["r_event_id"], r["user_id"])
+        for r in spark.sql("SELECT * FROM interval_join_sink").collect()
+    )
+
+    ev = load_table(spark, SF, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    expected = sorted(
+        (r["c_id"], r["p_id"], r["user_id"])
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 6 hours")),
+        ).collect()
+    )
+    assert got == expected and len(got) > 0
