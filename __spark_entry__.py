@@ -2841,6 +2841,51 @@ FROM topk
 """
 
 
+def _sketch_quantiles(spark, sf):
+    """Bottom-k quantile sketch (sketches.py): hash-ranked uniform row
+    sample whose order statistics estimate quantiles. Rank hash is
+    portable arithmetic, so the oracle reproduces the SAMPLE — and
+    therefore the approximate estimates — bit-for-bit."""
+    from gecko_spark.operators.sketches import quantile_estimate, quantile_sketch
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("id"),
+        "l_extendedprice",
+    )
+    sk = quantile_sketch(li, "l_extendedprice", "id", k=256)
+    return quantile_estimate(sk, [0.25, 0.5, 0.9, 0.99])
+
+
+def _sketch_quantiles_sql(k: int = 256) -> str:
+    from gecko_spark.functions.portable_hash import P1, P2, sql_horner
+    from gecko_spark.operators.sketches import _A1, _A2, _B1, _B2
+
+    h1 = f"(({sql_horner('id', P1)}) * {_A1} + {_B1}) % {P1}"
+    h2 = f"(({sql_horner('id', P2)}) * {_A2} + {_B2}) % {P2}"
+    return f"""
+WITH rows_ AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS id,
+         CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem
+), hashes AS (
+  SELECT ({h1}) * {P2} + ({h2}) AS h, v FROM rows_
+), topk AS (
+  SELECT h, v FROM hashes ORDER BY h, v LIMIT {k}
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         (SELECT COUNT(*) FROM topk) AS m
+  FROM topk
+)
+SELECT CAST(q AS DOUBLE) AS q, CAST(m AS BIGINT) AS n_sample, v AS estimate
+FROM (VALUES (0.25), (0.5), (0.9), (0.99)) AS qs(q)
+JOIN ranked ON rn = GREATEST(1, CAST(ceil(q * m) AS BIGINT))
+"""
+
+
 def _topk_ivf(spark, sf):
     """IVF ANN with ``init="first_k"`` — deterministic centroids and
     sequential-fold float arithmetic end to end, so the assignment,
@@ -3651,7 +3696,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_datasource": _gen_datasource,
         # mutators
         "mut_missing_value": _mut_missing,
-        "mut_missing_strict_p": _mut_missing_strict,
         "mut_uppercase": _mut_uppercase,
         "mut_lowercase": _mut_lowercase,
         "mut_repeat": _mut_repeat,
@@ -3694,11 +3738,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _text_unigram_logprob,
         "sample_mix_corpus": _sample_mix_corpus,
         "dedup_semantic_pairs": _dedup_semantic,
+        "sketch_quantiles": _sketch_quantiles,
         # --- slots 48–50: r04-green regression cover, code touched in r5
         "q_skew_join": _q_skew_join,  # skew salt slimmed round 5
         "dedup_transitive": _dedup_transitive,  # CC materialize-once + convergence control round 5
         "emb_quantize_int8": _emb_quantize,  # NaN/empty guard round 5
-        # --- entries 51+: driver-green in round 4, strict-local since ---
+        # --- entries 51+: driver-green in rounds 2/4, strict-local since ---
+        "mut_missing_strict_p": _mut_missing_strict,
         "decontam_filter_bloom": _decontam_filter_bloom,
         "text_tfidf_top3": _text_tfidf,
         "pack_sequences": _pack_sequences,
@@ -3814,6 +3860,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": _dedup_embedding_sql(),
         "dedup_semantic_pairs": _dedup_semantic_sql(),
+        "sketch_quantiles": _sketch_quantiles_sql(),
         "sketch_kmv_distinct": _sketch_kmv_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_reservoir_n": _sample_reservoir_sql(),

@@ -39,6 +39,10 @@ __all__ = [
     "cm_sketch",
     "cm_estimate",
     "cm_merge",
+    "quantile_sketch",
+    "quantile_estimate",
+    "quantile_merge",
+    "quantile_group_estimate",
 ]
 
 # hash range: s1 ∈ [0, P1), s2 ∈ [0, P2) packed as s1·P2 + s2 < P1·P2
@@ -256,4 +260,149 @@ def kmv_group_estimate(
         F.when(F.count("*") < k, F.count("*").cast("double"))
         .otherwise(F.lit(float(k - 1)) * F.lit(float(_M)) / F.max("__h__").cast("double"))
         .alias("estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch: a hash-ranked uniform row sample whose order
+# statistics estimate quantiles — mergeable, fixed-memory, and (because
+# the rank hash is portable arithmetic) bit-reproducible by the DuckDB
+# oracle (sketch_quantiles). Exact (type-1 rank quantiles) whenever the
+# input has at most k rows: the sample then IS the data.
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: Union[str, Column],
+    id_col: Union[str, Column],
+    k: int = 1024,
+) -> DataFrame:
+    """The sketch: the k rows whose ``id_col`` hashes smallest, carrying
+    their ``value_col`` — i.e. a uniform-without-replacement row sample
+    keyed on row identity (NOT on the value, so duplicate values keep
+    their multiplicity and the sample stays unbiased).
+
+    Scale shape mirrors :func:`kmv_sketch`: each Arrow batch forwards
+    at most its k smallest (hash, value) rows, so the final
+    global sort sees ``partitions × k`` rows, never the data. Rows are
+    ordered by (hash, value) — the value tiebreak makes truncation
+    deterministic even under hash collisions."""
+    if k < 2:
+        raise ValueError("k must be ≥ 2")
+    h = kmv_hash(id_col)
+    hv = df.select(
+        h.alias("__h__"),
+        (F.col(value_col) if isinstance(value_col, str) else value_col)
+        .cast("double")
+        .alias("v"),
+    )
+
+    def _partial_iter(batches):
+        for pdf in batches:
+            part = pdf.sort_values(["__h__", "v"]).head(k)
+            yield pd.DataFrame(
+                {
+                    "h": part["__h__"].to_numpy(np.int64),
+                    "v": part["v"].to_numpy(np.float64),
+                }
+            )
+
+    partials = hv.mapInPandas(_partial_iter, "h long, v double")
+    return partials.orderBy("h", "v").limit(k)
+
+
+def quantile_estimate(sketch: DataFrame, qs: list[float]) -> DataFrame:
+    """(q, n_sample, estimate) per requested quantile: the type-1
+    (lower) rank quantile of the sampled values — rank
+    ``max(1, ceil(q·m))`` of the sample sorted ascending. Sampling
+    error is the standard ±O(1/√k) in rank space; with ``m < k`` the
+    sample is the whole input and the estimate is exact."""
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # the sketch is ≤ k rows by construction — the unpartitioned
+    # windows and the nested-loop join below are config-sized, not
+    # data-sized
+    ranked = (
+        sketch.select("v")
+        .withColumn("rn", F.row_number().over(Window.orderBy("v")))
+        .withColumn("m", F.count("*").over(Window.partitionBy(F.lit(1))))
+    )
+    rank_wanted = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("m"))
+    )
+    return (
+        qdf.join(ranked, F.col("rn") == rank_wanted)
+        .select(
+            "q",
+            F.col("m").cast("long").alias("n_sample"),
+            F.col("v").alias("estimate"),
+        )
+    )
+
+
+def quantile_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
+    """Merged sketch of the union of two DISJOINT inputs without the
+    raw data: concatenate, re-truncate to the k smallest by
+    (hash, value). Disjointness is the caller's contract — a row
+    present in both inputs would be sampled twice (the usual
+    partitioned-ingest contract; dedupe upstream if shards overlap)."""
+    return (
+        sketch_a.unionByName(sketch_b).orderBy("h", "v").limit(k)
+    )
+
+
+def quantile_group_estimate(
+    df: DataFrame,
+    key_cols,
+    value_col: Union[str, Column],
+    id_col: Union[str, Column],
+    qs: list[float],
+    k: int = 256,
+) -> DataFrame:
+    """Per-group quantile estimates from a per-group bottom-k sample:
+    one row per (key, q). The per-key window keeps the k
+    smallest-hashed rows (WindowGroupLimit prunes map-side, as in
+    :func:`kmv_group_estimate`), so memory is k rows per group
+    regardless of group size — the skew-safe shape for percentiles
+    over heavy-hitter groups."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if k < 2:
+        raise ValueError("k must be ≥ 2")
+    from pyspark.sql import Window
+
+    h = kmv_hash(id_col)
+    hv = df.select(
+        *key_cols,
+        h.alias("__h__"),
+        (F.col(value_col) if isinstance(value_col, str) else value_col)
+        .cast("double")
+        .alias("v"),
+    )
+    wk = Window.partitionBy(*key_cols).orderBy("__h__", "v")
+    sample = hv.withColumn("__rn__", F.row_number().over(wk)).filter(
+        F.col("__rn__") <= k
+    )
+    wv = Window.partitionBy(*key_cols).orderBy("v")
+    ranked = (
+        sample.select(*key_cols, "v")
+        .withColumn("rn", F.row_number().over(wv))
+        .withColumn("m", F.count("*").over(Window.partitionBy(*key_cols)))
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    rank_wanted = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("m"))
+    )
+    return (
+        ranked.join(F.broadcast(qdf), F.col("rn") == rank_wanted)
+        .select(
+            *key_cols,
+            "q",
+            F.col("m").cast("long").alias("n_sample"),
+            F.col("v").alias("estimate"),
+        )
     )

@@ -108,3 +108,81 @@ def test_kmv_group_estimate_accuracy_and_exact_small_groups(spark):
     # big group: k-truncated estimate within ~15% at k=256
     assert est["big"]["n_seen"] == 256
     assert abs(est["big"]["estimate"] - 5000) / 5000 < 0.15
+
+
+# -- bottom-k quantile sketch ------------------------------------------------
+
+
+def _val_frame(spark, n, seed=5):
+    # deterministic pseudo-random doubles keyed on id
+    return spark.range(n).select(
+        F.col("id").cast("string").alias("rid"),
+        ((F.xxhash64(F.col("id"), F.lit(seed)) % 100000) / 100.0).alias("v"),
+    )
+
+
+def test_quantile_exact_when_input_fits(spark):
+    from gecko_spark.operators.sketches import quantile_estimate, quantile_sketch
+
+    df = _val_frame(spark, 100)
+    vals = sorted(r["v"] for r in df.collect())
+    sk = quantile_sketch(df, "v", "rid", k=256)
+    got = {r["q"]: (r["n_sample"], r["estimate"]) for r in quantile_estimate(
+        sk, [0.1, 0.5, 0.9]
+    ).collect()}
+    import math
+
+    for q, (m, est) in got.items():
+        assert m == 100
+        assert est == vals[max(1, math.ceil(q * 100)) - 1]  # type-1 rank quantile
+
+
+def test_quantile_sampling_accuracy_rank_space(spark):
+    from gecko_spark.operators.sketches import quantile_estimate, quantile_sketch
+
+    df = _val_frame(spark, 20000)
+    sk = quantile_sketch(df, "v", "rid", k=512)
+    got = {r["q"]: r["estimate"] for r in quantile_estimate(sk, [0.25, 0.5, 0.9]).collect()}
+    vals = sorted(r["v"] for r in df.collect())
+    import bisect
+
+    for q, est in got.items():
+        # the estimate's TRUE rank must sit within ~3/sqrt(k) of q
+        true_rank = bisect.bisect_right(vals, est) / len(vals)
+        assert abs(true_rank - q) < 0.14, (q, est, true_rank)
+
+
+def test_quantile_merge_equals_whole_sketch(spark):
+    from gecko_spark.operators.sketches import quantile_merge, quantile_sketch
+
+    df = _val_frame(spark, 5000)
+    a = df.filter(F.col("rid").cast("long") % 2 == 0)
+    b = df.filter(F.col("rid").cast("long") % 2 == 1)
+    k = 128
+    whole = [(r["h"], r["v"]) for r in quantile_sketch(df, "v", "rid", k).collect()]
+    merged = [
+        (r["h"], r["v"])
+        for r in quantile_merge(
+            quantile_sketch(a, "v", "rid", k), quantile_sketch(b, "v", "rid", k), k
+        ).collect()
+    ]
+    assert merged == whole
+
+
+def test_quantile_group_estimate_exact_small_groups(spark):
+    from gecko_spark.operators.sketches import quantile_group_estimate
+
+    df = _val_frame(spark, 300).withColumn(
+        "grp", (F.col("rid").cast("long") % 3).cast("string")
+    )
+    got = quantile_group_estimate(df, "grp", "v", "rid", [0.5], k=256).collect()
+    import math
+
+    by_grp = {}
+    for r in df.collect():
+        by_grp.setdefault(str(int(r["rid"]) % 3), []).append(r["v"])
+    assert len(got) == 3
+    for r in got:
+        vals = sorted(by_grp[r["grp"]])
+        assert r["n_sample"] == len(vals)
+        assert r["estimate"] == vals[max(1, math.ceil(0.5 * len(vals))) - 1]
