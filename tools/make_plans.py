@@ -153,6 +153,27 @@ def main():
     )
 
     cap(
+        "semantic dedup: broadcast centroid assignment, one cluster-key join",
+        qs["dedup_semantic_pairs"](spark, sf),
+        "Cluster assignment is pure Column algebra over broadcast centroid "
+        "literals (no shuffle, no collect of the corpus); the persisted "
+        "assignment frame feeds both sides of the within-cluster self-join, "
+        "and the exact-cosine threshold sits in the join condition so "
+        "sub-threshold pairs never materialize. At scale the cluster-key "
+        "equi-join is the single shuffle; n_clusters ~ n/1000 keeps "
+        "within-cluster expansion ~1000n.",
+    )
+
+    cap(
+        "quantile sketch: map-side bottom-k, config-sized tail",
+        qs["sketch_quantiles"](spark, sf),
+        "Each Arrow batch forwards at most k (hash, value) rows, so the "
+        "global sort sees partitions x k rows; everything after the "
+        "truncation (window ranks, quantile join) is k-sized, not "
+        "data-sized — the mergeable-sketch contract, same as KMV/CM.",
+    )
+
+    cap(
         "sequence packing: one shuffle (the per-shard window sort)",
         qs["pack_sequences"](spark, sf),
         "Offset packing = a single windowed cumulative sum partitioned by "
