@@ -166,6 +166,59 @@ def candidate_pairs(spark, sf_dir: str) -> int:
     ).count()
 
 
+def planted_recall(spark, sf_dir: str, n_base: int) -> dict[str, float]:
+    """Correctness-at-scale, not just speed: the corpus construction
+    makes every planted pair identifiable by id arithmetic (mutant of
+    doc d is d + n_base per generation), so recall is measurable
+    exactly. Reports (1) candidate recall — fraction of planted
+    (original, mutant) pairs surfaced by the LSH candidate join — and
+    (2) chain recall — fraction of A~C second-generation endpoints
+    (never a candidate pair themselves when B drifted both ways)
+    united by the transitive closure."""
+    from gecko_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16
+    ).select("id_a", "id_b")
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    g1 = docs.filter(
+        (F.col("doc_id") >= n_base) & (F.col("doc_id") < 2 * n_base)
+    ).select((F.col("doc_id") - n_base).alias("id_a"), F.col("doc_id").alias("id_b"))
+    g2 = docs.filter(F.col("doc_id") >= 2 * n_base).select(
+        (F.col("doc_id") - n_base).alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    planted = g1.unionByName(g2)
+    n_planted = planted.count()
+    n_hit = planted.join(pairs, ["id_a", "id_b"], "left_semi").count()
+
+    comp = connected_components(pairs, "id_a", "id_b")
+    ac = docs.filter(F.col("doc_id") >= 2 * n_base).select(
+        (F.col("doc_id") - 2 * n_base).alias("a"), F.col("doc_id").alias("c")
+    )
+    n_ac = ac.count()
+    la = comp.select(F.col("node").alias("a"), F.col("component").alias("comp_a"))
+    lc = comp.select(F.col("node").alias("c"), F.col("component").alias("comp_c"))
+    n_ac_hit = (
+        ac.join(la, "a")
+        .join(lc, "c")
+        .filter(F.col("comp_a") == F.col("comp_c"))
+        .count()
+    )
+    pairs.unpersist()
+    return {
+        "n_planted": n_planted,
+        "pair_recall": n_hit / max(n_planted, 1),
+        "n_chains": n_ac,
+        "chain_recall": n_ac_hit / max(n_ac, 1),
+    }
+
+
 def plan_shape(spark, sf_dir: str, name: str) -> tuple[int, int]:
     """(n_exchanges, n_arrow_kernels) in the executed plan — the shape
     fingerprint that must NOT grow with data size."""
@@ -210,6 +263,15 @@ def main():
             name: [plan_shape(spark, d, name) for d in (dirs[0], dirs[-1])]
             for name in OPS
         }
+
+        recalls = {
+            cnt: planted_recall(spark, d, sz)
+            for cnt, d, sz in (
+                (counts[0], dirs[0], sizes[0]),
+                (counts[-1], dirs[-1], sizes[-1]),
+            )
+        }
+        print("planted recall:", recalls, flush=True)
     finally:
         spark.stop()
 
@@ -260,6 +322,18 @@ def main():
     for op, (small, big) in shapes.items():
         same = "unchanged" if small == big else f"CHANGED {small} -> {big}"
         lines.append(f"| {op} | {small[0]} vs {big[0]} ({same}) | {small[1]} vs {big[1]} |")
+    lines += [
+        "",
+        "## Planted-duplicate recall (correctness at scale, smallest vs largest)",
+        "",
+        "| docs | planted pairs | candidate recall | A~C chains | closure recall |",
+        "|---:|---:|---:|---:|---:|",
+    ]
+    for cnt, r in recalls.items():
+        lines.append(
+            f"| {cnt:,} | {r['n_planted']:,} | {r['pair_recall']:.4f} "
+            f"| {r['n_chains']:,} | {r['chain_recall']:.4f} |"
+        )
     lines += [
         "",
         "α is measured against total wall-clock including fixed per-job overhead "
