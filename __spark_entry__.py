@@ -2886,6 +2886,57 @@ JOIN ranked ON rn = GREATEST(1, CAST(ceil(q * m) AS BIGINT))
 """
 
 
+def _sketch_quantiles_by_group(spark, sf):
+    """Per-group bottom-k quantile estimates — the skew-safe percentile
+    shape (k rows of state per group via WindowGroupLimit, regardless
+    of group size)."""
+    from gecko_spark.operators.sketches import quantile_group_estimate
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("id"),
+        "l_extendedprice",
+    )
+    return quantile_group_estimate(
+        li, "l_returnflag", "l_extendedprice", "id", [0.5, 0.95], k=128
+    )
+
+
+def _sketch_quantiles_by_group_sql(k: int = 128) -> str:
+    from gecko_spark.functions.portable_hash import P1, P2, sql_horner
+    from gecko_spark.operators.sketches import _A1, _A2, _B1, _B2
+
+    h1 = f"(({sql_horner('id', P1)}) * {_A1} + {_B1}) % {P1}"
+    h2 = f"(({sql_horner('id', P2)}) * {_A2} + {_B2}) % {P2}"
+    return f"""
+WITH rows_ AS (
+  SELECT l_returnflag AS g,
+         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS id,
+         CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem
+), hashes AS (
+  SELECT g, ({h1}) * {P2} + ({h2}) AS h, v FROM rows_
+), topk AS (
+  SELECT g, v FROM (
+    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+    FROM hashes
+  ) WHERE rn <= {k}
+), ranked AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY g) AS m
+  FROM topk
+)
+SELECT g AS l_returnflag, CAST(q AS DOUBLE) AS q,
+       CAST(m AS BIGINT) AS n_sample, v AS estimate
+FROM (VALUES (0.5), (0.95)) AS qs(q)
+JOIN ranked ON rn = GREATEST(1, CAST(ceil(q * m) AS BIGINT))
+"""
+
+
 def _topk_ivf(spark, sf):
     """IVF ANN with ``init="first_k"`` — deterministic centroids and
     sequential-fold float arithmetic end to end, so the assignment,
@@ -3696,7 +3747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_datasource": _gen_datasource,
         # mutators
         "mut_missing_value": _mut_missing,
-        "mut_uppercase": _mut_uppercase,
         "mut_lowercase": _mut_lowercase,
         "mut_repeat": _mut_repeat,
         "mut_insert": _mut_insert,
@@ -3739,11 +3789,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix_corpus": _sample_mix_corpus,
         "dedup_semantic_pairs": _dedup_semantic,
         "sketch_quantiles": _sketch_quantiles,
+        "sketch_quantiles_by_group": _sketch_quantiles_by_group,
         # --- slots 48–50: r04-green regression cover, code touched in r5
         "q_skew_join": _q_skew_join,  # skew salt slimmed round 5
         "dedup_transitive": _dedup_transitive,  # CC materialize-once + convergence control round 5
         "emb_quantize_int8": _emb_quantize,  # NaN/empty guard round 5
         # --- entries 51+: driver-green in rounds 2/4, strict-local since ---
+        "mut_uppercase": _mut_uppercase,
         "mut_missing_strict_p": _mut_missing_strict,
         "decontam_filter_bloom": _decontam_filter_bloom,
         "text_tfidf_top3": _text_tfidf,
@@ -3861,6 +3913,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_pairs": _dedup_embedding_sql(),
         "dedup_semantic_pairs": _dedup_semantic_sql(),
         "sketch_quantiles": _sketch_quantiles_sql(),
+        "sketch_quantiles_by_group": _sketch_quantiles_by_group_sql(),
         "sketch_kmv_distinct": _sketch_kmv_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_reservoir_n": _sample_reservoir_sql(),
