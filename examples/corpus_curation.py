@@ -7,6 +7,9 @@ way a 100 TB pretraining-data job would chain them:
   3. near-dup removal   (dedup.minhash_dedupe_transitive — MinHash+LSH
                          candidate pairs, connected components, keep
                          the minimum id per duplicate cluster)
+  3b. semantic dedup    (dedup.semantic_dedupe — SemDeDup-style: cluster
+                         the doc embeddings, drop higher-id docs whose
+                         in-cluster cosine clears the threshold)
   4. decontamination    (decontam.decontaminate — drop train docs that
                          share word n-grams with a held-out eval split)
   5. repetition gate    (text.repetition_profile — drop docs whose top
@@ -16,6 +19,8 @@ way a 100 TB pretraining-data job would chain them:
                          preceding event by ingest order, single shuffle)
   8. partitioned write  (sinks.write_partitioned — one file per lang
                          partition, no small-files litter)
+  9. corpus report      (sketches.quantile_sketch — mergeable bottom-k
+                         sample; length percentiles without a full sort)
 
 Every stage is a lazy DataFrame transform; nothing collects to the
 driver. Run: python examples/corpus_curation.py [sf_dir] [out_dir]
@@ -34,7 +39,11 @@ from pyspark.sql import functions as F
 
 from gecko_spark import get_spark
 from gecko_spark.operators.decontam import decontaminate
-from gecko_spark.operators.dedup import dedupe_exact, minhash_dedupe_transitive
+from gecko_spark.operators.dedup import (
+    dedupe_exact,
+    minhash_dedupe_transitive,
+    semantic_dedupe,
+)
 from gecko_spark.operators.joins import asof_join
 from gecko_spark.operators.text import filter_documents, repetition_profile, text_stats
 from gecko_spark.sources.sinks import write_partitioned
@@ -49,6 +58,20 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     neardup = minhash_dedupe_transitive(
         exact, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16
     )
+
+    # semantic pass: drop docs whose EMBEDDING is a near-copy of a
+    # lower-id doc in the same k-means cluster — catches paraphrase-level
+    # duplicates the lexical MinHash pass cannot see
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    with_vec = neardup.join(emb, "doc_id", "left")
+    has_vec = with_vec.filter(F.col("embedding").isNotNull())
+    no_vec = with_vec.filter(F.col("embedding").isNull()).drop("embedding")
+    sem = semantic_dedupe(
+        has_vec, "doc_id", "embedding", threshold=0.995, n_clusters=8, seed=11
+    ).drop("embedding")
+    neardup = sem.unionByName(no_vec)
 
     # decontaminate against a held-out split (stand-in for a real eval
     # set): any train doc sharing a 6-gram with it is dropped
@@ -88,6 +111,14 @@ def main() -> None:
         write_partitioned(result, f"{out_dir}/curated", ["lang"])
         n = spark.read.parquet(f"{out_dir}/curated").count()
         print(f"curated corpus: {n} docs -> {out_dir}/curated (one file per lang)")
+
+        # corpus report: length percentiles from a mergeable bottom-k
+        # sample — no full sort of the corpus, k rows of driver traffic
+        from gecko_spark.operators.sketches import quantile_estimate, quantile_sketch
+
+        sk = quantile_sketch(result, "n_chars", "doc_id", k=1024)
+        for r in quantile_estimate(sk, [0.5, 0.9, 0.99]).collect():
+            print(f"  n_chars p{int(r['q'] * 100)}: {r['estimate']:.0f}")
     finally:
         spark.stop()
 
