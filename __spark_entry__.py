@@ -2841,6 +2841,30 @@ FROM topk
 """
 
 
+def _text_chunks(spark, sf):
+    """Context-window chunking (text.py::chunk_documents): pure integer
+    arithmetic + substring, replayed exactly by the oracle."""
+    from gecko_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, max_chars=120, overlap=24)
+
+
+def _text_chunks_sql(max_chars: int = 120, overlap: int = 24) -> str:
+    step = max_chars - overlap
+    return f"""
+SELECT doc_id, chunk_id,
+       substr(text, CAST(chunk_id * {step} + 1 AS INTEGER), {max_chars}) AS chunk
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, CASE WHEN length(text) <= {max_chars} THEN 1
+                              ELSE 1 + CAST(floor((length(text) - {max_chars} + {step - 1}) / {float(step)!r}) AS BIGINT)
+                         END)) AS chunk_id
+  FROM documents
+)
+"""
+
+
 def _sketch_quantiles(spark, sf):
     """Bottom-k quantile sketch (sketches.py): hash-ranked uniform row
     sample whose order statistics estimate quantiles. Rank hash is
@@ -3747,7 +3771,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_datasource": _gen_datasource,
         # mutators
         "mut_missing_value": _mut_missing,
-        "mut_lowercase": _mut_lowercase,
         "mut_repeat": _mut_repeat,
         "mut_insert": _mut_insert,
         "mut_delete": _mut_delete,
@@ -3790,11 +3813,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_pairs": _dedup_semantic,
         "sketch_quantiles": _sketch_quantiles,
         "sketch_quantiles_by_group": _sketch_quantiles_by_group,
+        "text_chunks": _text_chunks,
         # --- slots 48–50: r04-green regression cover, code touched in r5
         "q_skew_join": _q_skew_join,  # skew salt slimmed round 5
         "dedup_transitive": _dedup_transitive,  # CC materialize-once + convergence control round 5
         "emb_quantize_int8": _emb_quantize,  # NaN/empty guard round 5
         # --- entries 51+: driver-green in rounds 2/4, strict-local since ---
+        "mut_lowercase": _mut_lowercase,
         "mut_uppercase": _mut_uppercase,
         "mut_missing_strict_p": _mut_missing_strict,
         "decontam_filter_bloom": _decontam_filter_bloom,
@@ -3914,6 +3939,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic_pairs": _dedup_semantic_sql(),
         "sketch_quantiles": _sketch_quantiles_sql(),
         "sketch_quantiles_by_group": _sketch_quantiles_by_group_sql(),
+        "text_chunks": _text_chunks_sql(),
         "sketch_kmv_distinct": _sketch_kmv_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_reservoir_n": _sample_reservoir_sql(),

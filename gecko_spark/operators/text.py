@@ -39,6 +39,7 @@ __all__ = [
     "tfidf_top_terms",
     "line_dedupe",
     "unigram_logprob",
+    "chunk_documents",
 ]
 
 # A BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
@@ -720,4 +721,56 @@ def unigram_logprob(
         id_col,
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         F.col("avg_logprob"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows —
+    the context-window chunking step in front of tokenize-and-pack
+    (long docs become training-sized pieces; ``overlap`` preserves
+    cross-boundary context).
+
+    Chunk i covers ``[i·step, i·step + max_chars)`` with
+    ``step = max_chars − overlap``; the last chunk starts before
+    ``len`` and may be shorter. Pure Column algebra — one ``sequence``
+    + ``posexplode`` per doc (narrow, no shuffle, chunk count is
+    integer arithmetic the DuckDB oracle replays exactly); an empty
+    document yields one empty chunk so no doc silently disappears.
+
+    Returns ``(id, chunk_id, chunk)``; chunk ids are 0-based and
+    contiguous per document.
+    """
+    if overlap >= max_chars:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than max_chars ({max_chars})"
+        )
+    if max_chars < 1:
+        raise ValueError("max_chars must be >= 1")
+    step = max_chars - overlap
+    text = F.col(text_col)
+    n = F.length(text)
+    # 1 chunk when len <= max_chars, else 1 + ceil((len - max_chars)/step)
+    n_chunks = F.when(n <= max_chars, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.floor((n - F.lit(max_chars) + F.lit(step - 1)) / F.lit(step))
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+        text.alias("__text__"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.substring(
+            F.col("__text__"),
+            (F.col("chunk_id") * step + 1).cast("int"),
+            max_chars,
+        ).alias("chunk"),
     )

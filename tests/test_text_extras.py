@@ -264,3 +264,43 @@ class TestUnigramLogprob:
         )
         got = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs).collect()}
         assert got[1] > got[2]
+
+
+# -- document chunking -------------------------------------------------------
+
+
+def test_chunk_documents_reconstructs_and_overlaps(spark):
+    from gecko_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents(docs, max_chars=100, overlap=20)
+    pdf = chunks.toPandas().sort_values(["doc_id", "chunk_id"])
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    step = 80
+    for doc_id, grp in pdf.groupby("doc_id"):
+        full = texts[doc_id]
+        ids = grp["chunk_id"].tolist()
+        assert ids == list(range(len(ids)))  # contiguous 0-based
+        # chunk i is exactly the substring window it claims to be
+        for _, r in grp.iterrows():
+            start = int(r["chunk_id"]) * step
+            assert r["chunk"] == full[start : start + 100]
+        # stripped-overlap concatenation reconstructs the document
+        rebuilt = "".join(
+            (c if i == 0 else c[20:]) for i, c in enumerate(grp["chunk"])
+        )
+        assert rebuilt == full
+    # every doc is represented, even without long texts
+    assert set(pdf["doc_id"]) == set(texts)
+
+
+def test_chunk_documents_empty_and_validation(spark):
+    from gecko_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    out = chunk_documents(df, max_chars=8, overlap=2).collect()
+    assert len(out) == 1 and out[0]["chunk"] == "" and out[0]["chunk_id"] == 0
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_chars=8, overlap=8)
+    with pytest.raises(ValueError, match="max_chars"):
+        chunk_documents(df, max_chars=0, overlap=-1)
