@@ -2865,6 +2865,35 @@ FROM (
 """
 
 
+def _text_chunks_tokens(spark, sf):
+    """Token-window chunking (text.py::chunk_documents_tokens): literal
+    split → slice → join, engine-portable end to end."""
+    from gecko_spark.operators.text import chunk_documents_tokens
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents_tokens(docs, max_tokens=24, overlap=4)
+
+
+def _text_chunks_tokens_sql(max_tokens: int = 24, overlap: int = 4) -> str:
+    step = max_tokens - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), counted AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= {max_tokens} THEN 1
+              ELSE 1 + CAST(floor((len(t) - {max_tokens} + {step - 1}) / {float(step)!r}) AS BIGINT)
+         END AS nc
+  FROM toks
+), exploded AS (
+  SELECT doc_id, t, unnest(range(0, nc)) AS chunk_id FROM counted
+)
+SELECT doc_id, chunk_id,
+       array_to_string(t[CAST(chunk_id * {step} + 1 AS BIGINT):CAST(chunk_id * {step} + {max_tokens} AS BIGINT)], ' ') AS chunk
+FROM exploded
+"""
+
+
 def _sketch_quantiles(spark, sf):
     """Bottom-k quantile sketch (sketches.py): hash-ranked uniform row
     sample whose order statistics estimate quantiles. Rank hash is
@@ -3822,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mut_lowercase": _mut_lowercase,
         "mut_uppercase": _mut_uppercase,
         "mut_missing_strict_p": _mut_missing_strict,
+        "text_chunks_tokens": _text_chunks_tokens,
         "decontam_filter_bloom": _decontam_filter_bloom,
         "text_tfidf_top3": _text_tfidf,
         "pack_sequences": _pack_sequences,
@@ -3940,6 +3970,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantiles": _sketch_quantiles_sql(),
         "sketch_quantiles_by_group": _sketch_quantiles_by_group_sql(),
         "text_chunks": _text_chunks_sql(),
+        "text_chunks_tokens": _text_chunks_tokens_sql(),
         "sketch_kmv_distinct": _sketch_kmv_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_reservoir_n": _sample_reservoir_sql(),

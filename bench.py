@@ -192,6 +192,8 @@ def bench_queries(spark, sf_dir):
         "text_stats",
         "text_line_dedupe",
         "text_unigram_logprob",
+        "text_chunks",
+        "sketch_quantiles",
         "topk_cosine_bruteforce",
         "decontam_filter",
         "text_repetition",

@@ -40,6 +40,7 @@ __all__ = [
     "line_dedupe",
     "unigram_logprob",
     "chunk_documents",
+    "chunk_documents_tokens",
 ]
 
 # A BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
@@ -772,5 +773,63 @@ def chunk_documents(
             F.col("__text__"),
             (F.col("chunk_id") * step + 1).cast("int"),
             max_chars,
+        ).alias("chunk"),
+    )
+
+
+def chunk_documents_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 16,
+    delimiter: str = " ",
+) -> DataFrame:
+    """Token-window variant of :func:`chunk_documents`: windows of
+    ``max_tokens`` delimiter-separated tokens with ``overlap`` tokens of
+    context carry-over — the unit that actually matches a training
+    context window (character windows can split tokens mid-way).
+
+    Splits on the LITERAL ``delimiter`` (not a regex) so the window
+    algebra is engine-portable: split → slice → join round-trips
+    identically in Spark and the DuckDB oracle, including empty-string
+    tokens from repeated delimiters. Same chunk-count arithmetic and
+    empty-doc behavior as the character variant; pure Column algebra,
+    one explode, no shuffle.
+
+    Returns ``(id, chunk_id, chunk)`` with ``chunk`` re-joined by
+    ``delimiter``.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than max_tokens ({max_tokens})"
+        )
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    step = max_tokens - overlap
+    # split on the literal delimiter: escape regex metacharacters
+    import re as _re
+
+    toks = F.split(F.col(text_col), _re.escape(delimiter))
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.floor((n - F.lit(max_tokens) + F.lit(step - 1)) / F.lit(step))
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+        toks.alias("__toks__"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.array_join(
+            F.slice(
+                F.col("__toks__"),
+                (F.col("chunk_id") * step + 1).cast("int"),
+                max_tokens,
+            ),
+            delimiter,
         ).alias("chunk"),
     )

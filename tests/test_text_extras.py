@@ -304,3 +304,33 @@ def test_chunk_documents_empty_and_validation(spark):
         chunk_documents(df, max_chars=8, overlap=8)
     with pytest.raises(ValueError, match="max_chars"):
         chunk_documents(df, max_chars=0, overlap=-1)
+
+
+def test_chunk_documents_tokens_windows_and_reconstruction(spark):
+    from gecko_spark.operators.text import chunk_documents_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents_tokens(docs, max_tokens=20, overlap=5)
+    pdf = chunks.toPandas().sort_values(["doc_id", "chunk_id"])
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    step = 15
+    for doc_id, grp in pdf.groupby("doc_id"):
+        toks = texts[doc_id].split(" ")
+        assert grp["chunk_id"].tolist() == list(range(len(grp)))
+        for _, r in grp.iterrows():
+            start = int(r["chunk_id"]) * step
+            assert r["chunk"] == " ".join(toks[start : start + 20])
+        rebuilt = []
+        for i, c in enumerate(grp["chunk"]):
+            parts = c.split(" ")
+            rebuilt.extend(parts if i == 0 else parts[5:])
+        assert rebuilt == toks
+    assert set(pdf["doc_id"]) == set(texts)
+
+
+def test_chunk_documents_tokens_validation(spark):
+    from gecko_spark.operators.text import chunk_documents_tokens
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents_tokens(df, max_tokens=4, overlap=4)
