@@ -131,17 +131,22 @@ def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "5 minutes",
     slide: Optional[str] = None,
-    watermark: str = "10 minutes",
+    watermark: Optional[str] = "10 minutes",
 ) -> DataFrame:
     """Watermarked tumbling/sliding window counts + value sums per
-    event_type — the canonical late-data-tolerant streaming aggregate."""
+    event_type — the canonical late-data-tolerant streaming aggregate.
+
+    Pass ``watermark=None`` when the input already carries one (e.g.
+    downstream of ``dedupe_stream``): Spark disallows REDEFINING a
+    stream's watermark after a stateful operator, even to the same
+    value."""
     w = (
         F.window("ts", window_duration, slide)
         if slide
         else F.window("ts", window_duration)
     )
     return (
-        events.withWatermark("ts", watermark)
+        (events.withWatermark("ts", watermark) if watermark is not None else events)
         .groupBy(w.alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),

@@ -61,3 +61,17 @@ def test_corpus_curation_end_to_end(spark, tmp_path):
     assert (pdf["quality"] >= 0.3).all()
     # as-of: every doc with id >= first event id has a matched context
     assert pdf.loc[pdf["doc_id"] >= 0, "event_type"].notna().all()
+
+
+def test_streaming_pipeline_example(spark):
+    from streaming_pipeline import run_to_memory
+
+    counts = run_to_memory(spark, "/root/testdata/sf0.001")
+    # dedup keeps every distinct event exactly once
+    n_events = spark.read.parquet(
+        "/root/testdata/sf0.001/[e]vents.parquet"
+    ).count()
+    assert counts["corrupted"] == n_events
+    # the interval join found correlations and the windows materialized
+    assert counts["correlated"] > 0
+    assert 0 < counts["hourly"] <= n_events
