@@ -908,7 +908,7 @@ def embedding_cosine_pairs(
     produce zero pairs).
     """
     from gecko_spark.operators.similarity import (
-        cosine_sim,
+        cosine_fold_udf,
         infer_dim,
         random_hyperplane_sketch,
     )
@@ -946,6 +946,10 @@ def embedding_cosine_pairs(
     from pyspark import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # in-bucket cosine verification via the strict-fold Arrow kernel
+    # (same association as the JVM HOF/SQL list_reduce — oracle-safe),
+    # matching semantic_dedupe_pairs' verification path
+    _cos_fold = cosine_fold_udf()
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(
@@ -955,7 +959,7 @@ def embedding_cosine_pairs(
         .select(
             F.col("l.doc").alias("id_a"),
             F.col("r.doc").alias("id_b"),
-            cosine_sim(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
+            _cos_fold(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -1038,29 +1042,14 @@ def semantic_dedupe_pairs(
         )
         base = base.join(F.broadcast(oversized), ["cluster"], "left_anti")
 
-    # one Arrow kernel scores every candidate pair. The accumulation
-    # loops over DIMENSIONS (vectorized across pairs), so each pair's
-    # dot/norm is the same strict left fold as the SQL list_reduce and
-    # the JVM aggregate HOF — bit-identical to the oracle — while
-    # avoiding the interpreted zip_with/aggregate HOF in the join
-    # condition (measured 5.8 s → 2.1 s at sf0.1; the remainder is
-    # the Arrow transfer of both vectors per candidate pair).
-    @F.pandas_udf(T.DoubleType())
-    def _cos_fold(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if not len(va):
-            return pd.Series(np.empty(0, dtype=np.float64))
-        a = np.stack(va.to_numpy()).astype(np.float64)
-        b = np.stack(vb.to_numpy()).astype(np.float64)
-        n = len(a)
-        dot = np.zeros(n)
-        na = np.zeros(n)
-        nb = np.zeros(n)
-        for d in range(a.shape[1]):
-            dot += a[:, d] * b[:, d]
-            na += a[:, d] * a[:, d]
-            nb += b[:, d] * b[:, d]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+    # one Arrow kernel scores every candidate pair with strict
+    # left-fold association (similarity.cosine_fold_udf) — bit-identical
+    # to the oracle while avoiding the interpreted zip_with/aggregate
+    # HOF in the join condition (measured 5.8 s → 2.1 s at sf0.1; the
+    # remainder is the Arrow transfer of both vectors per pair).
+    from gecko_spark.operators.similarity import cosine_fold_udf
 
+    _cos_fold = cosine_fold_udf()
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(
