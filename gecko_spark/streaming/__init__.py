@@ -4,6 +4,7 @@ from gecko_spark.streaming.stream import (
     decontaminate_stream,
     dedupe_stream,
     interval_join_streams,
+    neardup_dedupe_stream,
     pack_stream,
     mutate_stream,
     running_user_stats,
@@ -16,6 +17,7 @@ __all__ = [
     "decontaminate_stream",
     "dedupe_stream",
     "interval_join_streams",
+    "neardup_dedupe_stream",
     "pack_stream",
     "mutate_stream",
     "running_user_stats",

@@ -24,6 +24,7 @@ __all__ = [
     "sessionize",
     "running_user_stats",
     "interval_join_streams",
+    "neardup_dedupe_stream",
     "mutate_stream",
     "dedupe_stream",
     "decontaminate_stream",
@@ -267,6 +268,38 @@ def dedupe_stream(
         cols = [cols]
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(cols)
+    )
+
+
+def neardup_dedupe_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    bits: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """Streaming near-duplicate suppression: drop a document whose
+    ``bits``-bit SimHash fingerprint was already seen within the
+    watermark horizon — the continuous-ingestion companion to the batch
+    ``simhash_candidate_pairs`` pipeline.
+
+    This is FINGERPRINT-identity dedup (state = one fingerprint per
+    surviving doc, bounded by the watermark via
+    ``dropDuplicatesWithinWatermark``), so it suppresses exact and
+    ultra-near duplicates that collide on all ``bits`` bits — i.e. the
+    boilerplate/re-crawl flood. It is NOT a Hamming-radius search:
+    pairwise near-dup mining across a stream needs the batch pipeline
+    over a window of the stream (or `dedupe_against_index` on
+    micro-batches via ``foreachBatch``)."""
+    from gecko_spark.operators.dedup import simhash
+
+    fp = simhash(F.col(text_col), bits=bits, seed=seed)
+    return (
+        docs.withColumn("__fp__", fp)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp__"])
+        .drop("__fp__")
     )
 
 

@@ -470,3 +470,41 @@ def test_checkpoint_restart_interval_join_state(spark, tmp_path):
     # cross-restart evidence: at least one emitted pair involves a
     # post-restart (odd) purchase
     assert any(p_id % 2 == 1 for _, p_id, _ in got)
+
+
+def test_neardup_dedupe_stream_suppresses_fingerprint_dups(spark, tmp_path):
+    """Fingerprint-identity suppression: re-ingested exact copies (and
+    whitespace-identical boilerplate) drop; distinct docs survive."""
+    import pathlib
+
+    from gecko_spark.streaming import neardup_dedupe_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50).select(
+        "doc_id", "text", F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts")
+    )
+    dup_flood = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "ts"
+    )
+    src = pathlib.Path(tmp_path) / "src"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(src / "b1"))
+    dup_flood.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(src) + "/*/")
+    out = neardup_dedupe_stream(stream, watermark="3650 days")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_sink")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT doc_id, text FROM neardup_sink").collect()
+    n_docs = docs.count()
+    n_distinct_texts = docs.select("text").distinct().count()
+    # one survivor per distinct fingerprint; the re-ingested flood is gone
+    assert len(got) == n_distinct_texts <= n_docs
+    assert all(r["doc_id"] < 10000 for r in got)
+    texts = [r["text"] for r in got]
+    assert len(set(texts)) == len(texts)
