@@ -27,7 +27,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gecko_spark.functions.portable_hash import P1, P2, poly_hash_strings
+from gecko_spark.functions.portable_hash import (
+    P1,
+    P2,
+    poly_hash_strings,
+    poly_hash_strings_multi,
+)
 
 __all__ = [
     "kmv_hash",
@@ -54,6 +59,16 @@ _A1, _B1 = 1103515245, 12345
 _A2, _B2 = 69069, 362437
 
 
+def _kmv_hash_np(vals) -> np.ndarray:
+    """NumPy core of :func:`kmv_hash` — shared by the column UDF and the
+    fused sketch kernels so every path produces identical hashes."""
+    s = ["" if v is None else str(v) for v in vals]
+    h1, h2 = poly_hash_strings_multi(s, (P1, P2))
+    s1 = (h1 * _A1 + _B1) % P1
+    s2 = (h2 * _A2 + _B2) % P2
+    return s1 * P2 + s2
+
+
 def kmv_hash(col: Union[str, Column]) -> Column:
     """62-bit portable hash of a string column: two-prime polynomial
     residues, each passed through its own affine scramble, packed as
@@ -63,10 +78,7 @@ def kmv_hash(col: Union[str, Column]) -> Column:
 
     @F.pandas_udf(T.LongType())
     def _h(vals: pd.Series) -> pd.Series:
-        s = ["" if v is None else str(v) for v in vals]
-        s1 = (poly_hash_strings(s, P1) * _A1 + _B1) % P1
-        s2 = (poly_hash_strings(s, P2) * _A2 + _B2) % P2
-        return pd.Series(s1 * P2 + s2)
+        return pd.Series(_kmv_hash_np(vals))
 
     return _h(F.col(col) if isinstance(col, str) else col)
 
@@ -290,9 +302,12 @@ def quantile_sketch(
     deterministic even under hash collisions."""
     if k < 2:
         raise ValueError("k must be ≥ 2")
-    h = kmv_hash(id_col)
+    # ONE fused Arrow stage hashes and truncates per batch — a separate
+    # hash UDF followed by a truncating mapInPandas would round-trip the
+    # full data through Arrow twice (measured ~2× the Python cost at
+    # sf0.1)
     hv = df.select(
-        h.alias("__h__"),
+        (F.col(id_col) if isinstance(id_col, str) else id_col).alias("__id__"),
         (F.col(value_col) if isinstance(value_col, str) else value_col)
         .cast("double")
         .alias("v"),
@@ -300,13 +315,13 @@ def quantile_sketch(
 
     def _partial_iter(batches):
         for pdf in batches:
-            part = pdf.sort_values(["__h__", "v"]).head(k)
-            yield pd.DataFrame(
+            part = pd.DataFrame(
                 {
-                    "h": part["__h__"].to_numpy(np.int64),
-                    "v": part["v"].to_numpy(np.float64),
+                    "h": _kmv_hash_np(pdf["__id__"]),
+                    "v": pdf["v"].to_numpy(np.float64),
                 }
-            )
+            ).sort_values(["h", "v"]).head(k)
+            yield part
 
     partials = hv.mapInPandas(_partial_iter, "h long, v double")
     return partials.orderBy("h", "v").limit(k)
