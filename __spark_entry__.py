@@ -3775,21 +3775,231 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+# HTML wrapper planted around each document (the corpus itself is plain
+# text): single-quote-free so both engines can hold it in one literal.
+_HTML_PRE = (
+    '<html><head><style>p{color:red}</style>'
+    "<script src=a.js>var x=1 && 2;</script></head>"
+    '<body><h1 id="t">doc '
+)
+_HTML_MID = '</h1><p class="x">'
+_HTML_POST = " &amp; more</p><!-- hidden note --></body></html>"
+
+
+def _text_strip_html(spark, sf):
+    """HTML boilerplate removal (text.py::strip_html): comments, script
+    and style blocks (content included), tags, entities, whitespace.
+    The corpus is plain text, so the query plants a deterministic HTML
+    wrapper per doc (style+script+comment+tags+a double-escaped entity)
+    before stripping — every removal rule fires on every row and the
+    oracle rebuilds the identical input. Pure JVM regexp algebra in the
+    Java∩RE2 subset; the oracle replays the same pattern chain."""
+    from gecko_spark.operators.text import strip_html
+
+    docs = load_table(spark, sf, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(_HTML_POST),
+    )
+    return docs.select("doc_id", strip_html(html).alias("clean"))
+
+
+_TEXT_STRIP_HTML_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID}' ||
+         coalesce(text, '') || '{_HTML_POST}' AS html
+  FROM documents)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+      regexp_replace(
+      regexp_replace(
+      regexp_replace(coalesce(html, ''), '(?s)<!--.*?-->', ' ', 'g'),
+        '(?is)<script\\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
+        '(?is)<style\\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
+        '<[^>]*>', ' ', 'g'),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', chr(34)),
+      '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
+    '\\s+', ' ', 'g')) AS clean
+FROM planted
+"""
+
+
+def _text_url_normalize(spark, sf):
+    """URL canonicalization (text.py::normalize_url / url_host /
+    url_registered_domain): plants a deterministic messy URL per doc —
+    uppercase scheme+host, a default port (:80 on even ids, :443 on
+    odd, so BOTH port rules fire), utm_* params flanking a real one,
+    and a fragment — then normalizes and extracts host + registered
+    domain. Pure Column regexp algebra (no lookaround), oracle replays
+    the identical chain."""
+    from gecko_spark.operators.text import (
+        normalize_url,
+        url_host,
+        url_registered_domain,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    even = F.col("doc_id") % 2 == 0
+    url = F.concat(
+        F.when(even, F.lit("http://WWW.")).otherwise(F.lit("HTTPS://www.")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(even, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=x#sec"),
+    )
+    return docs.select(
+        "doc_id",
+        normalize_url(url).alias("url_norm"),
+        url_host(url).alias("host"),
+        url_registered_domain(url).alias("domain"),
+    )
+
+
+_TEXT_URL_NORMALIZE_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http://WWW.' ELSE 'HTTPS://www.' END)
+         || source || '.Example.COM'
+         || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+         || '/d/' || CAST(doc_id AS VARCHAR)
+         || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+         || '&utm_campaign=x#sec' AS url
+  FROM documents),
+s1 AS (SELECT doc_id, url, trim(coalesce(url, '')) AS t FROM planted),
+s2 AS (SELECT doc_id, url,
+         CASE WHEN len(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?[^/?#]*)', 1)) > 0
+              THEN lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?[^/?#]*)', 1)) ||
+                   regexp_extract(t, '(?s)^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?[^/?#]*(.*)$', 2)
+              ELSE t END AS t FROM s1),
+s3 AS (SELECT doc_id, url,
+         regexp_replace(regexp_replace(t,
+           '^(http://[^/?#]*):80([/?#]|$)', '\\1\\2'),
+           '^(https://[^/?#]*):443([/?#]|$)', '\\1\\2') AS t FROM s2),
+s4 AS (SELECT doc_id, url, regexp_replace(t, '(?s)#.*$', '') AS t FROM s3),
+s5 AS (SELECT doc_id, url,
+         regexp_replace(t, '[?&]utm_[A-Za-z0-9_]*=[^&#]*', '', 'g') AS t FROM s4),
+s6 AS (SELECT doc_id, url,
+         regexp_replace(regexp_replace(t, '^([^?&]*)&', '\\1?'), '[?&]+$', '') AS t
+       FROM s5),
+hosts AS (SELECT doc_id, t,
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?([^/?#:]+)', 2)) AS host
+          FROM s6)
+SELECT doc_id, t AS url_norm, host,
+       CASE WHEN len(regexp_extract(host, '([^.]+\\.[^.]+)$', 1)) > 0
+            THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) ELSE host END AS domain
+FROM hosts
+"""
+
+
+def _sample_split(spark, sf):
+    """Deterministic train/val/test split (sampling.py::split_dataset):
+    assignment is a pure function of (doc_id, seed) — append-stable,
+    partition-independent, and replayed bucket-for-bucket by the
+    oracle (LCG draw → bucket in [0, 10000) → threshold CASE)."""
+    from gecko_spark.operators.sampling import split_dataset
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return split_dataset(
+        docs,
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        rand=LcgRandom("doc_id", 314),
+    )
+
+
+def _sample_split_sql() -> str:
+    b = _uint("doc_id", 314, 12, "10000", stream=0)
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < 8000 THEN 'train'
+            WHEN {b} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _dedup_cluster_reps(spark, sf):
+    """Quality-aware near-dup survivorship
+    (dedup.py::minhash_cluster_representatives): MinHash pairs →
+    transitive closure → per-cluster representative by n_chars DESC
+    (doc_id ASC tiebreak) with member count. The curation-pipeline
+    complement of _dedup_transitive: min-id keeps an arbitrary member,
+    this keeps the best one. Oracle = the same recursive-CTE closure
+    plus a window over the joined quality column."""
+    from gecko_spark.operators.dedup import minhash_cluster_representatives
+
+    docs = load_table(spark, sf, "documents")
+    return minhash_cluster_representatives(
+        docs,
+        "doc_id",
+        "text",
+        "n_chars",
+        threshold=0.8,
+        num_hashes=64,
+        bands=16,
+        shingle_size=5,
+        on_nonconvergence="raise",
+    )
+
+
+def _dedup_cluster_reps_sql(threshold: float = 0.8) -> str:
+    pairs_sql = _dedup_minhash_sql()
+    return f"""
+WITH RECURSIVE mh_pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE est_jaccard >= {threshold}
+  UNION
+  SELECT id_b, id_a FROM mh_pairs WHERE est_jaccard >= {threshold}
+),
+walk(node, comp) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node
+),
+cc AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+member AS (SELECT c.comp AS cluster_id, c.node AS m_id, d.n_chars
+           FROM cc c JOIN documents d ON d.doc_id = c.node),
+ranked AS (SELECT cluster_id, m_id,
+                  row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, m_id ASC) AS rn,
+                  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+           FROM member)
+SELECT cluster_id, m_id AS rep_id, n_members FROM ranked WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries 1–50 are the driver-graded window (the driver evaluates the
     # first 50 dict entries). Rotation history: round 2 graded the §2
     # operator surface (CORRECTNESS_r02 50/50), round 4 graded the
-    # relational/LLM-ops surface (CORRECTNESS_r04 50/50). Round 5 rotates
-    # the 43 entries whose newest driver row is still r02 into slots
-    # 1–43 — after this round no contract query's driver row is >2 rounds
-    # old — and keeps 7 r04-green entries as regression cover in slots
-    # 44–50, picked from the families whose code changed this round
-    # (quantize NaN guard, connected_components convergence control,
-    # skew-salt slimming). Everything past slot 50 stays strict-locally
-    # verified by tools/check_oracle.py at driver strictness — same
-    # compare, same data.
+    # relational/LLM-ops surface (CORRECTNESS_r04 50/50). Round 5:
+    # never-driver-graded entries first (the 12 round-5 additions —
+    # strip_html/url/split/cluster-reps and the line-dedup/logprob/mix/
+    # semantic/quantile/chunking family), then the entries whose newest
+    # driver row is still r02, then r04-green regression cover from the
+    # families whose code changed this round. Five r02-graded mutator
+    # entries whose code is UNCHANGED since round 2 (missing_value,
+    # repeat, delete, substitute, transpose) rotate out to make room —
+    # they stay strict-locally verified by tools/check_oracle.py at
+    # driver strictness (same compare, same data), like everything past
+    # slot 50.
     return {
-        # --- slots 1–43: newest driver row is r02 — re-grade this round
+        # --- never driver-graded: round-5 additions ---
+        "text_strip_html": _text_strip_html,
+        "text_url_normalize": _text_url_normalize,
+        "sample_split": _sample_split,
+        "dedup_cluster_reps": _dedup_cluster_reps,
+        "text_chunks_tokens": _text_chunks_tokens,
+        # --- newest driver row is r02 — re-grade this round ---
         # generators (incl. gen_datasource, codec-adjacent paths)
         "gen_normal": _gen_normal,
         "gen_freq_single": _gen_freq_single,
@@ -3799,12 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_function": _gen_function,
         "gen_datasource": _gen_datasource,
         # mutators
-        "mut_missing_value": _mut_missing,
-        "mut_repeat": _mut_repeat,
         "mut_insert": _mut_insert,
-        "mut_delete": _mut_delete,
-        "mut_substitute": _mut_substitute,
-        "mut_transpose": _mut_transpose,
         "mut_categorical": _mut_categorical,
         "mut_permute": _mut_permute,
         "mut_datetime_offset": _mut_datetime_offset,
@@ -3835,7 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": _q7,
         "q10_returned_items": _q10,
         "q_asof_join": _q_asof_join,
-        # --- slots 44–47: never-driver-graded round-5 additions ---
+        # --- earlier round-5 additions, never driver-graded before ---
         "text_line_dedupe": _text_line_dedupe,
         "text_unigram_logprob": _text_unigram_logprob,
         "sample_mix_corpus": _sample_mix_corpus,
@@ -3843,15 +4048,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": _sketch_quantiles,
         "sketch_quantiles_by_group": _sketch_quantiles_by_group,
         "text_chunks": _text_chunks,
-        # --- slots 48–50: r04-green regression cover, code touched in r5
+        # --- r04-green regression cover, code touched in r5 ---
         "q_skew_join": _q_skew_join,  # skew salt slimmed round 5
         "dedup_transitive": _dedup_transitive,  # CC materialize-once + convergence control round 5
         "emb_quantize_int8": _emb_quantize,  # NaN/empty guard round 5
         # --- entries 51+: driver-green in rounds 2/4, strict-local since ---
+        "mut_missing_value": _mut_missing,
+        "mut_repeat": _mut_repeat,
+        "mut_delete": _mut_delete,
+        "mut_substitute": _mut_substitute,
+        "mut_transpose": _mut_transpose,
         "mut_lowercase": _mut_lowercase,
         "mut_uppercase": _mut_uppercase,
         "mut_missing_strict_p": _mut_missing_strict,
-        "text_chunks_tokens": _text_chunks_tokens,
         "decontam_filter_bloom": _decontam_filter_bloom,
         "text_tfidf_top3": _text_tfidf,
         "pack_sequences": _pack_sequences,
@@ -4005,4 +4214,8 @@ def oracle_sql() -> dict[str, str]:
         "text_line_dedupe": _LINE_DEDUPE_SQL,
         "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "sample_mix_corpus": _sample_mix_corpus_sql(),
+        "text_strip_html": _TEXT_STRIP_HTML_SQL,
+        "text_url_normalize": _TEXT_URL_NORMALIZE_SQL,
+        "sample_split": _sample_split_sql(),
+        "dedup_cluster_reps": _dedup_cluster_reps_sql(),
     }

@@ -193,6 +193,10 @@ def bench_queries(spark, sf_dir):
         "text_line_dedupe",
         "text_unigram_logprob",
         "text_chunks",
+        "text_strip_html",  # round 5: HTML boilerplate strip (planted markup)
+        "text_url_normalize",  # round 5: URL canonicalization (planted URLs)
+        "sample_split",  # round 5: deterministic train/val/test assignment
+        "dedup_cluster_reps",  # round 5: quality-aware cluster survivorship
         "sketch_quantiles",
         "topk_cosine_bruteforce",
         "decontam_filter",

@@ -34,6 +34,8 @@ __all__ = [
     "minhash_dedupe",
     "minhash_dedupe_transitive",
     "connected_components",
+    "select_representatives",
+    "minhash_cluster_representatives",
     "simhash",
     "simhash_jvm",
     "simhash_candidate_pairs",
@@ -548,6 +550,82 @@ def minhash_dedupe_transitive(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def select_representatives(
+    labels: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    order_by: Sequence[Column],
+    cluster_col: str = "component",
+) -> DataFrame:
+    """Pick ONE representative document per duplicate cluster —
+    min-id survivorship keeps an arbitrary member; this keeps the BEST
+    one under a caller-chosen ordering (quality score descending,
+    length descending, …). Always append the id ascending as the final
+    tiebreak so the pick is deterministic.
+
+    ``labels`` is a ``(node, cluster)`` frame (the output of
+    :func:`connected_components`); ``df`` carries the ordering columns.
+    Returns ``(cluster_id, rep_id, n_members)``.
+
+    One hash join (labels ⋈ df on id — clusters are near-dup groups,
+    so ``labels`` is far smaller than the corpus and usually
+    broadcastable) plus one window partitioned by cluster. Cluster
+    sizes are duplicate-group sizes — bounded in practice, so the
+    window partitions stay small even at corpus scale; a pathological
+    giant cluster would surface in ``n_members``, not as a silent skew
+    stall.
+    """
+    member = labels.select(
+        F.col("node").alias(id_col), F.col(cluster_col).alias("cluster_id")
+    ).join(df, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(*order_by)
+    cnt = Window.partitionBy("cluster_id")
+    return (
+        member.withColumn("__rn__", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("__rn__") == 1)
+        .select("cluster_id", F.col(id_col).alias("rep_id"), "n_members")
+    )
+
+
+def minhash_cluster_representatives(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 0,
+    max_iterations: int = 20,
+    on_nonconvergence: str = "warn",
+) -> DataFrame:
+    """Near-dup clusters with QUALITY-AWARE survivorship: MinHash
+    candidate pairs → transitive closure → per-cluster representative
+    by ``quality_col`` descending (id ascending tiebreak).
+
+    The pick-the-best variant of :func:`minhash_dedupe_transitive`:
+    instead of keeping the minimum id, each duplicate cluster keeps its
+    highest-quality member — the curation-pipeline shape ("of these 14
+    mirrored copies, keep the longest/cleanest one"). Returns one row
+    per cluster of size ≥ 2: ``(cluster_id, rep_id, n_members)``; to
+    dedupe a corpus with it, anti-join the non-representative members.
+    """
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_size, seed
+    ).filter(F.col("est_jaccard") >= threshold)
+    comps = connected_components(
+        pairs, max_iterations=max_iterations, on_nonconvergence=on_nonconvergence
+    )
+    return select_representatives(
+        comps,
+        df.select(F.col(id_col), F.col(quality_col)),
+        id_col,
+        [F.col(quality_col).desc(), F.col(id_col).asc()],
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -29,10 +29,14 @@ __all__ = [
     "hash_sample_n",
     "weighted_sample_n",
     "mix_corpus",
+    "split_dataset",
 ]
 
-# salt layout: 0 reserved (mutator selection); samplers draw on salt 11
+# salt layout: 0 reserved (mutator selection); samplers draw on salt 11,
+# dataset splitting on salt 12 (so a split never correlates with a
+# sampling pass over the same keyed source)
 _SALT_SAMPLE = 11
+_SALT_SPLIT = 12
 
 
 def stratified_sample(
@@ -208,3 +212,53 @@ def weighted_sample_n(
         .filter(F.col("__rn__") <= n)
         .drop("__rn__")
     )
+
+
+def split_dataset(
+    df: DataFrame,
+    splits: Sequence[tuple[str, float]],
+    rand: RandomSource,
+    buckets: int = 10_000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds ``out_col`` with
+    each row's split name, chosen by its hash bucket.
+
+    ``splits`` is an ORDERED list of ``(name, fraction)`` pairs summing
+    to 1; each row draws a bucket in ``[0, buckets)`` from its
+    :class:`~gecko_spark.core.RandomSource` draw and lands in the split
+    owning that bucket range (integer edges ``round(cum·buckets)``, so
+    split sizes are exact to 1/buckets).
+
+    Membership is a pure function of (row key, seed): stable under
+    repartitioning, engine-portable (the ``sample_split`` contract
+    query replays it in DuckDB), and — the property that matters for
+    leakage-free evaluation under continuous ingestion — APPEND-STABLE:
+    a new row's split depends on nothing but its own key, so growing
+    the corpus never migrates an existing row across the train/test
+    boundary. A narrow projection, zero shuffles, whole-stage codegen.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    names = [n for n, _ in splits]
+    fracs = [float(f) for _, f in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    for n, f in zip(names, fracs):
+        if f <= 0:
+            raise ValueError(f"fraction for split {n!r} must be > 0: {f}")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {sum(fracs)}")
+    if buckets < len(splits):
+        raise ValueError("buckets must be ≥ the number of splits")
+    edges, cum = [], 0.0
+    for f in fracs[:-1]:
+        cum += f
+        edges.append(round(cum * buckets))
+    bucket = rand.uniform_int(_SALT_SPLIT, buckets)
+    expr = None
+    for name, edge in zip(names[:-1], edges):
+        cond = bucket < F.lit(edge)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)

@@ -41,6 +41,12 @@ __all__ = [
     "unigram_logprob",
     "chunk_documents",
     "chunk_documents_tokens",
+    "HTML_ENTITIES",
+    "strip_html",
+    "url_scheme",
+    "url_host",
+    "url_registered_domain",
+    "normalize_url",
 ]
 
 # A BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
@@ -833,3 +839,118 @@ def chunk_documents_tokens(
             delimiter,
         ).alias("chunk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate stripping
+# ---------------------------------------------------------------------------
+
+# Character entities decoded after tag removal. Ordered: named/numeric
+# forms first, `&amp;` LAST — the standard single-pass decode order, so
+# double-escaped text (`&amp;lt;`) decodes to the literal `&lt;` and not
+# to `<` (which a wrong order would produce).
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(text: Column) -> Column:
+    """Strip HTML markup down to visible text: remove comments,
+    ``<script>``/``<style>`` blocks (content included), then all
+    remaining tags, decode the common character entities, and collapse
+    whitespace.
+
+    Pure JVM ``regexp_replace``/``replace`` algebra — whole-stage
+    codegen, zero Python, zero shuffles: the per-row cost is the regex
+    scans, so web-scale boilerplate removal runs at parquet-scan speed.
+    Every pattern stays inside the Java-regex ∩ RE2 subset (inline
+    ``(?is)`` flags, lazy quantifiers, no lookaround), so the DuckDB
+    oracle replays it verbatim. This is a markup stripper, not a
+    browser: CDATA and malformed nesting degrade gracefully (tags are
+    dropped, text survives).
+    """
+    t = F.coalesce(text, F.lit(""))
+    # comments first: their bodies may contain '<' that is not a tag
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # script/style: the CONTENT is boilerplate too, drop block bodies
+    t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script[^>]*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style[^>]*>", " ")
+    # every remaining tag becomes a space so 'a</p><p>b' keeps a break
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# URL normalization
+# ---------------------------------------------------------------------------
+
+# scheme://[userinfo@]host[:port] — the authority prefix of a URL.
+# Character-class based (no lookaround) so RE2 replays it exactly.
+_URL_HEAD = r"^([A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*)"
+
+
+def url_scheme(url: Column) -> Column:
+    """Lowercased scheme of ``url`` ('' when absent)."""
+    return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased hostname: authority minus userinfo and port
+    ('' when the value is not an absolute URL)."""
+    return F.lower(
+        F.regexp_extract(
+            url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1
+        )
+    )
+
+
+def url_registered_domain(url: Column) -> Column:
+    """Last two labels of the host (``a.b.example.com`` →
+    ``example.com``) — the grouping key for per-site corpus stats and
+    blocklists. Falls back to the whole host for single-label hosts.
+    A public-suffix list would be more precise for ccTLDs
+    (``example.co.uk``); this is the portable heuristic."""
+    host = url_host(url)
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(F.length(last2) > 0, last2).otherwise(host)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonicalize a URL for dedup/grouping: lowercase the
+    scheme+authority (path/query stay case-sensitive), drop the
+    fragment, drop default ports (``:80`` for http, ``:443`` for
+    https), strip ``utm_*`` tracking parameters, and tidy the query
+    delimiters the stripping leaves behind.
+
+    Pure Column regexp algebra in the Java∩RE2 subset — the default-port
+    rule uses a captured delimiter group instead of lookahead, and the
+    "first '&' becomes '?'" fix-up is anchored so a global replace
+    applies it at most once.
+    """
+    u = F.trim(F.coalesce(url, F.lit("")))
+    head = F.regexp_extract(u, _URL_HEAD, 1)
+    tail = F.regexp_extract(
+        u, r"(?s)^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*(.*)$", 1
+    )
+    u = F.when(F.length(head) > 0, F.concat(F.lower(head), tail)).otherwise(u)
+    # default ports: keep the captured delimiter (or end-of-string)
+    u = F.regexp_replace(u, r"^(http://[^/?#]*):80([/?#]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#]*):443([/?#]|$)", r"$1$2")
+    # fragment
+    u = F.regexp_replace(u, r"(?s)#.*$", "")
+    # tracking params, each deleted WITH its own leading delimiter so
+    # consecutive utm params all match in one global pass
+    u = F.regexp_replace(u, r"[?&]utm_[A-Za-z0-9_]*=[^&#]*", "")
+    # if the stripped param was first, promote the next '&' to '?'
+    u = F.regexp_replace(u, r"^([^?&]*)&", r"$1?")
+    # dangling delimiters
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    return u

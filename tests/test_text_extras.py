@@ -334,3 +334,186 @@ def test_chunk_documents_tokens_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents_tokens(df, max_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# HTML stripping + URL normalization (round 5)
+# ---------------------------------------------------------------------------
+
+
+class TestStripHtml:
+    def test_strips_markup_keeps_text(self, spark):
+        from gecko_spark.operators.text import strip_html
+
+        rows = [
+            (1, '<html><head><style>p{color:red}</style>'
+                '<script src=x>var a=1 && 2;</script></head>'
+                '<body><p class="x">Hello &amp; welcome</p>'
+                '<!-- note --><b>world</b></body></html>'),
+            (2, "plain text, no markup"),
+            (3, "a &amp;lt; b &#39;q&#39; &nbsp; c"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["clean"]
+            for r in df.select(
+                "doc_id", strip_html(F.col("text")).alias("clean")
+            ).collect()
+        }
+        assert got[1] == "Hello & welcome world"
+        assert got[2] == "plain text, no markup"
+        # double-escaped &amp;lt; decodes to the LITERAL &lt;, not <
+        assert got[3] == "a &lt; b 'q' c"
+        assert got[4] == ""
+
+    def test_tag_boundary_becomes_space(self, spark):
+        from gecko_spark.operators.text import strip_html
+
+        df = spark.createDataFrame([("a</p><p>b",)], "text string")
+        assert df.select(strip_html(F.col("text")).alias("c")).first()["c"] == "a b"
+
+
+class TestUrlOps:
+    def test_normalize_and_parts(self, spark):
+        from gecko_spark.operators.text import (
+            normalize_url,
+            url_host,
+            url_registered_domain,
+            url_scheme,
+        )
+
+        rows = [
+            (1, "HTTPS://WWW.Example.COM:443/Path/To?utm_source=x&id=3&utm_medium=y#frag"),
+            (2, "http://user@host.example.org:80/a?utm_a=1&utm_b=2&c=3"),
+            (3, "http://single:8080/x?a=1&utm_z=9"),
+            (4, "not a url"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "i long, url string")
+        u = F.col("url")
+        got = {
+            r["i"]: r
+            for r in df.select(
+                "i",
+                normalize_url(u).alias("n"),
+                url_host(u).alias("h"),
+                url_registered_domain(u).alias("d"),
+                url_scheme(u).alias("s"),
+            ).collect()
+        }
+        # case, default port, fragment, and BOTH utm params (one of them
+        # leading — the '?'-promotion fix-up) are gone; real param stays
+        assert got[1]["n"] == "https://www.example.com/Path/To?id=3"
+        assert got[1]["h"] == "www.example.com"
+        assert got[1]["d"] == "example.com"
+        assert got[1]["s"] == "https"
+        # consecutive leading utm params, userinfo preserved in normalize
+        assert got[2]["n"] == "http://user@host.example.org/a?c=3"
+        assert got[2]["h"] == "host.example.org"
+        # non-default port survives; trailing utm strip leaves no dangler
+        assert got[3]["n"] == "http://single:8080/x?a=1"
+        assert got[3]["d"] == "single"  # single-label fallback
+        assert got[4]["n"] == "not a url" and got[4]["h"] == ""
+        assert got[5]["n"] == ""
+
+
+class TestSplitDataset:
+    def test_fractions_and_determinism(self, spark):
+        from gecko_spark.core import LcgRandom
+        from gecko_spark.operators.sampling import split_dataset
+
+        df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+        out = split_dataset(df, splits, rand=LcgRandom("k", 7))
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+        assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+        # membership is a pure function of the key: repartitioning the
+        # input cannot move a row across the train/test boundary
+        again = split_dataset(df.repartition(13), splits, rand=LcgRandom("k", 7))
+        assert out.join(again.withColumnRenamed("split", "s2"), "k").filter(
+            F.col("split") != F.col("s2")
+        ).count() == 0
+
+    def test_append_stability(self, spark):
+        from gecko_spark.core import LcgRandom
+        from gecko_spark.operators.sampling import split_dataset
+
+        splits = [("train", 0.9), ("test", 0.1)]
+        small = spark.range(0, 1000).withColumnRenamed("id", "k")
+        big = spark.range(0, 5000).withColumnRenamed("id", "k")
+        a = split_dataset(small, splits, rand=LcgRandom("k", 3))
+        b = split_dataset(big, splits, rand=LcgRandom("k", 3))
+        assert a.join(b.withColumnRenamed("split", "s2"), "k").filter(
+            F.col("split") != F.col("s2")
+        ).count() == 0
+
+    def test_validation(self, spark):
+        from gecko_spark.core import LcgRandom
+        from gecko_spark.operators.sampling import split_dataset
+
+        df = spark.range(3).withColumnRenamed("id", "k")
+        r = LcgRandom("k", 1)
+        with pytest.raises(ValueError, match="sum to 1"):
+            split_dataset(df, [("a", 0.5), ("b", 0.4)], rand=r)
+        with pytest.raises(ValueError, match="duplicate"):
+            split_dataset(df, [("a", 0.5), ("a", 0.5)], rand=r)
+        with pytest.raises(ValueError, match="> 0"):
+            split_dataset(df, [("a", 1.5), ("b", -0.5)], rand=r)
+
+
+class TestClusterRepresentatives:
+    def test_picks_best_quality_member(self, spark):
+        from gecko_spark.operators.dedup import select_representatives
+
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], "node long, component long"
+        )
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, 50), (7, 5), (9, 5)], "doc_id long, q long"
+        )
+        got = {
+            r["cluster_id"]: r
+            for r in select_representatives(
+                labels, docs, "doc_id",
+                [F.col("q").desc(), F.col("doc_id").asc()],
+            ).collect()
+        }
+        assert got[1]["rep_id"] == 2 and got[1]["n_members"] == 3
+        # quality tie inside cluster 7 → min doc_id wins
+        assert got[7]["rep_id"] == 7 and got[7]["n_members"] == 2
+
+    def test_minhash_cluster_representatives_e2e(self, spark):
+        from gecko_spark.operators.dedup import (
+            minhash_cluster_representatives,
+            minhash_dedupe_transitive,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        rows = [
+            (1, base + "alpha"),
+            (2, base + "alphq"),           # near-dup of 1, shorter quality
+            (3, base + "alpha beta gamma"),  # near-dup of 1, LONGEST
+            (4, "completely different content about spark plans " * 5),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "n_chars", F.length("text")
+        )
+        reps = minhash_cluster_representatives(
+            docs, "doc_id", "text", "n_chars",
+            threshold=0.5, on_nonconvergence="raise",
+        ).collect()
+        assert len(reps) == 1
+        assert reps[0]["rep_id"] == 3 and reps[0]["n_members"] == 3
+        # agreement with min-id transitive dedupe on CLUSTERING (not choice):
+        # the same 3 docs form one cluster there too (survivor = min id 1)
+        kept = {
+            r["doc_id"]
+            for r in minhash_dedupe_transitive(
+                docs, "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+        assert kept == {1, 4}
