@@ -174,6 +174,28 @@ def main():
     )
 
     cap(
+        "web cleanup (strip_html / normalize_url / split): one codegen Project",
+        qs["text_strip_html"](spark, sf),
+        "The whole HTML-strip chain (comments, script/style bodies, tags, "
+        "entities, whitespace) is a single WholeStageCodegen Project over "
+        "a 2-column pruned scan — zero exchanges, zero Python. "
+        "text_url_normalize and sample_split compile to the same shape: "
+        "per-row regex/arithmetic cost only, so these stages run at "
+        "parquet-scan speed on any cluster size.",
+    )
+
+    cap(
+        "cluster representatives: labels join + duplicate-group-sized window",
+        qs["dedup_cluster_reps"](spark, sf),
+        "After connected components, the (node, component) labels — far "
+        "smaller than the corpus, only near-dup members — join the quality "
+        "column and feed ONE window partitioned by cluster; window "
+        "partitions are duplicate-group-sized (bounded), so the "
+        "quality-aware pick adds one small join + one small shuffle on top "
+        "of the closure, never a corpus-wide sort.",
+    )
+
+    cap(
         "sequence packing: one shuffle (the per-shard window sort)",
         qs["pack_sequences"](spark, sf),
         "Offset packing = a single windowed cumulative sum partitioned by "
