@@ -3977,6 +3977,46 @@ SELECT cluster_id, m_id AS rep_id, n_members FROM ranked WHERE rn = 1
 """
 
 
+def _dedup_fp_overlap(spark, sf):
+    """Winnowing-fingerprint overlap pairs
+    (dedup.py::fingerprint_overlap_pairs, MOSS-style): per-doc signature
+    = 16 smallest distinct rolling 8-gram hashes (the portable
+    polynomial — same kernel as doc_fingerprints), inverted-index join,
+    pairs sharing ≥ 8 fingerprints, with the max_df=100 hot-fingerprint
+    guard ON so the plan under test is the scale plan. Content-addressed
+    near-dup: a shared fingerprint IS a shared substring window.
+    (ASCII-corpus assumption for lower(), as in doc_fingerprints.)"""
+    from gecko_spark.operators.dedup import fingerprint_overlap_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return fingerprint_overlap_pairs(
+        docs, "doc_id", "text", window=8, keep=16, min_shared=8, max_df=100
+    )
+
+
+def _dedup_fp_overlap_sql(
+    window: int = 8, keep: int = 16, min_shared: int = 8, max_df: int = 100
+) -> str:
+    from gecko_spark.functions.portable_hash import P1, sql_window_hashes
+
+    wh = sql_window_hashes("lower(text)", window, P1)
+    return f"""
+WITH sigs AS (SELECT doc_id, list_sort(list_distinct({wh}))[1:{keep}] AS sig
+              FROM documents),
+inv0 AS (SELECT doc_id, len(sig) AS sz, UNNEST(sig) AS fp FROM sigs),
+hot AS (SELECT fp FROM inv0 GROUP BY fp HAVING COUNT(*) > {max_df}),
+inv AS (SELECT * FROM inv0 WHERE fp NOT IN (SELECT fp FROM hot)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         COUNT(*) AS n_shared
+  FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / LEAST(sz_a, sz_b), 6) AS overlap
+FROM pairs WHERE n_shared >= {min_shared}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries 1–50 are the driver-graded window (the driver evaluates the
     # first 50 dict entries). Rotation history: round 2 graded the §2
@@ -3988,7 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is still r02, then r04-green regression cover from the
     # families whose code changed this round. Five r02-graded mutator
     # entries whose code is UNCHANGED since round 2 (missing_value,
-    # repeat, delete, substitute, transpose) rotate out to make room —
+    # categorical, repeat, delete, substitute, transpose) rotate out to make room —
     # they stay strict-locally verified by tools/check_oracle.py at
     # driver strictness (same compare, same data), like everything past
     # slot 50.
@@ -3998,6 +4038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_normalize": _text_url_normalize,
         "sample_split": _sample_split,
         "dedup_cluster_reps": _dedup_cluster_reps,
+        "dedup_fp_overlap": _dedup_fp_overlap,
         "text_chunks_tokens": _text_chunks_tokens,
         # --- newest driver row is r02 — re-grade this round ---
         # generators (incl. gen_datasource, codec-adjacent paths)
@@ -4010,7 +4051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_datasource": _gen_datasource,
         # mutators
         "mut_insert": _mut_insert,
-        "mut_categorical": _mut_categorical,
         "mut_permute": _mut_permute,
         "mut_datetime_offset": _mut_datetime_offset,
         "mut_replacement_whole": _mut_replacement_whole,
@@ -4054,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": _emb_quantize,  # NaN/empty guard round 5
         # --- entries 51+: driver-green in rounds 2/4, strict-local since ---
         "mut_missing_value": _mut_missing,
+        "mut_categorical": _mut_categorical,
         "mut_repeat": _mut_repeat,
         "mut_delete": _mut_delete,
         "mut_substitute": _mut_substitute,
@@ -4218,4 +4259,5 @@ def oracle_sql() -> dict[str, str]:
         "text_url_normalize": _TEXT_URL_NORMALIZE_SQL,
         "sample_split": _sample_split_sql(),
         "dedup_cluster_reps": _dedup_cluster_reps_sql(),
+        "dedup_fp_overlap": _dedup_fp_overlap_sql(),
     }

@@ -197,6 +197,7 @@ def bench_queries(spark, sf_dir):
         "text_url_normalize",  # round 5: URL canonicalization (planted URLs)
         "sample_split",  # round 5: deterministic train/val/test assignment
         "dedup_cluster_reps",  # round 5: quality-aware cluster survivorship
+        "dedup_fp_overlap",  # round 5: winnowing-fingerprint near-dup pairs
         "sketch_quantiles",
         "topk_cosine_bruteforce",
         "decontam_filter",

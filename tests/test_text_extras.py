@@ -517,3 +517,48 @@ class TestClusterRepresentatives:
             ).collect()
         }
         assert kept == {1, 4}
+
+
+class TestFingerprintOverlapPairs:
+    def test_planted_near_dup_found(self, spark):
+        from gecko_spark.operators.dedup import fingerprint_overlap_pairs
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, base),
+            (2, base.replace("lazy", "hazy")),      # local edit — most windows survive
+            (3, "entirely different material about catalyst optimizer rules"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = fingerprint_overlap_pairs(
+            docs, "doc_id", "text", window=8, keep=16, min_shared=4
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+        p = pairs[0]
+        assert p["n_shared"] >= 4 and 0 < p["overlap"] <= 1.0
+
+    def test_hot_fingerprint_guard_drops_boilerplate(self, spark):
+        from gecko_spark.operators.dedup import fingerprint_overlap_pairs
+
+        # every doc shares the same header; bodies are all distinct —
+        # with the guard the boilerplate fps (shared by all 12 docs)
+        # are dropped and no pair survives
+        hdr = "standard corporate header boilerplate line v1.0 "
+        rows = [(i, hdr + f"unique body {i} " + "x" * i + f" tail {i*7919}") for i in range(12)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        guarded = fingerprint_overlap_pairs(
+            docs, "doc_id", "text", window=8, keep=16, min_shared=4, max_df=6
+        ).count()
+        unguarded = fingerprint_overlap_pairs(
+            docs, "doc_id", "text", window=8, keep=16, min_shared=4
+        ).count()
+        assert guarded == 0 and unguarded > 0
+
+    def test_validation(self, spark):
+        from gecko_spark.operators.dedup import fingerprint_overlap_pairs
+
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="min_shared"):
+            fingerprint_overlap_pairs(docs, "doc_id", "text", min_shared=0)
+        with pytest.raises(ValueError, match="keep"):
+            fingerprint_overlap_pairs(docs, "doc_id", "text", keep=2, min_shared=4)
