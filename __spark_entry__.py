@@ -4017,6 +4017,117 @@ FROM pairs WHERE n_shared >= {min_shared}
 """
 
 
+def _sample_split_grouped(spark, sf):
+    """LEAKAGE-SAFE split: near-duplicate documents must land in the
+    SAME split, or test answers leak into train through paraphrases the
+    row-hash split can't see. Composition: MinHash transitive clusters
+    (exact-closure mode) label each doc with its component; singletons
+    keep their own id; split_dataset then buckets on the GROUP label,
+    so a whole near-dup cluster moves as one unit across the
+    train/val/test boundary. Oracle replays closure + label + bucket
+    CASE exactly."""
+    from gecko_spark.core import LcgRandom as _Lcg
+    from gecko_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+    from gecko_spark.operators.sampling import split_dataset
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_size=5
+    ).filter(F.col("est_jaccard") >= 0.8)
+    labels = connected_components(pairs, on_nonconvergence="raise")
+    grouped = (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("grp", F.coalesce("component", "doc_id"))
+    )
+    return split_dataset(
+        grouped,
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        rand=_Lcg("grp", 315),
+    ).select("doc_id", "split")
+
+
+def _sample_split_grouped_sql(threshold: float = 0.8) -> str:
+    pairs_sql = _dedup_minhash_sql()
+    b = _uint("grp", 315, 12, "10000", stream=0)
+    return f"""
+WITH RECURSIVE mh_pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE est_jaccard >= {threshold}
+  UNION
+  SELECT id_b, id_a FROM mh_pairs WHERE est_jaccard >= {threshold}
+),
+walk(node, comp) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node
+),
+cc AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS grp
+  FROM documents d LEFT JOIN cc c ON c.node = d.doc_id)
+SELECT doc_id,
+       CASE WHEN {b} < 8000 THEN 'train'
+            WHEN {b} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM grouped
+"""
+
+
+def _text_vocab_divergence(spark, sf):
+    """Corpus drift monitor (text.py::vocab_divergence): top-20 terms
+    by per-term KL(P‖Q) contribution between the even-doc_id and
+    odd-doc_id halves of the corpus, Laplace-smoothed over the union
+    vocabulary. Contributions rounded to 6 decimals BEFORE ranking
+    (term-ascending tiebreak) so the top-k boundary is engine-portable
+    — same design as text_tfidf_top3. (ASCII-tokenizer oracle
+    assumption, as in _text_tfidf.)"""
+    from gecko_spark.operators.text import vocab_divergence
+
+    docs = load_table(spark, sf, "documents")
+    out = vocab_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        k=20,
+    )
+    # exact-width parity with the BIGINT-producing oracle window
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_TEXT_VOCAB_DIVERGENCE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                              t -> len(t) > 0), []) AS tk
+  FROM documents),
+flat AS (SELECT doc_id, UNNEST(tk) AS term FROM toks),
+ca AS (SELECT term, COUNT(*) AS cnt_a FROM flat WHERE doc_id % 2 = 0 GROUP BY term),
+cb AS (SELECT term, COUNT(*) AS cnt_b FROM flat WHERE doc_id % 2 = 1 GROUP BY term),
+joined AS (
+  SELECT COALESCE(ca.term, cb.term) AS term,
+         COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+stats AS (SELECT SUM(cnt_a) AS n_a, SUM(cnt_b) AS n_b, COUNT(*) AS v FROM joined),
+scored AS (
+  SELECT term, cnt_a, cnt_b,
+         ROUND((CAST(cnt_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE))
+               * LN((CAST(cnt_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE))
+                    / (CAST(cnt_b + 1 AS DOUBLE) / CAST(n_b + v AS DOUBLE))), 6)
+           AS contrib
+  FROM joined CROSS JOIN stats),
+ranked AS (
+  SELECT term, cnt_a, cnt_b, contrib,
+         row_number() OVER (ORDER BY contrib DESC, term ASC) AS rank
+  FROM scored)
+SELECT term, cnt_a, cnt_b, contrib, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries 1–50 are the driver-graded window (the driver evaluates the
     # first 50 dict entries). Rotation history: round 2 graded the §2
@@ -4028,7 +4139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is still r02, then r04-green regression cover from the
     # families whose code changed this round. Five r02-graded mutator
     # entries whose code is UNCHANGED since round 2 (missing_value,
-    # categorical, repeat, delete, substitute, transpose) rotate out to make room —
+    # categorical, permute, datetime_offset, repeat, delete, substitute,
+    # transpose) rotate out to make room —
     # they stay strict-locally verified by tools/check_oracle.py at
     # driver strictness (same compare, same data), like everything past
     # slot 50.
@@ -4039,6 +4151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _sample_split,
         "dedup_cluster_reps": _dedup_cluster_reps,
         "dedup_fp_overlap": _dedup_fp_overlap,
+        "sample_split_grouped": _sample_split_grouped,
+        "text_vocab_divergence": _text_vocab_divergence,
         "text_chunks_tokens": _text_chunks_tokens,
         # --- newest driver row is r02 — re-grade this round ---
         # generators (incl. gen_datasource, codec-adjacent paths)
@@ -4051,8 +4165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_datasource": _gen_datasource,
         # mutators
         "mut_insert": _mut_insert,
-        "mut_permute": _mut_permute,
-        "mut_datetime_offset": _mut_datetime_offset,
         "mut_replacement_whole": _mut_replacement_whole,
         "mut_generator_splice": _mut_splice,
         "mut_function": _mut_function,
@@ -4094,6 +4206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": _emb_quantize,  # NaN/empty guard round 5
         # --- entries 51+: driver-green in rounds 2/4, strict-local since ---
         "mut_missing_value": _mut_missing,
+        "mut_permute": _mut_permute,
+        "mut_datetime_offset": _mut_datetime_offset,
         "mut_categorical": _mut_categorical,
         "mut_repeat": _mut_repeat,
         "mut_delete": _mut_delete,
@@ -4260,4 +4374,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_split": _sample_split_sql(),
         "dedup_cluster_reps": _dedup_cluster_reps_sql(),
         "dedup_fp_overlap": _dedup_fp_overlap_sql(),
+        "sample_split_grouped": _sample_split_grouped_sql(),
+        "text_vocab_divergence": _TEXT_VOCAB_DIVERGENCE_SQL,
     }

@@ -47,6 +47,8 @@ __all__ = [
     "url_host",
     "url_registered_domain",
     "normalize_url",
+    "filter_by_domain",
+    "vocab_divergence",
 ]
 
 # A BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
@@ -954,3 +956,121 @@ def normalize_url(url: Column) -> Column:
     # dangling delimiters
     u = F.regexp_replace(u, r"[?&]+$", "")
     return u
+
+
+def filter_by_domain(
+    df: DataFrame,
+    url_col: str,
+    blocklist=None,
+    allowlist=None,
+) -> DataFrame:
+    """Registered-domain block/allow filtering — the URL-level corpus
+    gate (spam/SEO/adult domain lists in a web pipeline).
+
+    ``blocklist`` / ``allowlist`` each accept a Python sequence of
+    domains (config-sized → an ``isin`` predicate, pushed toward the
+    scan) or a single-column DataFrame (list too big for a literal —
+    e.g. a multi-million-row domain reputation table → broadcast
+    semi/anti-join; Spark broadcasts it while it fits, and AQE picks
+    the join side at scale). Matching is on
+    :func:`url_registered_domain` of ``url_col``, so ``a.b.example.com``
+    is caught by blocking ``example.com``.
+
+    Allowlist applies first (keep only), then blocklist (drop) — pass
+    either or both.
+    """
+    if blocklist is None and allowlist is None:
+        raise ValueError("pass blocklist and/or allowlist")
+    dom = url_registered_domain(F.col(url_col))
+    out = df
+    for lst, keep in ((allowlist, True), (blocklist, False)):
+        if lst is None:
+            continue
+        if isinstance(lst, DataFrame):
+            key = lst.columns[0]
+            side = lst.select(F.lower(F.col(key)).alias("__dom__")).distinct()
+            out = out.join(
+                F.broadcast(side),
+                dom == F.col("__dom__"),
+                "left_semi" if keep else "left_anti",
+            )
+        else:
+            domains = [str(d).lower() for d in lst]
+            pred = dom.isin(domains)
+            out = out.filter(pred if keep else ~pred)
+    return out
+
+
+def vocab_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` terms driving the unigram-distribution shift between
+    two corpora — the drift monitor for a continuously-ingested
+    training pipeline (new crawl snapshot vs the last one, candidate
+    source vs the existing mix).
+
+    Laplace-smoothed unigram distributions over the UNION vocabulary
+    (``p = (cnt_a + 1) / (n_a + V)``, likewise ``q``; V = union vocab
+    size — smoothing makes every term comparable even when one side
+    has zero occurrences), scored by the per-term KL(P‖Q) contribution
+    ``p · ln(p/q)``, ROUNDED to 6 decimals before ranking so the
+    ordering is engine-portable (same rationale as
+    :func:`tfidf_top_terms`); ties break on term ascending. Positive
+    contributions are terms over-represented in A, the most negative
+    ones over-represented in B; summing the unrounded column over the
+    whole vocab would give total KL.
+
+    Returns ``(term, cnt_a, cnt_b, contrib, rank)``, rank 1..k.
+
+    100 TB shape: each corpus aggregates once to its (term, count)
+    index (map-side combined — the only corpus-sized shuffles); the
+    full-outer vocab join, the 1-row totals broadcast, and the global
+    top-k window all run on the reduced index, never the raw corpora.
+    """
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    from pyspark.sql import Window
+
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    tokens(F.coalesce(F.col(text_col), F.lit("")))
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    joined = (
+        _counts(df_a, "cnt_a")
+        .join(_counts(df_b, "cnt_b"), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce(F.col("cnt_a"), F.lit(0)).alias("cnt_a"),
+            F.coalesce(F.col("cnt_b"), F.lit(0)).alias("cnt_b"),
+        )
+    )
+    stats = joined.agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    j = joined.crossJoin(F.broadcast(stats))
+    p = (F.col("cnt_a") + 1).cast("double") / (F.col("n_a") + F.col("v")).cast("double")
+    q = (F.col("cnt_b") + 1).cast("double") / (F.col("n_b") + F.col("v")).cast("double")
+    scored = j.select(
+        "term",
+        "cnt_a",
+        "cnt_b",
+        F.round(p * F.log(p / q), 6).alias("contrib"),
+    )
+    w = Window.orderBy(F.col("contrib").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("term", "cnt_a", "cnt_b", "contrib", "rank")
+    )

@@ -562,3 +562,94 @@ class TestFingerprintOverlapPairs:
             fingerprint_overlap_pairs(docs, "doc_id", "text", min_shared=0)
         with pytest.raises(ValueError, match="keep"):
             fingerprint_overlap_pairs(docs, "doc_id", "text", keep=2, min_shared=4)
+
+
+class TestFilterByDomain:
+    def test_block_and_allow(self, spark):
+        from gecko_spark.operators.text import filter_by_domain
+
+        rows = [
+            (1, "https://www.spam.example/buy"),
+            (2, "https://docs.good.org/page"),
+            (3, "http://sub.a.spam.example/x"),  # caught via registered domain
+            (4, "https://other.net/y"),
+        ]
+        df = spark.createDataFrame(rows, "i long, url string")
+        blocked = {r["i"] for r in filter_by_domain(df, "url", blocklist=["spam.example"]).collect()}
+        assert blocked == {2, 4}
+        allowed = {r["i"] for r in filter_by_domain(df, "url", allowlist=["good.org"]).collect()}
+        assert allowed == {2}
+        # DataFrame-shaped list → broadcast anti-join path
+        bl = spark.createDataFrame([("SPAM.example",)], "domain string")
+        assert {r["i"] for r in filter_by_domain(df, "url", blocklist=bl).collect()} == {2, 4}
+        with pytest.raises(ValueError, match="blocklist"):
+            filter_by_domain(df, "url")
+
+
+class TestVocabDivergence:
+    def test_shifted_term_ranks_first(self, spark):
+        from gecko_spark.operators.text import vocab_divergence
+
+        a = spark.createDataFrame(
+            [(i, "common words everywhere plus NOVEL token") for i in range(20)],
+            "doc_id long, text string",
+        )
+        b = spark.createDataFrame(
+            [(i, "common words everywhere plus boring filler") for i in range(20)],
+            "doc_id long, text string",
+        )
+        out = vocab_divergence(a, b, k=3).collect()
+        assert out[0]["term"] == "novel" and out[0]["rank"] == 1
+        assert out[0]["cnt_a"] == 20 and out[0]["cnt_b"] == 0
+        assert out[0]["contrib"] > 0
+        # ranks are densely 1..k and descending by contrib
+        assert [r["rank"] for r in out] == [1, 2, 3]
+        assert all(out[i]["contrib"] >= out[i+1]["contrib"] for i in range(2))
+
+    def test_identical_corpora_near_zero(self, spark):
+        from gecko_spark.operators.text import vocab_divergence
+
+        a = spark.createDataFrame(
+            [(i, "same text every time") for i in range(10)],
+            "doc_id long, text string",
+        )
+        out = vocab_divergence(a, a, k=10).collect()
+        assert all(abs(r["contrib"]) < 1e-9 for r in out)
+        with pytest.raises(ValueError, match="k must"):
+            vocab_divergence(a, a, k=0)
+
+
+class TestGroupedSplitLeakage:
+    def test_near_dups_share_split(self, spark):
+        """The leakage property sample_split_grouped exists for: every
+        member of a near-dup cluster lands in the SAME split."""
+        from gecko_spark.core import LcgRandom
+        from gecko_spark.operators.dedup import (
+            connected_components,
+            minhash_candidate_pairs,
+        )
+        from gecko_spark.operators.sampling import split_dataset
+
+        base = "the quick brown fox jumps over the lazy dog once more " * 4
+        rows = [(i, base + f"tail {i % 3}") for i in range(30)]  # 3 clusters of 10
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_candidate_pairs(docs, "doc_id", "text").filter(
+            F.col("est_jaccard") >= 0.8
+        )
+        labels = connected_components(pairs, on_nonconvergence="raise")
+        grouped = (
+            docs.select("doc_id")
+            .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+            .withColumn("grp", F.coalesce("component", "doc_id"))
+        )
+        out = split_dataset(
+            grouped, [("train", 0.5), ("test", 0.5)], rand=LcgRandom("grp", 9)
+        )
+        # within every cluster the split is constant
+        assert (
+            out.groupBy("grp")
+            .agg(F.countDistinct("split").alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+            == 0
+        )
