@@ -653,3 +653,35 @@ class TestGroupedSplitLeakage:
             .count()
             == 0
         )
+
+
+class TestCompressionRatio:
+    def test_redundant_text_compresses_more(self, spark):
+        from gecko_spark.operators.text import compression_ratio
+
+        rows = [
+            (1, "spam spam spam spam " * 50),                      # highly redundant
+            (2, "The committee reviewed seventeen distinct proposals regarding "
+                "watershed management, each offering unique trade-offs between "
+                "cost, ecological impact, and long-term maintenance burden."),
+            (3, ""),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "i long, text string")
+        got = {
+            r["i"]: r["cr"]
+            for r in df.select(
+                "i", compression_ratio(F.col("text")).alias("cr")
+            ).collect()
+        }
+        assert got[1] < 0.1                      # template spam crushes
+        assert 0.3 < got[2] < 1.1                # prose doesn't
+        assert got[3] == 1.0 and got[4] is None
+        # deterministic across evaluations
+        again = {
+            r["i"]: r["cr"]
+            for r in df.repartition(3).select(
+                "i", compression_ratio(F.col("text")).alias("cr")
+            ).collect()
+        }
+        assert got == again
