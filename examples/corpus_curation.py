@@ -2,6 +2,8 @@
 documents corpus — the beyond-reference operator families composed the
 way a 100 TB pretraining-data job would chain them:
 
+  0. markup strip       (text.strip_html — pure-regexp boilerplate
+                         removal; a no-op on already-clean text)
   1. quality gate       (text.filter_documents — pushed-down predicates)
   2. exact dedup        (dedup.dedupe_exact — one hash aggregate)
   3. near-dup removal   (dedup.minhash_dedupe_transitive — MinHash+LSH
@@ -14,6 +16,8 @@ way a 100 TB pretraining-data job would chain them:
                          share word n-grams with a held-out eval split)
   5. repetition gate    (text.repetition_profile — drop docs whose top
                          bigram dominates the token stream)
+  5b. redundancy gate   (text.compression_ratio — drop docs whose zlib
+                         ratio flags long-range template repetition)
   6. enrichment         (text.text_stats + fingerprints, one projection)
   7. as-of context join (joins.asof_join — attach each doc's nearest
                          preceding event by ingest order, single shuffle)
@@ -21,6 +25,9 @@ way a 100 TB pretraining-data job would chain them:
                          partition, no small-files litter)
   9. corpus report      (sketches.quantile_sketch — mergeable bottom-k
                          sample; length percentiles without a full sort)
+ 10. train/val/test     (sampling.split_dataset — append-stable bucket
+                         assignment; near-dups were already collapsed
+                         upstream, so the row-key split cannot leak)
 
 Every stage is a lazy DataFrame transform; nothing collects to the
 driver. Run: python examples/corpus_curation.py [sf_dir] [out_dir]
@@ -45,13 +52,21 @@ from gecko_spark.operators.dedup import (
     semantic_dedupe,
 )
 from gecko_spark.operators.joins import asof_join
-from gecko_spark.operators.text import filter_documents, repetition_profile, text_stats
+from gecko_spark.operators.text import (
+    compression_ratio,
+    filter_documents,
+    repetition_profile,
+    strip_html,
+    text_stats,
+)
 from gecko_spark.sources.sinks import write_partitioned
 from gecko_spark.sources.testdata import load_table
 
 
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", strip_html(F.col("text"))
+    )
 
     gated = filter_documents(docs, min_chars=40, min_quality=0.3)
     exact = dedupe_exact(gated, "text", id_col="doc_id")
@@ -86,6 +101,10 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     gated2 = clean.join(keep, "doc_id", "left_semi")
 
+    # redundancy gate: template/stuffed docs compress far below prose;
+    # the synthetic corpus is word-sampled so a loose floor suffices
+    gated2 = gated2.filter(compression_ratio(F.col("text")) > 0.05)
+
     enriched = text_stats(gated2)
 
     # context: latest event at-or-before the doc id treated as an
@@ -119,6 +138,18 @@ def main() -> None:
         sk = quantile_sketch(result, "n_chars", "doc_id", k=1024)
         for r in quantile_estimate(sk, [0.5, 0.9, 0.99]).collect():
             print(f"  n_chars p{int(r['q'] * 100)}: {r['estimate']:.0f}")
+
+        # final assignment: deterministic, append-stable 98/1/1 split
+        from gecko_spark.core import LcgRandom
+        from gecko_spark.operators.sampling import split_dataset
+
+        split = split_dataset(
+            result,
+            [("train", 0.98), ("val", 0.01), ("test", 0.01)],
+            rand=LcgRandom("doc_id", 23),
+        )
+        for r in split.groupBy("split").count().orderBy("split").collect():
+            print(f"  split {r['split']}: {r['count']} docs")
     finally:
         spark.stop()
 
