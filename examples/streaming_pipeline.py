@@ -49,6 +49,14 @@ def build_streams(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     path = os.path.join(sf_dir, "events.parquet")
     events = stream_events(spark, path)
 
+    # stateless web cleanup first: strip_html / normalize_url are pure
+    # Column algebra, so they run unchanged inside a stream (no state,
+    # no watermark interaction) — a no-op on this corpus's clean props,
+    # shown here because a real ingest stream would need them
+    from gecko_spark.operators.text import strip_html
+
+    events = events.withColumn("props", strip_html(F.col("props")))
+
     # dedup within the watermark horizon, then corrupt the event_type
     # column with the library's own mutator spec (demo: 5% typos)
     deduped = dedupe_stream(events, ["event_id"], watermark="30 days")

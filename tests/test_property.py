@@ -17,6 +17,8 @@ import string as _string
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from gecko_spark.core import LCG_A, LCG_C, LCG_M, LcgRandom
 from gecko_spark.operators import mutators as M
 
@@ -98,3 +100,94 @@ def test_edit_mutators_match_python_model(spark, texts, data):
         assert got[i] == _model(mut_name, i, t, p, seed), (
             f"{mut_name} p={p} seed={seed} key={i} input={t!r}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Web-cleanup regex algebra vs a pure-Python model (round 5)
+# ---------------------------------------------------------------------------
+# strip_html / normalize_url are regexp chains executed by the JVM's
+# java.util.regex; the DuckDB oracle replays them in RE2. This model
+# replays them in Python `re` — a third engine. Agreement across random
+# inputs is strong evidence the patterns sit in the portable subset.
+
+import re as _re
+
+
+def _model_strip_html(t):
+    if t is None:
+        return ""
+    t = _re.sub(r"(?s)<!--.*?-->", " ", t)
+    t = _re.sub(r"(?is)<script\b[^>]*>.*?</script[^>]*>", " ", t)
+    t = _re.sub(r"(?is)<style\b[^>]*>.*?</style[^>]*>", " ", t)
+    t = _re.sub(r"<[^>]*>", " ", t)
+    for ent, ch in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+                    ("&amp;", "&")]:
+        t = t.replace(ent, ch)
+    return _re.sub(r"\s+", " ", t).strip()
+
+
+def _model_normalize_url(u):
+    if u is None:
+        u = ""
+    u = u.strip()
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*)", u)
+    if m and len(m.group(1)) > 0:
+        tail_m = _re.match(
+            r"(?s)^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*(.*)$", u
+        )
+        u = m.group(1).lower() + (tail_m.group(1) if tail_m else "")
+    u = _re.sub(r"^(http://[^/?#]*):80([/?#]|$)", r"\1\2", u)
+    u = _re.sub(r"^(https://[^/?#]*):443([/?#]|$)", r"\1\2", u)
+    u = _re.sub(r"(?s)#.*$", "", u)
+    u = _re.sub(r"[?&]utm_[A-Za-z0-9_]*=[^&#]*", "", u)
+    u = _re.sub(r"^([^?&]*)&", r"\1?", u)
+    u = _re.sub(r"[?&]+$", "", u)
+    return u
+
+
+_HTML_FRAGS = list("abX2 <>/!-&;#\"'=.") + [
+    "<p>", "</p>", "<script>", "</script>", "<style>", "</style>",
+    "<!--", "-->", "&amp;", "&lt;", "&#39;", "&nbsp;",
+]
+HTMLish = st.lists(st.sampled_from(_HTML_FRAGS), max_size=16).map("".join)
+
+_URL_FRAGS = list("abC9:/?#&=@._-%") + [
+    "http://", "HTTPS://", "www.", ":80/", ":443", "?utm_a=1",
+    "&utm_b=2", "&id=3", "#frag", "example.com", "@host",
+]
+URLish = st.lists(st.sampled_from(_URL_FRAGS), max_size=12).map("".join)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(HTMLish, min_size=1, max_size=30))
+def test_strip_html_matches_python_model(spark, texts):
+    from gecko_spark.operators.text import strip_html
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "k long, s string"
+    )
+    got = {
+        r["k"]: r["c"]
+        for r in df.select("k", strip_html(F.col("s")).alias("c")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _model_strip_html(t), f"input={t!r}"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(urls=st.lists(URLish, min_size=1, max_size=30))
+def test_normalize_url_matches_python_model(spark, urls):
+    from gecko_spark.operators.text import normalize_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "k long, s string"
+    )
+    got = {
+        r["k"]: r["n"]
+        for r in df.select("k", normalize_url(F.col("s")).alias("n")).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == _model_normalize_url(u), f"input={u!r}"
