@@ -4077,6 +4077,30 @@ FROM grouped
 """
 
 
+def _sample_shuffle(spark, sf):
+    """Deterministic global corpus shuffle
+    (sampling.py::shuffle_ranked): contiguous 0-based position in a
+    seeded random permutation via the scalable two-phase rank (bucket
+    counts → driver offsets → per-bucket windows) — bit-identical to
+    the single-reducer ROW_NUMBER the oracle runs, because floor(u·B)
+    is monotone in u so per-bucket order concatenates to global order."""
+    from gecko_spark.core import LcgRandom as _Lcg
+    from gecko_spark.operators.sampling import shuffle_ranked
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return shuffle_ranked(docs, "doc_id", _Lcg("doc_id", 316), buckets=64)
+
+
+def _sample_shuffle_sql() -> str:
+    u = lcg_uniform_sql("doc_id", 316, 11, stream=0)
+    return f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY {u} ASC, doc_id ASC) - 1 AS BIGINT)
+         AS shuffle_rank
+FROM documents
+"""
+
+
 def _text_vocab_divergence(spark, sf):
     """Corpus drift monitor (text.py::vocab_divergence): top-20 terms
     by per-term KL(P‖Q) contribution between the even-doc_id and
@@ -4139,8 +4163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is still r02, then r04-green regression cover from the
     # families whose code changed this round. Five r02-graded mutator
     # entries whose code is UNCHANGED since round 2 (missing_value,
-    # categorical, permute, datetime_offset, repeat, delete, substitute,
-    # transpose) rotate out to make room —
+    # categorical, permute, datetime_offset, generator_splice, repeat,
+    # delete, substitute, transpose) rotate out to make room —
     # they stay strict-locally verified by tools/check_oracle.py at
     # driver strictness (same compare, same data), like everything past
     # slot 50.
@@ -4152,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_reps": _dedup_cluster_reps,
         "dedup_fp_overlap": _dedup_fp_overlap,
         "sample_split_grouped": _sample_split_grouped,
+        "sample_shuffle": _sample_shuffle,
         "text_vocab_divergence": _text_vocab_divergence,
         "text_chunks_tokens": _text_chunks_tokens,
         # --- newest driver row is r02 — re-grade this round ---
@@ -4166,7 +4191,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mutators
         "mut_insert": _mut_insert,
         "mut_replacement_whole": _mut_replacement_whole,
-        "mut_generator_splice": _mut_splice,
         "mut_function": _mut_function,
         "mut_group": _mut_group,
         "mut_cldr_keymap": _mut_cldr,
@@ -4206,6 +4230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": _emb_quantize,  # NaN/empty guard round 5
         # --- entries 51+: driver-green in rounds 2/4, strict-local since ---
         "mut_missing_value": _mut_missing,
+        "mut_generator_splice": _mut_splice,
         "mut_permute": _mut_permute,
         "mut_datetime_offset": _mut_datetime_offset,
         "mut_categorical": _mut_categorical,
@@ -4375,5 +4400,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_reps": _dedup_cluster_reps_sql(),
         "dedup_fp_overlap": _dedup_fp_overlap_sql(),
         "sample_split_grouped": _sample_split_grouped_sql(),
+        "sample_shuffle": _sample_shuffle_sql(),
         "text_vocab_divergence": _TEXT_VOCAB_DIVERGENCE_SQL,
     }

@@ -30,6 +30,7 @@ __all__ = [
     "weighted_sample_n",
     "mix_corpus",
     "split_dataset",
+    "shuffle_ranked",
 ]
 
 # salt layout: 0 reserved (mutator selection); samplers draw on salt 11,
@@ -262,3 +263,59 @@ def split_dataset(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn(out_col, expr)
+
+
+def shuffle_ranked(
+    df: DataFrame,
+    key_col: str,
+    rand: RandomSource,
+    buckets: int = 1024,
+    out_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global corpus shuffle: adds ``out_col`` with each
+    row's position (0-based, contiguous) in a seeded random permutation
+    — the reproducible training-order pass that precedes sequence
+    packing / sharded writes.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` funnels the whole
+    corpus through ONE reducer. This is the scalable two-phase rank:
+    each row's draw ``u`` lands in ``floor(u·buckets)``; bucket counts
+    (config-sized — ``buckets`` rows) come to the driver once and turn
+    into cumulative offsets; the final rank is
+    ``offset[bucket] + row_number within bucket``, computed by
+    ``buckets`` independent window partitions. Because ``floor`` is
+    monotone in ``u``, (bucket, u, key) lexicographic order IS the
+    global (u, key) order, so the result is bit-identical to the
+    single-reducer window — the ``sample_shuffle`` contract query
+    checks exactly that against a global ``ROW_NUMBER`` oracle.
+
+    Ties on ``u`` (draws live in a 2^31 space) break on ``key_col``
+    ascending, so the permutation is a pure function of (keys, seed):
+    stable under repartitioning and engine-portable.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be ≥ 1")
+    u = rand.uniform(_SALT_SAMPLE)
+    bucket = F.least(
+        F.floor(u * F.lit(float(buckets))).cast("long"), F.lit(buckets - 1)
+    )
+    tagged = df.withColumn("__u__", u).withColumn("__b__", bucket)
+    counts = {
+        r["__b__"]: r["__c__"]
+        for r in tagged.groupBy("__b__").agg(F.count(F.lit(1)).alias("__c__")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_map = F.create_map(
+        *[F.lit(x) for b in sorted(counts) for x in (b, offsets[b])]
+    )
+    w = Window.partitionBy("__b__").orderBy(F.col("__u__").asc(), F.col(key_col).asc())
+    return (
+        tagged.withColumn(
+            out_col,
+            (off_map[F.col("__b__")] + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("__u__", "__b__")
+    )

@@ -685,3 +685,44 @@ class TestCompressionRatio:
             ).collect()
         }
         assert got == again
+
+
+class TestShuffleRanked:
+    def test_matches_global_window_and_is_permutation(self, spark):
+        from pyspark.sql import Window
+        from gecko_spark.core import LcgRandom
+        from gecko_spark.operators.sampling import shuffle_ranked
+
+        df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+        rand = LcgRandom("k", 5)
+        out = shuffle_ranked(df, "k", rand, buckets=32)
+        u = rand.uniform(11)
+        ref = df.withColumn(
+            "r", F.row_number().over(Window.orderBy(u.asc(), F.col("k").asc())) - 1
+        )
+        assert (
+            out.join(ref, "k").filter(F.col("shuffle_rank") != F.col("r")).count()
+            == 0
+        )
+        stats = out.agg(
+            F.min("shuffle_rank").alias("lo"),
+            F.max("shuffle_rank").alias("hi"),
+            F.countDistinct("shuffle_rank").alias("d"),
+        ).first()
+        assert (stats["lo"], stats["hi"], stats["d"]) == (0, 19_999, 20_000)
+
+    def test_partition_layout_independent(self, spark):
+        from gecko_spark.core import LcgRandom
+        from gecko_spark.operators.sampling import shuffle_ranked
+
+        df = spark.range(0, 5_000).withColumnRenamed("id", "k")
+        a = shuffle_ranked(df, "k", LcgRandom("k", 9), buckets=16)
+        b = shuffle_ranked(df.repartition(11), "k", LcgRandom("k", 9), buckets=16)
+        assert (
+            a.join(b.withColumnRenamed("shuffle_rank", "r2"), "k")
+            .filter(F.col("shuffle_rank") != F.col("r2"))
+            .count()
+            == 0
+        )
+        with pytest.raises(ValueError, match="buckets"):
+            shuffle_ranked(df, "k", LcgRandom("k", 9), buckets=0)
