@@ -2894,6 +2894,35 @@ FROM exploded
 """
 
 
+def _sketch_heavy_hitters(spark, sf):
+    """Exact heavy hitters at fixed memory (sketches.py::heavy_hitters):
+    per-partition Misra–Gries candidates (guaranteed superset of every
+    φ-heavy value) + an exact candidate-pruned recount, equal to the
+    naive full GROUP BY + HAVING the oracle runs. The key is a
+    power-law bucket (⌊√l_partkey⌋ — bucket b covers ~2b+1 partkeys,
+    so counts grow linearly in b) because uniform TPC-H keys have no
+    heavy hitters by construction; φ = 1/100 keeps the Misra–Gries
+    pruning active at sf0.1 (141 buckets > capacity 100). The final
+    cut is integer arithmetic (cnt·den > num·n) — no float-boundary
+    ambiguity between engines."""
+    from gecko_spark.operators.sketches import heavy_hitters
+
+    li = load_table(spark, sf, "lineitem")
+    bucket = F.floor(F.sqrt(F.col("l_partkey"))).cast("long")
+    return heavy_hitters(li, bucket, 1, 100)
+
+
+_HEAVY_HITTERS_SQL = """
+WITH src AS (
+  SELECT CAST(CAST(FLOOR(SQRT(l_partkey)) AS BIGINT) AS VARCHAR) AS value
+  FROM lineitem
+),
+n AS (SELECT COUNT(*) AS n_total FROM src),
+cnts AS (SELECT value, COUNT(*) AS cnt FROM src GROUP BY value)
+SELECT value, cnt FROM cnts CROSS JOIN n WHERE cnt * 100 > 1 * n_total
+"""
+
+
 def _sketch_quantiles(spark, sf):
     """Bottom-k quantile sketch (sketches.py): hash-ranked uniform row
     sample whose order statistics estimate quantiles. Rank hash is
@@ -4157,9 +4186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 dict entries). Rotation history: round 2 graded the §2
     # operator surface (CORRECTNESS_r02 50/50), round 4 graded the
     # relational/LLM-ops surface (CORRECTNESS_r04 50/50). Round 5:
-    # never-driver-graded entries first (the 12 round-5 additions —
-    # strip_html/url/split/cluster-reps and the line-dedup/logprob/mix/
-    # semantic/quantile/chunking family), then the entries whose newest
+    # never-driver-graded entries first (the round-5 additions —
+    # strip_html/url/split/cluster-reps, the line-dedup/logprob/mix/
+    # semantic/quantile/chunking family, and sketch_heavy_hitters —
+    # emb_quantize_int8 rotates out to slot 51, staying strict-locally
+    # verified), then the entries whose newest
     # driver row is still r02, then r04-green regression cover from the
     # families whose code changed this round. Five r02-graded mutator
     # entries whose code is UNCHANGED since round 2 (missing_value,
@@ -4179,6 +4210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_shuffle": _sample_shuffle,
         "text_vocab_divergence": _text_vocab_divergence,
         "text_chunks_tokens": _text_chunks_tokens,
+        "sketch_heavy_hitters": _sketch_heavy_hitters,
         # --- newest driver row is r02 — re-grade this round ---
         # generators (incl. gen_datasource, codec-adjacent paths)
         "gen_normal": _gen_normal,
@@ -4360,6 +4392,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantiles_by_group": _sketch_quantiles_by_group_sql(),
         "text_chunks": _text_chunks_sql(),
         "text_chunks_tokens": _text_chunks_tokens_sql(),
+        "sketch_heavy_hitters": _HEAVY_HITTERS_SQL,
         "sketch_kmv_distinct": _sketch_kmv_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_reservoir_n": _sample_reservoir_sql(),

@@ -199,6 +199,7 @@ def bench_queries(spark, sf_dir):
         "dedup_cluster_reps",  # round 5: quality-aware cluster survivorship
         "dedup_fp_overlap",  # round 5: winnowing-fingerprint near-dup pairs
         "sketch_quantiles",
+        "sketch_heavy_hitters",  # round 5: MG candidates + exact recount
         "topk_cosine_bruteforce",
         "decontam_filter",
         "text_repetition",

@@ -48,6 +48,8 @@ __all__ = [
     "quantile_estimate",
     "quantile_merge",
     "quantile_group_estimate",
+    "heavy_hitter_candidates",
+    "heavy_hitters",
 ]
 
 # hash range: s1 ∈ [0, P1), s2 ∈ [0, P2) packed as s1·P2 + s2 < P1·P2
@@ -420,4 +422,124 @@ def quantile_group_estimate(
             F.col("m").cast("long").alias("n_sample"),
             F.col("v").alias("estimate"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters in two bounded-memory passes: Misra–Gries per
+# partition for a guaranteed candidate superset, then an exact recount
+# of the candidates only. The result EQUALS the naive
+# ``GROUP BY value HAVING count > φ·n`` — so the contract query is
+# hash-verified against a plain-SQL DuckDB oracle — but no task ever
+# holds more than ``capacity`` counters and the only shuffles are
+# (a) partitions×capacity summary rows and (b) the candidate-pruned
+# recount. The threshold is a RATIONAL φ = num/den and the final filter
+# is pure integer arithmetic (cnt·den > num·n), so the cut is
+# engine-portable with no float-boundary ambiguity.
+# ---------------------------------------------------------------------------
+
+
+def _mg_absorb(counters: dict, batch_counts: dict, capacity: int) -> dict:
+    """Merge a batch's value→count map into a Misra–Gries summary and
+    re-truncate to ``capacity`` counters (Agarwal et al.'s mergeable
+    form: subtract the (capacity+1)-th largest count from everything,
+    keep the positives). Each subtraction removes the same mass from
+    every surviving counter, so the classic undercount bound
+    ``est(v) ≥ count(v) − n_p/(capacity+1)`` is preserved."""
+    for v, c in batch_counts.items():
+        counters[v] = counters.get(v, 0) + int(c)
+    if len(counters) > capacity:
+        cut = sorted(counters.values(), reverse=True)[capacity]
+        counters = {v: c - cut for v, c in counters.items() if c > cut}
+    return counters
+
+
+def heavy_hitter_candidates(
+    df: DataFrame,
+    col: Union[str, Column],
+    capacity: int,
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries, unioned: ``(value, cnt)``
+    rows (cnt = the surviving MG estimate) plus ONE sentinel row per
+    partition (``value IS NULL``) carrying that partition's non-null
+    row count, so the caller gets the exact total n from the same scan.
+
+    Guarantee: any value whose GLOBAL count exceeds
+    ``n/(capacity+1)`` appears in at least one partition's summary —
+    if it survived nowhere, its count in every partition p was at most
+    ``n_p/(capacity+1)``, which sums to ≤ ``n/(capacity+1)``. The
+    summary is ≤ ``partitions × capacity`` rows regardless of input
+    size: the fixed-memory mergeable-summary contract."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be ≥ 1, got {capacity}")
+    c = F.col(col) if isinstance(col, str) else col
+    src = df.select(c.cast("string").alias("value")).where(
+        F.col("value").isNotNull()
+    )
+
+    def _part(batches):
+        counters: dict = {}
+        n_part = 0
+        for pdf in batches:
+            s = pdf["value"]
+            n_part += len(s)
+            counters = _mg_absorb(
+                counters, s.value_counts().to_dict(), capacity
+            )
+        out = pd.DataFrame(
+            {
+                "value": list(counters.keys()) + [None],
+                "cnt": [int(v) for v in counters.values()] + [n_part],
+            }
+        )
+        yield out
+
+    return src.mapInPandas(_part, "value string, cnt long")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: Union[str, Column],
+    phi_num: int,
+    phi_den: int,
+) -> DataFrame:
+    """EXACT values with ``count(value) > (phi_num/phi_den) · n`` as
+    ``(value, cnt)`` — equal to the naive full GROUP BY + HAVING, at a
+    fixed memory bound.
+
+    Scale shape: pass 1 (:func:`heavy_hitter_candidates`, capacity
+    ``ceil(den/num)``) guarantees the candidate set is a superset of
+    every φ-heavy value; pass 2 recounts ONLY rows matching a candidate
+    (broadcast left-semi join prunes below the exchange, so the
+    recount's groupBy key space is ≤ partitions × capacity values, not
+    the column's cardinality), and the integer filter removes the false
+    positives. The raw column is scanned twice and never shuffled in
+    full — on 100 TB the full-cardinality GROUP BY this replaces is the
+    shuffle that hurts."""
+    if phi_num < 1 or phi_den < 1 or phi_num >= phi_den:
+        raise ValueError(f"need 0 < phi_num/phi_den < 1, got {phi_num}/{phi_den}")
+    capacity = -(-phi_den // phi_num)  # ceil(den/num) ⇒ n/(cap+1) < φ·n
+    c = F.col(col) if isinstance(col, str) else col
+    src = df.select(c.cast("string").alias("value")).where(
+        F.col("value").isNotNull()
+    )
+    cands = heavy_hitter_candidates(df, col, capacity)
+    # both consumers below read the summary; persist so the MG scan of
+    # the raw data runs once, not once per consumer (the summary itself
+    # is ≤ partitions × capacity rows — config-sized)
+    cands = cands.persist()
+    vals = cands.where(F.col("value").isNotNull()).select("value").distinct()
+    total = cands.where(F.col("value").isNull()).agg(
+        F.sum("cnt").alias("n_total")
+    )
+    counts = (
+        src.join(F.broadcast(vals), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # 1-row broadcast of n_total (same shape as tfidf's corpus-size join)
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col("cnt") * phi_den > phi_num * F.col("n_total"))
+        .select("value", "cnt")
     )

@@ -186,3 +186,66 @@ def test_quantile_group_estimate_exact_small_groups(spark):
         vals = sorted(by_grp[r["grp"]])
         assert r["n_sample"] == len(vals)
         assert r["estimate"] == vals[max(1, math.ceil(0.5 * len(vals))) - 1]
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    # Zipf-ish: value v appears v times, v = 1..60 → n = 1830
+    rows = [(str(v),) for v in range(1, 61) for _ in range(v)]
+    df = spark.createDataFrame(rows, "x string").repartition(7)
+    from gecko_spark.operators.sketches import heavy_hitters
+
+    # φ = 1/50 → threshold 36.6 → exactly values 37..60
+    got = {
+        (r["value"], r["cnt"])
+        for r in heavy_hitters(df, "x", 1, 50).collect()
+    }
+    want = {(str(v), v) for v in range(37, 61)}
+    assert got == want
+
+
+def test_heavy_hitters_partition_independent(spark):
+    rows = [(str(v % 97),) for v in range(5000)] + [("hot",)] * 800
+    df = spark.createDataFrame(rows, "x string")
+    from gecko_spark.operators.sketches import heavy_hitters
+
+    naive = {
+        (r["x"], r["cnt"])
+        for r in df.groupBy("x")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") * 20 > 1 * df.count())
+        .collect()
+    }
+    for parts in (1, 3, 16):
+        got = {
+            (r["value"], r["cnt"])
+            for r in heavy_hitters(df.repartition(parts), "x", 1, 20).collect()
+        }
+        assert got == naive, parts
+
+
+def test_heavy_hitter_candidates_superset_and_bounded(spark):
+    rows = [(str(v),) for v in range(1, 41) for _ in range(v)]
+    df = spark.createDataFrame(rows, "x string").repartition(5)
+    from gecko_spark.operators.sketches import heavy_hitter_candidates
+
+    cap = 10
+    cands = heavy_hitter_candidates(df, "x", cap).collect()
+    vals = {r["value"] for r in cands if r["value"] is not None}
+    n = sum(r["cnt"] for r in cands if r["value"] is None)
+    assert n == 820  # exact total from the sentinel rows
+    # ≤ capacity counters per partition
+    assert len(vals) <= 5 * cap
+    # guarantee: every value with count > n/(cap+1) is a candidate
+    must = {str(v) for v in range(1, 41) if v > n / (cap + 1)}
+    assert must <= vals
+
+
+def test_heavy_hitters_validates_phi(spark):
+    import pytest as _pytest
+    from gecko_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "x string")
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "x", 1, 1)
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "x", 0, 5)
