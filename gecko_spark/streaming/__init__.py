@@ -3,6 +3,7 @@
 from gecko_spark.streaming.stream import (
     decontaminate_stream,
     dedupe_stream,
+    heavy_hitters_stream,
     interval_join_streams,
     neardup_dedupe_stream,
     pack_stream,
@@ -16,6 +17,7 @@ from gecko_spark.streaming.stream import (
 __all__ = [
     "decontaminate_stream",
     "dedupe_stream",
+    "heavy_hitters_stream",
     "interval_join_streams",
     "neardup_dedupe_stream",
     "pack_stream",

@@ -29,6 +29,7 @@ __all__ = [
     "dedupe_stream",
     "decontaminate_stream",
     "pack_stream",
+    "heavy_hitters_stream",
 ]
 
 EVENTS_SCHEMA = T.StructType(
@@ -491,4 +492,94 @@ def pack_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    col: str,
+    capacity: int = 64,
+    n_shards: int = 16,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming heavy-hitter candidates: a per-shard Misra–Gries
+    summary maintained across micro-batches (the streaming face of
+    ``operators/sketches.py::heavy_hitters``).
+
+    Values shard by ``xxhash64 mod n_shards`` — a value's WHOLE count
+    lives in exactly one shard, so any value whose running count
+    exceeds ``n_shard/(capacity+1)`` (≤ total/(capacity+1)) is
+    guaranteed present in its shard's summary: the same superset
+    guarantee the batch operator gets from per-partition summaries.
+    State is two fixed arrays (values, counts) + the shard's row count
+    — O(n_shards × capacity) total regardless of history, the
+    mergeable-summary contract applied to unbounded input.
+
+    Each micro-batch re-emits the shard's current summary in update
+    mode; downstream takes the LAST emission per (shard, value) and —
+    exactly as in the batch path — an exact recount of the candidates
+    over the stored data turns candidates into exact heavy hitters.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from gecko_spark.operators.sketches import _mg_absorb
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be ≥ 1, got {capacity}")
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("n_shard", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("values", T.ArrayType(T.StringType())),
+            T.StructField("cnts", T.ArrayType(T.LongType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (shard,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        if state.exists:
+            values, cnts, n = state.get
+            counters = dict(zip(values, cnts))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            s = pdf["value"].dropna()
+            n += len(s)
+            counters = _mg_absorb(counters, s.value_counts().to_dict(), capacity)
+        state.update((list(counters.keys()), [int(c) for c in counters.values()], n))
+        yield pd.DataFrame(
+            {
+                "shard": shard,
+                "value": list(counters.keys()),
+                "cnt": [int(c) for c in counters.values()],
+                "n_shard": n,
+            }
+        )
+
+    shard = F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(n_shards)).cast("int")
+    src = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.col(col).cast("string").alias("value"),
+            shard.alias("shard"),
+        )
+    )
+    return src.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -508,3 +508,43 @@ def test_neardup_dedupe_stream_suppresses_fingerprint_dups(spark, tmp_path):
     assert all(r["doc_id"] < 10000 for r in got)
     texts = [r["text"] for r in got]
     assert len(set(texts)) == len(texts)
+
+
+def test_heavy_hitters_stream_superset_and_bounds(spark):
+    from gecko_spark.streaming import heavy_hitters_stream
+
+    cap, shards = 3, 4
+    events = stream_events(spark, f"{SF}/events.parquet")
+    hh = heavy_hitters_stream(
+        events, "event_type", capacity=cap, n_shards=shards, watermark="0 seconds"
+    )
+    _run(hh, "hh_stream", mode="update")
+    # update mode re-emits each shard's summary per micro-batch; the
+    # LAST emission per (shard, value) is the final running summary
+    pdf = spark.sql("SELECT * FROM hh_stream").toPandas()
+    last = pdf.groupby(["shard", "value"]).last().reset_index()
+
+    exact = (
+        load_table(spark, SF, "events")
+        .groupBy(F.col("event_type").cast("string").alias("value"))
+        .agg(F.count("*").alias("cnt"))
+        .toPandas()
+        .set_index("value")["cnt"]
+    )
+    n_shard = last.groupby("shard")["n_shard"].max()
+    # per-shard totals sum to the corpus (sentinel-free: carried on rows)
+    assert n_shard.sum() == int(exact.sum())
+    for _, r in last.iterrows():
+        true = int(exact[r["value"]])
+        # MG estimate never overcounts; undercount ≤ n_shard/(cap+1)
+        assert r["cnt"] <= true
+        assert true - r["cnt"] <= n_shard[r["shard"]] / (cap + 1)
+    # superset guarantee: every value heavier than its shard's MG error
+    # bound survived in the summary
+    got = set(last["value"])
+    for v, true in exact.items():
+        sh = last[last["value"] == v]["shard"]
+        # value's shard: recompute via the same xxhash64 is overkill —
+        # assert the global form: heavier than ANY shard's bound ⇒ present
+        if true > n_shard.max() / (cap + 1):
+            assert v in got, v
