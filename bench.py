@@ -221,6 +221,32 @@ def bench_queries(spark, sf_dir):
 
     timed("topk_cosine_matrix_100q", _matrix_topk)
 
+    # PQ search at a 100-query load: ADC over 8-byte codes + exact
+    # re-rank of the shortlist (codes built once outside the timer — at
+    # scale the compressed index is persisted, search is the hot path)
+    from gecko_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq_queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    books = pq_train(emb, m=8, k_codes=16, seed=0)
+    codes = pq_encode(emb, books).persist()
+    codes.count()
+    try:
+        timed(
+            "topk_pq_rerank_100q",
+            lambda: _run(
+                pq_topk_rerank(codes, books, emb, pq_queries, k=10, shortlist=100)
+            ),
+        )
+    finally:
+        codes.unpersist()
+
     # --- skew datapoint: salted vs plain agg+join under one hot key -----
     # One user owns ~20% of all events; quantifies when the salt pays.
     def _skew_workload(salted):

@@ -34,6 +34,10 @@ __all__ = [
     "read_ivf_index",
     "quantize_int8",
     "dequantize_int8",
+    "pq_train",
+    "pq_encode",
+    "pq_topk_adc",
+    "pq_topk_rerank",
 ]
 
 
@@ -523,6 +527,231 @@ def cosine_topk_ivf(
         "query_id",
         F.col(id_col).alias("vec_id"),
         cosine_sim(F.col(vec_col), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the third leg of the scale-ANN triad next
+# to IVF (list pruning) and int8 (scalar quantization). A D-dim float32
+# vector becomes m sub-codes (one byte each at k_codes ≤ 256): 64-dim
+# float32 → 8 bytes is a 32× memory cut, which at 100 TB is the
+# difference between an index that fits executor memory and one that
+# doesn't. Search uses asymmetric distance computation (ADC): per query
+# ONE m×k_codes lookup table, then each corpus code scores with m table
+# lookups — no float vector is ever touched at scan time.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 0,
+    iters: int = 10,
+    sample_per_code: int = 256,
+) -> np.ndarray:
+    """Codebooks of shape ``(m, k_codes, dim/m)``: per-subspace L2
+    k-means trained on a driver-side sample (the standard PQ practice —
+    codebook quality saturates at a few hundred samples per code, so
+    even a billion-vector corpus trains on ``k_codes·sample_per_code``
+    rows). Deterministic: seeded sample, seeded init, fixed iteration
+    count. Empty codes keep their previous centroid."""
+    dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if not 2 <= k_codes <= 256:
+        raise ValueError(f"k_codes must be in [2, 256], got {k_codes}")
+    dsub = dim // m
+    want = k_codes * sample_per_code
+    frac = min(1.0, want / max(corpus.count(), 1))
+    sample = np.array(
+        corpus.select(vec_col).sample(frac, seed=seed).limit(want).toPandas()[vec_col].tolist(),
+        dtype=np.float64,
+    )
+    if len(sample) < k_codes:
+        raise ValueError("not enough rows to train codebooks")
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), k_codes, replace=False)]
+        for _ in range(iters):
+            # squared L2 to each centroid: ||x||² − 2x·c + ||c||²
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(k_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector's nearest code per subspace.
+    One Arrow kernel per batch (three BLAS-shaped ops per subspace), no
+    shuffle: encoding is embarrassingly parallel and the output is the
+    compressed index you persist (codes are ≤ 256 so a parquet sink
+    stores them as bytes after dictionary encoding)."""
+    m, k_codes, dsub = codebooks.shape
+    books = codebooks  # closed over; broadcast by Spark with the task
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def _enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n = x.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                sub = x[:, j * dsub : (j + 1) * dsub]
+                cents = books[j]
+                d2 = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ cents.T)
+                    + (cents * cents).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _enc, f"vec_id {id_type}, codes array<int>"
+    )
+
+
+def pq_topk_adc(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k nearest (squared-L2) via asymmetric distance:
+    per query one ``m×k_codes`` lookup table of subvector→code
+    distances, then every corpus code's distance is m table lookups —
+    computed here as one fancy-indexing gather + sum per Arrow batch,
+    for ALL queries at once.
+
+    Scale shape mirrors :func:`cosine_topk_matrix`: the query LUTs are
+    driver-built (queries are small by definition) and closed over; each
+    batch keeps only its per-query top-k (argpartition), so the one
+    window shuffle sees ``batches × Q × k`` candidate rows, never the
+    corpus. Pair with IVF lists for the classic IVF-PQ layout: probe
+    pruning cuts the scan, PQ cuts the bytes scanned."""
+    m, k_codes, dsub = codebooks.shape
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError("queries is empty")
+    qm = np.array(qpdf[query_vec_col].tolist(), dtype=np.float64)
+    if qm.shape[1] != m * dsub:
+        raise ValueError(f"query dim {qm.shape[1]} != codebook dim {m * dsub}")
+    nq = len(qpdf)
+    # LUT[q, j, c] = ||query_q[sub j] − codebook[j, c]||²
+    luts = np.empty((nq, m, k_codes), dtype=np.float64)
+    for j in range(m):
+        qs = qm[:, j * dsub : (j + 1) * dsub]
+        cents = codebooks[j]
+        luts[:, j, :] = (
+            (qs * qs).sum(axis=1, keepdims=True)
+            - 2.0 * (qs @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+    qids = qpdf[query_id_col].tolist()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = codes_df.schema["vec_id"].dataType.simpleString()
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # B×m
+            # gather: dists[b, q] = Σ_j LUT[q, j, codes[b, j]]
+            # (one advanced-index per subspace keeps peak memory B×Q)
+            dists = np.zeros((codes.shape[0], nq), dtype=np.float64)
+            for j in range(m):
+                dists += luts[:, j, :][:, codes[:, j]].T  # B×Q
+            kk = min(k, dists.shape[0])
+            top = np.argpartition(dists, kk - 1, axis=0)[:kk]  # kk×Q
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": [qids[q] for q in range(nq) for _ in range(kk)],
+                    "vec_id": [ids[top[i, q]] for q in range(nq) for i in range(kk)],
+                    "adc_dist": [dists[top[i, q], q] for q in range(nq) for i in range(kk)],
+                }
+            )
+
+    scored = codes_df.select("vec_id", "codes").mapInPandas(
+        _score, f"query_id {qid_type}, vec_id {id_type}, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    shortlist: int = 100,
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — the production IVF-PQ search
+    shape: ADC over the compressed codes selects ``shortlist``
+    candidates per query (the full-corpus scan touches only m-byte
+    codes), then ONLY those ``Q × shortlist`` rows fetch their float
+    vectors for an exact cosine re-rank. Quantization distortion then
+    costs recall only when a true neighbor falls outside the shortlist
+    — recall is tunable by ``shortlist`` at re-rank cost ``Q·shortlist``
+    instead of scan cost ``Q·N``."""
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be ≥ k {k}")
+    cand = pq_topk_adc(
+        codes_df,
+        codebooks,
+        queries,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=shortlist,
+    ).select("query_id", "vec_id")
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv__"),
+    )
+    # candidates are Q×shortlist rows; the corpus side of the fetch join
+    # is id-keyed (shuffle prunes to candidate ids under AQE; at scale,
+    # bucket the corpus by id so the fetch is shuffle-free)
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv__")),
+            "vec_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(F.col("__cv__"), F.col("__qv__")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

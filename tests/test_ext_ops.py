@@ -1125,3 +1125,67 @@ def test_semantic_cluster_cap_drops_degenerate_cluster(spark):
     ids = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (900, 901) in ids
     assert all(a >= 900 for a, _ in ids)  # degenerate cluster dropped
+
+
+# -- product quantization ----------------------------------------------------
+
+
+def test_pq_encode_shape_and_determinism(spark, embeddings):
+    books = S.pq_train(embeddings, m=8, k_codes=16, seed=3)
+    dim = S.infer_dim(embeddings, "embedding")
+    assert books.shape == (8, 16, dim // 8)
+    codes = S.pq_encode(embeddings, books).toPandas()
+    assert len(codes) == embeddings.count()
+    arr = np.array(codes["codes"].tolist())
+    assert arr.shape[1] == 8
+    assert arr.min() >= 0 and arr.max() < 16
+    # deterministic: retrain + re-encode is identical
+    books2 = S.pq_train(embeddings, m=8, k_codes=16, seed=3)
+    assert np.array_equal(books, books2)
+    codes2 = S.pq_encode(embeddings, books2).toPandas()
+    m1 = codes.sort_values("vec_id")["codes"].tolist()
+    m2 = codes2.sort_values("vec_id")["codes"].tolist()
+    assert all(np.array_equal(a, b) for a, b in zip(m1, m2))
+
+
+def test_pq_adc_recall_against_bruteforce(spark, embeddings):
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = S.cosine_topk_bruteforce(embeddings, queries, k=5).toPandas()
+    books = S.pq_train(embeddings, m=16, k_codes=32, seed=0)
+    codes = S.pq_encode(embeddings, books).cache()
+    approx = S.pq_topk_adc(codes, books, queries, k=5).toPandas()
+    assert (approx.groupby("query_id").size() == 5).all()
+    # embeddings are ~unit-norm, so squared-L2 ADC ranks ≈ cosine ranks.
+    # Random near-orthogonal vectors are PQ's worst case (top-5 gaps sit
+    # inside the quantization noise), so plain ADC only has to beat the
+    # ~1% random-guess floor convincingly...
+    def _recall(approx_pdf):
+        r = 0.0
+        for qid in exact["query_id"].unique():
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(approx_pdf[approx_pdf["query_id"] == qid]["vec_id"])
+            r += len(e & a) / len(e)
+        return r / exact["query_id"].nunique()
+
+    assert _recall(approx) >= 0.3
+    # self-query must be its own nearest code sequence
+    r1 = approx[approx["rank"] == 1]
+    assert (r1["query_id"] == r1["vec_id"]).all()
+    # ...while the production shape — ADC shortlist + exact re-rank —
+    # recovers high recall at Q×shortlist re-rank cost
+    rer = S.pq_topk_rerank(
+        codes, books, embeddings, queries, k=5, shortlist=100
+    ).toPandas()
+    assert (rer.groupby("query_id").size() == 5).all()
+    assert _recall(rer) >= 0.9
+    with pytest.raises(ValueError):
+        S.pq_topk_rerank(codes, books, embeddings, queries, k=50, shortlist=10)
+
+
+def test_pq_validates_inputs(spark, embeddings):
+    with pytest.raises(ValueError):
+        S.pq_train(embeddings, m=7)  # dim not divisible
+    with pytest.raises(ValueError):
+        S.pq_train(embeddings, m=8, k_codes=1)
