@@ -139,6 +139,15 @@ def main() -> None:
         for r in quantile_estimate(sk, [0.5, 0.9, 0.99]).collect():
             print(f"  n_chars p{int(r['q'] * 100)}: {r['estimate']:.0f}")
 
+        # boilerplate audit: tokens claiming >2% of the whole stream —
+        # exact counts at Misra-Gries memory, never a full-vocab shuffle
+        from gecko_spark.operators.sketches import heavy_hitters
+        from gecko_spark.operators.text import tokens
+
+        toks = result.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        for r in heavy_hitters(toks, "tok", 1, 50).orderBy(F.desc("cnt")).collect():
+            print(f"  heavy token {r['value']!r}: {r['cnt']}")
+
         # final assignment: deterministic, append-stable 98/1/1 split
         from gecko_spark.core import LcgRandom
         from gecko_spark.operators.sampling import split_dataset
