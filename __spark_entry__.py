@@ -2923,6 +2923,38 @@ SELECT value, cnt FROM cnts CROSS JOIN n WHERE cnt * 100 > 1 * n_total
 """
 
 
+def _sketch_topk_counts(spark, sf):
+    """Exact bounded-memory top-10 by frequency
+    (sketches.py::top_k_by_count): Misra–Gries candidates + exact
+    recount + runtime certificate (k-th count must beat the MG error
+    bound n/(capacity+1), checked from the k result rows — the query
+    FAILS LOUDLY rather than return an uncertified top-k). Rank is
+    (cnt desc, value asc) — a total order, so the result is unique and
+    the oracle replays it with one ROW_NUMBER. Same power-law bucket
+    key as `sketch_heavy_hitters`; capacity 120 keeps pruning active at
+    sf0.1 (141 buckets) with a ~40% certificate margin."""
+    from gecko_spark.operators.sketches import top_k_by_count
+
+    li = load_table(spark, sf, "lineitem")
+    bucket = F.floor(F.sqrt(F.col("l_partkey"))).cast("long")
+    return top_k_by_count(li, bucket, k=10, capacity=120)
+
+
+_TOPK_COUNTS_SQL = """
+WITH src AS (
+  SELECT CAST(CAST(FLOOR(SQRT(l_partkey)) AS BIGINT) AS VARCHAR) AS value
+  FROM lineitem
+),
+cnts AS (SELECT value, COUNT(*) AS cnt FROM src GROUP BY value),
+ranked AS (
+  SELECT value, cnt,
+         row_number() OVER (ORDER BY cnt DESC, value ASC) AS rank
+  FROM cnts
+)
+SELECT value, cnt, rank FROM ranked WHERE rank <= 10
+"""
+
+
 def _sketch_quantiles(spark, sf):
     """Bottom-k quantile sketch (sketches.py): hash-ranked uniform row
     sample whose order statistics estimate quantiles. Rank hash is
@@ -4211,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_divergence": _text_vocab_divergence,
         "text_chunks_tokens": _text_chunks_tokens,
         "sketch_heavy_hitters": _sketch_heavy_hitters,
+        "sketch_topk_counts": _sketch_topk_counts,
         # --- newest driver row is r02 — re-grade this round ---
         # generators (incl. gen_datasource, codec-adjacent paths)
         "gen_normal": _gen_normal,
@@ -4393,6 +4426,7 @@ def oracle_sql() -> dict[str, str]:
         "text_chunks": _text_chunks_sql(),
         "text_chunks_tokens": _text_chunks_tokens_sql(),
         "sketch_heavy_hitters": _HEAVY_HITTERS_SQL,
+        "sketch_topk_counts": _TOPK_COUNTS_SQL,
         "sketch_kmv_distinct": _sketch_kmv_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_reservoir_n": _sample_reservoir_sql(),

@@ -18,7 +18,7 @@ classic mergeable-sketch contract (union = merge + re-truncate).
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Optional, Union
 
 import numpy as np
 import pandas as pd
@@ -50,6 +50,7 @@ __all__ = [
     "quantile_group_estimate",
     "heavy_hitter_candidates",
     "heavy_hitters",
+    "top_k_by_count",
 ]
 
 # hash range: s1 ∈ [0, P1), s2 ∈ [0, P2) packed as s1·P2 + s2 < P1·P2
@@ -542,4 +543,81 @@ def heavy_hitters(
         counts.join(F.broadcast(total))
         .where(F.col("cnt") * phi_den > phi_num * F.col("n_total"))
         .select("value", "cnt")
+    )
+
+
+def top_k_by_count(
+    df: DataFrame,
+    col: Union[str, Column],
+    k: int,
+    capacity: Optional[int] = None,
+    verify: bool = True,
+) -> DataFrame:
+    """EXACT top-k most frequent values as ``(value, cnt, rank)``
+    (rank by cnt desc, value asc — a total order, so the result is
+    unique and oracle-comparable) without ever shuffling the column's
+    full cardinality: the same Misra–Gries candidates + exact-recount
+    machinery as :func:`heavy_hitters`.
+
+    The top-k is provably exact when the k-th recounted count exceeds
+    the MG error bound n/(capacity+1) — no non-candidate can beat it.
+    With ``verify=True`` (default) that certificate is CHECKED from the
+    result itself (k rows + one total — config-sized driver traffic)
+    and a too-small capacity raises instead of silently returning a
+    wrong top-k; when the candidate recount covers the whole input
+    (sum of recounts == n) the candidate set is the entire support and
+    the result is exact regardless. Default capacity ``max(64, 8·k)``
+    makes the certificate hold for any corpus where the k-th most
+    frequent value claims more than 1/(8k+1) of the stream."""
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    if capacity is None:
+        capacity = max(64, 8 * k)
+    if capacity < k:
+        raise ValueError(f"capacity {capacity} must be ≥ k {k}")
+    from pyspark.sql import Window
+
+    c = F.col(col) if isinstance(col, str) else col
+    src = df.select(c.cast("string").alias("value")).where(
+        F.col("value").isNotNull()
+    )
+    cands = heavy_hitter_candidates(df, col, capacity).persist()
+    vals = cands.where(F.col("value").isNotNull()).select("value").distinct()
+    counts = (
+        src.join(F.broadcast(vals), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+    topk = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("value", "cnt", F.col("rank").cast("long").alias("rank"))
+    )
+    if not verify:
+        return topk
+    rows = topk.collect()  # ≤ k rows by construction
+    n = cands.where(F.col("value").isNull()).agg(F.sum("cnt")).collect()[0][0] or 0
+    covered = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    complete = covered == n  # candidates are the entire support
+    if len(rows) == k and not complete:
+        kth = rows[-1]["cnt"]
+        if kth * (capacity + 1) <= n:
+            raise ValueError(
+                f"top-{k} not certifiable: k-th count {kth} ≤ MG error "
+                f"bound n/(capacity+1) = {n}/{capacity + 1} — increase "
+                f"capacity (currently {capacity})"
+            )
+    elif len(rows) < k and not complete:
+        raise ValueError(
+            f"only {len(rows)} candidates for top-{k} and the recount "
+            f"does not cover the input ({covered}/{n}) — increase capacity"
+        )
+    # return the verified rows as a fresh config-sized DataFrame (the
+    # certificate already forced the computation; re-materializing k
+    # rows beats re-running both scans on the next action)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r["value"], r["cnt"], r["rank"]) for r in rows],
+        "value string, cnt long, rank long",
     )

@@ -249,3 +249,41 @@ def test_heavy_hitters_validates_phi(spark):
         heavy_hitters(df, "x", 1, 1)
     with _pytest.raises(ValueError):
         heavy_hitters(df, "x", 0, 5)
+
+
+def test_top_k_by_count_exact_and_certified(spark):
+    rows = [(str(v),) for v in range(1, 61) for _ in range(v)]
+    df = spark.createDataFrame(rows, "x string").repartition(7)
+    from gecko_spark.operators.sketches import top_k_by_count
+
+    got = top_k_by_count(df, "x", 5, capacity=40).collect()
+    # exact: values 60..56, rank by cnt desc
+    assert [(r["value"], r["cnt"], r["rank"]) for r in got] == [
+        (str(v), v, i + 1) for i, v in enumerate(range(60, 55, -1))
+    ]
+
+
+def test_top_k_by_count_tie_break_is_total_order(spark):
+    rows = [("b",)] * 3 + [("a",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "x string")
+    from gecko_spark.operators.sketches import top_k_by_count
+
+    got = [(r["value"], r["rank"]) for r in top_k_by_count(df, "x", 2).collect()]
+    assert got == [("a", 1), ("b", 2)]  # tie at 3 broken by value asc
+
+
+def test_top_k_by_count_uncertifiable_raises(spark):
+    # near-uniform: 200 values × 5 occurrences; capacity 8 cannot
+    # certify a top-3 (3rd count 5 ≤ 1000/9)
+    rows = [(str(v),) for v in range(200) for _ in range(5)]
+    df = spark.createDataFrame(rows, "x string").repartition(6)
+    from gecko_spark.operators.sketches import top_k_by_count
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capacity"):
+        top_k_by_count(df, "x", 3, capacity=8)
+    # but a capacity covering the whole support is exact (complete
+    # recount certificate), even though counts are uniform
+    got = top_k_by_count(df, "x", 3, capacity=200).collect()
+    assert [(r["value"], r["cnt"]) for r in got] == [("0", 5), ("1", 5), ("10", 5)]
