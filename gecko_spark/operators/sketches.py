@@ -599,6 +599,7 @@ def top_k_by_count(
     rows = topk.collect()  # ≤ k rows by construction
     n = cands.where(F.col("value").isNull()).agg(F.sum("cnt")).collect()[0][0] or 0
     covered = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    cands.unpersist()  # everything derived is materialized above
     complete = covered == n  # candidates are the entire support
     if len(rows) == k and not complete:
         kth = rows[-1]["cnt"]

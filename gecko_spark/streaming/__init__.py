@@ -5,6 +5,8 @@ from gecko_spark.streaming.stream import (
     dedupe_stream,
     heavy_hitters_stream,
     interval_join_streams,
+    kmv_distinct_stream,
+    kmv_estimate_from_shards,
     neardup_dedupe_stream,
     pack_stream,
     mutate_stream,
@@ -19,6 +21,8 @@ __all__ = [
     "dedupe_stream",
     "heavy_hitters_stream",
     "interval_join_streams",
+    "kmv_distinct_stream",
+    "kmv_estimate_from_shards",
     "neardup_dedupe_stream",
     "pack_stream",
     "mutate_stream",

@@ -30,6 +30,8 @@ __all__ = [
     "decontaminate_stream",
     "pack_stream",
     "heavy_hitters_stream",
+    "kmv_distinct_stream",
+    "kmv_estimate_from_shards",
 ]
 
 EVENTS_SCHEMA = T.StructType(
@@ -582,4 +584,99 @@ def heavy_hitters_stream(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def kmv_distinct_stream(
+    events: DataFrame,
+    col: str,
+    k: int = 1024,
+    n_shards: int = 16,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming distinct-count sketch: each shard keeps the k smallest
+    portable KMV hashes of its (disjoint, hash-partitioned) slice of
+    the value space across micro-batches — the streaming face of
+    ``operators/sketches.py::kmv_sketch``.
+
+    Sharding by ``hash mod n_shards`` splits the HASH space, so the
+    union of the per-shard bottom-k sets contains the global bottom-k:
+    :func:`kmv_estimate_from_shards` on the latest emission per shard
+    gives exactly the estimate the batch sketch would — and the EXACT
+    distinct count whenever the union holds fewer than k hashes. State
+    is ≤ n_shards × k longs regardless of history."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from gecko_spark.operators.sketches import kmv_hash
+
+    if k < 2:
+        raise ValueError("k must be ≥ 2")
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("hs", T.ArrayType(T.LongType())),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("hs", T.ArrayType(T.LongType()))]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (shard,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        (hs,) = state.get if state.exists else ([],)
+        acc = np.asarray(hs, dtype=np.int64)
+        for pdf in pdfs:
+            batch = pdf["h"].to_numpy(np.int64)
+            acc = np.unique(np.concatenate([acc, batch]))[:k]
+        out = [int(x) for x in acc]
+        state.update((out,))
+        yield pd.DataFrame({"shard": [shard], "hs": [out]})
+
+    h = kmv_hash(F.col(col))
+    src = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            h.alias("h"),
+            F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        )
+    )
+    return src.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def kmv_estimate_from_shards(shard_sketches: DataFrame, k: int) -> DataFrame:
+    """One-row ``(n_seen, estimate)`` from the latest per-shard KMV
+    emissions: union the hash sets, keep the global k smallest, apply
+    the standard estimator — identical arithmetic to the batch
+    ``kmv_distinct_estimate``, so stream and batch agree exactly on the
+    same data. Input is ≤ n_shards rows (config-sized)."""
+    from gecko_spark.operators.sketches import _M
+
+    merged = (
+        shard_sketches.select(F.explode("hs").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    return merged.agg(
+        F.count("*").alias("n_seen"), F.max("h").alias("h_k")
+    ).select(
+        F.col("n_seen").cast("long").alias("n_seen"),
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(float(_M)) / F.col("h_k").cast("double")
+        )
+        .alias("estimate"),
     )

@@ -548,3 +548,34 @@ def test_heavy_hitters_stream_superset_and_bounds(spark):
         # assert the global form: heavier than ANY shard's bound ⇒ present
         if true > n_shard.max() / (cap + 1):
             assert v in got, v
+
+
+def test_kmv_distinct_stream_exact_below_k_and_matches_batch(spark):
+    from gecko_spark.operators.sketches import kmv_distinct_estimate
+    from gecko_spark.streaming import kmv_distinct_stream, kmv_estimate_from_shards
+
+    events = stream_events(spark, f"{SF}/events.parquet")
+    sk = kmv_distinct_stream(
+        events, "user_id", k=1024, n_shards=4, watermark="0 seconds"
+    )
+    _run(sk, "kmv_stream", mode="update")
+    last = (
+        spark.sql("SELECT * FROM kmv_stream")
+        .toPandas()
+        .groupby("shard")
+        .last()
+        .reset_index()
+    )
+    est = kmv_estimate_from_shards(
+        spark.createDataFrame(last), k=1024
+    ).collect()[0]
+    exact = load_table(spark, SF, "events").select("user_id").distinct().count()
+    # below k the union of shard sketches IS the distinct hash set:
+    # the "estimate" is the exact distinct count
+    assert est["n_seen"] == exact
+    assert est["estimate"] == float(exact)
+    # and it agrees bit-for-bit with the batch sketch on the same data
+    batch = kmv_distinct_estimate(
+        load_table(spark, SF, "events"), "user_id", k=1024
+    ).collect()[0]
+    assert (est["n_seen"], est["estimate"]) == (batch["n_seen"], batch["estimate"])

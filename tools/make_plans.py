@@ -203,6 +203,16 @@ def main():
         "the manifest aggregation. No iteration, no driver loop.",
     )
 
+    cap(
+        "heavy hitters: MG summary scan + broadcast-pruned recount",
+        qs["sketch_heavy_hitters"](spark, sf),
+        "Pass 1 is a mapInPandas summary whose output is partitions×capacity "
+        "rows; pass 2's recount joins the candidate list as a BROADCAST "
+        "left-semi below the aggregation exchange, so the groupBy key space "
+        "is the candidate set, never the column's cardinality; the total-count "
+        "join is a 1-row IdentityBroadcast.",
+    )
+
     # bucketed warehouse: write once, join forever without exchanges
     import tempfile
 
