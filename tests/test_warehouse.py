@@ -107,3 +107,66 @@ def test_compact_reduces_files(spark, tmp_path):
     assert before > n_langs  # it was littered
     assert after == n_langs
     assert spark.read.parquet(out).count() == n_rows
+
+
+# -- corpus ingestion --------------------------------------------------------
+
+
+def test_read_corpus_jsonl_roundtrip(spark, tmp_path):
+    from gecko_spark.sources.corpus import read_corpus, write_jsonl
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "jl")
+    write_jsonl(docs, out, compression=None, partitions=1)
+    back = read_corpus(spark, out, fmt="jsonl", id_col="doc_id", keep_cols=["lang"])
+    got = sorted((r["doc_id"], r["text"], r["lang"]) for r in back.collect())
+    assert got == [(1, "alpha beta", "en"), (2, "gamma delta", "de")]
+
+
+def test_read_corpus_text_lines_content_addressed(spark, tmp_path):
+    from gecko_spark.sources.corpus import read_corpus
+
+    p = tmp_path / "docs.txt"
+    p.write_text("first doc line\nsecond doc line\n")
+    df = read_corpus(spark, str(p), fmt="text")
+    rows = df.collect()
+    assert {r["text"] for r in rows} == {"first doc line", "second doc line"}
+    assert all(r["doc_id"] >= 0 for r in rows)
+    # content-addressed: re-reading assigns identical ids
+    again = {r["text"]: r["doc_id"] for r in read_corpus(spark, str(p), fmt="text").collect()}
+    assert all(again[r["text"]] == r["doc_id"] for r in rows)
+
+
+def test_read_corpus_csv_and_missing_text_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from gecko_spark.sources.corpus import read_corpus
+
+    p = tmp_path / "c.csv"
+    p.write_text("text,score\nhello world,3\nbye now,4\n")
+    df = read_corpus(spark, str(p), fmt="csv", keep_cols=["score"])
+    assert df.count() == 2
+    assert set(df.columns) == {"doc_id", "text", "score"}
+    p2 = tmp_path / "bad.csv"
+    p2.write_text("body\nhello\n")
+    with _pytest.raises(ValueError, match="no 'text'"):
+        read_corpus(spark, str(p2), fmt="csv")
+    with _pytest.raises(ValueError, match="format"):
+        read_corpus(spark, str(p), fmt="xml")
+
+
+def test_read_corpus_gzip_jsonl(spark, tmp_path):
+    import gzip
+    import json as _json
+
+    from gecko_spark.sources.corpus import read_corpus
+
+    p = tmp_path / "part-0.json.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(5):
+            f.write(_json.dumps({"text": f"doc {i}"}) + "\n")
+    df = read_corpus(spark, str(tmp_path), fmt="jsonl")
+    assert df.count() == 5
