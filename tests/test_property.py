@@ -191,3 +191,38 @@ def test_normalize_url_matches_python_model(spark, urls):
     }
     for i, u in enumerate(urls):
         assert got[i] == _model_normalize_url(u), f"input={u!r}"
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters vs the naive full GROUP BY (round 5)
+# ---------------------------------------------------------------------------
+# heavy_hitters claims EXACT equality with the unbounded-memory naive
+# computation for every input and φ; Misra–Gries pruning plus the
+# candidate recount is where an off-by-one in the error bound would
+# hide. Random multisets over a small alphabet (dense collisions,
+# adversarial for tie handling) + random rational thresholds.
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(1, 60)), min_size=1, max_size=25
+    ),
+    phi=st.sampled_from([(1, 3), (1, 7), (2, 9), (1, 20), (3, 10)]),
+    parts=st.integers(1, 6),
+)
+def test_heavy_hitters_match_naive_model(spark, counts, phi, parts):
+    from gecko_spark.operators.sketches import heavy_hitters
+
+    bag: dict[str, int] = {}
+    for v, c in counts:
+        bag[str(v)] = bag.get(str(v), 0) + c
+    rows = [(val,) for val, c in bag.items() for _ in range(c)]
+    n = sum(bag.values())
+    num, den = phi
+    df = spark.createDataFrame(rows, "x string").repartition(parts)
+    got = {
+        (r["value"], r["cnt"]) for r in heavy_hitters(df, "x", num, den).collect()
+    }
+    want = {(v, c) for v, c in bag.items() if c * den > num * n}
+    assert got == want, (bag, phi, parts)
