@@ -17,6 +17,10 @@ re-read:
   6. partitioned write  (sinks.write_partitioned — bounded files per
                          lang partition)
 
+The increment lands as gzip JSONL and enters through
+sources/corpus.py::read_corpus — the same (doc_id, text, meta) contract
+whatever the feed format.
+
 Run: python examples/incremental_ingest.py [sf_dir] [out_dir]
 """
 
@@ -52,7 +56,16 @@ def main() -> None:
         # bootstrap: first 60% of ids are the already-ingested corpus,
         # last 40% arrive as today's increment; 5% are the eval split
         corpus = docs.filter(F.col("doc_id") % 10 < 6)
-        increment = docs.filter(F.col("doc_id") % 10 >= 6)
+        # today's increment arrives as gzip JSONL (the interchange
+        # format real feeds deliver) and enters through the corpus
+        # reader, which re-enforces the (doc_id, text, meta) contract
+        from gecko_spark.sources.corpus import read_corpus, write_jsonl
+
+        arrival = f"{out_dir}/arrival_jsonl"
+        write_jsonl(docs.filter(F.col("doc_id") % 10 >= 6), arrival, partitions=2)
+        increment = read_corpus(
+            spark, arrival, fmt="jsonl", id_col="doc_id", keep_cols=["lang", "quality"]
+        )
         evalset = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
 
         idx = f"{out_dir}/minhash_index"
