@@ -3,6 +3,7 @@
 from gecko_spark.streaming.stream import (
     decontaminate_stream,
     dedupe_stream,
+    heavy_hitters_from_shards,
     heavy_hitters_stream,
     interval_join_streams,
     kmv_distinct_stream,
@@ -19,6 +20,7 @@ from gecko_spark.streaming.stream import (
 __all__ = [
     "decontaminate_stream",
     "dedupe_stream",
+    "heavy_hitters_from_shards",
     "heavy_hitters_stream",
     "interval_join_streams",
     "kmv_distinct_stream",

@@ -30,6 +30,7 @@ __all__ = [
     "decontaminate_stream",
     "pack_stream",
     "heavy_hitters_stream",
+    "heavy_hitters_from_shards",
     "kmv_distinct_stream",
     "kmv_estimate_from_shards",
 ]
@@ -504,6 +505,7 @@ def heavy_hitters_stream(
     n_shards: int = 16,
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    output_mode: str = "update",
 ) -> DataFrame:
     """Streaming heavy-hitter candidates: a per-shard Misra–Gries
     summary maintained across micro-batches (the streaming face of
@@ -522,6 +524,11 @@ def heavy_hitters_stream(
     mode; downstream takes the LAST emission per (shard, value) and —
     exactly as in the batch path — an exact recount of the candidates
     over the stored data turns candidates into exact heavy hitters.
+
+    ``output_mode`` must match the sink's: "update" for memory/console
+    sinks, "append" for file sinks (the emissions are identical — each
+    batch re-emits the running summary; file-sink consumers take the
+    latest row per (shard, value)).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -582,7 +589,7 @@ def heavy_hitters_stream(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
@@ -679,4 +686,39 @@ def kmv_estimate_from_shards(shard_sketches: DataFrame, k: int) -> DataFrame:
             F.lit(float(k - 1)) * F.lit(float(_M)) / F.col("h_k").cast("double")
         )
         .alias("estimate"),
+    )
+
+
+def heavy_hitters_from_shards(
+    shard_summaries: DataFrame, phi_num: int, phi_den: int
+) -> DataFrame:
+    """Batch finalizer for :func:`heavy_hitters_stream`: from the
+    LATEST summary rows per shard, return every surviving candidate as
+    ``(value, cnt_lb, n_total, confirmed)``.
+
+    ``cnt_lb`` is the Misra–Gries estimate — a LOWER bound on the true
+    count (undercount ≤ n_shard/(capacity+1)). ``confirmed`` marks
+    values whose lower bound ALREADY clears the φ = phi_num/phi_den
+    threshold: certainly heavy, no recount needed. Unconfirmed
+    candidates are the maybe-set a recount over stored data resolves
+    exactly (the batch ``heavy_hitters`` path). Input is
+    ≤ n_shards × capacity rows — config-sized."""
+    if phi_num < 1 or phi_den < 1 or phi_num >= phi_den:
+        raise ValueError(f"need 0 < phi_num/phi_den < 1, got {phi_num}/{phi_den}")
+    totals = (
+        shard_summaries.groupBy("shard")
+        .agg(F.max("n_shard").alias("n_shard"))
+        .agg(F.sum("n_shard").alias("n_total"))
+    )
+    return (
+        shard_summaries.select("value", F.col("cnt").alias("cnt_lb"))
+        .join(F.broadcast(totals))
+        .select(
+            "value",
+            "cnt_lb",
+            "n_total",
+            (F.col("cnt_lb") * phi_den > phi_num * F.col("n_total")).alias(
+                "confirmed"
+            ),
+        )
     )

@@ -579,3 +579,88 @@ def test_kmv_distinct_stream_exact_below_k_and_matches_batch(spark):
         load_table(spark, SF, "events"), "user_id", k=1024
     ).collect()[0]
     assert (est["n_seen"], est["estimate"]) == (batch["n_seen"], batch["estimate"])
+
+
+def test_heavy_hitters_from_shards_confirms_lower_bound(spark):
+    from gecko_spark.streaming import heavy_hitters_from_shards
+
+    rows = [
+        (0, "hot", 400, 500),
+        (0, "warm", 30, 500),
+        (1, "other", 60, 500),
+    ]
+    df = spark.createDataFrame(rows, "shard int, value string, cnt long, n_shard long")
+    got = {
+        r["value"]: (r["cnt_lb"], r["n_total"], r["confirmed"])
+        for r in heavy_hitters_from_shards(df, 1, 10).collect()
+    }
+    # n_total = 500 + 500; threshold 100
+    assert got == {
+        "hot": (400, 1000, True),
+        "warm": (30, 1000, False),
+        "other": (60, 1000, False),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        heavy_hitters_from_shards(df, 3, 2)
+
+
+def test_checkpoint_restart_heavy_hitters_state(spark, tmp_path):
+    """The MG summary state must survive a query restart: process half
+    the events, stop, resume from the checkpoint for the other half.
+    A reset state store would restart every shard's n at zero — caught
+    by the exactly-once total; the undercount and superset guarantees
+    must hold across the restart exactly as in one continuous run."""
+    import pathlib
+
+    from gecko_spark.streaming import heavy_hitters_stream
+
+    cap, shards = 3, 4
+    ev = load_table(spark, SF, "events").select("ts", "event_type")
+    src = pathlib.Path(tmp_path) / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_until_drained():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src) + "/*/")
+        q = (
+            heavy_hitters_stream(
+                stream, "event_type", capacity=cap, n_shards=shards,
+                watermark="0 seconds", output_mode="append",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("event_type") < "m").coalesce(1).write.parquet(str(src / "b1"))
+    run_until_drained()
+    ev.filter(~(F.col("event_type") < "m")).coalesce(1).write.parquet(str(src / "b2"))
+    run_until_drained()  # resume from checkpoint
+
+    pdf = spark.read.parquet(out).toPandas()
+    # latest emission per (shard, value): parquet sink appends each
+    # batch's summary; the final state is the largest cnt per pair
+    # (MG counters only grow within a shard between truncations at this
+    # tiny cardinality)
+    last = pdf.sort_values("cnt").groupby(["shard", "value"]).last().reset_index()
+    n_by_shard = pdf.groupby("shard")["n_shard"].max()
+    exact = (
+        load_table(spark, SF, "events")
+        .groupBy(F.col("event_type").cast("string").alias("value"))
+        .agg(F.count("*").alias("cnt"))
+        .toPandas()
+        .set_index("value")["cnt"]
+    )
+    # exactly-once across the restart: shard totals sum to the corpus
+    assert n_by_shard.sum() == int(exact.sum())
+    for _, r in last.iterrows():
+        true = int(exact[r["value"]])
+        assert r["cnt"] <= true
+        assert true - r["cnt"] <= n_by_shard[r["shard"]] / (cap + 1)
