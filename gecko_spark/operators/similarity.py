@@ -38,6 +38,8 @@ __all__ = [
     "pq_encode",
     "pq_topk_adc",
     "pq_topk_rerank",
+    "write_pq_index",
+    "read_pq_index",
 ]
 
 
@@ -755,3 +757,50 @@ def pq_topk_rerank(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def write_pq_index(
+    codes_df: DataFrame, codebooks: np.ndarray, path: str
+) -> None:
+    """Persist a PQ index: the m-byte code table as parquet plus the
+    codebooks as a sidecar parquet of (subspace, code, centroid) rows
+    — m×k_codes rows, trivially small. The code table is the ONLY
+    data-sized artifact and it is ~dim·4/m× smaller than the raw
+    vectors; search jobs read it plus the sidecar and never touch the
+    float corpus until re-rank."""
+    import pandas as pd
+
+    codes_df.write.mode("overwrite").parquet(f"{path}/codes")
+    m, k_codes, _ = codebooks.shape
+    book_pdf = pd.DataFrame(
+        {
+            "subspace": [j for j in range(m) for _ in range(k_codes)],
+            "code": [c for _ in range(m) for c in range(k_codes)],
+            "centroid": [
+                [float(x) for x in codebooks[j, c]]
+                for j in range(m)
+                for c in range(k_codes)
+            ],
+        }
+    )
+    spark = codes_df.sparkSession
+    spark.createDataFrame(book_pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebooks"
+    )
+
+
+def read_pq_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load a PQ index written by :func:`write_pq_index`."""
+    codes = spark.read.parquet(f"{path}/codes")
+    pdf = (
+        spark.read.parquet(f"{path}/codebooks")
+        .toPandas()
+        .sort_values(["subspace", "code"])
+    )
+    m = int(pdf["subspace"].max()) + 1
+    k_codes = int(pdf["code"].max()) + 1
+    dsub = len(pdf["centroid"].iloc[0])
+    books = np.array(pdf["centroid"].tolist(), dtype=np.float64).reshape(
+        m, k_codes, dsub
+    )
+    return codes, books

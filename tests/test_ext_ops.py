@@ -1189,3 +1189,24 @@ def test_pq_validates_inputs(spark, embeddings):
         S.pq_train(embeddings, m=7)  # dim not divisible
     with pytest.raises(ValueError):
         S.pq_train(embeddings, m=8, k_codes=1)
+
+
+def test_pq_index_roundtrip(spark, embeddings, tmp_path):
+    books = S.pq_train(embeddings, m=8, k_codes=16, seed=5)
+    codes = S.pq_encode(embeddings, books)
+    S.write_pq_index(codes, books, str(tmp_path / "pq"))
+    codes2, books2 = S.read_pq_index(spark, str(tmp_path / "pq"))
+    assert np.array_equal(books, books2)
+    a = codes.toPandas().sort_values("vec_id")["codes"].tolist()
+    b = codes2.toPandas().sort_values("vec_id")["codes"].tolist()
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+    # search on the loaded index matches search on the in-memory one
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r1 = S.pq_topk_adc(codes, books, queries, k=5).toPandas()
+    r2 = S.pq_topk_adc(codes2, books2, queries, k=5).toPandas()
+    key = ["query_id", "vec_id", "rank"]
+    assert r1.sort_values(key).reset_index(drop=True).equals(
+        r2.sort_values(key).reset_index(drop=True)
+    )
