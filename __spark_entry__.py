@@ -4220,9 +4220,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # relational/LLM-ops surface (CORRECTNESS_r04 50/50). Round 5:
     # never-driver-graded entries first (the round-5 additions —
     # strip_html/url/split/cluster-reps, the line-dedup/logprob/mix/
-    # semantic/quantile/chunking family, and sketch_heavy_hitters —
-    # emb_quantize_int8 rotates out to slot 51, staying strict-locally
-    # verified), then the entries whose newest
+    # semantic/quantile/chunking family, and the two new frequency-
+    # sketch entries sketch_heavy_hitters + sketch_topk_counts —
+    # dedup_transitive and emb_quantize_int8 rotate out past slot 50;
+    # both are r04-driver-green and re-verified strict-locally this
+    # round at all three SFs), then the entries whose newest
     # driver row is still r02, then r04-green regression cover from the
     # families whose code changed this round. Five r02-graded mutator
     # entries whose code is UNCHANGED since round 2 (missing_value,

@@ -14,6 +14,14 @@ Scale shape: one pass, partial per input partition (each Arrow batch
 keeps only its k smallest), one tiny final reduction over
 ``partitions × k`` candidate rows. No full shuffle, no distinct — the
 classic mergeable-sketch contract (union = merge + re-truncate).
+
+Also here: count-min frequency sketches, bottom-k quantile sketches,
+and the EXACT frequency ops built on mergeable Misra–Gries summaries —
+:func:`heavy_hitters` (equal to the naive GROUP BY + HAVING at fixed
+memory) and :func:`top_k_by_count` (exact top-k with a runtime
+certificate). All share the same design rule: the only thing that ever
+crosses an exchange or reaches the driver is config-sized, and every
+estimate/result is bit-reproducible by an independent engine.
 """
 
 from __future__ import annotations
