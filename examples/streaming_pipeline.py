@@ -79,7 +79,22 @@ def build_streams(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # the dedup stage already declared the stream's watermark; a chained
     # stateful operator may not redefine it, so the aggregate inherits it
     hourly = windowed_event_counts(corrupted, "1 hour", watermark=None)
-    return {"corrupted": corrupted, "correlated": correlated, "hourly": hourly}
+
+    # live traffic monitor: sharded Misra-Gries state tracks which
+    # event types dominate the stream (candidates + lower bounds; the
+    # heavy_hitters_from_shards finalizer splits confirmed from maybe)
+    from gecko_spark.streaming import heavy_hitters_stream
+
+    hh = heavy_hitters_stream(
+        stream_events(spark, path), "event_type", capacity=8, n_shards=4,
+        watermark="30 days",
+    )
+    return {
+        "corrupted": corrupted,
+        "correlated": correlated,
+        "hourly": hourly,
+        "heavy": hh,
+    }
 
 
 def run_to_memory(spark: SparkSession, sf_dir: str) -> dict[str, int]:
@@ -87,7 +102,11 @@ def run_to_memory(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     streams = build_streams(spark, sf_dir)
     counts = {}
     for name, df in streams.items():
-        mode = "complete" if name == "hourly" else "append"
+        mode = (
+            "complete" if name == "hourly"
+            else "update" if name == "heavy"
+            else "append"
+        )
         q = (
             df.writeStream.outputMode(mode)
             .format("memory")
