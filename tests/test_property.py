@@ -226,3 +226,34 @@ def test_heavy_hitters_match_naive_model(spark, counts, phi, parts):
     }
     want = {(v, c) for v, c in bag.items() if c * den > num * n}
     assert got == want, (bag, phi, parts)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 40)), min_size=1, max_size=30
+    ),
+    k=st.integers(1, 6),
+    parts=st.integers(1, 5),
+)
+def test_top_k_by_count_matches_sorted_model(spark, counts, k, parts):
+    from gecko_spark.operators.sketches import top_k_by_count
+
+    bag: dict[str, int] = {}
+    for v, c in counts:
+        bag[str(v)] = bag.get(str(v), 0) + c
+    rows = [(val,) for val, c in bag.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "x string").repartition(parts)
+    # capacity covering the whole support → the complete-recount
+    # certificate applies for ANY distribution, including all-ties
+    got = [
+        (r["value"], r["cnt"], r["rank"])
+        for r in top_k_by_count(df, "x", k, capacity=max(k, len(bag))).collect()
+    ]
+    want = [
+        (v, c, i + 1)
+        for i, (v, c) in enumerate(
+            sorted(bag.items(), key=lambda it: (-it[1], it[0]))[:k]
+        )
+    ]
+    assert got == want, (bag, k, parts)
