@@ -596,10 +596,16 @@ def top_k_by_count(
         .groupBy("value")
         .agg(F.count("*").alias("cnt"))
     )
+    # orderBy+limit compiles to TakeOrderedAndProject (partition-local
+    # top-k merged on the driver) — counts is candidate-bounded
+    # (≤ partitions×capacity rows) but an unpartitioned row_number
+    # window would still drag all of them through one reducer; ranking
+    # runs on the k survivors only.
     w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
     topk = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        counts.orderBy(F.col("cnt").desc(), F.col("value").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
         .select("value", "cnt", F.col("rank").cast("long").alias("rank"))
     )
     if not verify:

@@ -1028,8 +1028,10 @@ def vocab_divergence(
 
     100 TB shape: each corpus aggregates once to its (term, count)
     index (map-side combined — the only corpus-sized shuffles); the
-    full-outer vocab join, the 1-row totals broadcast, and the global
-    top-k window all run on the reduced index, never the raw corpora.
+    full-outer vocab join, the 1-row totals broadcast, and the
+    distributed top-k (orderBy+limit → TakeOrderedAndProject, no
+    single-reducer window) all run on the reduced index, never the
+    raw corpora.
     """
     if k < 1:
         raise ValueError("k must be ≥ 1")
@@ -1069,11 +1071,16 @@ def vocab_divergence(
         "cnt_b",
         F.round(p * F.log(p / q), 6).alias("contrib"),
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # partial top-k merged on the driver) — an unpartitioned row_number
+    # window here would funnel the ENTIRE union vocabulary through one
+    # reducer; ranking runs on the k survivors only.
+    topk = scored.orderBy(
+        F.col("contrib").desc(), F.col("term").asc()
+    ).limit(k)
     w = Window.orderBy(F.col("contrib").desc(), F.col("term").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("term", "cnt_a", "cnt_b", "contrib", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "term", "cnt_a", "cnt_b", "contrib", "rank"
     )
 
 
