@@ -213,6 +213,16 @@ def main():
         "join is a 1-row IdentityBroadcast.",
     )
 
+    cap(
+        "vocab divergence: top-k as TakeOrderedAndProject, no global window",
+        qs["text_vocab_divergence"](spark, sf),
+        "The KL-contribution ranking over the union vocabulary compiles to "
+        "TakeOrderedAndProject (per-partition partial top-k merged on the "
+        "driver); the single-partition row_number window only ever sees the "
+        "k surviving rows — the vocabulary never funnels through one "
+        "reducer.",
+    )
+
     # bucketed warehouse: write once, join forever without exchanges
     import tempfile
 
