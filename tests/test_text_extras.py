@@ -618,6 +618,45 @@ class TestVocabDivergence:
         with pytest.raises(ValueError, match="k must"):
             vocab_divergence(a, a, k=0)
 
+    def test_tie_boundary_deterministic(self, spark):
+        """Ties at the top-k limit boundary break on term ascending —
+        the TakeOrderedAndProject cut and the rank window must agree,
+        or the boundary row would be arbitrary across runs."""
+        from gecko_spark.operators.text import vocab_divergence
+
+        # four terms exclusive to A with identical counts -> identical
+        # rounded contribs; k=2 slices the tie set mid-group
+        a = spark.createDataFrame(
+            [(0, "zeta yankee xray walt"), (1, "zeta yankee xray walt")],
+            "doc_id long, text string",
+        )
+        b = spark.createDataFrame([(0, "base")], "doc_id long, text string")
+        first = vocab_divergence(a, b, k=2).collect()
+        second = vocab_divergence(a, b, k=2).collect()
+        assert [tuple(r) for r in first] == [tuple(r) for r in second]
+        assert [r["term"] for r in first] == ["walt", "xray"]  # term asc
+        assert [r["rank"] for r in first] == [1, 2]
+
+    def test_one_sided_corpus(self, spark):
+        """Terms absent from one side still score via Laplace smoothing
+        (empty-side corpus: every A term is maximally over-represented)."""
+        from gecko_spark.operators.text import vocab_divergence
+
+        a = spark.createDataFrame(
+            [(0, "alpha alpha beta")], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(0, "")], "doc_id long, text string"
+        )
+        out = vocab_divergence(a, b, k=5).collect()
+        assert {r["term"] for r in out} == {"alpha", "beta"}
+        assert all(r["cnt_b"] == 0 for r in out)
+        # alpha (2 of 3 tokens) is over-represented vs the smoothed
+        # uniform baseline -> positive contrib and rank 1; beta (1 of 3)
+        # sits BELOW the smoothed q=1/2 -> legitimately negative contrib
+        assert out[0]["term"] == "alpha" and out[0]["contrib"] > 0
+        assert out[1]["term"] == "beta" and out[1]["contrib"] < 0
+
 
 class TestGroupedSplitLeakage:
     def test_near_dups_share_split(self, spark):
