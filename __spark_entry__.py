@@ -4216,86 +4216,22 @@ FROM ranked WHERE rank <= 20
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries 1–50 are the driver-graded window (the driver evaluates the
     # first 50 dict entries). Rotation history: round 2 graded the §2
-    # operator surface (CORRECTNESS_r02 50/50), round 4 graded the
-    # relational/LLM-ops surface (CORRECTNESS_r04 50/50). Round 5:
-    # never-driver-graded entries first (the round-5 additions —
-    # strip_html/url/split/cluster-reps, the line-dedup/logprob/mix/
-    # semantic/quantile/chunking family, and the two new frequency-
-    # sketch entries sketch_heavy_hitters + sketch_topk_counts —
-    # dedup_transitive and emb_quantize_int8 rotate out past slot 50;
-    # both are r04-driver-green and re-verified strict-locally this
-    # round at all three SFs), then the entries whose newest
-    # driver row is still r02, then r04-green regression cover from the
-    # families whose code changed this round. Five r02-graded mutator
-    # entries whose code is UNCHANGED since round 2 (missing_value,
-    # categorical, permute, datetime_offset, generator_splice, repeat,
-    # delete, substitute, transpose) rotate out to make room —
-    # they stay strict-locally verified by tools/check_oracle.py at
-    # driver strictness (same compare, same data), like everything past
-    # slot 50.
+    # operator surface (CORRECTNESS_r02 50/50), round 4 the relational/
+    # LLM-ops surface (r04 50/50), round 5 the round-5 additions plus the
+    # r02-era generator/mutator re-grades (r05 50/50). Round 6 (this
+    # round): (a) the twelve mutator entries whose newest driver grade is
+    # still r02 — three rounds stale, the judge's #2 ask — go first;
+    # (b) then every entry whose code is touched in round 6 (replacement/
+    # phonetic/regex table plumbing gained a precomputed-frequency
+    # option, topk_cosine_bruteforce gained a size guard, heavy_hitters
+    # changed its cache ownership); (c) the remaining slots refresh the
+    # r04-era relational surface (TPC-H shapes + window/session/join/
+    # set-op family), whose newest driver grade is two rounds old.
+    # Everything past slot 50 is r4/r5-driver-green with unchanged code
+    # and stays strict-locally verified by tools/check_oracle.py (same
+    # compare, same data as the driver).
     return {
-        # --- never driver-graded: round-5 additions ---
-        "text_strip_html": _text_strip_html,
-        "text_url_normalize": _text_url_normalize,
-        "sample_split": _sample_split,
-        "dedup_cluster_reps": _dedup_cluster_reps,
-        "dedup_fp_overlap": _dedup_fp_overlap,
-        "sample_split_grouped": _sample_split_grouped,
-        "sample_shuffle": _sample_shuffle,
-        "text_vocab_divergence": _text_vocab_divergence,
-        "text_chunks_tokens": _text_chunks_tokens,
-        "sketch_heavy_hitters": _sketch_heavy_hitters,
-        "sketch_topk_counts": _sketch_topk_counts,
-        # --- newest driver row is r02 — re-grade this round ---
-        # generators (incl. gen_datasource, codec-adjacent paths)
-        "gen_normal": _gen_normal,
-        "gen_freq_single": _gen_freq_single,
-        "gen_freq_multi": _gen_freq_multi,
-        "gen_datetime": _gen_datetime,
-        "gen_group_exact": _gen_group_exact,
-        "gen_function": _gen_function,
-        "gen_datasource": _gen_datasource,
-        # mutators
-        "mut_insert": _mut_insert,
-        "mut_replacement_whole": _mut_replacement_whole,
-        "mut_function": _mut_function,
-        "mut_group": _mut_group,
-        "mut_cldr_keymap": _mut_cldr,
-        "mut_replacement_inline": _mut_replacement_inline,
-        # dedup/sampling/similarity/text (incl. dedup_ngram_jaccard whose
-        # contract default switched to prefix filtering in round 3)
-        "dedup_groups": _dedup_groups,
-        "dedup_simhash_pairs": _dedup_simhash,
-        "dedup_ngram_jaccard": _dedup_jaccard,
-        "dedup_embedding_pairs": _dedup_embedding,
-        "sample_reservoir_n": _sample_reservoir,
-        "sample_weighted_n": _sample_weighted,
-        "topk_cosine_bruteforce": _topk_cosine,
-        "doc_normalize_filter": _doc_normalize_filter,
-        "doc_fingerprints": _doc_fingerprints,
-        "sketch_kmv_distinct": _sketch_kmv,
-        "sample_stratified": _sample_stratified,
-        "topk_cosine_ivf": _topk_ivf,
-        "text_stats": _text_stats,
-        # relational (fell just outside round 4's window)
-        "q1_pricing_summary": _q1,
-        "q6_revenue_filter": _q6,
-        "q7_nation_volume": _q7,
-        "q10_returned_items": _q10,
-        "q_asof_join": _q_asof_join,
-        # --- earlier round-5 additions, never driver-graded before ---
-        "text_line_dedupe": _text_line_dedupe,
-        "text_unigram_logprob": _text_unigram_logprob,
-        "sample_mix_corpus": _sample_mix_corpus,
-        "dedup_semantic_pairs": _dedup_semantic,
-        "sketch_quantiles": _sketch_quantiles,
-        "sketch_quantiles_by_group": _sketch_quantiles_by_group,
-        "text_chunks": _text_chunks,
-        # --- r04-green regression cover, code touched in r5 ---
-        "q_skew_join": _q_skew_join,  # skew salt slimmed round 5
-        "dedup_transitive": _dedup_transitive,  # CC materialize-once + convergence control round 5
-        "emb_quantize_int8": _emb_quantize,  # NaN/empty guard round 5
-        # --- entries 51+: driver-green in rounds 2/4, strict-local since ---
+        # --- (a) newest driver grade is r02 — re-grade this round ---
         "mut_missing_value": _mut_missing,
         "mut_generator_splice": _mut_splice,
         "mut_permute": _mut_permute,
@@ -4308,12 +4244,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mut_lowercase": _mut_lowercase,
         "mut_uppercase": _mut_uppercase,
         "mut_missing_strict_p": _mut_missing_strict,
+        # --- (b) code touched in round 6 — regression cover ---
+        "mut_replacement_inline": _mut_replacement_inline,
+        "mut_replacement_whole": _mut_replacement_whole,
+        "mut_phonetic": _mut_phonetic,
+        "mut_regex": _mut_regex,
+        "topk_cosine_bruteforce": _topk_cosine,
+        "sketch_heavy_hitters": _sketch_heavy_hitters,
+        # --- (c) r04-era relational refresh ---
         "decontam_filter_bloom": _decontam_filter_bloom,
         "text_tfidf_top3": _text_tfidf,
-        "pack_sequences": _pack_sequences,
-        "q21_waiting_supplier": _q21,
+        "q2_min_cost_supplier": _q2,
         "q3_shipping_priority": _q3,
+        "q4_priority_exists": _q4,
         "q5_region_revenue": _q5,
+        "q8_market_share": _q8,
+        "q9_product_profit": _q9,
+        "q11_important_stock": _q11,
+        "q12_shipmode_priority": _q12,
+        "q13_order_histogram": _q13,
+        "q14_promo_share": _q14,
+        "q15_top_supplier": _q15,
+        "q16_supplier_cnt": _q16,
+        "q17_small_qty_revenue": _q17,
+        "q18_large_volume": _q18,
+        "q19_branch_revenue": _q19,
+        "q20_qty_threshold": _q20,
+        "q21_waiting_supplier": _q21,
+        "q22_global_sales_opportunity": _q22,
         "q_window_topk_orders": _q_topk,
         "q_events_hourly": _q_events_hourly,
         "q_events_sessions": _q_events_sessions,
@@ -4322,39 +4280,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_region_nation": _q_rollup,
         "q_set_ops": _q_set_ops,
         "q_range_join": _q_range_join,
-        "q4_priority_exists": _q4,
         "q_cube_flag_status": _q_cube,
         "q_percentile_price": _q_percentiles,
-        "q17_small_qty_revenue": _q17,
         "q_distinct_counts": _q_distinct_counts,
         "q_json_props": _q_json_props,
-        "q12_shipmode_priority": _q12,
-        "q13_order_histogram": _q13,
-        "q14_promo_share": _q14,
-        "q18_large_volume": _q18,
-        "q19_branch_revenue": _q19,
-        "q2_min_cost_supplier": _q2,
-        "q11_important_stock": _q11,
-        "q15_top_supplier": _q15,
-        "q16_supplier_cnt": _q16,
-        "q20_qty_threshold": _q20,
-        "q22_global_sales_opportunity": _q22,
-        "q8_market_share": _q8,
-        "q9_product_profit": _q9,
-        "decontam_overlap": _decontam_overlap,
-        "decontam_filter": _decontam_filter,
-        "text_pii_redact": _text_pii_redact,
-        "text_repetition": _text_repetition,
-        "sketch_cm_counts": _sketch_cm_counts,
-        "sketch_cm_estimate": _sketch_cm_estimate,
-        "sketch_kmv_by_group": _sketch_kmv_by_group,
+        # --- entries 51+: r4/r5-driver-green, code unchanged ---
+        "q1_pricing_summary": _q1,
+        "q6_revenue_filter": _q6,
+        "q7_nation_volume": _q7,
+        "q10_returned_items": _q10,
+        "q_asof_join": _q_asof_join,
+        "q_skew_join": _q_skew_join,
+        "gen_normal": _gen_normal,
+        "gen_freq_single": _gen_freq_single,
+        "gen_freq_multi": _gen_freq_multi,
+        "gen_datetime": _gen_datetime,
+        "gen_group_exact": _gen_group_exact,
+        "gen_function": _gen_function,
+        "gen_datasource": _gen_datasource,
         "gen_uniform": _gen_uniform,
         "gen_group": _gen_group,
+        "mut_insert": _mut_insert,
+        "mut_function": _mut_function,
+        "mut_group": _mut_group,
+        "mut_cldr_keymap": _mut_cldr,
         "mut_chain": _mut_chain,
-        "mut_phonetic": _mut_phonetic,
-        "mut_regex": _mut_regex,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_pairs": _dedup_minhash,
+        "dedup_groups": _dedup_groups,
+        "dedup_simhash_pairs": _dedup_simhash,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_embedding_pairs": _dedup_embedding,
+        "dedup_semantic_pairs": _dedup_semantic,
+        "dedup_transitive": _dedup_transitive,
+        "dedup_cluster_reps": _dedup_cluster_reps,
+        "dedup_fp_overlap": _dedup_fp_overlap,
+        "sample_reservoir_n": _sample_reservoir,
+        "sample_weighted_n": _sample_weighted,
+        "sample_stratified": _sample_stratified,
+        "sample_split": _sample_split,
+        "sample_split_grouped": _sample_split_grouped,
+        "sample_shuffle": _sample_shuffle,
+        "sample_mix_corpus": _sample_mix_corpus,
+        "topk_cosine_ivf": _topk_ivf,
+        "emb_quantize_int8": _emb_quantize,
+        "doc_normalize_filter": _doc_normalize_filter,
+        "doc_fingerprints": _doc_fingerprints,
+        "text_stats": _text_stats,
+        "text_line_dedupe": _text_line_dedupe,
+        "text_unigram_logprob": _text_unigram_logprob,
+        "text_chunks": _text_chunks,
+        "text_chunks_tokens": _text_chunks_tokens,
+        "text_strip_html": _text_strip_html,
+        "text_url_normalize": _text_url_normalize,
+        "text_vocab_divergence": _text_vocab_divergence,
+        "text_pii_redact": _text_pii_redact,
+        "text_repetition": _text_repetition,
+        "sketch_kmv_distinct": _sketch_kmv,
+        "sketch_kmv_by_group": _sketch_kmv_by_group,
+        "sketch_cm_counts": _sketch_cm_counts,
+        "sketch_cm_estimate": _sketch_cm_estimate,
+        "sketch_quantiles": _sketch_quantiles,
+        "sketch_quantiles_by_group": _sketch_quantiles_by_group,
+        "sketch_topk_counts": _sketch_topk_counts,
+        "decontam_overlap": _decontam_overlap,
+        "decontam_filter": _decontam_filter,
+        "pack_sequences": _pack_sequences,
     }
 
 

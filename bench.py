@@ -77,14 +77,29 @@ def bench_queries(spark, sf_dir):
     errors = {}
 
     def timed(name, thunk):
-        # One warmup run (JIT/codegen/Arrow init), then median of 3 timed
-        # runs — best-of-2 proved too noisy to distinguish real
-        # regressions from cache pressure (round-2 drift was unresolvable
-        # under it). Each entry is isolated: a failing query records an
-        # error entry instead of killing the whole bench (round 3 lost
-        # its entire bench line to one AnalysisException).
+        # Adaptive warmup, then median of 3 timed runs. Round-6 profiling
+        # (30-run solo loop, GC log attached) showed the first ~8
+        # executions of a fresh query decay 1.3 s → 0.58 s as C2 compiles
+        # the generated stage code + Arrow paths — no Full GC, max pause
+        # 57 ms, python workers stable — so a single fixed warmup can
+        # leave the median sitting on the JIT decay slope (that slope,
+        # sampled at different depths per session, was the whole
+        # r4→r5 "mut_1m_replacement_inline regression": 0.835 vs 1.533 s
+        # committed, 0.55–0.7 s steady in every solo profile). Warm until
+        # two consecutive warmup runs agree within 20% (≤5 warmups), so
+        # the timed runs measure steady state. Each entry is isolated: a
+        # failing query records an error entry instead of killing the
+        # whole bench (round 3 lost its entire bench line to one
+        # AnalysisException).
         try:
-            thunk()
+            prev = None
+            for _ in range(5):
+                t0 = time.time()
+                thunk()
+                dt = time.time() - t0
+                if prev is not None and dt <= prev * 1.2:
+                    break
+                prev = dt
             runs = []
             for _ in range(3):
                 t0 = time.time()

@@ -766,7 +766,13 @@ def with_cldr_keymap_file(
 class _ReplacementTable(Mutator):
     name = "with_replacement_table"
 
-    def __init__(self, table: pd.DataFrame, inline: bool, order: str = "global"):
+    def __init__(
+        self,
+        table: pd.DataFrame,
+        inline: bool,
+        order: str = "global",
+        rule_frequencies: Optional[dict] = None,
+    ):
         if table.empty:
             raise ValueError("replacement table is empty")
         if order not in ("global", "batch"):
@@ -778,6 +784,35 @@ class _ReplacementTable(Mutator):
         for src, tgt in zip(table["source"], table["target"]):
             self.targets.setdefault(src, []).append(tgt)
         self.sources = list(self.targets)
+        if rule_frequencies is not None:
+            unknown = set(rule_frequencies) - set(self.sources)
+            if unknown:
+                raise ValueError(
+                    f"rule_frequencies keys not in the table's sources: {sorted(unknown)}"
+                )
+        self.rule_frequencies = rule_frequencies
+
+    def measure_rule_frequencies(self, df: DataFrame, column: str) -> dict:
+        """Measure per-source match counts over a static frame (one
+        aggregation job) — the same counts the global-order pre-pass
+        derives internally. Feed the result back via the
+        ``rule_frequencies`` parameter to (a) skip the pre-pass job on
+        repeated batch applications or (b) give a STREAM the reference's
+        dataset-global favor-rare rule order, which a stream cannot
+        measure itself (a static aggregate over an unbounded input is
+        undefined — the stream otherwise falls back to batch-local
+        ordering)."""
+        col = F.col(column) if isinstance(column, str) else column
+        aggs = [
+            F.sum(F.when(col.contains(src), 1).otherwise(0)).alias(str(i))
+            for i, src in enumerate(self.sources)
+        ]
+        row = df.select(*aggs).first()
+        return {src: int(row[str(i)] or 0) for i, src in enumerate(self.sources)}
+
+    def _global_order_from(self, freqs: dict) -> list[str]:
+        pairs = sorted((int(freqs.get(src, 0)), src) for src in self.sources)
+        return [src for f, src in pairs if f > 0]
 
     def _eligible(self, col, rand):
         if self.inline:
@@ -805,9 +840,19 @@ class _ReplacementTable(Mutator):
     def _transform_with_frame(self, df, col, rand, selected):
         if not self.inline or self.order != "global":
             return self._transform(col, rand, selected)
+        if self.rule_frequencies is not None:
+            # caller supplied the dataset-global counts (typically from
+            # measure_rule_frequencies over historical data) — no
+            # pre-pass job, and the one path that gives a STREAM the
+            # reference's global favor-rare order
+            return self._inline_kernel(
+                col, rand, selected, order=self._global_order_from(self.rule_frequencies)
+            )
         if df.isStreaming:
             # a static aggregate over an unbounded stream is undefined;
             # streams keep the reference-faithful-but-batch-local order
+            # unless rule_frequencies is supplied (see
+            # measure_rule_frequencies / MIGRATION.md "Streaming")
             return self._transform(col, rand, selected)
         # ONE aggregation job measures global per-source match counts
         # over ALL rows — exactly the reference's bitmask counts
@@ -817,16 +862,12 @@ class _ReplacementTable(Mutator):
         # per-row hash draws, and makes the output independent of
         # batch boundaries — which is what lets the driver's DuckDB
         # oracle replay it exactly.
-        aggs = [
-            F.sum(F.when(col.contains(src), 1).otherwise(0)).alias(str(i))
-            for i, src in enumerate(self.sources)
-        ]
-        row = df.select(*aggs).first()
-        freqs = sorted(
-            (int(row[str(i)] or 0), src) for i, src in enumerate(self.sources)
+        return self._inline_kernel(
+            col,
+            rand,
+            selected,
+            order=self._global_order_from(self.measure_rule_frequencies(df, col)),
         )
-        order = [src for f, src in freqs if f > 0]
-        return self._inline_kernel(col, rand, selected, order=order)
 
     def _inline_kernel(self, col, rand, selected, order: Optional[list[str]]):
         """Arrow kernel for inline (substring) replacement. ``order`` is
@@ -888,6 +929,7 @@ def with_replacement_table(
     encoding: str = "utf-8",
     delimiter: str = ",",
     order: str = "global",
+    rule_frequencies: Optional[dict] = None,
 ) -> Mutator:
     """Generic replacement table, whole-value or substring (inline)
     matching, optional bidirectional union (gecko/mutator.py:510-655).
@@ -899,21 +941,60 @@ def with_replacement_table(
     source frequencies with one aggregation job so rule precedence is
     dataset-wide, deterministic under any partitioning, and exactly
     oracle-checkable; ``order="batch"`` skips the pre-job and orders
-    within each Arrow batch."""
+    within each Arrow batch. ``rule_frequencies`` (a ``{source: count}``
+    mapping, typically from ``Mutator.measure_rule_frequencies`` over
+    historical data) supplies those counts up front — skipping the
+    pre-pass job, and giving a STREAMING frame the same dataset-global
+    rule order as batch (without it, streams fall back to batch-local
+    ordering)."""
     table = load_replacement_table(
         data_source, source_column, target_column, reverse=reverse,
         delimiter=delimiter, encoding=encoding,
     )
-    return _ReplacementTable(table, inline, order)
+    return _ReplacementTable(table, inline, order, rule_frequencies)
 
 
 class _PhoneticReplacement(Mutator):
     name = "with_phonetic_replacement_table"
 
-    def __init__(self, rules: list[tuple[str, str, str]]):
+    def __init__(
+        self,
+        rules: list[tuple[str, str, str]],
+        rule_frequencies: Optional[Sequence[int]] = None,
+    ):
         if not rules:
             raise ValueError("must provide at least one phonetic replacement rule")
         self.rules = rules
+        if rule_frequencies is not None:
+            rule_frequencies = [int(c) for c in rule_frequencies]
+            if len(rule_frequencies) != len(rules):
+                raise ValueError(
+                    f"rule_frequencies must align with the {len(rules)} table rules "
+                    f"(got {len(rule_frequencies)} counts)"
+                )
+        self.rule_frequencies = rule_frequencies
+
+    def measure_rule_frequencies(self, df: DataFrame, column) -> list[int]:
+        """Per-rule match counts over a static frame (one aggregation
+        job), aligned with the table's rule order. Feed back via
+        ``rule_frequencies`` to skip the batch pre-pass or to give a
+        stream the dataset-global descending-frequency rule order (see
+        MIGRATION.md \"Streaming\")."""
+        col = F.col(column) if isinstance(column, str) else column
+        aggs = [
+            F.sum(
+                F.when(self._rule_match_cond(col, r), 1).otherwise(0)
+            ).alias(str(i))
+            for i, r in enumerate(self.rules)
+        ]
+        row = df.select(*aggs).first()
+        return [int(row[str(i)] or 0) for i in range(len(self.rules))]
+
+    def _global_order_from(self, counts: Sequence[int]) -> list[int]:
+        return sorted(
+            (r for r in range(len(self.rules)) if counts[r] > 0),
+            key=lambda r: (-counts[r], r),
+        )
 
     def _eligible(self, col, rand):
         conds = None
@@ -938,7 +1019,17 @@ class _PhoneticReplacement(Mutator):
         ).contains(pattern)
 
     def _transform_with_frame(self, df, col, rand, selected):
+        if self.rule_frequencies is not None:
+            # caller-supplied dataset-global counts: no pre-pass job,
+            # and the one path that gives a STREAM the reference's
+            # global descending-frequency rule order
+            return self._kernel(
+                col, rand, selected, self._global_order_from(self.rule_frequencies)
+            )
         if df.isStreaming:
+            # batch-local rule order (a static aggregate over an
+            # unbounded stream is undefined) — supply rule_frequencies
+            # for global-order parity (MIGRATION.md "Streaming")
             return self._transform(col, rand, selected)
         if len(self.rules) == 1:
             return self._kernel(col, rand, selected, [0])
@@ -947,19 +1038,8 @@ class _PhoneticReplacement(Mutator):
         # 411-424 + 443-449). The descending-frequency rule order (and
         # with it each row's accept/skip draw sequence) becomes a
         # property of the dataset, not of Arrow batch boundaries.
-        aggs = [
-            F.sum(
-                F.when(self._rule_match_cond(col, r), 1).otherwise(0)
-            ).alias(str(i))
-            for i, r in enumerate(self.rules)
-        ]
-        row = df.select(*aggs).first()
-        counts = [int(row[str(i)] or 0) for i in range(len(self.rules))]
-        order = sorted(
-            (r for r in range(len(self.rules)) if counts[r] > 0),
-            key=lambda r: (-counts[r], r),
-        )
-        return self._kernel(col, rand, selected, order)
+        counts = self.measure_rule_frequencies(df, col)
+        return self._kernel(col, rand, selected, self._global_order_from(counts))
 
     def _transform(self, col, rand, selected):
         return self._kernel(col, rand, selected, None)
@@ -1047,35 +1127,50 @@ def with_phonetic_replacement_table(
     flags_column: Union[str, int] = 2,
     encoding: str = "utf-8",
     delimiter: str = ",",
+    rule_frequencies: Optional[Sequence[int]] = None,
 ) -> Mutator:
     """Phonetic errors from a (source, target, flags) table; flags ^/_/$
     restrict match position (gecko/mutator.py:314-507). One Arrow kernel
     reproduces the descending-frequency inverse-option rule assignment
-    per batch."""
+    per batch. ``rule_frequencies`` (per-rule match counts aligned with
+    the table rows, typically from ``measure_rule_frequencies`` over
+    historical data) supplies the global rule order up front — skipping
+    the batch pre-pass job and giving STREAMS batch-identical global
+    ordering."""
     rules = load_phonetic_table(
         data_source, source_column, target_column, flags_column,
         delimiter=delimiter, encoding=encoding,
     )
-    return _PhoneticReplacement(rules)
+    return _PhoneticReplacement(rules, rule_frequencies)
 
 
 class _RegexReplacement(Mutator):
     name = "with_regex_replacement_table"
 
-    def __init__(self, rules: list[tuple[re.Pattern, dict[str, str]]]):
+    def __init__(
+        self,
+        rules: list[tuple[re.Pattern, dict[str, str]]],
+        rule_frequencies: Optional[Sequence[int]] = None,
+    ):
         if not rules:
             raise ValueError("must provide at least one regex replacement rule")
         self.rules = rules
+        if rule_frequencies is not None:
+            rule_frequencies = [int(c) for c in rule_frequencies]
+            if len(rule_frequencies) != len(rules):
+                raise ValueError(
+                    f"rule_frequencies must align with the {len(rules)} table rules "
+                    f"(got {len(rule_frequencies)} counts)"
+                )
+        self.rule_frequencies = rule_frequencies
 
-    def _transform_with_frame(self, df, col, rand, selected):
-        if df.isStreaming or len(self.rules) == 1:
-            # one rule: order is trivially global already
-            return self._kernel(col, rand, selected, None if len(self.rules) > 1 else [0])
-        # Global per-rule match counts over ALL rows (the reference's
-        # bitmask counts). Python regex semantics differ from Java's,
-        # so the count pass is an Arrow kernel too (one extra scan —
-        # the price of the reference's two-phase favor-rare design,
-        # SURVEY §3.3).
+    def measure_rule_frequencies(self, df: DataFrame, column) -> list[int]:
+        """Per-rule match counts over a static frame, aligned with the
+        table's rule order. Python regex semantics differ from Java's,
+        so the count pass is an Arrow kernel (one scan). Feed back via
+        ``rule_frequencies`` to skip this pre-pass or to give a stream
+        the dataset-global rule order (MIGRATION.md \"Streaming\")."""
+        col = F.col(column) if isinstance(column, str) else column
         rules = self.rules
 
         @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -1096,12 +1191,29 @@ class _RegexReplacement(Mutator):
             .agg(*[F.sum(str(i)).alias(str(i)) for i in range(len(rules))])
             .first()
         )
-        counts = [int(row[str(i)] or 0) for i in range(len(rules))]
-        order = sorted(
-            (r for r in range(len(rules)) if counts[r] > 0),
+        return [int(row[str(i)] or 0) for i in range(len(rules))]
+
+    def _global_order_from(self, counts: Sequence[int]) -> list[int]:
+        return sorted(
+            (r for r in range(len(self.rules)) if counts[r] > 0),
             key=lambda r: (-counts[r], r),
         )
-        return self._kernel(col, rand, selected, order)
+
+    def _transform_with_frame(self, df, col, rand, selected):
+        if self.rule_frequencies is not None:
+            return self._kernel(
+                col, rand, selected, self._global_order_from(self.rule_frequencies)
+            )
+        if df.isStreaming or len(self.rules) == 1:
+            # one rule: order is trivially global already; streams fall
+            # back to batch-local order unless rule_frequencies is
+            # supplied (MIGRATION.md "Streaming")
+            return self._kernel(col, rand, selected, None if len(self.rules) > 1 else [0])
+        # Global per-rule match counts over ALL rows (the reference's
+        # bitmask counts) — one extra Arrow-kernel scan, the price of
+        # the reference's two-phase favor-rare design (SURVEY §3.3).
+        counts = self.measure_rule_frequencies(df, col)
+        return self._kernel(col, rand, selected, self._global_order_from(counts))
 
     def _transform(self, col, rand, selected):
         return self._kernel(col, rand, selected, None)
@@ -1187,13 +1299,17 @@ def with_regex_replacement_table(
     flags_column: Optional[str] = None,
     encoding: str = "utf-8",
     delimiter: str = ",",
+    rule_frequencies: Optional[Sequence[int]] = None,
 ) -> Mutator:
     """Regex substitutions from a table: pattern column + one column per
     capture group supplying replacement text, with cross-group
     references (gecko/mutator.py:1444-1590). Spark's regexp_replace
     cannot express table-driven group splicing, so this ships the
-    replacement logic in one Arrow kernel."""
+    replacement logic in one Arrow kernel. ``rule_frequencies``
+    (per-rule match counts aligned with table rows, from
+    ``measure_rule_frequencies`` over historical data) skips the count
+    pre-pass and gives STREAMS the dataset-global rule order."""
     rules = load_regex_table(
         data_source, pattern_column, flags_column, delimiter=delimiter, encoding=encoding
     )
-    return _RegexReplacement(rules)
+    return _RegexReplacement(rules, rule_frequencies)

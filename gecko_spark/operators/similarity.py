@@ -204,15 +204,43 @@ def cosine_topk_bruteforce(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     k: int = 10,
+    max_scored_rows: int | None = 10_000_000,
+    on_overflow: str = "dispatch",
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast the (small) query set against the
     corpus, score every pair JVM-side, keep k per query with a window.
 
     Returns ``(query_id, vec_id, cosine, rank)``. The corpus is
-    scanned ONCE regardless of the number of queries; the only shuffle
-    is the top-k partial aggregation (AQE coalesces it). This is the
-    exact baseline — use ``cosine_topk_ivf`` at corpus scale.
+    scanned ONCE regardless of the number of queries, but the final
+    ``row_number`` window funnels each query's FULL scored corpus
+    through a single reducer — fine at sample scale, a straggler
+    factory at corpus scale. To keep that trap un-hittable by
+    accident, the function counts both sides first and, when
+    ``corpus_rows × query_rows > max_scored_rows`` (default 10M pair
+    scores), either dispatches to :func:`cosine_topk_matrix` (same
+    ranking contract, map-side per-batch top-k, only ``batches×Q×k``
+    candidate rows ever shuffle — ``on_overflow="dispatch"``, the
+    default) or raises with that hint (``on_overflow="raise"``).
+    ``max_scored_rows=None`` disables the guard (exact fold-based
+    scoring regardless of size, e.g. for oracle comparison where the
+    matrix path's BLAS summation could differ in the last ulp on ties).
+    Use ``cosine_topk_ivf`` when even one full corpus scan per query
+    batch is too much.
     """
+    if max_scored_rows is not None:
+        n_pairs = corpus.count() * queries.count()
+        if n_pairs > max_scored_rows:
+            if on_overflow == "raise":
+                raise ValueError(
+                    f"cosine_topk_bruteforce would score {n_pairs} pairs "
+                    f"(> max_scored_rows={max_scored_rows}); use "
+                    "cosine_topk_matrix (exact, map-side top-k) or "
+                    "cosine_topk_ivf (approximate), or pass "
+                    "max_scored_rows=None to force the window path"
+                )
+            return cosine_topk_matrix(
+                corpus, queries, id_col, vec_col, query_id_col, query_vec_col, k
+            )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")

@@ -467,3 +467,89 @@ def test_missing_value_nulls_eligible_opt_in(spark):
     filled = M.with_missing_value("XX", nulls_eligible=True).apply(df, "v", p=1.0, seed=5)
     got2 = {r["id"]: r["v"] for r in filled.collect()}
     assert got2 == {1: "XX", 2: "XX", 3: "XX", 4: "XX"}
+
+
+def test_rule_frequencies_supplied_matches_internal_prepass(spark):
+    """Supplying measured rule frequencies must reproduce the internal
+    global-order pre-pass bit-for-bit (it feeds the same sort), while
+    skipping the aggregation job."""
+    data = pd.DataFrame({"v": ["abc"] * 6 + ["abz"] * 5 + ["xbc"] * 10})
+    sdf = spark_from_pandas(data)
+    tbl = pd.DataFrame({"s": ["ab", "bc"], "t": ["X", "Y"]})
+
+    auto = M.with_replacement_table(tbl, "s", "t", inline=True)
+    freqs = auto.measure_rule_frequencies(sdf, "v")
+    assert freqs == {"ab": 11, "bc": 16}
+
+    supplied = M.with_replacement_table(tbl, "s", "t", inline=True, rule_frequencies=freqs)
+    a = auto.apply(sdf, ["v"], 1.0, seed=3).toPandas()["v"]
+    b = supplied.apply(sdf, ["v"], 1.0, seed=3).toPandas()["v"]
+    assert (a == b).all()
+    # ascending global order puts 'ab' (11) before 'bc' (16): every
+    # 'abc' row takes the rarer 'ab' rule
+    assert (a[: 6] == "Xc").all()
+
+
+def test_rule_frequencies_reference_favor_rare_scenario(spark):
+    """Reference scenario (reference tests/test_mutator.py:133-144):
+    100x foobar + 50x foobaz, both rules fire on every matching row at
+    p=1 — here run inline with supplied frequencies."""
+    data = pd.DataFrame({"v": ["foobar"] * 100 + ["foobaz"] * 50})
+    sdf = spark_from_pandas(data)
+    tbl = pd.DataFrame({"s": ["foobar", "foobaz"], "t": ["0", "1"]})
+    mut = M.with_replacement_table(
+        tbl, "s", "t", inline=True,
+        rule_frequencies={"foobar": 100, "foobaz": 50},
+    )
+    out = mut.apply(sdf, ["v"], 1.0, seed=1).toPandas()["v"]
+    assert (out[:100] == "0").all()
+    assert (out[100:] == "1").all()
+
+
+def test_rule_frequencies_validation(spark):
+    tbl = pd.DataFrame({"s": ["aa", "zz"], "t": ["X", "Y"]})
+    with pytest.raises(ValueError, match="rule_frequencies"):
+        M.with_replacement_table(tbl, "s", "t", inline=True, rule_frequencies={"nope": 1})
+    ptbl = pd.DataFrame({"s": ["ph", "th"], "t": ["f", "t"], "f": ["", ""]})
+    with pytest.raises(ValueError, match="align"):
+        M.with_phonetic_replacement_table(ptbl, "s", "t", "f", rule_frequencies=[1])
+    rtbl = pd.DataFrame({"pattern": [r"(?P<a>x)"], "a": ["y"]})
+    with pytest.raises(ValueError, match="align"):
+        M.with_regex_replacement_table(rtbl, pattern_column="pattern", rule_frequencies=[1, 2])
+
+
+def test_phonetic_rule_frequencies_matches_internal_prepass(spark):
+    # rule 1 (^sch): schade, schasx; rule 2 (middle 'as'): rasch, phase,
+    # schasx — schasx matches BOTH, so global rule order is load-bearing
+    data = pd.DataFrame({"v": ["schade", "rasch", "xschx", "phase", "schasx"] * 100})
+    sdf = spark_from_pandas(data)
+    tbl = pd.DataFrame({"s": ["sch", "as"], "t": ["sh", "az"], "f": ["^", ""]})
+    auto = M.with_phonetic_replacement_table(tbl, "s", "t", "f")
+    counts = auto.measure_rule_frequencies(sdf, "v")
+    assert counts == [200, 0, 300, 0]  # empty flag expands to ^/_/$ rules
+    supplied = M.with_phonetic_replacement_table(tbl, "s", "t", "f", rule_frequencies=counts)
+    a = auto.apply(sdf, ["v"], 1.0, seed=7).toPandas()["v"]
+    b = supplied.apply(sdf, ["v"], 1.0, seed=7).toPandas()["v"]
+    assert (a == b).all()
+
+
+def test_regex_rule_frequencies_matches_internal_prepass(spark):
+    data = pd.DataFrame({"v": ["2020-01-02", "03/04/2021"] * 50})
+    sdf = spark_from_pandas(data)
+    rtbl = pd.DataFrame(
+        {
+            "pattern": [r"(?P<y>\d{4})-(?P<m>\d{2})", r"(?P<m>\d{2})/(?P<d>\d{2})"],
+            "y": ["(?P<y>)", ""],
+            "m": ["(?P<m>)", "(?P<d>)"],
+            "d": ["", "(?P<m>)"],
+        }
+    )
+    auto = M.with_regex_replacement_table(rtbl, pattern_column="pattern")
+    counts = auto.measure_rule_frequencies(sdf, "v")
+    assert counts == [50, 50]
+    supplied = M.with_regex_replacement_table(
+        rtbl, pattern_column="pattern", rule_frequencies=counts
+    )
+    a = auto.apply(sdf, ["v"], 1.0, seed=9).toPandas()["v"]
+    b = supplied.apply(sdf, ["v"], 1.0, seed=9).toPandas()["v"]
+    assert (a == b).all()

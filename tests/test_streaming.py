@@ -664,3 +664,91 @@ def test_checkpoint_restart_heavy_hitters_state(spark, tmp_path):
         true = int(exact[r["value"]])
         assert r["cnt"] <= true
         assert true - r["cnt"] <= n_by_shard[r["shard"]] / (cap + 1)
+
+
+def test_stream_replacement_inline_global_order_with_supplied_frequencies(spark, tmp_path):
+    """A stream given measured rule_frequencies applies the reference's
+    dataset-GLOBAL favor-rare rule order and matches the batch output
+    row-for-row; without them it falls back to batch-local ordering,
+    which provably differs on a micro-batch whose local counts invert
+    the global order (VERDICT r5 'next' #4)."""
+    # file1: ab-heavy (local order bc<ab), file2: bc-heavy; global: ab=11 < bc=16
+    f1 = pd.DataFrame({"id": range(0, 9), "v": ["abc"] * 4 + ["abz"] * 5})
+    f2 = pd.DataFrame({"id": range(9, 21), "v": ["abc"] * 2 + ["xbc"] * 10})
+    src = tmp_path / "src"
+    src.mkdir()
+    f1.to_parquet(src / "f1.parquet", index=False)
+    f2.to_parquet(src / "f2.parquet", index=False)
+
+    batch = spark.read.parquet(str(src))
+    tbl = pd.DataFrame({"s": ["ab", "bc"], "t": ["X", "Y"]})
+    auto = M.with_replacement_table(tbl, "s", "t", inline=True)
+    freqs = auto.measure_rule_frequencies(batch, "v")
+    assert freqs == {"ab": 11, "bc": 16}
+    expected = auto.apply(batch, ["v"], 1.0, seed=5).toPandas().set_index("id")["v"]
+    # global ascending order: 'ab' first -> every 'abc' row becomes 'Xc'
+    assert (expected[f1[f1.v == "abc"].id] == "Xc").all()
+
+    def run_stream(mut, name):
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = mutate_stream(stream, [("v", (1.0, mut))], seed=5)
+        _run(out, name)
+        return spark.sql(f"SELECT * FROM {name}").toPandas().set_index("id")["v"]
+
+    with_freqs = run_stream(
+        M.with_replacement_table(tbl, "s", "t", inline=True, rule_frequencies=freqs),
+        "repl_stream_global",
+    )
+    assert (with_freqs.sort_index() == expected.sort_index()).all()
+
+    without = run_stream(auto, "repl_stream_local")
+    # file1's local counts (ab=9 > bc=4) invert the order: its 'abc'
+    # rows take the locally-rarer 'bc' rule instead
+    assert (without[f1[f1.v == "abc"].id] == "aY").all()
+    assert not (without.sort_index() == expected.sort_index()).all()
+
+
+def test_stream_phonetic_global_order_with_supplied_frequencies(spark, tmp_path):
+    """Phonetic stream parity: supplied per-rule counts reproduce the
+    batch global descending-frequency order on a multi-micro-batch
+    stream."""
+    f1 = pd.DataFrame({"id": range(0, 6), "v": ["schasx"] * 3 + ["schade"] * 3})
+    f2 = pd.DataFrame({"id": range(6, 16), "v": ["rasch"] * 5 + ["phase"] * 5})
+    src = tmp_path / "psrc"
+    src.mkdir()
+    f1.to_parquet(src / "f1.parquet", index=False)
+    f2.to_parquet(src / "f2.parquet", index=False)
+
+    batch = spark.read.parquet(str(src))
+    tbl = pd.DataFrame({"s": ["sch", "as"], "t": ["sh", "az"], "f": ["^", ""]})
+    auto = M.with_phonetic_replacement_table(tbl, "s", "t", "f")
+    counts = auto.measure_rule_frequencies(batch, "v")
+    assert counts == [6, 0, 13, 0]  # empty flag expands to ^/_/$ rules
+    from gecko_spark.plans.pipeline import mutate_data_frame
+
+    # same spec form as the stream path: mutate_data_frame forks the
+    # row-hash RNG per spec entry, so batch must go through it too for
+    # row-for-row parity
+    expected = (
+        mutate_data_frame(batch, [("v", (1.0, auto))], seed=11)
+        .toPandas().set_index("id")["v"]
+    )
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = mutate_stream(
+        stream,
+        [("v", (1.0, M.with_phonetic_replacement_table(
+            tbl, "s", "t", "f", rule_frequencies=counts)))],
+        seed=11,
+    )
+    _run(out, "phon_stream_global")
+    got = spark.sql("SELECT * FROM phon_stream_global").toPandas().set_index("id")["v"]
+    assert (got.sort_index() == expected.sort_index()).all()
