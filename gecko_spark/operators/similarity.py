@@ -587,8 +587,14 @@ def pq_train(
     k-means trained on a driver-side sample (the standard PQ practice —
     codebook quality saturates at a few hundred samples per code, so
     even a billion-vector corpus trains on ``k_codes·sample_per_code``
-    rows). Deterministic: seeded sample, seeded init, fixed iteration
-    count. Empty codes keep their previous centroid."""
+    rows). Deterministic BY CONTENT: the sample is the ``want`` rows
+    with the smallest seeded xxhash64 of the vector itself (a
+    TakeOrdered, not a full sort), so re-ingesting the same data under
+    any partitioning or row order trains byte-identical codebooks —
+    ``DataFrame.sample(frac, seed)`` does not have that property (its
+    draw changes with the physical partitioning — ADVICE r5). Seeded
+    init, fixed iteration count; empty codes keep their previous
+    centroid."""
     dim = infer_dim(corpus, vec_col)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -596,9 +602,15 @@ def pq_train(
         raise ValueError(f"k_codes must be in [2, 256], got {k_codes}")
     dsub = dim // m
     want = k_codes * sample_per_code
-    frac = min(1.0, want / max(corpus.count(), 1))
     sample = np.array(
-        corpus.select(vec_col).sample(frac, seed=seed).limit(want).toPandas()[vec_col].tolist(),
+        corpus.select(
+            F.col(vec_col).alias("__v"),
+            F.xxhash64(F.col(vec_col), F.lit(int(seed))).alias("__h"),
+        )
+        .orderBy("__h", "__v")
+        .limit(want)
+        .toPandas()["__v"]
+        .tolist(),
         dtype=np.float64,
     )
     if len(sample) < k_codes:

@@ -532,25 +532,27 @@ def heavy_hitters(
     src = df.select(c.cast("string").alias("value")).where(
         F.col("value").isNotNull()
     )
-    cands = heavy_hitter_candidates(df, col, capacity)
-    # both consumers below read the summary; persist so the MG scan of
-    # the raw data runs once, not once per consumer (the summary itself
-    # is ≤ partitions × capacity rows — config-sized)
-    cands = cands.persist()
-    vals = cands.where(F.col("value").isNotNull()).select("value").distinct()
-    total = cands.where(F.col("value").isNull()).agg(
-        F.sum("cnt").alias("n_total")
+    # The MG summary is ≤ partitions × capacity rows — config-sized, and
+    # the broadcast semi-join below ships exactly its value list to every
+    # executor anyway, so collect it to the driver ONCE instead of
+    # persisting the frame (a persist with no owner leaked cached blocks
+    # across repeated calls in a long-lived session — ADVICE r5). The
+    # null-value row per partition carries that partition's row count, so
+    # one collect yields both the candidate set and n_total.
+    rows = heavy_hitter_candidates(df, col, capacity).collect()
+    vals = sorted({r["value"] for r in rows if r["value"] is not None})
+    n_total = sum(r["cnt"] for r in rows if r["value"] is None)
+    spark = df.sparkSession
+    vals_df = spark.createDataFrame(
+        [(v,) for v in vals], T.StructType([T.StructField("value", T.StringType())])
     )
     counts = (
-        src.join(F.broadcast(vals), "value", "left_semi")
+        src.join(F.broadcast(vals_df), "value", "left_semi")
         .groupBy("value")
         .agg(F.count("*").alias("cnt"))
     )
-    # 1-row broadcast of n_total (same shape as tfidf's corpus-size join)
-    return (
-        counts.join(F.broadcast(total))
-        .where(F.col("cnt") * phi_den > phi_num * F.col("n_total"))
-        .select("value", "cnt")
+    return counts.where(F.col("cnt") * phi_den > phi_num * F.lit(n_total)).select(
+        "value", "cnt"
     )
 
 

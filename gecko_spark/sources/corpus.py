@@ -24,8 +24,14 @@ def stable_doc_id(*cols: Column) -> Column:
     """Deterministic 63-bit doc id from content/provenance columns
     (xxhash64 with the sign bit cleared): reruns and re-ingests assign
     the same id to the same row — the property monotonically_increasing_id
-    lacks (it changes with partitioning). Collisions are the usual
-    birthday bound (~2e-10 at 1 M docs, still < 1e-4 at 1 B)."""
+    lacks (it changes with partitioning).
+
+    Collision odds are the birthday bound n²/2 / 2⁶³: ~5.4e-8 at 1 M
+    docs, ~5.4e-4 at 100 M, but ~5.4e-2 at 1 B — beyond ~1e8 docs a
+    silent id collision (two distinct documents merged) becomes a real
+    risk, so use a wider identity there: the full signed xxhash64 (no
+    sign-bit mask, 64 bits) if negative ids are acceptable, or a
+    two-column 128-bit key ``(xxhash64(cols), xxhash64(cols, lit(1)))``."""
     return F.xxhash64(*cols).bitwiseAND(F.lit((1 << 63) - 1))
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -379,6 +380,7 @@ def decontaminate_stream(
     id_col: str,
     text_col: str,
     n: int = 5,
+    bloom_bits_count: Optional[int] = None,
 ) -> DataFrame:
     """Streaming decontamination: drop stream documents sharing any word
     ``n``-gram with a STATIC reference set (an eval split, a blocklist
@@ -388,38 +390,88 @@ def decontaminate_stream(
     (explode grams → join → anti-join the ids back) needs a second join
     against the stream, and stream-stream anti joins are unsupported.
     Instead the reference's distinct grams are computed ONCE (one batch
-    job), shipped as a broadcast variable, and each stream row runs a
-    set-membership test in an Arrow kernel: stateless, exactly-once per
-    row, no watermark. Right-sized for eval-split references (the
-    decontamination contract); for corpus-scale references run the
-    batch ``decontaminate`` inside ``foreachBatch`` instead."""
-    from gecko_spark.operators.decontam import ngrams_of_tokens
+    job) and each stream row runs a set-membership test in an Arrow
+    kernel: stateless, exactly-once per row, no watermark.
+
+    Two membership carriers:
+
+    * ``bloom_bits_count=None`` (default): the grams themselves are
+      collected and broadcast as a frozenset — EXACT, right-sized for
+      eval-split references (the decontamination contract), but
+      driver-hostile when the reference has hundreds of millions of
+      grams.
+    * ``bloom_bits_count=<bits>``: the grams are folded distributedly
+      into a fixed-size Bloom bitset (``operators/decontam.bloom_bits``
+      — only ``bits/64`` int64 words ever reach the driver; a
+      1-billion-bit filter is 125 MB and broadcastable where the raw
+      gram strings would not be). One-sided error: a false-positive
+      gram drops a CLEAN document (rate ≈ (1−e^{−k·g/bits})^k, k=6;
+      size ≥ ~16 bits/gram for <0.1%). No contaminated document ever
+      survives. For exact results at corpus-scale references run the
+      batch ``decontaminate`` inside ``foreachBatch`` instead.
+    """
+    from gecko_spark.operators.decontam import (
+        _BLOOM_K,
+        _BLOOM_PARAMS,
+        bloom_bits,
+        ngrams_of_tokens,
+    )
     from gecko_spark.operators.text import tokens
 
-    ref_grams = frozenset(
-        r["gram"]
-        for r in (
-            reference.select(tokens(F.col(text_col)).alias("__tk__"))
-            .select(F.explode(ngrams_of_tokens(F.col("__tk__"), n)).alias("gram"))
-            .distinct()
-            .collect()
-        )
-    )
     spark = reference.sparkSession
-    bc = spark.sparkContext.broadcast(ref_grams)
+    ref_gram_df = (
+        reference.select(tokens(F.col(text_col)).alias("__tk__"))
+        .select(F.explode(ngrams_of_tokens(F.col("__tk__"), n)).alias("gram"))
+        .distinct()
+    )
 
-    @F.pandas_udf(T.BooleanType())
-    def _contaminated(tk: pd.Series) -> pd.Series:
-        grams = bc.value
-        out = []
-        for a in tk:
-            if a is None or len(a) < n:
-                out.append(False)
-                continue
-            out.append(
-                any(" ".join(a[i : i + n]) in grams for i in range(len(a) - n + 1))
+    if bloom_bits_count is not None:
+        from gecko_spark.functions.portable_hash import P1, poly_hash_strings
+
+        bits = bloom_bits(ref_gram_df, bloom_bits_count)
+        bc_bits = spark.sparkContext.broadcast(bits)
+        num_bits = int(bits.shape[0]) * 64
+
+        @F.pandas_udf(T.BooleanType())
+        def _contaminated(tk: pd.Series) -> pd.Series:
+            arr = bc_bits.value
+            # flatten every row's grams into one hash batch, then fold
+            # per-row membership back with the row offsets
+            grams: list[str] = []
+            offsets = [0]
+            for a in tk:
+                if a is not None and len(a) >= n:
+                    grams.extend(
+                        " ".join(a[i : i + n]) for i in range(len(a) - n + 1)
+                    )
+                offsets.append(len(grams))
+            if not grams:
+                return pd.Series([False] * len(tk))
+            h = poly_hash_strings(grams, P1)
+            might = np.ones(len(h), dtype=bool)
+            for a_, b_ in _BLOOM_PARAMS[:_BLOOM_K]:
+                pos = (h * a_ + b_) % P1 % num_bits
+                might &= ((arr[pos // 64] >> (pos % 64)) & 1).astype(bool)
+            return pd.Series(
+                [might[offsets[i] : offsets[i + 1]].any() for i in range(len(tk))]
             )
-        return pd.Series(out)
+
+    else:
+        ref_grams = frozenset(r["gram"] for r in ref_gram_df.collect())
+        bc = spark.sparkContext.broadcast(ref_grams)
+
+        @F.pandas_udf(T.BooleanType())
+        def _contaminated(tk: pd.Series) -> pd.Series:
+            grams = bc.value
+            out = []
+            for a in tk:
+                if a is None or len(a) < n:
+                    out.append(False)
+                    continue
+                out.append(
+                    any(" ".join(a[i : i + n]) in grams for i in range(len(a) - n + 1))
+                )
+            return pd.Series(out)
 
     return (
         docs.withColumn("__tk__", tokens(F.col(text_col)))
@@ -521,14 +573,23 @@ def heavy_hitters_stream(
     mergeable-summary contract applied to unbounded input.
 
     Each micro-batch re-emits the shard's current summary in update
-    mode; downstream takes the LAST emission per (shard, value) and —
-    exactly as in the batch path — an exact recount of the candidates
-    over the stored data turns candidates into exact heavy hitters.
+    mode; downstream takes the LAST emission per shard and — exactly as
+    in the batch path — an exact recount of the candidates over the
+    stored data turns candidates into exact heavy hitters.
+
+    Every row carries ``emit``, the shard's monotone emission ordinal
+    (restored from state across checkpoint restarts), because appended
+    file-sink rows are otherwise unordered: the shard's CURRENT summary
+    is exactly its rows where ``emit = max(emit) over shard`` — which
+    also makes MG evictions recoverable (a value missing from the
+    latest emission was truncated; its stale lower-cnt rows from
+    earlier emissions must not be resurrected by a naive
+    max-cnt-per-(shard,value) read — ADVICE r5).
+    :func:`heavy_hitters_from_shards` applies this filter itself.
 
     ``output_mode`` must match the sink's: "update" for memory/console
     sinks, "append" for file sinks (the emissions are identical — each
-    batch re-emits the running summary; file-sink consumers take the
-    latest row per (shard, value)).
+    batch re-emits the running summary).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -542,6 +603,7 @@ def heavy_hitters_stream(
             T.StructField("value", T.StringType()),
             T.StructField("cnt", T.LongType()),
             T.StructField("n_shard", T.LongType()),
+            T.StructField("emit", T.LongType()),
         ]
     )
     state_schema = T.StructType(
@@ -549,6 +611,7 @@ def heavy_hitters_stream(
             T.StructField("values", T.ArrayType(T.StringType())),
             T.StructField("cnts", T.ArrayType(T.LongType())),
             T.StructField("n", T.LongType()),
+            T.StructField("emit", T.LongType()),
         ]
     )
 
@@ -558,21 +621,25 @@ def heavy_hitters_stream(
             state.remove()
             return
         if state.exists:
-            values, cnts, n = state.get
+            values, cnts, n, emit = state.get
             counters = dict(zip(values, cnts))
         else:
-            counters, n = {}, 0
+            counters, n, emit = {}, 0, 0
         for pdf in pdfs:
             s = pdf["value"].dropna()
             n += len(s)
             counters = _mg_absorb(counters, s.value_counts().to_dict(), capacity)
-        state.update((list(counters.keys()), [int(c) for c in counters.values()], n))
+        emit += 1
+        state.update(
+            (list(counters.keys()), [int(c) for c in counters.values()], n, emit)
+        )
         yield pd.DataFrame(
             {
                 "shard": shard,
                 "value": list(counters.keys()),
                 "cnt": [int(c) for c in counters.values()],
                 "n_shard": n,
+                "emit": emit,
             }
         )
 
@@ -696,15 +763,27 @@ def heavy_hitters_from_shards(
     LATEST summary rows per shard, return every surviving candidate as
     ``(value, cnt_lb, n_total, confirmed)``.
 
+    When the input carries the stream's ``emit`` ordinal (any unordered
+    sink dump does), each shard is first reduced to its
+    ``emit = max(emit)`` rows — the shard's current summary — so stale
+    rows from earlier emissions, including values since EVICTED by MG
+    truncation, are discarded rather than resurrected. Without ``emit``
+    the caller must pass latest-only rows.
+
     ``cnt_lb`` is the Misra–Gries estimate — a LOWER bound on the true
     count (undercount ≤ n_shard/(capacity+1)). ``confirmed`` marks
     values whose lower bound ALREADY clears the φ = phi_num/phi_den
     threshold: certainly heavy, no recount needed. Unconfirmed
     candidates are the maybe-set a recount over stored data resolves
     exactly (the batch ``heavy_hitters`` path). Input is
-    ≤ n_shards × capacity rows — config-sized."""
+    ≤ n_shards × capacity rows per emission — config-sized."""
     if phi_num < 1 or phi_den < 1 or phi_num >= phi_den:
         raise ValueError(f"need 0 < phi_num/phi_den < 1, got {phi_num}/{phi_den}")
+    if "emit" in shard_summaries.columns:
+        latest = shard_summaries.groupBy("shard").agg(F.max("emit").alias("emit"))
+        shard_summaries = shard_summaries.join(
+            F.broadcast(latest), ["shard", "emit"]
+        ).drop("emit")
     totals = (
         shard_summaries.groupBy("shard")
         .agg(F.max("n_shard").alias("n_shard"))

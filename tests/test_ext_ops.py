@@ -1146,6 +1146,14 @@ def test_pq_encode_shape_and_determinism(spark, embeddings):
     m1 = codes.sort_values("vec_id")["codes"].tolist()
     m2 = codes2.sort_values("vec_id")["codes"].tolist()
     assert all(np.array_equal(a, b) for a, b in zip(m1, m2))
+    # ...and by CONTENT, not physical layout: a re-ingest with a
+    # different partitioning/row order trains the same codebooks
+    # (ADVICE r5 — DataFrame.sample would not)
+    reingested = embeddings.repartition(7, "vec_id").sortWithinPartitions(
+        F.col("vec_id").desc()
+    )
+    books3 = S.pq_train(reingested, m=8, k_codes=16, seed=3)
+    assert np.array_equal(books, books3)
 
 
 def test_pq_adc_recall_against_bruteforce(spark, embeddings):

@@ -520,9 +520,9 @@ def test_heavy_hitters_stream_superset_and_bounds(spark):
     )
     _run(hh, "hh_stream", mode="update")
     # update mode re-emits each shard's summary per micro-batch; the
-    # LAST emission per (shard, value) is the final running summary
+    # rows at each shard's max emission ordinal ARE its final summary
     pdf = spark.sql("SELECT * FROM hh_stream").toPandas()
-    last = pdf.groupby(["shard", "value"]).last().reset_index()
+    last = pdf[pdf["emit"] == pdf.groupby("shard")["emit"].transform("max")]
 
     exact = (
         load_table(spark, SF, "events")
@@ -645,11 +645,13 @@ def test_checkpoint_restart_heavy_hitters_state(spark, tmp_path):
     run_until_drained()  # resume from checkpoint
 
     pdf = spark.read.parquet(out).toPandas()
-    # latest emission per (shard, value): parquet sink appends each
-    # batch's summary; the final state is the largest cnt per pair
-    # (MG counters only grow within a shard between truncations at this
-    # tiny cardinality)
-    last = pdf.sort_values("cnt").groupby(["shard", "value"]).last().reset_index()
+    # appended parquet rows are unordered; the emit ordinal (restored
+    # from the checkpoint, so it keeps climbing across the restart)
+    # recovers each shard's latest summary exactly
+    # a shard fed in both halves continues its ordinal from the
+    # checkpoint (state reset would restart every shard at emit=1)
+    assert pdf["emit"].max() >= 2
+    last = pdf[pdf["emit"] == pdf.groupby("shard")["emit"].transform("max")]
     n_by_shard = pdf.groupby("shard")["n_shard"].max()
     exact = (
         load_table(spark, SF, "events")
@@ -752,3 +754,75 @@ def test_stream_phonetic_global_order_with_supplied_frequencies(spark, tmp_path)
     _run(out, "phon_stream_global")
     got = spark.sql("SELECT * FROM phon_stream_global").toPandas().set_index("id")["v"]
     assert (got.sort_index() == expected.sort_index()).all()
+
+
+def test_decontaminate_stream_bloom_matches_frozenset_path(spark, tmp_path):
+    """bloom_bits_count ships the reference grams as a fixed-size bitset
+    (driver sees bits/64 words, not gram strings). At >=16 bits/gram the
+    FP rate is <0.1%, so on this reference the result is identical to
+    the exact frozenset path / batch operator; an undersized bloom may
+    only OVER-drop (false positives) — no contaminated doc survives
+    (ADVICE r5 / VERDICT 'next' #5)."""
+    from gecko_spark.operators.decontam import decontaminate
+    from gecko_spark.streaming import decontaminate_stream
+
+    docs_path = f"{SF}/documents.parquet"
+    batch_docs = spark.read.parquet(docs_path)
+    reference = batch_docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    train = batch_docs.filter(F.col("doc_id") % 7 != 0)
+
+    expected = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, reference, "doc_id", "text", n=5).collect()
+    )
+
+    def run(bits, name):
+        stream = (
+            spark.readStream.schema(batch_docs.schema)
+            .parquet(docs_path.replace("documents.parquet", "[d]ocuments.parquet"))
+            .filter(F.col("doc_id") % 7 != 0)
+        )
+        clean = decontaminate_stream(
+            stream, reference, "doc_id", "text", n=5, bloom_bits_count=bits
+        )
+        _run(clean, name)
+        return sorted(
+            r["doc_id"] for r in spark.sql(f"SELECT doc_id FROM {name}").collect()
+        )
+
+    # generously sized: result-identical to the exact path
+    got = run(1 << 21, "decontam_bloom_sink")
+    assert got == expected and len(got) > 0
+
+    # deliberately undersized: survivors must be a SUBSET of the exact
+    # survivors (bloom FPs only ever drop extra clean docs)
+    tiny = run(1024, "decontam_bloom_tiny_sink")
+    assert set(tiny) <= set(expected)
+
+
+def test_heavy_hitters_from_shards_emit_discards_evicted_values(spark):
+    """With the emit ordinal present, the finalizer reduces each shard
+    to its latest emission first: a value evicted by MG truncation
+    (present at emit=1, absent at emit=2) must not be resurrected from
+    its stale rows in an unordered sink dump (ADVICE r5)."""
+    from gecko_spark.streaming import heavy_hitters_from_shards
+
+    rows = [
+        (0, "hot", 300, 400, 1),
+        (0, "gone", 90, 400, 1),   # stale: evicted before emit 2
+        (0, "hot", 400, 500, 2),
+        (0, "new", 20, 500, 2),
+        (1, "other", 60, 500, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "shard int, value string, cnt long, n_shard long, emit long"
+    )
+    got = {
+        r["value"]: (r["cnt_lb"], r["n_total"], r["confirmed"])
+        for r in heavy_hitters_from_shards(df, 1, 10).collect()
+    }
+    assert got == {
+        "hot": (400, 1000, True),
+        "new": (20, 1000, False),
+        "other": (60, 1000, False),
+    }
