@@ -333,35 +333,73 @@ def with_noop() -> Mutator:
     return _Noop()
 
 
+def _not_is_cased_kernel(method: str):
+    """Arrow kernel for the reference's exact ``~str.islower()`` /
+    ``~str.isupper()`` eligibility (gecko/mutator.py:1141, :1185).
+    Python's ``islower``/``isupper`` are False for cased-character-free
+    strings ("123", ""), which makes those rows ELIGIBLE in the
+    reference; nulls stay ineligible (engine-wide null policy)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _kern(vals: pd.Series) -> pd.Series:
+        return pd.Series(
+            [False if v is None else not getattr(v, method)() for v in vals],
+            dtype=bool,
+        )
+
+    return _kern
+
+
 class _Lowercase(Mutator):
     name = "with_lowercase"
 
+    def __init__(self, exact_eligibility: bool = False):
+        self.exact = exact_eligibility
+
     def _eligible(self, col, rand):
+        if self.exact:
+            return _not_is_cased_kernel("islower")(col)
         # Column approximation of Python's ~str.islower() eligibility
         # (gecko/mutator.py:1141-1142): differs only for strings with no
-        # cased characters, whose mutation is a no-op anyway.
+        # cased characters, whose mutation is a no-op anyway — but under
+        # strict_p those rows change the measured eligible fraction, so
+        # the warning/rescale can deviate from the reference on
+        # digit-heavy columns. exact_eligibility=True restores parity
+        # at the cost of one Arrow kernel per row.
         return col != F.lower(col)
 
     def _mutate(self, col, rand):
         return F.lower(col)
 
 
-def with_lowercase() -> Mutator:
-    return _Lowercase()
+def with_lowercase(exact_eligibility: bool = False) -> Mutator:
+    """``exact_eligibility``: use the reference's exact ``~islower()``
+    row eligibility (counts cased-character-free strings as eligible)
+    instead of the JVM-side ``col != lower(col)`` approximation —
+    mutation output is identical either way; only the ``strict_p``
+    warning threshold/rescale on such rows differs."""
+    return _Lowercase(exact_eligibility)
 
 
 class _Uppercase(Mutator):
     name = "with_uppercase"
 
+    def __init__(self, exact_eligibility: bool = False):
+        self.exact = exact_eligibility
+
     def _eligible(self, col, rand):
+        if self.exact:
+            return _not_is_cased_kernel("isupper")(col)
         return col != F.upper(col)
 
     def _mutate(self, col, rand):
         return F.upper(col)
 
 
-def with_uppercase() -> Mutator:
-    return _Uppercase()
+def with_uppercase(exact_eligibility: bool = False) -> Mutator:
+    """See :func:`with_lowercase` — same ``exact_eligibility`` contract
+    with ``~isupper()``."""
+    return _Uppercase(exact_eligibility)
 
 
 class _Repeat(Mutator):

@@ -75,3 +75,48 @@ def test_streaming_pipeline_example(spark):
     # the interval join found correlations and the windows materialized
     assert counts["correlated"] > 0
     assert 0 < counts["hourly"] <= n_events
+
+
+def _run_example(script, tmp_path, timeout=420):
+    """Run an example main as a subprocess (each calls spark.stop(), so
+    in-process execution would kill the shared test session)."""
+    import os
+    import subprocess
+
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [sys.executable, f"examples/{script}", "/root/testdata/sf0.001", out_dir],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return out_dir, proc.stdout
+
+
+def test_corpus_curation_example_end_to_end(tmp_path):
+    """The showcase curation pipeline must keep running as the operators
+    evolve (VERDICT r5 'next' #10)."""
+    import glob
+
+    out_dir, stdout = _run_example("corpus_curation.py", tmp_path)
+    assert "curated corpus:" in stdout
+    assert "n_chars p50" in stdout
+    assert "split train:" in stdout
+    # partitioned-by-lang layout materialized
+    assert glob.glob(f"{out_dir}/curated/lang=*/*.parquet")
+
+
+def test_incremental_ingest_example_end_to_end(tmp_path):
+    import glob
+
+    out_dir, stdout = _run_example("incremental_ingest.py", tmp_path)
+    assert "-> accepted" in stdout and "signatures" in stdout
+    assert glob.glob(f"{out_dir}/accepted/lang=*/*.parquet")
+    assert glob.glob(f"{out_dir}/minhash_index/*.parquet")
+    # the increment actually survived the dedupe/decontam gauntlet
+    import re
+
+    m = re.search(r"increment (\d+) docs -> accepted (\d+)", stdout)
+    assert m and 0 < int(m.group(2)) <= int(m.group(1))

@@ -553,3 +553,51 @@ def test_regex_rule_frequencies_matches_internal_prepass(spark):
     a = auto.apply(sdf, ["v"], 1.0, seed=9).toPandas()["v"]
     b = supplied.apply(sdf, ["v"], 1.0, seed=9).toPandas()["v"]
     assert (a == b).all()
+
+
+def test_case_mutators_exact_eligibility_strict_p(spark):
+    """Reference parity on digit-heavy columns (gecko/mutator.py:1141,
+    :1185): Python's ~islower()/~isupper() count cased-character-free
+    strings as ELIGIBLE, so with 2/3 digit rows and p=0.5 the reference
+    does NOT warn. The JVM approximation (col != lower(col)) counts them
+    ineligible -> p_actual=0 -> GeckoWarning + rescale. exact_eligibility
+    restores the reference's accounting; mutation output is identical."""
+    import warnings
+
+    data = pd.DataFrame({"v": ["abc", "123", "456"] * 100})
+    sdf = spark_from_pandas(data)
+
+    # approximation: everything ineligible -> must warn under strict_p
+    with pytest.warns(GeckoWarning):
+        _mutate(sdf, [("v", (0.5, M.with_lowercase()))], strict_p=True).collect()
+
+    # exact: p_actual = 2/3 >= 0.5 -> silent, like the reference
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", GeckoWarning)
+        out = _mutate(
+            sdf, [("v", (0.5, M.with_lowercase(exact_eligibility=True)))],
+            strict_p=True,
+        ).toPandas()["v"]
+    # lowercasing a digit string or an already-lower string is a no-op
+    assert (out == data["v"]).all()
+
+    # uppercase mirror: "ABC" rows are ineligible for ~isupper(), digit
+    # rows eligible -> p_actual = 2/3, no warning; approx warns
+    data_u = pd.DataFrame({"v": ["ABC", "123", "456"] * 100})
+    sdf_u = spark_from_pandas(data_u)
+    with pytest.warns(GeckoWarning):
+        _mutate(sdf_u, [("v", (0.5, M.with_uppercase()))], strict_p=True).collect()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", GeckoWarning)
+        out_u = _mutate(
+            sdf_u, [("v", (0.5, M.with_uppercase(exact_eligibility=True)))],
+            strict_p=True,
+        ).toPandas()["v"]
+    assert (out_u == data_u["v"]).all()
+
+    # on a cased column both eligibility modes select identically
+    mixed = pd.DataFrame({"v": ["Alpha", "BRAVO", "charlie", "Delta"] * 50})
+    smix = spark_from_pandas(mixed)
+    a = _mutate(smix, [("v", (0.5, M.with_lowercase()))]).toPandas()["v"]
+    b = _mutate(smix, [("v", (0.5, M.with_lowercase(exact_eligibility=True)))]).toPandas()["v"]
+    assert (a == b).all()

@@ -257,3 +257,69 @@ def test_top_k_by_count_matches_sorted_model(spark, counts, k, parts):
         )
     ]
     assert got == want, (bag, k, parts)
+
+
+# ---------------------------------------------------------------------------
+# Partition-count invariance sweep (VERDICT r5 'next' #7): the engine's
+# core claim is that results are pure functions of (data, seed), not of
+# cluster layout. Running representative contract queries under 1, 8,
+# and 64 shuffle partitions and hashing the canonicalized results is the
+# strongest cheap proxy for cluster-layout independence the sandbox
+# offers — it catches per-partition accumulation-order bugs (float
+# sums), partition-local top-k mistakes, and salt/shard leakage.
+# ---------------------------------------------------------------------------
+
+_SWEEP_QUERIES = [
+    # relational: agg, join chain, window top-k, sessionization
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q_window_topk_orders",
+    "q_events_sessions",
+    # generators / mutators
+    "gen_freq_single",
+    "mut_chain",
+    "mut_replacement_inline",
+    # dedup family (LSH banding + iterative connected components)
+    "dedup_minhash_pairs",
+    "dedup_transitive",
+    # text / sketch / sampling / similarity
+    "text_tfidf_top3",
+    "sketch_quantiles",
+    "sketch_heavy_hitters",
+    "sample_shuffle",
+    "topk_cosine_ivf",
+]
+
+
+def _canon_hash(pdf):
+    import pandas as _pd
+
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    pdf = pdf.sort_values(list(pdf.columns), ignore_index=True)
+    return _pd.util.hash_pandas_object(pdf, index=False).sum()
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("name", _SWEEP_QUERIES)
+def test_partition_count_invariance(spark, name):
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    q = entry.queries()[name]
+    sf = "/root/testdata/sf0.001"
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes = {}
+    try:
+        for parts in (1, 8, 64):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            hashes[parts] = _canon_hash(q(spark, sf).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert hashes[1] == hashes[8] == hashes[64], hashes
