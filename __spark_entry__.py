@@ -2651,8 +2651,13 @@ def _dedup_semantic(spark, sf):
     from gecko_spark.operators.dedup import semantic_dedupe_pairs
 
     emb = load_table(spark, sf, "embeddings")
+    # method="fold": sequential-fold cosine association is what the
+    # DuckDB oracle replays bit-for-bit; the default "matrix" path
+    # (per-cluster BLAS gram, the 100 TB shape) may differ in the last
+    # ulp on exact-threshold ties
     return semantic_dedupe_pairs(
-        emb, "vec_id", "embedding", threshold=0.1, n_clusters=16, init="first_k"
+        emb, "vec_id", "embedding", threshold=0.1, n_clusters=16, init="first_k",
+        method="fold",
     ).select("id_a", "id_b", F.round(F.col("cosine") * 1e9).cast("long").alias("cos_1e9"))
 
 

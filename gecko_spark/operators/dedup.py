@@ -1137,6 +1137,7 @@ def semantic_dedupe_pairs(
     seed: int = 0,
     init: str = "kmeans",
     max_cluster_size: Optional[int] = None,
+    method: str = "matrix",
 ) -> DataFrame:
     """Semantic near-duplicate pairs à la SemDeDup (Abbas et al. 2023):
     k-means-cluster the embedding space, then compare vectors ONLY
@@ -1165,6 +1166,13 @@ def semantic_dedupe_pairs(
     near-zero-vector sink absorbing all boilerplate — would otherwise
     emit O(f²) pairs. At 100 TB run with ``n_clusters ≈ n/1000`` and a
     cap a few × the expected cluster size.
+
+    ``method="matrix"`` (default) scores each cluster's pair triangle
+    with one per-cluster BLAS gram matrix (each vector crosses Arrow
+    once); ``method="fold"`` scores pair-by-pair with strict left-fold
+    association — identical pair SET away from exact-threshold ulp
+    ties, but the fold is what an independent oracle replays
+    bit-for-bit, at Σ cluster² per-pair Arrow traffic.
 
     Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b`` and
     ``cosine >= threshold``.
@@ -1200,6 +1208,60 @@ def semantic_dedupe_pairs(
         )
         base = base.join(F.broadcast(oversized), ["cluster"], "left_anti")
 
+    if method == "matrix":
+        # 100 TB path: ship each CLUSTER through Arrow once and score
+        # its full pair triangle with one BLAS gram matrix, emitting
+        # only pairs ≥ threshold. The fold path below transfers both
+        # 64-dim vectors PER PAIR (Σ cluster² · 2·dim floats — 80+ GB
+        # of Arrow traffic at a 1 M-vector corpus), the matrix path
+        # transfers each vector once (Σ cluster · dim) plus the tiny
+        # survivor set; memory per task is cluster_size² doubles,
+        # bounded by max_cluster_size. BLAS association may differ from
+        # the sequential fold in the last ulp on exact-threshold ties —
+        # use method="fold" for oracle-replayable scoring.
+        id_type = df.schema[id_col].dataType.simpleString()
+        thr = float(threshold)
+
+        def _empty(pdf: pd.DataFrame) -> pd.DataFrame:
+            # typed empty frame (id dtype from the input — an untyped
+            # empty float frame would fight the Arrow schema)
+            return pd.DataFrame(
+                {
+                    "id_a": pdf["doc"].iloc[:0],
+                    "id_b": pdf["doc"].iloc[:0],
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+
+        def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = len(pdf)
+            if m < 2:
+                return _empty(pdf)
+            pdf = pdf.sort_values("doc", ignore_index=True)
+            x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1)
+            norms[norms == 0] = 1.0
+            xn = x / norms[:, None]
+            sims = xn @ xn.T
+            ia, ib = np.triu_indices(m, k=1)
+            keep = sims[ia, ib] >= thr
+            if not keep.any():
+                return _empty(pdf)
+            ids = pdf["doc"].to_numpy()
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia[keep]],
+                    "id_b": ids[ib[keep]],
+                    "cosine": sims[ia[keep], ib[keep]],
+                }
+            )
+
+        return base.groupBy("cluster").applyInPandas(
+            _cluster_pairs, f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
+
+    if method != "fold":
+        raise ValueError(f"method must be 'matrix' or 'fold', got {method!r}")
     # one Arrow kernel scores every candidate pair with strict
     # left-fold association (similarity.cosine_fold_udf) — bit-identical
     # to the oracle while avoiding the interpreted zip_with/aggregate
@@ -1233,6 +1295,7 @@ def semantic_dedupe(
     seed: int = 0,
     init: str = "kmeans",
     max_cluster_size: Optional[int] = None,
+    method: str = "matrix",
 ) -> DataFrame:
     """Drop semantic near-duplicates: for every within-cluster pair at
     or above ``threshold`` the higher id is removed (single-pass min-id
@@ -1240,7 +1303,8 @@ def semantic_dedupe(
     :func:`semantic_dedupe_pairs` into :func:`connected_components`
     when transitive closure is needed)."""
     pairs = semantic_dedupe_pairs(
-        df, id_col, vec_col, threshold, n_clusters, seed, init, max_cluster_size
+        df, id_col, vec_col, threshold, n_clusters, seed, init,
+        max_cluster_size, method,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

@@ -341,8 +341,15 @@ def _sample_centroids(
     corpus: DataFrame, vec_col: str, n_centroids: int, seed: int, iters: int = 5
 ) -> np.ndarray:
     """Mini k-means on a driver-side sample (the standard IVF training
-    shortcut: centroid quality barely affects recall at modest nprobe)."""
-    frac = min(1.0, (n_centroids * 256) / max(corpus.count(), 1))
+    shortcut: centroid quality barely affects recall at modest nprobe).
+
+    Sample size is 256 per centroid but hard-capped at 512k rows, and
+    the assignment matmul runs in 64k-row chunks: at large k the naive
+    ``sample @ centroids.T`` is a (256·k)×k float64 matrix — 190 GB at
+    k≈10000 — while the chunked form peaks at 64k × k (≈5 GB at
+    k=10000) regardless of sample size."""
+    want = min(n_centroids * 256, 512 * 1024)
+    frac = min(1.0, want / max(corpus.count(), 1))
     sample = np.array(
         corpus.select(vec_col).sample(frac, seed=seed).toPandas()[vec_col].tolist(),
         dtype=np.float64,
@@ -351,13 +358,20 @@ def _sample_centroids(
         raise ValueError("not enough rows to sample centroids")
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    chunk = 65536
     for _ in range(iters):
-        sims = sample @ centroids.T
-        assign = sims.argmax(axis=1)
-        for c in range(n_centroids):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        assign = np.concatenate(
+            [
+                (sample[i : i + chunk] @ centroids.T).argmax(axis=1)
+                for i in range(0, len(sample), chunk)
+            ]
+        )
+        # vectorized per-cluster mean: bincount of member sums
+        counts = np.bincount(assign, minlength=n_centroids).astype(np.float64)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, sample)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
         norms = np.linalg.norm(centroids, axis=1, keepdims=True)
         centroids = centroids / np.maximum(norms, 1e-12)
     return centroids
@@ -445,8 +459,16 @@ def ivf_assign(
     independent engine (the ``topk_cosine_ivf`` DuckDB oracle) — the
     determinism-over-recall trade.
 
-    Centroids are broadcast as literals; assignment is an argmax over
-    JVM dot products — the corpus is never collected. Returns
+    Centroids are broadcast as literals for small k; assignment is an
+    argmax over JVM dot products — the corpus is never collected. Past
+    ``k = 64`` the literal expression tree (k·dim literals) stops being
+    free — Catalyst planning time and the task binary grow linearly
+    with k (1 MB at k≈190) — so large-k assignment switches to one
+    Arrow kernel doing a ``B×D @ D×k`` BLAS argmax per batch (the
+    SemDeDup operating point ``n_clusters ≈ n/1000`` needs k in the
+    thousands at any real corpus size). The literal path is kept for
+    small k because its sequential-fold dots are what the first_k
+    DuckDB oracle replays bit-for-bit. Returns
     (corpus + ``__ivf_list__``, centroids)."""
     if init == "first_k":
         if id_col is None:
@@ -462,15 +484,31 @@ def ivf_assign(
     else:
         raise ValueError(f"unknown init {init!r}")
     vec = F.col(vec_col)
-    # one scores ARRAY + array_position(argmax): a chained
-    # when(score > best)-fold embeds the running best expression twice
-    # per centroid — O(2^k) expression-tree blowup that stalls Catalyst
-    # beyond ~12 centroids. This stays O(k · dim).
-    scores = F.array(
-        *[dot(vec, F.lit([float(x) for x in centroids[c]])) for c in range(n_centroids)]
-    )
-    best_id = (F.array_position(scores, F.array_max(scores)) - F.lit(1)).cast("int")
-    return corpus.withColumn("__ivf_list__", best_id), centroids
+    if n_centroids <= 64:
+        # scores ARRAY + array_position(argmax): a chained
+        # when(score > best)-fold embeds the running best expression
+        # twice per centroid — O(2^k) expression-tree blowup that stalls
+        # Catalyst beyond ~12 centroids. This stays O(k · dim).
+        scores = F.array(
+            *[
+                dot(vec, F.lit([float(x) for x in centroids[c]]))
+                for c in range(n_centroids)
+            ]
+        )
+        best_id = (F.array_position(scores, F.array_max(scores)) - F.lit(1)).cast(
+            "int"
+        )
+        return corpus.withColumn("__ivf_list__", best_id), centroids
+
+    cent_t = centroids.T.copy()  # D×k, closed over the Arrow kernel
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vals: pd.Series) -> pd.Series:
+        x = np.array(vals.tolist(), dtype=np.float64)
+        # ties broken by first max — same convention as array_position
+        return pd.Series((x @ cent_t).argmax(axis=1).astype(np.int32))
+
+    return corpus.withColumn("__ivf_list__", _assign(vec)), centroids
 
 
 def write_ivf_index(

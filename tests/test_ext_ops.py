@@ -1253,3 +1253,44 @@ def test_bruteforce_size_guard_dispatches_and_raises(spark):
     small = cosine_topk_bruteforce(emb, qs, k=5, max_scored_rows=10_000_000)
     assert "mapinpandas" not in small._jdf.queryExecution().executedPlan().toString().lower()
     assert key(small.select("query_id", "vec_id", "rank").toPandas()) == key(a)
+
+
+def test_semantic_matrix_matches_fold(spark, embeddings):
+    """The per-cluster BLAS path (default, each vector crosses Arrow
+    once) and the per-pair fold path (oracle-replayable) must agree on
+    the pair set and on cosines to float tolerance."""
+    from gecko_spark.operators.dedup import semantic_dedupe_pairs
+
+    kw = dict(threshold=0.2, n_clusters=8, seed=5, init="kmeans")
+    mx = semantic_dedupe_pairs(embeddings, "vec_id", "embedding", method="matrix", **kw).toPandas()
+    fd = semantic_dedupe_pairs(embeddings, "vec_id", "embedding", method="fold", **kw).toPandas()
+    assert len(mx) == len(fd) > 0
+    key = ["id_a", "id_b"]
+    m = mx.sort_values(key, ignore_index=True).merge(
+        fd.sort_values(key, ignore_index=True), on=key
+    )
+    assert len(m) == len(mx)
+    assert (abs(m["cosine_x"] - m["cosine_y"]) < 1e-9).all()
+
+    with __import__("pytest").raises(ValueError, match="method"):
+        semantic_dedupe_pairs(embeddings, "vec_id", "embedding", method="nope", **kw)
+
+
+def test_ivf_assign_large_k_kernel_matches_literal_path(spark, embeddings):
+    """Above k=64 assignment switches to the Arrow BLAS argmax kernel;
+    at the same centroids both paths must assign identically (first-max
+    tie convention). Exercised by comparing k=64 (literal) and the
+    kernel forced via a 65-centroid first_k run sharing 64 centroids'
+    geometry is awkward — instead assert the kernel path at k=80 is
+    internally consistent with a driver-side argmax replay."""
+    import numpy as np
+
+    from gecko_spark.operators.similarity import ivf_assign
+
+    assigned, cents = ivf_assign(
+        embeddings, "embedding", n_centroids=80, seed=9, init="kmeans"
+    )
+    pdf = assigned.select("vec_id", "embedding", "__ivf_list__").toPandas()
+    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    expect = (x @ cents.T).argmax(axis=1)
+    assert (pdf["__ivf_list__"].to_numpy() == expect).all()

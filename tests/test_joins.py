@@ -178,3 +178,94 @@ def test_asof_randomized_vs_pandas(spark):
                 assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist(), (
                     f"trial={trial} direction={direction} tol={tol}"
                 )
+
+
+def test_salted_join_vs_aqe_skew_split(spark):
+    """README claims AQE's skew-join split is the first line of defense
+    and salted_join covers what it can't — make both halves measured
+    facts (VERDICT r5 'next' #9). On a 50%-hot sort-merge join shape
+    (one key owns half a 4M-row probe side with a 64-char payload):
+
+    1. plan: with the skew thresholds in range, AQE actually splits the
+       hot partition (final adaptive plan carries SortMergeJoin(skew=true));
+    2. timing: the salted plan and the AQE-split plan each beat the
+       unprotected single-reducer baseline, and land within 2.5x of
+       each other — AQE alone suffices when it fires; the salt is the
+       deterministic fallback for the cases it can't see.
+    """
+    import time
+
+    from gecko_spark.operators.skew import salted_join
+
+    n, keys = 4_000_000, 20_000
+    left = spark.range(0, n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.pmod(F.col("id"), F.lit(keys)))
+        .alias("k"),
+        F.col("id").alias("pk"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    right = spark.range(0, keys).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+    )
+
+    conf = spark.conf
+    keys_conf = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    saved = {k: conf.get(k) for k in keys_conf}
+
+    def run(skew_enabled, salted=False):
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower())
+        # the test-scale hot partition (~200 MB of payload) must clear
+        # the split thresholds (default threshold is 256 MB)
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        try:
+            joined = (
+                salted_join(left, right, ["k"], buckets=16, salt_on=["pk"])
+                if salted
+                else left.join(right, "k")
+            )
+            # the aggregate keeps the fat payload flowing through the
+            # join shuffle (a slim projection would be column-pruned
+            # below the skew threshold) and makes the action a 1-row
+            # collect on the SAME Dataset, so the final adaptive plan
+            # (with its skew markers) is observable afterwards
+            j = joined.agg(
+                F.sum(F.length("payload")).alias("s"), F.sum("rv").alias("r")
+            )
+            jdf = j._jdf
+            t0 = time.time()
+            jdf.collect()
+            return time.time() - t0, jdf.queryExecution().executedPlan().toString()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+
+    # warmup (codegen/JIT) once
+    run(False, salted=True)
+
+    t_plain, plan_plain = run(False)
+    t_aqe, plan_aqe = run(True)
+    t_salt, plan_salt = run(False, salted=True)
+
+    assert "skew=true" in plan_aqe, "AQE did not split the hot partition"
+    assert "skew=true" not in plan_plain
+    # the salted plan needs no skew split: the salt spread the hot key
+    assert "skew=true" not in plan_salt
+
+    # both defenses beat the unprotected single-reducer plan
+    assert t_aqe < t_plain, (t_aqe, t_plain)
+    assert t_salt < t_plain, (t_salt, t_plain)
+    # and are comparable to each other (generous band: session noise)
+    assert t_salt < 2.5 * t_aqe and t_aqe < 2.5 * t_salt, (t_salt, t_aqe)
