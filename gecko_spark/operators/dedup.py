@@ -1164,8 +1164,14 @@ def semantic_dedupe_pairs(
     expansion (broadcast anti-join, same guard as
     ``minhash_candidate_pairs``): one degenerate cluster — e.g. a
     near-zero-vector sink absorbing all boilerplate — would otherwise
-    emit O(f²) pairs. At 100 TB run with ``n_clusters ≈ n/1000`` and a
-    cap a few × the expected cluster size.
+    emit O(f²) pairs.
+
+    Choosing ``n_clusters``: total work = assignment O(n·k) +
+    in-cluster pairs O(n²/k), minimized at **k ≈ √n** — measured at a
+    1.2 M-vector corpus (SCALE.md round-6 addendum): k = √n runs 9.4×
+    faster than the fixed-cluster-size choice k = n/128 (whose
+    assignment term is O(n²/128)) at ~0.3 pt recall cost. Set the cap
+    a few × the expected cluster size n/k.
 
     ``method="matrix"`` (default) scores each cluster's pair triangle
     with one per-cluster BLAS gram matrix (each vector crosses Arrow
