@@ -164,6 +164,45 @@ def main():
         "within-cluster expansion ~1000n.",
     )
 
+    def _semantic_matrix():
+        from gecko_spark.operators.dedup import semantic_dedupe_pairs
+        from gecko_spark.sources.testdata import load_table
+
+        emb = load_table(spark, sf, "embeddings")
+        return semantic_dedupe_pairs(
+            emb, "vec_id", "embedding", threshold=0.1, n_clusters=16,
+            init="first_k", method="matrix",
+        )
+
+    cap(
+        "semantic dedup, matrix mode (round 6): one grouped Arrow pass",
+        _semantic_matrix(),
+        "The production path: groupBy(cluster) + FlatMapGroupsInPandas — each "
+        "cluster crosses Arrow ONCE and its pair triangle is one BLAS gram "
+        "matrix in the kernel. The per-pair self-join (and its "
+        "Sum cluster^2 x 2xdim Arrow transfer) is gone; the only shuffle is "
+        "the cluster-key exchange feeding the grouped kernel.",
+    )
+
+    def _guard_dispatch():
+        from gecko_spark.operators.similarity import cosine_topk_bruteforce
+        from gecko_spark.sources.testdata import load_table
+
+        emb = load_table(spark, sf, "embeddings")
+        q = emb.filter("vec_id < 3").selectExpr(
+            "vec_id AS query_id", "embedding AS query_vec"
+        )
+        return cosine_topk_bruteforce(emb, q, k=5, max_scored_rows=100)
+
+    cap(
+        "brute-force top-k size guard: auto-dispatch to map-side top-k",
+        _guard_dispatch(),
+        "Past max_scored_rows pair scores (forced low here), "
+        "cosine_topk_bruteforce swaps its per-query single-reducer window "
+        "for the MapInPandas matrix path: per-batch top-k in the kernel, so "
+        "only batches x Q x k candidate rows reach the final window.",
+    )
+
     cap(
         "quantile sketch: map-side bottom-k, config-sized tail",
         qs["sketch_quantiles"](spark, sf),
