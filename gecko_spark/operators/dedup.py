@@ -1133,7 +1133,7 @@ def semantic_dedupe_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: Union[int, str] = 16,
     seed: int = 0,
     init: str = "kmeans",
     max_cluster_size: Optional[int] = None,
@@ -1170,8 +1170,9 @@ def semantic_dedupe_pairs(
     in-cluster pairs O(n²/k), minimized at **k ≈ √n** — measured at a
     1.2 M-vector corpus (SCALE.md round-6 addendum): k = √n runs 9.4×
     faster than the fixed-cluster-size choice k = n/128 (whose
-    assignment term is O(n²/128)) at ~0.3 pt recall cost. Set the cap
-    a few × the expected cluster size n/k.
+    assignment term is O(n²/128)) at ~0.3 pt recall cost. Pass
+    ``n_clusters="auto"`` for k = √n (one count job). Set the cap a
+    few × the expected cluster size n/k.
 
     ``method="matrix"`` (default) scores each cluster's pair triangle
     with one per-cluster BLAS gram matrix (each vector crosses Arrow
@@ -1184,6 +1185,14 @@ def semantic_dedupe_pairs(
     ``cosine >= threshold``.
     """
     from gecko_spark.operators.similarity import ivf_assign
+
+    if n_clusters == "auto":
+        # the balanced operating point (see "Choosing n_clusters"):
+        # k = sqrt(n) equalizes the O(n*k) assignment and O(n^2/k)
+        # in-cluster pair terms — one count job
+        n_clusters = max(16, int(df.count() ** 0.5))
+    elif not isinstance(n_clusters, int):
+        raise ValueError(f"n_clusters must be an int or 'auto', got {n_clusters!r}")
 
     assigned, _ = ivf_assign(
         df.select(F.col(id_col), F.col(vec_col)),
@@ -1297,7 +1306,7 @@ def semantic_dedupe(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: Union[int, str] = 16,
     seed: int = 0,
     init: str = "kmeans",
     max_cluster_size: Optional[int] = None,

@@ -1294,3 +1294,25 @@ def test_ivf_assign_large_k_kernel_matches_literal_path(spark, embeddings):
     x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
     expect = (x @ cents.T).argmax(axis=1)
     assert (pdf["__ivf_list__"].to_numpy() == expect).all()
+
+
+def test_semantic_auto_clusters(spark, embeddings):
+    """n_clusters='auto' picks k = sqrt(n) (the balanced operating
+    point, SCALE.md round-6 addendum) and must agree with the explicit
+    value."""
+    from gecko_spark.operators.dedup import semantic_dedupe_pairs
+
+    n = embeddings.count()
+    k = max(16, int(n ** 0.5))
+    kw = dict(threshold=0.2, seed=5, init="kmeans")
+    auto = semantic_dedupe_pairs(
+        embeddings, "vec_id", "embedding", n_clusters="auto", **kw
+    ).toPandas()
+    explicit = semantic_dedupe_pairs(
+        embeddings, "vec_id", "embedding", n_clusters=k, **kw
+    ).toPandas()
+    cols = ["id_a", "id_b"]
+    assert sorted(map(tuple, auto[cols].values)) == sorted(map(tuple, explicit[cols].values))
+
+    with pytest.raises(ValueError, match="auto"):
+        semantic_dedupe_pairs(embeddings, "vec_id", "embedding", n_clusters="bad", **kw)

@@ -826,3 +826,50 @@ def test_heavy_hitters_from_shards_emit_discards_evicted_values(spark):
         "new": (20, 1000, False),
         "other": (60, 1000, False),
     }
+
+
+def test_stream_regex_global_order_with_supplied_frequencies(spark, tmp_path):
+    """Regex-table stream parity: supplied per-rule counts reproduce the
+    batch global rule order on a multi-micro-batch stream (same contract
+    as the phonetic/inline tests; regex rules have their own Arrow-count
+    pre-pass, so the streaming fallback is worth pinning too)."""
+    from gecko_spark.plans.pipeline import mutate_data_frame
+
+    # both rules match the overlap rows "12-34x56/78" -> order matters
+    f1 = pd.DataFrame({"id": range(0, 8), "v": ["12-34x56/78"] * 4 + ["12-34"] * 4})
+    f2 = pd.DataFrame({"id": range(8, 20), "v": ["56/78"] * 10 + ["12-34x56/78"] * 2})
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    f1.to_parquet(src / "f1.parquet", index=False)
+    f2.to_parquet(src / "f2.parquet", index=False)
+
+    batch = spark.read.parquet(str(src))
+    rtbl = pd.DataFrame(
+        {
+            "pattern": [r"(?P<a>\d{2})-(?P<b>\d{2})", r"(?P<a>\d{2})/(?P<b>\d{2})"],
+            "a": ["(?P<b>)", "X"],
+            "b": ["(?P<a>)", "Y"],
+        }
+    )
+    auto = M.with_regex_replacement_table(rtbl, pattern_column="pattern")
+    counts = auto.measure_rule_frequencies(batch, "v")
+    assert counts == [10, 16]
+    expected = (
+        mutate_data_frame(batch, [("v", (1.0, auto))], seed=21)
+        .toPandas().set_index("id")["v"]
+    )
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = mutate_stream(
+        stream,
+        [("v", (1.0, M.with_regex_replacement_table(
+            rtbl, pattern_column="pattern", rule_frequencies=counts)))],
+        seed=21,
+    )
+    _run(out, "regex_stream_global")
+    got = spark.sql("SELECT * FROM regex_stream_global").toPandas().set_index("id")["v"]
+    assert (got.sort_index() == expected.sort_index()).all()
