@@ -2008,6 +2008,72 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_linkage_blocked(spark, sf):
+    """Record-linkage join (round 6, operators/linkage.py): self-link
+    part names blocked on (first token, p_size) and scored with Spark's
+    built-in ``levenshtein`` — the same classic edit distance DuckDB
+    implements, so every (pair, distance) row is oracle-exact. The
+    evaluation-side loop the reference's synthetic data exists to
+    drive (gecko README: test data FOR record linkage)."""
+    from gecko_spark.operators.linkage import block_first_token, linkage_join
+
+    part = load_table(spark, sf, "part")
+    pa = part.select("p_partkey", "p_name", "p_size")
+    return (
+        linkage_join(
+            pa, pa, "p_partkey", "p_partkey", "p_name",
+            block_a=[block_first_token("p_name"), F.col("p_size")],
+            block_b=[block_first_token("p_name"), F.col("p_size")],
+            max_dist=2, keep="all",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "dist")
+    )
+
+
+_Q_LINKAGE_BLOCKED_SQL = """
+WITH l AS (SELECT p_partkey AS id_a, lower(split_part(p_name, ' ', 1)) AS bk,
+                  p_size AS sz, p_name AS na FROM part),
+     r AS (SELECT p_partkey AS id_b, lower(split_part(p_name, ' ', 1)) AS bk,
+                  p_size AS sz, p_name AS nb FROM part)
+SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INT) AS dist
+FROM l JOIN r USING (bk, sz)
+WHERE levenshtein(na, nb) <= 2 AND id_a < id_b
+"""
+
+
+def _q_linkage_snm(spark, sf):
+    """Sorted-neighborhood candidate generation (round 6): rank
+    customers by name with the TWO-PHASE global rank (order-respecting
+    range buckets + broadcast offsets — never a single-reducer window)
+    and pair each record with its next 2 neighbors. The oracle replays
+    the NAIVE global ``ROW_NUMBER`` formulation, proving the
+    distributed rank bit-identical to the single-reducer semantics."""
+    from gecko_spark.operators.linkage import sorted_neighborhood_pairs
+
+    cust = load_table(spark, sf, "customer")
+    pairs = sorted_neighborhood_pairs(
+        cust.select("c_custkey", "c_name"), "c_name", "c_custkey",
+        window=3, keep_cols=["c_name"], buckets=16,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.levenshtein(F.col("a_c_name"), F.col("b_c_name")).cast("int").alias("dist"),
+    )
+
+
+_Q_LINKAGE_SNM_SQL = """
+WITH ranked AS (
+  SELECT c_custkey AS id, c_name AS nm,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+  FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+FROM ranked a JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2
+"""
+
+
 def _q_json_props(spark, sf):
     """Semi-structured column processing: parse the events ``props``
     JSON with a typed schema (from_json stays JVM-side — no Python in
@@ -4236,6 +4302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and stays strict-locally verified by tools/check_oracle.py (same
     # compare, same data as the driver).
     return {
+        # --- round-6 additions, never driver-graded: grade first ---
+        "q_linkage_blocked": _q_linkage_blocked,
+        "q_linkage_snm": _q_linkage_snm,
         # --- (a) newest driver grade is r02 — re-grade this round ---
         "mut_missing_value": _mut_missing,
         "mut_generator_splice": _mut_splice,
@@ -4287,9 +4356,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": _q_range_join,
         "q_cube_flag_status": _q_cube,
         "q_percentile_price": _q_percentiles,
+        # --- entries 51+: r4/r5-driver-green, code unchanged ---
+        # (q_distinct_counts / q_json_props ceded their window slots to
+        # the two never-graded round-6 linkage queries — both r04-green,
+        # unchanged code, strict-locally verified like everything below)
         "q_distinct_counts": _q_distinct_counts,
         "q_json_props": _q_json_props,
-        # --- entries 51+: r4/r5-driver-green, code unchanged ---
         "q1_pricing_summary": _q1,
         "q6_revenue_filter": _q6,
         "q7_nation_volume": _q7,
@@ -4356,6 +4428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_linkage_blocked": _Q_LINKAGE_BLOCKED_SQL,
+        "q_linkage_snm": _Q_LINKAGE_SNM_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_region_revenue": _Q5_SQL,

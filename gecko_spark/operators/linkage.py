@@ -1,0 +1,259 @@
+"""Record-linkage operators: the evaluation-side companion to the
+generator/mutator surface.
+
+The reference library exists to fabricate test data FOR record linkage
+(gecko README / paper: "generating shareable synthetic datasets ...
+for record linkage"); its own scope ends at data generation. This
+module closes the loop at Spark scale: block, pair, and score records
+so a corrupted copy can be linked back to its clean source — the
+evaluation every gecko-generated dataset is built to drive.
+
+Design (100 TB shapes):
+
+* **Blocking** is an equi-join on cheap derived keys (prefix, length
+  bucket, metaphone-free first token) — one shuffle on the block key,
+  never an all-pairs product. Helpers return plain Columns so Catalyst
+  folds them into the scan projection.
+* **Sorted-neighborhood** candidate generation ranks the corpus by the
+  sort key with a two-phase global rank (order-respecting range
+  buckets + per-bucket windows + broadcast offsets — the
+  ``shuffle_ranked`` technique, sampling.py), NOT a single-reducer
+  ``ROW_NUMBER() OVER (ORDER BY ...)``; each row then pairs with the
+  next ``window-1`` ranks via explode + equi-join on rank. The
+  ``q_linkage_snm`` contract query proves the two-phase rank
+  bit-identical to the naive global window (the DuckDB oracle runs the
+  naive form).
+* **Scoring** stays JVM-side: Spark's ``levenshtein`` is the same
+  classic edit distance DuckDB implements, so linkage scores are
+  oracle-exact. ``keep="best"`` resolves each left record to its
+  single best match with a window partitioned BY LEFT ID (bounded by
+  per-block candidate counts — never a global window).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "block_prefix",
+    "block_length_bucket",
+    "block_first_token",
+    "blocked_candidates",
+    "sorted_neighborhood_pairs",
+    "linkage_join",
+]
+
+
+def block_prefix(col: Union[str, Column], n: int = 3) -> Column:
+    """Case-folded first ``n`` characters — the classic cheap block key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.lower(c), 1, n)
+
+
+def block_length_bucket(col: Union[str, Column], width: int = 4) -> Column:
+    """``floor(length/width)`` — pairs only strings of similar length
+    (edit distance ≥ length difference, so distance-bounded matches
+    never cross distant buckets when ``width > max_dist``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(F.length(c) / F.lit(width)).cast("int")
+
+
+def block_first_token(col: Union[str, Column], delimiter: str = " ") -> Column:
+    """Case-folded first delimiter-separated token."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.split(c, delimiter).getItem(0))
+
+
+def blocked_candidates(
+    a: DataFrame,
+    b: DataFrame,
+    id_a: str,
+    id_b: str,
+    block_a: Sequence[Column],
+    block_b: Sequence[Column],
+    keep_a: Sequence[str] = (),
+    keep_b: Sequence[str] = (),
+) -> DataFrame:
+    """Candidate pairs via equi-join on block keys: ``(id_a, id_b,
+    keep_a..., keep_b...)``.
+
+    ``block_a``/``block_b`` are parallel lists of Column expressions
+    (one per block key) evaluated on each side. The join is a plain
+    hash equi-join on the key tuple — ONE shuffle keyed on the block
+    key, partial-aggregation-free, broadcastable when one side is
+    small. Self-linkage: pass the same frame twice and filter
+    ``id_a < id_b`` downstream (or use :func:`linkage_join`)."""
+    if len(block_a) != len(block_b) or not block_a:
+        raise ValueError("block_a and block_b must be equal-length, non-empty")
+    keys = [f"__bk{i}__" for i in range(len(block_a))]
+    left = a.select(
+        F.col(id_a).alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in keep_a],
+        *[k.alias(n) for k, n in zip(block_a, keys)],
+    )
+    right = b.select(
+        F.col(id_b).alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in keep_b],
+        *[k.alias(n) for k, n in zip(block_b, keys)],
+    )
+    return left.join(right, keys).drop(*keys)
+
+
+def _two_phase_rank(
+    df: DataFrame, key: str, id_col: str, buckets: int, out_col: str
+) -> DataFrame:
+    """Global 1-based rank over ``(key, id)`` without a single-reducer
+    window: order-respecting buckets from DETERMINISTIC content-derived
+    boundaries, per-bucket window ranks, plus broadcast cumulative
+    offsets from one config-sized count job.
+
+    Boundaries must NOT come from ``repartitionByRange``: its sampled
+    range boundaries are recomputed per job execution, and the counts
+    job and the final join job executing the same lineage can bucket
+    rows DIFFERENTLY — offsets then mismatch and ranks duplicate
+    (caught by the sf0.1 oracle run on a multi-partition input; sf0.01's
+    single partition masked it). Instead the boundary sample is the
+    ``buckets·128`` rows with the lowest ``xxhash64(key, id)`` (a
+    TakeOrdered — content-pure, layout-independent), sorted driver-side
+    into quantile edges; each row's bucket is then "number of edges ≤
+    (key, id)" — a pure function of row content, identical in every job
+    that evaluates it."""
+    n_sample = buckets * 128
+    samp = (
+        df.select(
+            F.col(key).alias("k"),
+            F.col(id_col).alias("i"),
+            F.xxhash64(F.col(key), F.col(id_col)).alias("__h__"),
+        )
+        .orderBy("__h__", "k", "i")
+        .limit(n_sample)
+        .select("k", "i")
+        .collect()
+    )
+    rows = sorted((r["k"], r["i"]) for r in samp if r["k"] is not None)
+    edges = []
+    if buckets > 1 and rows:
+        step = len(rows) / buckets
+        seen = set()
+        for j in range(1, buckets):
+            e = rows[min(int(j * step), len(rows) - 1)]
+            if e not in seen:
+                seen.add(e)
+                edges.append(e)
+    bucket = F.lit(0)
+    for ek, ei in edges:
+        ge = (F.col(key) > F.lit(ek)) | (
+            (F.col(key) == F.lit(ek)) & (F.col(id_col) >= F.lit(ei))
+        )
+        # null keys sort first (Spark asc default) -> stay in bucket 0
+        bucket = bucket + F.coalesce(ge.cast("int"), F.lit(0))
+    tagged = df.withColumn("__b__", bucket)
+    counts = {
+        r["__b__"]: r["__c__"]
+        for r in tagged.groupBy("__b__").agg(F.count(F.lit(1)).alias("__c__")).collect()
+    }
+    if not counts:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    offsets, acc = {}, 0
+    for bkt in sorted(counts):
+        offsets[bkt] = acc
+        acc += counts[bkt]
+    off_map = F.create_map(
+        *[F.lit(x) for bkt in sorted(counts) for x in (bkt, offsets[bkt])]
+    )
+    w = Window.partitionBy("__b__").orderBy(F.col(key).asc(), F.col(id_col).asc())
+    return tagged.withColumn(
+        out_col, (off_map[F.col("__b__")] + F.row_number().over(w)).cast("long")
+    ).drop("__b__")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    window: int = 5,
+    keep_cols: Sequence[str] = (),
+    buckets: int = 64,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo): sort by
+    ``key`` (ties: ``id_col``), pair each record with the next
+    ``window − 1`` records of the sorted order. Returns ``(id_a, id_b,
+    a_<col>..., b_<col>...)`` with ``id_a`` the earlier-ranked record.
+
+    The rank is the two-phase global rank (see module docstring) and
+    the pairing is explode(1..window−1) + equi-join on rank — both
+    shuffles are data-spread, nothing funnels through one reducer.
+    Output is a pure function of (data, window): bucket boundaries
+    cannot affect it (proven against a naive global-window oracle by
+    the ``q_linkage_snm`` contract query)."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    # no persist: an unowned cache leaks across calls (the heavy_hitters
+    # ADVICE-r5 lesson); both join sides share the same range-exchange
+    # subplan, which Spark dedupes via ReusedExchange
+    ranked = _two_phase_rank(
+        df.select(id_col, key, *keep_cols), key, id_col, buckets, "__rank__"
+    )
+    left = ranked.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in keep_cols],
+        F.explode(
+            F.array(*[F.col("__rank__") + F.lit(i) for i in range(1, window)])
+        ).alias("__rank__"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in keep_cols],
+        "__rank__",
+    )
+    return left.join(right, "__rank__").drop("__rank__")
+
+
+def linkage_join(
+    a: DataFrame,
+    b: DataFrame,
+    id_a: str,
+    id_b: str,
+    on: Union[str, Sequence[str]],
+    block_a: Sequence[Column],
+    block_b: Sequence[Column],
+    max_dist: int = 2,
+    keep: str = "best",
+) -> DataFrame:
+    """Link records of ``a`` to records of ``b``: blocked candidates,
+    summed Levenshtein distance over the ``on`` column(s), threshold at
+    ``max_dist``, and (``keep="best"``) one best match per left record
+    (ties: lowest distance, then lowest ``id_b`` — deterministic).
+    ``keep="all"`` returns every pair at or under the threshold.
+
+    Returns ``(id_a, id_b, dist)``. Distance arithmetic is Spark's
+    built-in ``levenshtein`` — identical to DuckDB's, which is what
+    makes ``q_linkage_blocked`` an exact value-level oracle. The
+    best-match window partitions by ``id_a`` (per-block bounded), not
+    globally."""
+    if keep not in ("best", "all"):
+        raise ValueError(f"keep must be 'best' or 'all', got {keep!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    cands = blocked_candidates(
+        a, b, id_a, id_b, block_a, block_b, keep_a=on, keep_b=on
+    )
+    dist = None
+    for c in on:
+        d = F.levenshtein(F.col(f"a_{c}"), F.col(f"b_{c}"))
+        dist = d if dist is None else dist + d
+    scored = (
+        cands.withColumn("dist", dist.cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+    if keep == "all":
+        return scored
+    w = Window.partitionBy("id_a").orderBy(F.col("dist").asc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )

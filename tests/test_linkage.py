@@ -1,0 +1,206 @@
+"""Record-linkage operators: blocking, sorted-neighborhood candidates,
+levenshtein linkage join — including the end-to-end loop the engine
+exists for: corrupt a clean table with the mutator surface, then link
+it back."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gecko_spark.operators import linkage as L
+
+SF = "/root/testdata/sf0.001"
+
+
+def _people(spark):
+    pdf = pd.DataFrame(
+        {
+            "pid": range(8),
+            "name": [
+                "charlie miller",
+                "kharlie miller",   # 1 edit from 0
+                "charly miller",    # 2 edits from 0
+                "anna schmidt",
+                "anna schmitd",     # transposed tail of 3
+                "bob jones",
+                "completely other",
+                "charlie miler",    # 1 edit from 0
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_blocked_candidates_and_linkage_join_best(spark):
+    df = _people(spark)
+    got = L.linkage_join(
+        df, df, "pid", "pid", "name",
+        block_a=[L.block_prefix("name", 2)],
+        block_b=[L.block_prefix("name", 2)],
+        max_dist=2, keep="all",
+    ).filter("id_a < id_b")
+    rows = {(r["id_a"], r["id_b"]): r["dist"] for r in got.collect()}
+    # kharlie blocks as 'kh' — prefix blocking misses it (that's what
+    # blocking trades); the 'ch' and 'an' blocks keep their pairs
+    assert rows == {(0, 2): 2, (0, 7): 1, (3, 4): 2}
+
+    best = L.linkage_join(
+        df, df.filter("pid != 0"), "pid", "pid", "name",
+        block_a=[L.block_prefix("name", 2)],
+        block_b=[L.block_prefix("name", 2)],
+        max_dist=2, keep="best",
+    ).filter("id_a = 0").collect()
+    assert len(best) == 1 and best[0]["id_b"] == 7 and best[0]["dist"] == 1
+
+    with pytest.raises(ValueError, match="keep"):
+        L.linkage_join(df, df, "pid", "pid", "name",
+                       block_a=[L.block_prefix("name", 2)],
+                       block_b=[L.block_prefix("name", 2)], keep="nope")
+    with pytest.raises(ValueError, match="block_a"):
+        L.blocked_candidates(df, df, "pid", "pid", [], [])
+
+
+def test_length_bucket_blocking_never_misses_within_width(spark):
+    """With width > max_dist, a distance-bounded match can be at most
+    one bucket away; pairing adjacent buckets too makes the block
+    recall-complete for that distance."""
+    df = _people(spark)
+    naive = (
+        df.alias("a").join(df.alias("b"), F.col("a.pid") < F.col("b.pid"))
+        .select(
+            F.col("a.pid").alias("id_a"), F.col("b.pid").alias("id_b"),
+            F.levenshtein("a.name", "b.name").alias("dist"),
+        )
+        .filter("dist <= 2")
+    )
+    w = 4
+    blocked = L.linkage_join(
+        df, df, "pid", "pid", "name",
+        block_a=[L.block_length_bucket("name", w)],
+        block_b=[L.block_length_bucket("name", w)],
+        max_dist=2, keep="all",
+    ).filter("id_a < id_b")
+    adj = L.linkage_join(
+        df, df, "pid", "pid", "name",
+        block_a=[L.block_length_bucket("name", w)],
+        block_b=[L.block_length_bucket("name", w) + F.lit(1)],
+        max_dist=2, keep="all",
+    )
+    adj = adj.select("id_a", "id_b", "dist").union(
+        adj.select(F.col("id_b"), F.col("id_a"), "dist")
+    ).filter("id_a < id_b")
+    got = set(map(tuple, blocked.union(adj).distinct().select("id_a", "id_b").collect()))
+    want = set(map(tuple, naive.select("id_a", "id_b").collect()))
+    assert want <= got
+
+
+def test_sorted_neighborhood_matches_naive_window(spark):
+    """Two-phase rank + explode/join must equal the naive single-reducer
+    formulation pair-for-pair, at several bucket counts (bucket
+    boundaries cannot affect the output)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang", "source")
+    from pyspark.sql import Window
+
+    w_n = Window.orderBy(F.col("lang").asc(), F.col("doc_id").asc())
+    ranked = docs.withColumn("rnk", F.row_number().over(w_n))
+    naive = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("b.rnk") > F.col("a.rnk")) & (F.col("b.rnk") <= F.col("a.rnk") + 2),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    want = set(map(tuple, naive.collect()))
+    for buckets in (1, 7, 64):
+        got = L.sorted_neighborhood_pairs(
+            docs, "lang", "doc_id", window=3, buckets=buckets
+        ).select("id_a", "id_b")
+        assert set(map(tuple, got.collect())) == want, buckets
+
+
+def test_sorted_neighborhood_keep_cols_and_validation(spark):
+    df = _people(spark)
+    out = L.sorted_neighborhood_pairs(df, "name", "pid", window=2, keep_cols=["name"])
+    pdf = out.toPandas()
+    assert set(pdf.columns) == {"id_a", "id_b", "a_name", "b_name"}
+    assert len(pdf) == 7  # n-1 adjacent pairs at window=2
+    with pytest.raises(ValueError, match="window"):
+        L.sorted_neighborhood_pairs(df, "name", "pid", window=1)
+
+
+def test_corrupt_then_link_roundtrip(spark):
+    """The full gecko loop: mutate a clean name column with the engine's
+    own mutators, then link the corrupted copy back to the source —
+    every corrupted record must resolve to its own original as the best
+    match (distances from one delete + one CLDR-free substitute stay
+    within max_dist while inter-record distances are large)."""
+    from gecko_spark.operators import generators as G
+    from gecko_spark.operators import mutators as M
+    from gecko_spark.plans.pipeline import mutate_data_frame, to_data_frame
+
+    freq = pd.DataFrame(
+        {
+            "name": [
+                "margaret thatcher", "winston churchill", "clement attlee",
+                "harold wilson", "edward heath", "james callaghan",
+                "alec douglas-home", "anthony eden",
+            ],
+            "n": [1] * 8,
+        }
+    )
+    clean = to_data_frame(
+        spark, [("name", G.from_frequency_table(freq, "name", "n"))],
+        2000, seed=31, keep_index=True,
+    ).withColumnRenamed("__idx__", "pid")
+    dirty = mutate_data_frame(
+        clean,
+        [("name", (0.5, M.with_delete())), ("name", (0.3, M.with_substitute()))],
+        seed=32, key_columns=["pid"],
+    )
+    linked = L.linkage_join(
+        dirty, clean, "pid", "pid", "name",
+        block_a=[L.block_prefix("name", 2)],
+        block_b=[L.block_prefix("name", 2)],
+        max_dist=2, keep="best",
+    )
+    # ground truth is the ENTITY (the clean name), not the row id:
+    # hundreds of rows share each of the 8 clean names, so many ties at
+    # equal distance are correct links to a different row of the same
+    # entity. Cross-entity clean-name distances are >= 3 > max_dist, so
+    # any link crossing entity classes would be a real bug.
+    def entity_accuracy(link_df):
+        truth = clean.select(
+            F.col("pid").alias("id_a"), F.col("name").alias("true_name")
+        )
+        target = clean.select(
+            F.col("pid").alias("id_b"), F.col("name").alias("linked_name")
+        )
+        j = link_df.join(truth, "id_a").join(target, "id_b").toPandas()
+        return j, (j["true_name"] == j["linked_name"]).mean()
+
+    pdf, acc = entity_accuracy(linked)
+    # prefix blocking misses records whose mutation hit chars 1-2
+    # (~10% at these rates — the real blocking-recall trade); every
+    # record that DID link resolves to its own entity
+    assert len(pdf) >= 1700
+    assert acc == 1.0
+
+    # multi-pass blocking (prefix OR suffix pass) recovers most of the
+    # rest — standard linkage practice, expressed as a union of passes
+    linked2 = L.linkage_join(
+        dirty, clean, "pid", "pid", "name",
+        block_a=[F.substring(F.col("name"), -2, 2)],
+        block_b=[F.substring(F.col("name"), -2, 2)],
+        max_dist=2, keep="best",
+    )
+    both = linked.union(linked2).distinct()
+    w = __import__("pyspark").sql.Window.partitionBy("id_a").orderBy(
+        F.col("dist").asc(), F.col("id_b").asc()
+    )
+    best = both.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    bpdf, bacc = entity_accuracy(best)
+    assert len(bpdf) >= 1980
+    assert bacc == 1.0

@@ -288,6 +288,11 @@ _SWEEP_QUERIES = [
     "sketch_heavy_hitters",
     "sample_shuffle",
     "topk_cosine_ivf",
+    # round 6: the two-phase SNM rank must be layout-independent (its
+    # first implementation wasn't — repartitionByRange resampled
+    # boundaries per job; caught by the sf0.1 oracle)
+    "q_linkage_snm",
+    "q_linkage_blocked",
 ]
 
 
