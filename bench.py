@@ -224,6 +224,8 @@ def bench_queries(spark, sf_dir):
         "text_repetition",
         "q_skew_join",
         "q21_waiting_supplier",
+        "q_linkage_blocked",  # round 6: blocked levenshtein linkage join
+        "q_linkage_snm",  # round 6: two-phase-rank sorted neighborhood
     ]:
         timed(name, lambda n=name: _run(qs[n](spark, sf_dir)))
 
