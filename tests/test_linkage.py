@@ -204,3 +204,60 @@ def test_corrupt_then_link_roundtrip(spark):
     bpdf, bacc = entity_accuracy(best)
     assert len(bpdf) >= 1980
     assert bacc == 1.0
+
+
+def test_jaro_winkler_matches_duckdb_on_random_pairs(spark):
+    """The kernel claims bit-identity with DuckDB's
+    jaro_winkler_similarity — fuzz it over several hundred random pairs
+    (mixed lengths, shared prefixes, transpositions, empties)."""
+    import random
+
+    import duckdb
+
+    import gecko_spark.operators.linkage as L2
+
+    rnd = random.Random(7)
+    alpha = "abcdefgh"
+    pairs = []
+    for _ in range(400):
+        n1, n2 = rnd.randint(0, 12), rnd.randint(0, 12)
+        s1 = "".join(rnd.choice(alpha) for _ in range(n1))
+        s2 = "".join(rnd.choice(alpha) for _ in range(n2))
+        if rnd.random() < 0.3:  # force shared prefixes / near-dups
+            s2 = s1[: rnd.randint(0, len(s1))] + s2
+        pairs.append((s1, s2))
+    con = duckdb.connect()
+    for s1, s2 in pairs:
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [s1, s2]
+        ).fetchone()[0]
+        got = L2.jaro_winkler_py(s1, s2)
+        assert got == want, (s1, s2, got, want)
+
+
+def test_linkage_join_jaro_winkler_mode(spark):
+    df = _people(spark)
+    got = L.linkage_join(
+        df, df, "pid", "pid", "name",
+        block_a=[L.block_prefix("name", 1)],
+        block_b=[L.block_prefix("name", 1)],
+        score="jaro_winkler", min_sim=0.9, keep="all",
+    ).filter("id_a < id_b")
+    rows = {(r["id_a"], r["id_b"]): r["sim"] for r in got.collect()}
+    assert (0, 2) in rows and (0, 7) in rows and (3, 4) in rows
+    assert all(0.9 <= v <= 1.0 for v in rows.values())
+    # jw(charlie miller, charlie miler): shared 4-prefix boost
+    assert rows[(0, 7)] > 0.97
+
+    best = L.linkage_join(
+        df, df.filter("pid != 0"), "pid", "pid", "name",
+        block_a=[L.block_prefix("name", 1)],
+        block_b=[L.block_prefix("name", 1)],
+        score="jaro_winkler", min_sim=0.9, keep="best",
+    ).filter("id_a = 0").collect()
+    assert len(best) == 1 and best[0]["id_b"] == 7
+
+    with pytest.raises(ValueError, match="score"):
+        L.linkage_join(df, df, "pid", "pid", "name",
+                       block_a=[L.block_prefix("name", 1)],
+                       block_b=[L.block_prefix("name", 1)], score="hamming")
