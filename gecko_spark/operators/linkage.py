@@ -45,6 +45,7 @@ __all__ = [
     "block_prefix",
     "block_length_bucket",
     "block_first_token",
+    "block_soundex",
     "blocked_candidates",
     "sorted_neighborhood_pairs",
     "linkage_join",
@@ -137,6 +138,17 @@ def block_first_token(col: Union[str, Column], delimiter: str = " ") -> Column:
     """Case-folded first delimiter-separated token."""
     c = F.col(col) if isinstance(col, str) else col
     return F.lower(F.split(c, delimiter).getItem(0))
+
+
+def block_soundex(col: Union[str, Column]) -> Column:
+    """Soundex phonetic code (Spark's JVM builtin) — the classic
+    linkage block key for misspelled surnames: 'miller'/'mueller'/
+    'miler' all code M460, so phonetically-close corruptions stay in
+    one block where a prefix key would scatter them. No DuckDB
+    counterpart, so soundex-blocked queries are unit-tested rather than
+    oracle'd (the downstream scorer still is)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.soundex(c)
 
 
 def blocked_candidates(

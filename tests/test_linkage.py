@@ -261,3 +261,28 @@ def test_linkage_join_jaro_winkler_mode(spark):
         L.linkage_join(df, df, "pid", "pid", "name",
                        block_a=[L.block_prefix("name", 1)],
                        block_b=[L.block_prefix("name", 1)], score="hamming")
+
+
+def test_soundex_blocking_groups_phonetic_variants(spark):
+    """Soundex blocking keeps phonetically-close corruptions in one
+    block where prefix blocking scatters them — e.g. miller/miler, and
+    a leading-sound-preserving typo like mueller."""
+    pdf = pd.DataFrame(
+        {
+            "pid": range(5),
+            "surname": ["miller", "miler", "mueller", "smith", "smyth"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        L.blocked_candidates(
+            df, df, "pid", "pid",
+            [L.block_soundex("surname")], [L.block_soundex("surname")],
+        )
+        .filter("id_a < id_b")
+        .select("id_a", "id_b")
+    )
+    pairs = set(map(tuple, got.collect()))
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs  # M460 block
+    assert (3, 4) in pairs  # S530 block
+    assert not any((a in (0, 1, 2)) != (b in (0, 1, 2)) for a, b in pairs)

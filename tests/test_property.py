@@ -293,6 +293,7 @@ _SWEEP_QUERIES = [
     # boundaries per job; caught by the sf0.1 oracle)
     "q_linkage_snm",
     "q_linkage_blocked",
+    "q_linkage_jw",
 ]
 
 
