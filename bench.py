@@ -226,6 +226,7 @@ def bench_queries(spark, sf_dir):
         "q21_waiting_supplier",
         "q_linkage_blocked",  # round 6: blocked levenshtein linkage join
         "q_linkage_snm",  # round 6: two-phase-rank sorted neighborhood
+        "q_linkage_jw",  # round 6: Jaro-Winkler Arrow kernel (honest per-pair python cost)
     ]:
         timed(name, lambda n=name: _run(qs[n](spark, sf_dir)))
 

@@ -195,6 +195,24 @@ def main():
         return cosine_topk_bruteforce(emb, q, k=5, max_scored_rows=100)
 
     cap(
+        "linkage: blocked candidates + levenshtein, one block-key shuffle",
+        qs["q_linkage_blocked"](spark, sf),
+        "Record linkage as a plain hash equi-join on derived block keys "
+        "(folded into the scan projection) with JVM-side levenshtein in the "
+        "filter — never an all-pairs product; the best-match variant adds one "
+        "window partitioned by the left id (per-block bounded).",
+    )
+
+    cap(
+        "linkage: sorted-neighborhood two-phase rank, no global window",
+        qs["q_linkage_snm"](spark, sf),
+        "The global sort rank comes from content-derived buckets + per-bucket "
+        "windows + broadcast offsets; pairing is explode + equi-join on rank. "
+        "No ROW_NUMBER over a global ORDER BY anywhere in the plan — the "
+        "oracle proves the result identical to that single-reducer form.",
+    )
+
+    cap(
         "brute-force top-k size guard: auto-dispatch to map-side top-k",
         _guard_dispatch(),
         "Past max_scored_rows pair scores (forced low here), "
