@@ -2,6 +2,7 @@
 
 from gecko_spark.streaming.stream import (
     decontaminate_stream,
+    link_stream,
     dedupe_stream,
     heavy_hitters_from_shards,
     heavy_hitters_stream,
@@ -19,6 +20,7 @@ from gecko_spark.streaming.stream import (
 
 __all__ = [
     "decontaminate_stream",
+    "link_stream",
     "dedupe_stream",
     "heavy_hitters_from_shards",
     "heavy_hitters_stream",

@@ -29,6 +29,7 @@ __all__ = [
     "mutate_stream",
     "dedupe_stream",
     "decontaminate_stream",
+    "link_stream",
     "pack_stream",
     "heavy_hitters_stream",
     "heavy_hitters_from_shards",
@@ -799,5 +800,131 @@ def heavy_hitters_from_shards(
             (F.col("cnt_lb") * phi_den > phi_num * F.col("n_total")).alias(
                 "confirmed"
             ),
+        )
+    )
+
+
+def link_stream(
+    records: DataFrame,
+    clean: DataFrame,
+    id_col: str,
+    clean_id_col: str,
+    on: str,
+    block_stream,
+    block_static,
+    score: str = "levenshtein",
+    max_dist: int = 2,
+    min_sim: float = 0.9,
+) -> DataFrame:
+    """Streaming record linkage: resolve each ARRIVING record to its
+    best match in a STATIC clean table (operators/linkage.py's
+    ``linkage_join(keep="best")``, re-shaped for streams).
+
+    Shape: the batch best-match window (partition by left id) is not
+    available on streams, and a streaming groupBy would hold one state
+    entry per record forever. Instead the decision is made ROW-LOCAL:
+    the static side folds each block's candidates into ONE array row
+    (``collect_list`` per block key — bounded by block size, computed
+    once), the stream row equi-joins to its block's array (stream-static
+    join, stateless, exactly-once per record), and one Arrow kernel
+    scores every candidate and emits the argmax. Same scorers and the
+    same deterministic tie-breaks as the batch operator (levenshtein:
+    lowest distance then lowest id; jaro_winkler: highest similarity
+    then lowest id), which is what the batch-parity test pins.
+
+    Returns the stream's rows plus ``(match_id, match_score)`` —
+    null when no candidate passes the threshold (or the block is
+    unseen). ``block_stream``/``block_static`` are Column expressions
+    over each side (e.g. ``linkage.block_prefix(...)``)."""
+    from gecko_spark.operators.linkage import jaro_winkler_py
+
+    if score not in ("levenshtein", "jaro_winkler"):
+        raise ValueError(
+            f"score must be 'levenshtein' or 'jaro_winkler', got {score!r}"
+        )
+
+    cands = clean.groupBy(block_static.alias("__bk__")).agg(
+        F.collect_list(
+            F.struct(
+                F.col(clean_id_col).cast("long").alias("cid"),
+                F.col(on).alias("cval"),
+            )
+        ).alias("__cands__")
+    )
+
+    def _lev(a: str, b: str) -> int:
+        # classic DP — same distance Spark's levenshtein computes
+        if a == b:
+            return 0
+        la, lb = len(a), len(b)
+        if la == 0 or lb == 0:
+            return la or lb
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            ca = a[i - 1]
+            for j in range(1, lb + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != b[j - 1]),
+                )
+            prev = cur
+        return prev[lb]
+
+    use_jw = score == "jaro_winkler"
+    thresh_sim = float(min_sim)
+    thresh_dist = int(max_dist)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("match_id", T.LongType()),
+                T.StructField("match_score", T.DoubleType()),
+            ]
+        )
+    )
+    def _best(vals: pd.Series, cand: pd.Series) -> pd.DataFrame:
+        ids, scores = [], []
+        for v, cl in zip(vals, cand):
+            best_id, best_s = None, None
+            if v is not None and cl is not None:
+                for c in cl:
+                    cid, cval = c["cid"], c["cval"]
+                    if cval is None:
+                        continue
+                    if use_jw:
+                        sc = jaro_winkler_py(v, cval)
+                        if sc < thresh_sim:
+                            continue
+                        better = (
+                            best_s is None
+                            or sc > best_s
+                            or (sc == best_s and cid < best_id)
+                        )
+                    else:
+                        sc = float(_lev(v, cval))
+                        if sc > thresh_dist:
+                            continue
+                        better = (
+                            best_s is None
+                            or sc < best_s
+                            or (sc == best_s and cid < best_id)
+                        )
+                    if better:
+                        best_id, best_s = cid, sc
+            ids.append(best_id)
+            scores.append(best_s)
+        return pd.DataFrame({"match_id": ids, "match_score": scores})
+
+    joined = records.withColumn("__bk__", block_stream).join(
+        cands, "__bk__", "left"
+    )
+    out = joined.withColumn("__m__", _best(F.col(on), F.col("__cands__")))
+    return (
+        out.select(
+            *[F.col(c) for c in records.columns],
+            F.col("__m__.match_id").alias("match_id"),
+            F.col("__m__.match_score").alias("match_score"),
         )
     )

@@ -873,3 +873,70 @@ def test_stream_regex_global_order_with_supplied_frequencies(spark, tmp_path):
     _run(out, "regex_stream_global")
     got = spark.sql("SELECT * FROM regex_stream_global").toPandas().set_index("id")["v"]
     assert (got.sort_index() == expected.sort_index()).all()
+
+
+def test_link_stream_matches_batch_best_match(spark, tmp_path):
+    """Streaming record linkage (row-local candidate-array design) must
+    resolve every arriving record exactly as the batch
+    linkage_join(keep='best') does — same scorer, same tie-breaks —
+    including records with NO admissible candidate (null match)."""
+    from gecko_spark.operators import generators as G
+    from gecko_spark.operators import linkage as L
+    from gecko_spark.plans.pipeline import mutate_data_frame, to_data_frame
+    from gecko_spark.streaming import link_stream
+
+    freq = pd.DataFrame({"w": [f"n{i:02d}" for i in range(40)], "n": [1] * 40})
+    clean = (
+        to_data_frame(
+            spark,
+            [("first", G.from_frequency_table(freq, "w", "n")),
+             ("last", G.from_frequency_table(freq, "w", "n"))],
+            3000, seed=51, keep_index=True,
+        )
+        .select(
+            F.col("__idx__").alias("pid"),
+            F.concat_ws(" ", "first", "last").alias("name"),
+            F.pmod(F.col("__idx__"), F.lit(500)).alias("zip"),
+        )
+    )
+    dirty = mutate_data_frame(
+        clean,
+        [("name", (0.3, M.with_delete())), ("name", (0.3, M.with_substitute()))],
+        seed=52, key_columns=["pid"],
+    )
+    src = tmp_path / "dirty"
+    src.mkdir()
+    # three files -> three micro-batches
+    for i in range(3):
+        dirty.filter(F.col("pid") % 3 == i).toPandas().to_parquet(
+            src / f"f{i}.parquet", index=False
+        )
+
+    for score, kw in [("levenshtein", {}), ("jaro_winkler", {"min_sim": 0.85})]:
+        expected = L.linkage_join(
+            dirty, clean, "pid", "pid", "name",
+            block_a=[F.col("zip")], block_b=[F.col("zip")],
+            keep="best", score=score, **kw,
+        ).toPandas().set_index("id_a")
+
+        stream = (
+            spark.readStream.schema(dirty.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = link_stream(
+            stream, clean, "pid", "pid", "name",
+            block_stream=F.col("zip"), block_static=F.col("zip"),
+            score=score, **kw,
+        )
+        name = f"link_stream_{score}"
+        _run(out, name)
+        got = spark.sql(f"SELECT * FROM {name}").toPandas().set_index("pid")
+
+        assert len(got) == dirty.count()  # exactly-once per record
+        linked = got[got["match_id"].notna()]
+        assert set(linked.index) == set(expected.index)
+        merged = linked.join(expected, how="inner")
+        assert (merged["match_id"].astype("int64") == merged["id_b"]).all()
+        score_col = "dist" if score == "levenshtein" else "sim"
+        assert (abs(merged["match_score"] - merged[score_col]) < 1e-12).all()
