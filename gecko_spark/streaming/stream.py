@@ -815,10 +815,19 @@ def link_stream(
     score: str = "levenshtein",
     max_dist: int = 2,
     min_sim: float = 0.9,
+    max_block_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """Streaming record linkage: resolve each ARRIVING record to its
     best match in a STATIC clean table (operators/linkage.py's
     ``linkage_join(keep="best")``, re-shaped for streams).
+
+    ``max_block_size`` drops blocks with more candidates than the cap
+    BEFORE the collect_list (same hot-key-guard philosophy as
+    ``minhash_candidate_pairs``/``semantic_dedupe_pairs``): one
+    degenerate block key — an empty-string name prefix, a default zip —
+    would otherwise fold into a single multi-megabyte array row carried
+    by EVERY matching stream record. Records hitting a dropped block
+    resolve to null (conservative no-match); None disables the guard.
 
     Shape: the batch best-match window (partition by left id) is not
     available on streams, and a streaming groupBy would hold one state
@@ -851,6 +860,8 @@ def link_stream(
             )
         ).alias("__cands__")
     )
+    if max_block_size is not None:
+        cands = cands.filter(F.size("__cands__") <= max_block_size)
 
     def _lev(a: str, b: str) -> int:
         # classic DP — same distance Spark's levenshtein computes

@@ -940,3 +940,33 @@ def test_link_stream_matches_batch_best_match(spark, tmp_path):
         assert (merged["match_id"].astype("int64") == merged["id_b"]).all()
         score_col = "dist" if score == "levenshtein" else "sim"
         assert (abs(merged["match_score"] - merged[score_col]) < 1e-12).all()
+
+
+def test_link_stream_hot_block_guard(spark, tmp_path):
+    """Blocks over max_block_size are dropped before the candidate-array
+    fold: records in the hot block resolve to null instead of dragging a
+    degenerate array through every row."""
+    from gecko_spark.streaming import link_stream
+
+    clean = spark.createDataFrame(
+        [(i, f"name{i:03d}", 0 if i < 50 else 1) for i in range(60)],
+        "pid long, name string, zip int",
+    )
+    dirty = pd.DataFrame(
+        {"pid": [0, 55], "name": ["name000", "name055"], "zip": [0, 1]}
+    ).astype({"zip": "int32"})
+    src = tmp_path / "hot"
+    src.mkdir()
+    dirty.to_parquet(src / "f.parquet", index=False)
+    stream = spark.readStream.schema(
+        "pid long, name string, zip int"
+    ).parquet(str(src))
+    out = link_stream(
+        stream, clean, "pid", "pid", "name",
+        block_stream=F.col("zip"), block_static=F.col("zip"),
+        max_dist=0, max_block_size=20,
+    )
+    _run(out, "link_hot_guard")
+    got = spark.sql("SELECT * FROM link_hot_guard").toPandas().set_index("pid")
+    assert pd.isna(got.loc[0, "match_id"])   # zip 0 block (50 cands) dropped
+    assert got.loc[55, "match_id"] == 55     # zip 1 block (10 cands) kept
