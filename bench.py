@@ -227,6 +227,7 @@ def bench_queries(spark, sf_dir):
         "q_linkage_blocked",  # round 6: blocked levenshtein linkage join
         "q_linkage_snm",  # round 6: two-phase-rank sorted neighborhood
         "q_linkage_jw",  # round 6: Jaro-Winkler Arrow kernel (honest per-pair python cost)
+        "q_linkage_fs",  # round 6: Fellegi-Sunter literal-odds scoring, pure codegen
     ]:
         timed(name, lambda n=name: _run(qs[n](spark, sf_dir)))
 

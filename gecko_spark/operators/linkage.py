@@ -49,6 +49,7 @@ __all__ = [
     "blocked_candidates",
     "sorted_neighborhood_pairs",
     "linkage_join",
+    "fellegi_sunter_join",
     "jaro_winkler_py",
     "jaro_winkler_udf",
 ]
@@ -370,6 +371,86 @@ def linkage_join(
     w = Window.partitionBy("id_a").orderBy(*order)
     return (
         scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def fellegi_sunter_join(
+    a: DataFrame,
+    b: DataFrame,
+    id_a: str,
+    id_b: str,
+    fields: "dict[str, tuple]",
+    block_a: Sequence[Column],
+    block_b: Sequence[Column],
+    min_weight: float = 0.0,
+    keep: str = "best",
+) -> DataFrame:
+    """Probabilistic record linkage à la Fellegi–Sunter (JASA 1969) —
+    the canonical model the record-linkage literature (and the
+    reference's own evaluation setting) scores with: each compared
+    field contributes ``log2(m/u)`` when it agrees and
+    ``log2((1-m)/(1-u))`` when it disagrees, where ``m``/``u`` are the
+    field's agreement probabilities among true matches / true
+    non-matches; the pair's match weight is the sum.
+
+    ``fields`` maps a column name to ``(m, u)`` for exact agreement, or
+    ``(m, u, max_dist)`` to call levenshtein-within-``max_dist``
+    agreement (typo tolerance on name fields). All weights are
+    PRECOMPUTED driver-side and emitted as double literals, and
+    agreement tests are plain Column predicates (equality /
+    ``levenshtein``) — the whole score is JVM codegen, zero Python, and
+    replayable by an independent SQL engine with the same literals
+    (``q_linkage_fs`` hash-matches DuckDB on 1e9-rounded weights).
+
+    ``keep="best"``: highest weight per left record (tie: lowest
+    ``id_b``), window partitioned by left id. ``keep="all"``: every
+    pair at or above ``min_weight``. Returns ``(id_a, id_b, weight)``.
+    """
+    import math
+
+    if keep not in ("best", "all"):
+        raise ValueError(f"keep must be 'best' or 'all', got {keep!r}")
+    if not fields:
+        raise ValueError("fields must map at least one column to (m, u[, max_dist])")
+    cols = list(fields)
+    cands = blocked_candidates(
+        a, b, id_a, id_b, block_a, block_b, keep_a=cols, keep_b=cols
+    )
+    weight = None
+    for c, spec in fields.items():
+        if len(spec) == 2:
+            m, u = spec
+            max_dist = None
+        else:
+            m, u, max_dist = spec
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"field {c!r}: need 0 < u < m < 1 (agreement must be more "
+                f"likely among matches), got m={m}, u={u}"
+            )
+        agree_w = math.log2(m / u)
+        disagree_w = math.log2((1.0 - m) / (1.0 - u))
+        la, lb = F.col(f"a_{c}"), F.col(f"b_{c}")
+        if max_dist is None:
+            agree = la.eqNullSafe(lb)
+        else:
+            agree = F.levenshtein(la, lb) <= F.lit(int(max_dist))
+        w = F.when(agree, F.lit(agree_w)).otherwise(F.lit(disagree_w))
+        weight = w if weight is None else weight + w
+    scored = (
+        cands.withColumn("weight", weight)
+        .filter(F.col("weight") >= F.lit(float(min_weight)))
+        .select("id_a", "id_b", "weight")
+    )
+    if keep == "all":
+        return scored
+    w_win = Window.partitionBy("id_a").orderBy(
+        F.col("weight").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w_win))
         .filter(F.col("__rn__") == 1)
         .drop("__rn__")
     )

@@ -286,3 +286,49 @@ def test_soundex_blocking_groups_phonetic_variants(spark):
     assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs  # M460 block
     assert (3, 4) in pairs  # S530 block
     assert not any((a in (0, 1, 2)) != (b in (0, 1, 2)) for a, b in pairs)
+
+
+def test_fellegi_sunter_weights_and_best(spark):
+    """FS weights: agreement adds log2(m/u), disagreement adds
+    log2((1-m)/(1-u)); best match maximizes the summed weight with a
+    deterministic tie-break."""
+    import math
+
+    a = spark.createDataFrame(
+        [(1, "anna schmidt", "berlin"), (2, "bob jones", "munich")],
+        "pid long, name string, city string",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, "anna schmitd", "berlin"),   # name within dist 2, city agree
+            (11, "anna schmidt", "hamburg"),  # name exact, city disagree
+            (12, "carol white", "berlin"),    # only city agrees
+        ],
+        "pid long, name string, city string",
+    )
+    fields = {"name": (0.9, 0.05, 2), "city": (0.8, 0.1)}
+    one = F.lit(1)
+    got = L.fellegi_sunter_join(
+        a, b, "pid", "pid", fields,
+        block_a=[one], block_b=[one],  # single block: score all pairs
+        min_weight=-100.0, keep="all",
+    ).toPandas().set_index(["id_a", "id_b"])["weight"]
+    na = math.log2(0.9 / 0.05)
+    nd = math.log2(0.1 / 0.95)
+    ca = math.log2(0.8 / 0.1)
+    cd = math.log2(0.2 / 0.9)
+    assert abs(got[(1, 10)] - (na + ca)) < 1e-12
+    assert abs(got[(1, 11)] - (na + cd)) < 1e-12
+    assert abs(got[(1, 12)] - (nd + ca)) < 1e-12
+
+    best = L.fellegi_sunter_join(
+        a, b, "pid", "pid", fields,
+        block_a=[one], block_b=[one], min_weight=0.0, keep="best",
+    ).toPandas().set_index("id_a")
+    assert best.loc[1, "id_b"] == 10  # both fields agree beats name-only
+
+    with pytest.raises(ValueError, match="agreement must be more"):
+        L.fellegi_sunter_join(a, b, "pid", "pid", {"name": (0.1, 0.9)},
+                              block_a=[one], block_b=[one])
+    with pytest.raises(ValueError, match="fields"):
+        L.fellegi_sunter_join(a, b, "pid", "pid", {}, block_a=[one], block_b=[one])
