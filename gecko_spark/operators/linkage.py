@@ -50,6 +50,7 @@ __all__ = [
     "sorted_neighborhood_pairs",
     "linkage_join",
     "fellegi_sunter_join",
+    "estimate_mu_em",
     "jaro_winkler_py",
     "jaro_winkler_udf",
 ]
@@ -454,3 +455,115 @@ def fellegi_sunter_join(
         .filter(F.col("__rn__") == 1)
         .drop("__rn__")
     )
+
+
+def estimate_mu_em(
+    a: DataFrame,
+    b: DataFrame,
+    id_a: str,
+    id_b: str,
+    fields: "dict[str, Optional[int]]",
+    block_a: Sequence[Column],
+    block_b: Sequence[Column],
+    iters: int = 50,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    tol: float = 1e-10,
+) -> "dict[str, tuple]":
+    """Estimate Fellegi–Sunter ``(m, u)`` per field with EM over
+    agreement-pattern counts (Winkler 1988, the standard unsupervised
+    fit) — shaped for Spark: the ONLY data-sized work is one
+    aggregation of blocked candidate pairs into their 2^k agreement
+    patterns (``k = len(fields)`` — the aggregate output is ≤ 2^k
+    rows), and EM iterates driver-side on those counts alone. No pair
+    ever leaves the cluster; a billion candidates compress to the same
+    ≤ 2^k rows.
+
+    ``fields`` maps column → ``None`` (exact agreement) or an int
+    (levenshtein-within-k agreement), mirroring
+    :func:`fellegi_sunter_join`'s field spec. Returns
+    ``{col: (m, u)}`` / ``{col: (m, u, max_dist)}`` ready to pass as
+    that function's ``fields``.
+
+    Standard EM caveats apply: it fits a two-class conditional-
+    independence mixture, so fields should not be near-duplicates of
+    each other, and the blocked candidate set must contain BOTH true
+    matches and non-matches (an over-tight blocking that only yields
+    matches leaves the u-class unidentifiable). **Use at least three
+    fields**: with k comparison fields the pattern distribution has
+    2^k − 1 degrees of freedom against 2k + 1 parameters, so k = 2 is
+    over-parameterized and EM converges to an arbitrary valid solution
+    (k = 3 gives 7 ≥ 7 — the classic Fellegi–Sunter identifiability
+    bound). Estimates are clamped to (1e-6, 1−1e-6) to keep the
+    log-odds finite."""
+    if not fields:
+        raise ValueError("fields must name at least one comparison column")
+    cols = list(fields)
+    cands = blocked_candidates(
+        a, b, id_a, id_b, block_a, block_b, keep_a=cols, keep_b=cols
+    )
+    agrees = []
+    for c in cols:
+        la, lb = F.col(f"a_{c}"), F.col(f"b_{c}")
+        k = fields[c]
+        agree = la.eqNullSafe(lb) if k is None else F.levenshtein(la, lb) <= F.lit(int(k))
+        agrees.append(agree.cast("int").alias(f"g_{c}"))
+    patterns = (
+        cands.select(*agrees)
+        .groupBy(*[f"g_{c}" for c in cols])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    pats = [([int(r[f"g_{c}"]) for c in cols], int(r["n"])) for r in patterns]
+    total = sum(n for _, n in pats)
+    if total == 0:
+        raise ValueError("no candidate pairs — blocking produced an empty set")
+
+    k = len(cols)
+    p = float(init_p)
+    m = [float(init_m)] * k
+    u = [float(init_u)] * k
+    lo, hi = 1e-6, 1.0 - 1e-6
+    prev_ll = None
+    for _ in range(iters):
+        # E-step on pattern counts
+        sum_w = 0.0
+        sum_wg = [0.0] * k
+        sum_vg = [0.0] * k
+        ll = 0.0
+        for g, n in pats:
+            pm = p
+            pu = 1.0 - p
+            for i in range(k):
+                pm *= m[i] if g[i] else (1.0 - m[i])
+                pu *= u[i] if g[i] else (1.0 - u[i])
+            denom = pm + pu
+            w = pm / denom if denom > 0 else 0.0
+            import math as _math
+
+            ll += n * _math.log(max(denom, 1e-300))
+            sum_w += n * w
+            for i in range(k):
+                if g[i]:
+                    sum_wg[i] += n * w
+                    sum_vg[i] += n * (1.0 - w)
+        # M-step
+        p = min(max(sum_w / total, lo), hi)
+        n_match = max(sum_w, 1e-12)
+        n_non = max(total - sum_w, 1e-12)
+        for i in range(k):
+            m[i] = min(max(sum_wg[i] / n_match, lo), hi)
+            u[i] = min(max(sum_vg[i] / n_non, lo), hi)
+        if prev_ll is not None and abs(ll - prev_ll) < tol * max(abs(prev_ll), 1.0):
+            break
+        prev_ll = ll
+    # orient the classes: the "match" class must be the one with HIGHER
+    # agreement probabilities (EM is label-symmetric)
+    if sum(m) < sum(u):
+        m, u = u, m
+    out = {}
+    for i, c in enumerate(cols):
+        spec = (m[i], u[i]) if fields[c] is None else (m[i], u[i], fields[c])
+        out[c] = spec
+    return out
