@@ -174,8 +174,16 @@ def blocked_candidates(
     ``id_a < id_b`` downstream (or use :func:`linkage_join`)."""
     if len(block_a) != len(block_b) or not block_a:
         raise ValueError("block_a and block_b must be equal-length, non-empty")
+    from gecko_spark.operators.dedup import ensure_parallelism
+
     keys = [f"__bk{i}__" for i in range(len(block_a))]
-    left = a.select(
+    # the probe side must be parallel: when `b` broadcasts (the common
+    # small-clean-table case) the per-pair scorer runs on `a`'s SCAN
+    # partitions, and a single-file input collapses the whole candidate
+    # expansion into one task (measured: 30 s single-threaded vs ~2 s
+    # spread, sf0.1 FS query). ensure_parallelism is a no-op on real
+    # multi-split inputs.
+    left = ensure_parallelism(a).select(
         F.col(id_a).alias("id_a"),
         *[F.col(c).alias(f"a_{c}") for c in keep_a],
         *[k.alias(n) for k, n in zip(block_a, keys)],

@@ -294,6 +294,7 @@ _SWEEP_QUERIES = [
     "q_linkage_snm",
     "q_linkage_blocked",
     "q_linkage_jw",
+    "q_linkage_fs",
 ]
 
 
