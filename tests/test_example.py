@@ -120,3 +120,22 @@ def test_incremental_ingest_example_end_to_end(tmp_path):
 
     m = re.search(r"increment (\d+) docs -> accepted (\d+)", stdout)
     assert m and 0 < int(m.group(2)) <= int(m.group(1))
+
+
+def test_linkage_eval_example_end_to_end(tmp_path):
+    import subprocess
+    import os
+
+    proc = subprocess.run(
+        [sys.executable, "examples/linkage_eval.py", "20000"],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = proc.stdout
+    assert "levenshtein best-match" in out
+    assert "fellegi-sunter (EM-fitted)" in out
+    import re
+
+    accs = [float(m) for m in re.findall(r"pid accuracy (\d\.\d+)", out)]
+    assert len(accs) == 3 and all(a > 0.98 for a in accs), out
