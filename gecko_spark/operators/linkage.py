@@ -214,7 +214,9 @@ def _two_phase_rank(
     TakeOrdered — content-pure, layout-independent), sorted driver-side
     into quantile edges; each row's bucket is then "number of edges ≤
     (key, id)" — a pure function of row content, identical in every job
-    that evaluates it."""
+    that evaluates it. The boundary sample ships ``buckets·128`` key
+    VALUES to the driver — keep the sort key compact (an id, a name, a
+    length), not a document body."""
     n_sample = buckets * 128
     samp = (
         df.select(
@@ -533,6 +535,8 @@ def estimate_mu_em(
     m = [float(init_m)] * k
     u = [float(init_u)] * k
     lo, hi = 1e-6, 1.0 - 1e-6
+    import math as _math
+
     prev_ll = None
     for _ in range(iters):
         # E-step on pattern counts
@@ -548,8 +552,6 @@ def estimate_mu_em(
                 pu *= u[i] if g[i] else (1.0 - u[i])
             denom = pm + pu
             w = pm / denom if denom > 0 else 0.0
-            import math as _math
-
             ll += n * _math.log(max(denom, 1e-300))
             sum_w += n * w
             for i in range(k):
