@@ -467,67 +467,107 @@ def heavy_hitter_candidates(
     df: DataFrame,
     col: Union[str, Column],
     capacity: int,
+    exact_factor: int = 8,
 ) -> DataFrame:
-    """Per-partition Misra–Gries summaries, unioned: ``(value, cnt)``
-    rows (cnt = the surviving MG estimate) plus ONE sentinel row per
-    partition (``value IS NULL``) carrying that partition's non-null
-    row count, so the caller gets the exact total n from the same scan.
+    """Per-partition Misra–Gries summaries, unioned: ``(value, cnt,
+    exact)`` rows (cnt = the surviving MG estimate; ``exact`` is NULL
+    on counter rows) plus ONE sentinel row per partition (``value IS
+    NULL``) carrying that partition's non-null row count AND an
+    ``exact`` flag: True iff the partition NEVER truncated, i.e. its
+    counter rows are its exact value counts, not estimates.
 
-    Guarantee: any value whose GLOBAL count exceeds
+    Bounded adaptivity (the reason for ``exact_factor``): a partition
+    keeps EXACT counts while its counter set fits in ``exact_cap =
+    max(capacity, exact_factor·capacity)`` entries, and only degrades
+    to MG truncation (down to ``capacity`` counters, classic
+    (capacity+1)-th-largest cut) past that. Memory stays fixed at
+    ``exact_cap`` counters per task; when every partition stays exact
+    the caller can skip the recount scan entirely — summing the
+    summaries IS the exact global count (this is what Spark's own
+    partial aggregation exploits). ``exact_factor=1`` recovers the
+    strict ``capacity``-counter bound.
+
+    Guarantee (unchanged): any value whose GLOBAL count exceeds
     ``n/(capacity+1)`` appears in at least one partition's summary —
-    if it survived nowhere, its count in every partition p was at most
-    ``n_p/(capacity+1)``, which sums to ≤ ``n/(capacity+1)``. The
-    summary is ≤ ``partitions × capacity`` rows regardless of input
-    size: the fixed-memory mergeable-summary contract."""
+    each truncation removes ≥ (capacity+1)·cut mass, so Σcuts ≤
+    n_p/(capacity+1) per partition, and a value's total undercount is
+    ≤ Σcuts. The summary is ≤ ``partitions × exact_cap`` rows
+    regardless of input size.
+
+    Kernel shape: the ONLY unbounded-cardinality work per batch is
+    ``value_counts`` (C) and the cut selection (``np.partition``, C);
+    every Python-level dict walk is bounded by ``exact_cap`` /
+    ``capacity`` entries. (The round-6 Series-aligned kernel paid
+    ~15% per-batch pandas overhead at LOW cardinality for the same
+    C-speed at high cardinality — this form wins in both regimes.)"""
     if capacity < 1:
         raise ValueError(f"capacity must be ≥ 1, got {capacity}")
+    if exact_factor < 1:
+        raise ValueError(f"exact_factor must be ≥ 1, got {exact_factor}")
+    exact_cap = max(capacity, exact_factor * capacity)
     c = F.col(col) if isinstance(col, str) else col
     src = df.select(c.cast("string").alias("value")).where(
         F.col("value").isNotNull()
     )
 
     def _part(batches):
-        # vectorized _mg_absorb: the dict form walks a Python loop over
-        # every distinct value per batch (~500k entries on a
-        # high-cardinality token stream — the dominant cost of the whole
-        # operator); Series.add(fill_value=0) + np.partition do the same
-        # merge/truncate arithmetic in C
-        def _truncate(sr: pd.Series) -> pd.Series:
-            if len(sr) <= capacity:
-                return sr
-            vals = sr.to_numpy()
-            # (capacity+1)-th largest — identical cut rule to _mg_absorb
+        def _truncate_dict(d: dict) -> dict:
+            # MG cut: subtract the (capacity+1)-th largest count from
+            # everything, keep the positives — C-speed cut selection,
+            # then a dict walk bounded by len(d) ≤ exact_cap + capacity
+            if len(d) <= capacity:
+                return d
+            arr = np.fromiter(d.values(), dtype=np.int64, count=len(d))
+            cut = int(
+                np.partition(arr, len(arr) - capacity - 1)[
+                    len(arr) - capacity - 1
+                ]
+            )
+            return {v: cc - cut for v, cc in d.items() if cc > cut}
+
+        def _mg_items(vc: pd.Series):
+            # pre-truncate a batch's exact counts to ≤ capacity items
+            # (MG summaries are mergeable — Agarwal et al. 2013; errors
+            # add, the per-partition bound above still holds)
+            if len(vc) <= capacity:
+                return vc.items()
+            vals = vc.to_numpy()
             cut = np.partition(vals, len(vals) - capacity - 1)[
                 len(vals) - capacity - 1
             ]
-            return sr[vals > cut] - cut
+            keep = vals > cut
+            return zip(vc.index[keep], (vals[keep] - cut).tolist())
 
-        counters = pd.Series(dtype="int64")
+        counters: dict = {}
         n_part = 0
+        exact = True
         for pdf in batches:
             s = pdf["value"]
             n_part += len(s)
-            # MG summaries are mergeable (Agarwal et al. 2013): truncate
-            # the batch's exact counts to an MG summary FIRST, so the
-            # string-index alignment below is capacity × capacity, not
-            # capacity × batch-cardinality (~500k on a high-entropy
-            # token stream — that alignment was the operator's dominant
-            # cost). Errors add: total undercount stays ≤ n_p/(cap+1).
-            vc = _truncate(s.value_counts().astype("int64"))
-            counters = (
-                _truncate(counters.add(vc, fill_value=0).astype("int64"))
-                if len(counters)
-                else vc
-            )
+            vc = s.value_counts()
+            if exact and len(vc) <= exact_cap:
+                for v, cc in vc.items():  # ≤ exact_cap iterations
+                    counters[v] = counters.get(v, 0) + int(cc)
+                if len(counters) > exact_cap:
+                    exact = False
+                    counters = _truncate_dict(counters)
+            else:
+                if exact:  # one batch alone overflows the exact bound
+                    exact = False
+                    counters = _truncate_dict(counters)
+                for v, cc in _mg_items(vc):  # ≤ capacity iterations
+                    counters[v] = counters.get(v, 0) + int(cc)
+                counters = _truncate_dict(counters)
         out = pd.DataFrame(
             {
-                "value": list(counters.index) + [None],
-                "cnt": [int(v) for v in counters.to_numpy()] + [n_part],
+                "value": list(counters.keys()) + [None],
+                "cnt": [int(v) for v in counters.values()] + [n_part],
+                "exact": [None] * len(counters) + [exact],
             }
         )
         yield out
 
-    return src.mapInPandas(_part, "value string, cnt long")
+    return src.mapInPandas(_part, "value string, cnt long, exact boolean")
 
 
 def heavy_hitters(
@@ -535,6 +575,7 @@ def heavy_hitters(
     col: Union[str, Column],
     phi_num: int,
     phi_den: int,
+    exact_factor: int = 8,
 ) -> DataFrame:
     """EXACT values with ``count(value) > (phi_num/phi_den) · n`` as
     ``(value, cnt)`` — equal to the naive full GROUP BY + HAVING, at a
@@ -542,13 +583,24 @@ def heavy_hitters(
 
     Scale shape: pass 1 (:func:`heavy_hitter_candidates`, capacity
     ``ceil(den/num)``) guarantees the candidate set is a superset of
-    every φ-heavy value; pass 2 recounts ONLY rows matching a candidate
+    every φ-heavy value. If NO partition had to truncate (its counter
+    set stayed within ``exact_factor × capacity`` entries — the
+    sentinel ``exact`` flags say so), the summaries ARE exact partial
+    counts: summing the already-collected, config-sized summary rows
+    on the driver gives the exact answer with ONE scan and no second
+    job. Otherwise pass 2 recounts ONLY rows matching a candidate
     (broadcast left-semi join prunes below the exchange, so the
-    recount's groupBy key space is ≤ partitions × capacity values, not
-    the column's cardinality), and the integer filter removes the false
-    positives. The raw column is scanned twice and never shuffled in
-    full — on 100 TB the full-cardinality GROUP BY this replaces is the
-    shuffle that hurts."""
+    recount's groupBy key space is ≤ partitions × exact_cap values,
+    not the column's cardinality), and the integer filter removes the
+    false positives. Either way the raw column is never shuffled in
+    full — on 100 TB the full-cardinality GROUP BY this replaces is
+    the shuffle that hurts, and a low-cardinality key (the common
+    telemetry/bucket case) costs one scan, not two.
+
+    Driver traffic is ≤ partitions × max(capacity, exact_factor ×
+    capacity) summary rows; set ``exact_factor=1`` to pin the old
+    strict partitions × capacity bound (recount always runs unless
+    cardinality ≤ capacity everywhere)."""
     if phi_num < 1 or phi_den < 1 or phi_num >= phi_den:
         raise ValueError(f"need 0 < phi_num/phi_den < 1, got {phi_num}/{phi_den}")
     capacity = -(-phi_den // phi_num)  # ceil(den/num) ⇒ n/(cap+1) < φ·n
@@ -556,17 +608,38 @@ def heavy_hitters(
     src = df.select(c.cast("string").alias("value")).where(
         F.col("value").isNotNull()
     )
-    # The MG summary is ≤ partitions × capacity rows — config-sized, and
+    # The summary is ≤ partitions × exact_cap rows — config-sized, and
     # the broadcast semi-join below ships exactly its value list to every
     # executor anyway, so collect it to the driver ONCE instead of
     # persisting the frame (a persist with no owner leaked cached blocks
     # across repeated calls in a long-lived session — ADVICE r5). The
-    # null-value row per partition carries that partition's row count, so
-    # one collect yields both the candidate set and n_total.
-    rows = heavy_hitter_candidates(df, col, capacity).collect()
-    vals = sorted({r["value"] for r in rows if r["value"] is not None})
+    # null-value row per partition carries that partition's row count
+    # and exact flag, so one collect yields the candidate set, n_total,
+    # and whether a recount is needed at all.
+    rows = heavy_hitter_candidates(df, col, capacity, exact_factor).collect()
     n_total = sum(r["cnt"] for r in rows if r["value"] is None)
     spark = df.sparkSession
+    sentinels = [r for r in rows if r["value"] is None]
+    if sentinels and all(r["exact"] for r in sentinels):
+        # one-scan exact path: per-partition counts are exact, so the
+        # global counts are their sums — computed over the rows already
+        # on the driver (no extra job, no second scan). The result goes
+        # back via createDataFrame(pandas) — the Arrow local-relation
+        # path (~50 ms); createDataFrame(list) builds a Python-RDD
+        # frame that launches a python worker per default-parallelism
+        # slice, and a struct-literal explode recompiles codegen per
+        # distinct literal set (both measured ~10× slower).
+        agg: dict = {}
+        for r in rows:
+            if r["value"] is not None:
+                agg[r["value"]] = agg.get(r["value"], 0) + r["cnt"]
+        res = [
+            (v, cc) for v, cc in agg.items() if cc * phi_den > phi_num * n_total
+        ]
+        out = pd.DataFrame(res, columns=["value", "cnt"])
+        out["cnt"] = out["cnt"].astype("int64")
+        return spark.createDataFrame(out, "value string, cnt long")
+    vals = sorted({r["value"] for r in rows if r["value"] is not None})
     vals_df = spark.createDataFrame(
         [(v,) for v in vals], T.StructType([T.StructField("value", T.StringType())])
     )

@@ -229,15 +229,62 @@ def test_heavy_hitter_candidates_superset_and_bounded(spark):
     from gecko_spark.operators.sketches import heavy_hitter_candidates
 
     cap = 10
-    cands = heavy_hitter_candidates(df, "x", cap).collect()
+    # exact_factor=1 pins the strict capacity-counter bound (40 distinct
+    # values > capacity 10 forces MG truncation in every partition)
+    cands = heavy_hitter_candidates(df, "x", cap, exact_factor=1).collect()
     vals = {r["value"] for r in cands if r["value"] is not None}
     n = sum(r["cnt"] for r in cands if r["value"] is None)
     assert n == 820  # exact total from the sentinel rows
     # ≤ capacity counters per partition
     assert len(vals) <= 5 * cap
+    # truncation happened, so sentinels must say so
+    assert all(r["exact"] is False for r in cands if r["value"] is None)
     # guarantee: every value with count > n/(cap+1) is a candidate
     must = {str(v) for v in range(1, 41) if v > n / (cap + 1)}
     assert must <= vals
+
+
+def test_heavy_hitter_candidates_exact_mode(spark):
+    # 40 distinct values fit within exact_cap = 8·10 = 80: every
+    # partition keeps exact counts, sentinels flag exact=True, and
+    # summing the summaries reproduces the exact global counts
+    rows = [(str(v),) for v in range(1, 41) for _ in range(v)]
+    df = spark.createDataFrame(rows, "x string").repartition(5)
+    from gecko_spark.operators.sketches import heavy_hitter_candidates
+
+    cands = heavy_hitter_candidates(df, "x", 10, exact_factor=8).collect()
+    assert all(r["exact"] is True for r in cands if r["value"] is None)
+    agg: dict = {}
+    for r in cands:
+        if r["value"] is not None:
+            agg[r["value"]] = agg.get(r["value"], 0) + r["cnt"]
+    assert agg == {str(v): v for v in range(1, 41)}
+
+
+def test_heavy_hitters_exact_path_matches_recount_path(spark):
+    # same corpus, both paths (one-scan exact vs MG+recount) must give
+    # the identical naive GROUP BY + HAVING answer
+    rows = [(str(v % 37),) for v in range(4000)] + [("hot",)] * 700
+    df = spark.createDataFrame(rows, "x string").repartition(6)
+    from gecko_spark.operators.sketches import heavy_hitters
+
+    naive = {
+        (r["x"], r["cnt"])
+        for r in df.groupBy("x")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") * 15 > 4700)
+        .collect()
+    }
+    via_exact = {
+        (r["value"], r["cnt"])
+        for r in heavy_hitters(df, "x", 1, 15, exact_factor=8).collect()
+    }
+    via_recount = {
+        (r["value"], r["cnt"])
+        for r in heavy_hitters(df, "x", 1, 15, exact_factor=1).collect()
+    }
+    assert via_exact == naive
+    assert via_recount == naive
 
 
 def test_heavy_hitters_validates_phi(spark):
