@@ -2748,7 +2748,12 @@ def _topk_cosine(spark, sf):
     qs = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return cosine_topk_bruteforce(emb, qs, k=5).select("query_id", "vec_id", "rank")
+    # query_rows hint: vec_id is unique, so the filter yields exactly 3
+    # rows — telling the guard avoids an eager count() job on the
+    # filtered scan (corpus side stays a metadata-only parquet count)
+    return cosine_topk_bruteforce(emb, qs, k=5, query_rows=3).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 _TOPK_COSINE_SQL = """

@@ -206,6 +206,8 @@ def cosine_topk_bruteforce(
     k: int = 10,
     max_scored_rows: int | None = 10_000_000,
     on_overflow: str = "dispatch",
+    corpus_rows: int | None = None,
+    query_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast the (small) query set against the
     corpus, score every pair JVM-side, keep k per query with a window.
@@ -226,9 +228,22 @@ def cosine_topk_bruteforce(
     matrix path's BLAS summation could differ in the last ulp on ties).
     Use ``cosine_topk_ivf`` when even one full corpus scan per query
     batch is too much.
+
+    The guard needs both cardinalities. By default it runs two eager
+    ``count()`` jobs at CALL time (a plain parquet-backed count is
+    metadata-only, but a filtered/derived side is a real scan — the
+    r6 bench paid +28% for exactly that). Callers that already know
+    the sizes pass ``corpus_rows``/``query_rows`` and the guard costs
+    nothing; the hints are TRUSTED (an undercount can re-open the
+    single-reducer trap the guard exists to close — prefer an upper
+    bound when unsure). When the guard dispatches to the matrix path
+    it emits a ``UserWarning``, because BLAS summation can reorder the
+    last-ulp ties an oracle comparison would notice.
     """
     if max_scored_rows is not None:
-        n_pairs = corpus.count() * queries.count()
+        cr = corpus_rows if corpus_rows is not None else corpus.count()
+        qr = query_rows if query_rows is not None else queries.count()
+        n_pairs = cr * qr
         if n_pairs > max_scored_rows:
             if on_overflow == "raise":
                 raise ValueError(
@@ -238,6 +253,17 @@ def cosine_topk_bruteforce(
                     "cosine_topk_ivf (approximate), or pass "
                     "max_scored_rows=None to force the window path"
                 )
+            import warnings
+
+            warnings.warn(
+                f"cosine_topk_bruteforce: {n_pairs} pair scores exceed "
+                f"max_scored_rows={max_scored_rows}; dispatching to "
+                "cosine_topk_matrix (same ranking contract; BLAS "
+                "summation may order last-ulp cosine ties differently "
+                "than the fold path)",
+                UserWarning,
+                stacklevel=2,
+            )
             return cosine_topk_matrix(
                 corpus, queries, id_col, vec_col, query_id_col, query_vec_col, k
             )
