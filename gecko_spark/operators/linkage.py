@@ -104,19 +104,133 @@ def jaro_winkler_py(s1: str, s2: str) -> float:
     return j
 
 
+_JW_VEC_MAX_LEN = 64  # beyond this the N×L1×L2 batch matrices stop paying
+
+
+def jaro_winkler_batch(s1: "list[str]", s2: "list[str]") -> "np.ndarray":
+    """Vectorized Jaro-Winkler over parallel string lists — BIT-IDENTICAL
+    to :func:`jaro_winkler_py` (same greedy match, same float-op order),
+    which the fuzz test asserts pair-by-pair.
+
+    Shape: strings become UCS4 char matrices (``np.array(dtype='U')``
+    view — C-speed, zero-padded); the greedy matching loop runs
+    sequentially over character POSITIONS of s1 (≤ max-length
+    iterations) but vectorized ACROSS all pairs in the batch, so the
+    per-element Python interpreter cost of the scalar kernel (~the
+    whole operator cost on blocked-candidate scoring, VERDICT r6) is
+    replaced by ``O(L)`` numpy passes of ``N×L`` boolean work.
+    Transposition counting gathers each side's matched characters in
+    order with one stable argsort; the Winkler prefix boost is a
+    cumprod over the first four columns. Pairs with a side longer than
+    ``_JW_VEC_MAX_LEN`` fall back to the scalar kernel (names/keys are
+    short; document-length inputs would make the dense matrices the
+    wrong trade)."""
+    import numpy as np
+
+    n = len(s1)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    l1 = np.fromiter((len(s) for s in s1), dtype=np.int64, count=n)
+    l2 = np.fromiter((len(s) for s in s2), dtype=np.int64, count=n)
+    eqs = np.fromiter((x == y for x, y in zip(s1, s2)), dtype=bool, count=n)
+    # empty-before-equal, exactly like the scalar kernel / DuckDB
+    out[eqs & (l1 > 0)] = 1.0
+    todo = ~eqs & (l1 > 0) & (l2 > 0)
+    long_mask = todo & ((l1 > _JW_VEC_MAX_LEN) | (l2 > _JW_VEC_MAX_LEN))
+    for i in np.nonzero(long_mask)[0]:
+        out[i] = jaro_winkler_py(s1[i], s2[i])
+    todo &= ~long_mask
+    idx = np.nonzero(todo)[0]
+    if len(idx) == 0:
+        return out
+    a_strs = [s1[i] for i in idx]
+    b_strs = [s2[i] for i in idx]
+    la, lb = l1[idx], l2[idx]
+    L1 = max(4, int(la.max()))
+    L2 = max(4, int(lb.max()))
+    m = len(idx)
+    # UCS4 view: N×L uint32 codepoint matrices, zero-padded
+    am = np.array(a_strs, dtype=f"U{L1}").view(np.uint32).reshape(m, L1)
+    bm = np.array(b_strs, dtype=f"U{L2}").view(np.uint32).reshape(m, L2)
+    md = np.maximum(la, lb) // 2 - 1  # may be negative, like the scalar
+    jidx = np.arange(L2)[None, :]
+    m1 = np.zeros((m, L1), dtype=bool)
+    m2 = np.zeros((m, L2), dtype=bool)
+    rows = np.arange(m)
+    for i in range(L1):
+        lo = np.maximum(0, i - md)[:, None]
+        # i ≥ la rows get an empty window (hi clipped to 0) instead of
+        # a separate active-row mask — one fewer N×L temporary
+        hi = np.where(i < la, np.minimum(lb, i + md + 1), 0)[:, None]
+        eq = (bm == am[:, i : i + 1]) & ~m2 & (jidx >= lo) & (jidx < hi)
+        first = eq.argmax(axis=1)
+        has = eq[rows, first]
+        m2[rows[has], first[has]] = True
+        m1[has, i] = True
+    mm = m1.sum(axis=1)
+    # ordered matched chars per side, gathered by SCATTER on the
+    # cumulative match rank (measured ~3× cheaper than the stable
+    # argsort form at N=500k)
+    mmax = int(mm.max()) if len(mm) else 0
+    t = np.zeros(m, dtype=np.int64)
+    if mmax > 0:
+        ka = np.cumsum(m1, axis=1, dtype=np.int32) - 1
+        kb = np.cumsum(m2, axis=1, dtype=np.int32) - 1
+        ach = np.zeros((m, mmax), dtype=np.uint32)
+        bch = np.zeros((m, mmax), dtype=np.uint32)
+        r1, c1 = np.nonzero(m1)
+        ach[r1, ka[r1, c1]] = am[r1, c1]
+        r2, c2 = np.nonzero(m2)
+        bch[r2, kb[r2, c2]] = bm[r2, c2]
+        neq = (ach != bch) & (np.arange(mmax)[None, :] < mm[:, None])
+        t = neq.sum(axis=1) // 2
+    res = np.zeros(m, dtype=np.float64)
+    pos = mm > 0
+    if pos.any():
+        mmf = mm[pos].astype(np.float64)
+        # identical float-op order to the scalar kernel:
+        # (m/l1 + m/l2 + (m-t)/m) / 3
+        j = (
+            mmf / la[pos] + mmf / lb[pos] + (mm[pos] - t[pos]) / mmf
+        ) / 3
+        pre = (am[pos, :4] == bm[pos, :4]) & (
+            np.arange(4)[None, :] < np.minimum(la[pos], lb[pos])[:, None]
+        )
+        pl = np.cumprod(pre, axis=1).sum(axis=1)
+        boosted = j + pl * 0.1 * (1 - j)
+        res[pos] = np.where(j > 0.7, boosted, j)
+    out[idx] = res
+    return out
+
+
 def jaro_winkler_udf():
     """Pairwise Jaro-Winkler as an Arrow kernel (DoubleType; null if
-    either side is null). Per-pair Python — O(|a|·|b|) each — which is
-    the right trade on BLOCKED candidate pairs (bounded per record);
-    never apply it to an unblocked product."""
+    either side is null), backed by :func:`jaro_winkler_batch` — the
+    numpy-vectorized form of :func:`jaro_winkler_py` (bit-identical;
+    the ``q_linkage_jw`` oracle hash is the regression test). Repeated
+    pairs inside a batch (common on blocked candidates — hot names
+    recur) are scored once via factorization. Still only for BLOCKED
+    candidate pairs: the work is O(|a|·|b|) per pair regardless of
+    kernel form; never apply it to an unblocked product."""
+    import numpy as np
+
     @F.pandas_udf(T.DoubleType())
     def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                None if x is None or y is None else jaro_winkler_py(x, y)
-                for x, y in zip(a, b)
-            ],
-            dtype="float64",
+        valid = a.notna() & b.notna()
+        out = np.full(len(a), np.nan, dtype=np.float64)
+        if valid.any():
+            av = a[valid].to_numpy()
+            bv = b[valid].to_numpy()
+            # score each distinct (a, b) pair once
+            codes, uniq = pd.factorize(
+                pd.Series(list(zip(av, bv))), use_na_sentinel=False
+            )
+            u1 = [p[0] for p in uniq]
+            u2 = [p[1] for p in uniq]
+            out[valid.to_numpy()] = jaro_winkler_batch(u1, u2)[codes]
+        return pd.Series(out, dtype="float64").where(
+            pd.Series(valid.to_numpy()), None
         )
 
     return _jw

@@ -235,6 +235,44 @@ def test_jaro_winkler_matches_duckdb_on_random_pairs(spark):
         assert got == want, (s1, s2, got, want)
 
 
+def test_jaro_winkler_batch_bit_identical_to_scalar():
+    """The vectorized batch kernel must agree with jaro_winkler_py
+    BIT-FOR-BIT on adversarial + random pairs (the scalar kernel is the
+    DuckDB-verified reference; q_linkage_jw's oracle hash rides on it)."""
+    import random
+
+    import numpy as np
+
+    from gecko_spark.operators import linkage as L2
+
+    rng = random.Random(421)
+    alpha = "abcdefgABC éü#1 "
+    pairs = [
+        ("", ""), ("", "a"), ("a", ""), ("a", "a"), ("a", "b"),
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("duane", "dwayne"),
+        ("abcd", "abcd" * 20), ("x" * 70, "x" * 70 + "y"),  # long fallback
+        ("aaaa", "aaa"), ("ab", "ba"), ("jon", "john"),
+    ]
+    for _ in range(600):
+        n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
+        pairs.append(
+            (
+                "".join(rng.choice(alpha) for _ in range(n1)),
+                "".join(rng.choice(alpha) for _ in range(n2)),
+            )
+        )
+    s1 = [p[0] for p in pairs]
+    s2 = [p[1] for p in pairs]
+    got = L2.jaro_winkler_batch(s1, s2)
+    want = np.array([L2.jaro_winkler_py(a, b) for a, b in pairs])
+    mism = [
+        (pairs[i], got[i], want[i])
+        for i in range(len(pairs))
+        if got[i] != want[i]
+    ]
+    assert not mism, mism[:5]
+
+
 def test_linkage_join_jaro_winkler_mode(spark):
     df = _people(spark)
     got = L.linkage_join(
