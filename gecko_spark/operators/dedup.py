@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gecko_spark.core import persist_until_released
+
 __all__ = [
     "char_shingles",
     "dedupe_exact",
@@ -268,11 +270,12 @@ def minhash_candidate_pairs(
     signature-estimated Jaccard similarity.
 
     ``persist_signatures=True`` caches the signature frame
-    (MEMORY_AND_DISK) because three downstream stages reference it; the
-    cache lives until the returned DataFrame is garbage-collected or
-    the session clears it — long-lived sessions sweeping MANY corpora
-    should call ``spark.catalog.clearCache()`` between sweeps or pass
-    ``False`` (signatures then recompute once per reference).
+    (MEMORY_AND_DISK) because three downstream stages reference it;
+    the cache's lifetime is tied to the returned DataFrame
+    (``core.persist_until_released``): when the caller drops the
+    result, the cache unpersists itself, so sweep loops over many
+    corpora leave no cached blocks behind. Pass ``False`` to skip the
+    cache entirely (signatures then recompute once per reference).
 
     Returns columns ``(id_a, id_b, est_jaccard)`` with id_a < id_b.
 
@@ -370,7 +373,7 @@ def minhash_candidate_pairs(
 
     sa = with_sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("__sig_a__"))
     sb = with_sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("__sig_b__"))
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -379,6 +382,9 @@ def minhash_candidate_pairs(
             _sig_sim(F.col("__sig_a__"), F.col("__sig_b__")).alias("est_jaccard"),
         )
     )
+    if persist_signatures:
+        out = persist_until_released(with_sig, out)
+    return out
 
 
 def minhash_dedupe(
@@ -750,7 +756,10 @@ def simhash_candidate_pairs(
     # as minhash_candidate_pairs (see comment there)
     from pyspark import StorageLevel
 
-    blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+    # keep a handle on the PERSISTED frame itself: `blocked` is
+    # reassigned below, and the lifetime tie must release the cache,
+    # not the derived anti-join plan
+    blocked = _cached = blocked.persist(StorageLevel.MEMORY_AND_DISK)
 
     if max_bucket_size is not None:
         oversized = (
@@ -762,7 +771,7 @@ def simhash_candidate_pairs(
         blocked = blocked.join(F.broadcast(oversized), ["chunk", "key"], "left_anti")
 
     l, r = blocked.alias("l"), blocked.alias("r")
-    return (
+    out = (
         l.join(
             r,
             (F.col("l.chunk") == F.col("r.chunk"))
@@ -778,6 +787,7 @@ def simhash_candidate_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+    return persist_until_released(_cached, out)
 
 
 # ---------------------------------------------------------------------------
@@ -938,7 +948,7 @@ def ngram_jaccard_pairs_prefix(
     fa = pref.select(F.col("doc").alias("id_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("size_a"))
     fb = pref.select(F.col("doc").alias("id_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("size_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    return (
+    out = (
         cand.join(fa, "id_a")
         .join(fb, "id_b")
         .select(
@@ -951,6 +961,7 @@ def ngram_jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return persist_until_released(pref, out)
 
 
 # ---------------------------------------------------------------------------
@@ -1012,7 +1023,7 @@ def fingerprint_overlap_pairs(
     # self-join sites: repeated calls on the same input hit one entry.
     from pyspark import StorageLevel
 
-    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+    inv = _cached = inv.persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         hot = (
             inv.groupBy("fp")
@@ -1034,7 +1045,7 @@ def fingerprint_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
-    return pairs.select(
+    out = pairs.select(
         "id_a",
         "id_b",
         "n_shared",
@@ -1042,6 +1053,7 @@ def fingerprint_overlap_pairs(
             F.col("n_shared").cast("double") / F.least("sz_a", "sz_b"), 6
         ).alias("overlap"),
     )
+    return persist_until_released(_cached, out)
 
 
 # ---------------------------------------------------------------------------
@@ -1119,7 +1131,7 @@ def embedding_cosine_pairs(
     # matching semantic_dedupe_pairs' verification path
     _cos_fold = cosine_fold_udf()
     l, r = base.alias("l"), base.alias("r")
-    return (
+    out = (
         l.join(
             r,
             (F.col("l.sketch") == F.col("r.sketch")) & (F.col("l.doc") < F.col("r.doc")),
@@ -1131,6 +1143,7 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    return persist_until_released(base, out)
 
 
 # ---------------------------------------------------------------------------
@@ -1222,7 +1235,9 @@ def semantic_dedupe_pairs(
     # embedding_cosine_pairs)
     from pyspark import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # `base` is reassigned below — tie the cache release to the frame
+    # that actually holds the persist
+    base = _cached = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     if max_cluster_size is not None:
         oversized = (
@@ -1281,9 +1296,10 @@ def semantic_dedupe_pairs(
                 }
             )
 
-        return base.groupBy("cluster").applyInPandas(
+        out = base.groupBy("cluster").applyInPandas(
             _cluster_pairs, f"id_a {id_type}, id_b {id_type}, cosine double"
         )
+        return persist_until_released(_cached, out)
 
     if method != "fold":
         raise ValueError(f"method must be 'matrix' or 'fold', got {method!r}")
@@ -1296,7 +1312,7 @@ def semantic_dedupe_pairs(
 
     _cos_fold = cosine_fold_udf()
     l, r = base.alias("l"), base.alias("r")
-    return (
+    out = (
         l.join(
             r,
             (F.col("l.cluster") == F.col("r.cluster"))
@@ -1309,6 +1325,7 @@ def semantic_dedupe_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    return persist_until_released(_cached, out)
 
 
 def semantic_dedupe(

@@ -708,7 +708,12 @@ def top_k_by_count(
         .select("value", "cnt", F.col("rank").cast("long").alias("rank"))
     )
     if not verify:
-        return topk
+        # lazy return references the persisted candidates: tie the
+        # cache's lifetime to the result (unified ownership policy —
+        # core.persist_until_released) instead of leaking it
+        from gecko_spark.core import persist_until_released
+
+        return persist_until_released(cands, topk)
     rows = topk.collect()  # ≤ k rows by construction
     n = cands.where(F.col("value").isNull()).agg(F.sum("cnt")).collect()[0][0] or 0
     covered = counts.agg(F.sum("cnt")).collect()[0][0] or 0

@@ -1349,3 +1349,32 @@ def test_semantic_auto_clusters(spark, embeddings):
 
     with pytest.raises(ValueError, match="auto"):
         semantic_dedupe_pairs(embeddings, "vec_id", "embedding", n_clusters="bad", **kw)
+
+
+def test_operator_caches_released_when_results_dropped(spark, docs):
+    """Unified cache ownership (core.persist_until_released): every
+    operator that persists an internal frame referenced by its RETURNED
+    plan must release that cache when the caller drops the result — two
+    back-to-back sweep calls leave the session's CacheManager empty
+    (ADVICE r6: fingerprint_overlap_pairs leaked one MEMORY_AND_DISK
+    entry per distinct input for the session lifetime)."""
+    import gc
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    sweeps = [
+        lambda: D.minhash_candidate_pairs(docs, "doc_id", "text"),
+        lambda: D.fingerprint_overlap_pairs(
+            docs, "doc_id", "text", window=8, keep=16, min_shared=1
+        ),
+        lambda: D.simhash_candidate_pairs(docs, "doc_id", "text"),
+    ]
+    for fn in sweeps:
+        for _ in range(2):  # back-to-back calls on the same input
+            out = fn()
+            out.count()  # materialize: the internal cache fills
+            assert not cm.isEmpty()  # cache is alive while result is
+            del out
+            gc.collect()
+            assert cm.isEmpty()  # dropped result released its cache
