@@ -2170,6 +2170,72 @@ FROM scored WHERE weight >= 0.0
 """
 
 
+def _q_linkage_soundex(spark, sf):
+    """Soundex-blocked linkage (linkage.py::block_soundex): self-link
+    part names blocked on (soundex(first token), p_size), scored with
+    Spark's built-in levenshtein. The oracle replays Spark's soundex
+    in pure SQL (:func:`_soundex_sql` — fuzz-verified char-identical
+    over 2.6k adversarial strings + every sf0.01 first token), closing
+    the round-6 gap where soundex blocking was only unit-tested
+    because DuckDB lacks the function."""
+    from gecko_spark.operators.linkage import (
+        block_first_token,
+        block_soundex,
+        linkage_join,
+    )
+
+    part = load_table(spark, sf, "part")
+    pa = part.select("p_partkey", "p_name", "p_size")
+    bk = [block_soundex(block_first_token("p_name")), F.col("p_size")]
+    return (
+        linkage_join(
+            pa, pa, "p_partkey", "p_partkey", "p_name",
+            block_a=bk, block_b=bk, max_dist=2, keep="all",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def _soundex_sql(e: str) -> str:
+    """American Soundex as portable SQL, matching Spark's ``soundex``
+    builtin exactly: leading non-letter returns the input unchanged;
+    H/W are transparent (codes collapse through them); vowels and every
+    other non-letter act as separators. RE2 has no backreferences, so
+    run-collapse is six literal ``d+ -> d`` replacements."""
+    u = f"upper({e})"
+    lets = f"regexp_replace({u}, '[^A-Z]', '0', 'g')"
+    t = (
+        f"translate({lets}, 'ABCDEFGIJKLMNOPQRSTUVXYZ',"
+        f" '012301202245501262301202')"
+    )
+    t = f"replace(replace({t}, 'H', ''), 'W', '')"
+    for d in "123456":
+        t = f"regexp_replace({t}, '{d}{d}+', '{d}', 'g')"
+    body = (
+        f"CASE WHEN substr({u},1,1) IN ('H','W') THEN {t} "
+        f"ELSE substr({t}, 2) END"
+    )
+    return (
+        f"CASE WHEN NOT regexp_matches(substr({e},1,1), '^[A-Za-z]$') "
+        f"THEN {e} ELSE substr(substr({u},1,1) || "
+        f"replace({body}, '0', '') || '000', 1, 4) END"
+    )
+
+
+def _linkage_soundex_sql() -> str:
+    sx = _soundex_sql("split_part(p_name, ' ', 1)")
+    return f"""
+WITH l AS (SELECT p_partkey AS id_a, {sx} AS bk,
+                  p_size AS sz, p_name AS na FROM part),
+     r AS (SELECT p_partkey AS id_b, {sx} AS bk,
+                  p_size AS sz, p_name AS nb FROM part)
+SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INT) AS dist
+FROM l JOIN r USING (bk, sz)
+WHERE levenshtein(na, nb) <= 2 AND id_a < id_b
+"""
+
+
 def _q_json_props(spark, sf):
     """Semi-structured column processing: parse the events ``props``
     JSON with a typed schema (from_json stays JVM-side — no Python in
@@ -4408,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_linkage_snm": _q_linkage_snm,
         "q_linkage_jw": _q_linkage_jw,
         "q_linkage_fs": _q_linkage_fs,
+        "q_linkage_soundex": _q_linkage_soundex,
         # --- (a) newest driver grade is r02 — re-grade this round ---
         "mut_missing_value": _mut_missing,
         "mut_generator_splice": _mut_splice,
@@ -4536,6 +4603,7 @@ def oracle_sql() -> dict[str, str]:
         "q_linkage_snm": _Q_LINKAGE_SNM_SQL,
         "q_linkage_jw": _Q_LINKAGE_JW_SQL,
         "q_linkage_fs": _fs_sql(),
+        "q_linkage_soundex": _linkage_soundex_sql(),
         "q1_pricing_summary": _Q1_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_region_revenue": _Q5_SQL,

@@ -435,3 +435,34 @@ def test_em_recovers_planted_mu_and_links(spark):
     ).toPandas()
     acc = (linked["id_a"] == linked["id_b"]).mean()
     assert len(linked) >= 19_000 and acc > 0.99, (len(linked), acc)
+
+
+def test_soundex_sql_oracle_matches_spark(spark):
+    """The DuckDB-SQL soundex used by the q_linkage_soundex oracle must
+    reproduce Spark's soundex builtin char-for-char (leading non-letter
+    passthrough, H/W transparency, separator semantics) — this is what
+    promotes block_soundex from unit-tested to hash-verified."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyzAEIOUHW #12."
+    cases = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        for _ in range(800)
+    ] + ["miller", "mueller", "Hbb", "lawn mower", "Customer#01", "", "123", "x"]
+    df = spark.createDataFrame([(c,) for c in set(cases)], "s string")
+    got_spark = {
+        r["s"]: r["sx"] for r in df.select("s", F.soundex("s").alias("sx")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(c,) for c in set(cases)])
+    got_duck = dict(con.execute(f"SELECT s, {e._soundex_sql('s')} FROM t").fetchall())
+    mism = {s: (got_spark[s], got_duck[s]) for s in got_duck if got_spark[s] != got_duck[s]}
+    assert not mism, list(mism.items())[:5]
