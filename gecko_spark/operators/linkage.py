@@ -608,7 +608,12 @@ def estimate_mu_em(
     (levenshtein-within-k agreement), mirroring
     :func:`fellegi_sunter_join`'s field spec. Returns
     ``{col: (m, u)}`` / ``{col: (m, u, max_dist)}`` ready to pass as
-    that function's ``fields``.
+    that function's ``fields`` — GUARANTEED valid (0 < u < m < 1):
+    after global class orientation, any individual field EM left
+    inverted is swapped and exact m=u ties are nudged apart by 1e-6,
+    so an uninformative field contributes ~zero log-odds weight
+    instead of making the round-trip into ``fellegi_sunter_join``
+    raise.
 
     Standard EM caveats apply: it fits a two-class conditional-
     independence mixture, so fields should not be near-duplicates of
@@ -686,6 +691,20 @@ def estimate_mu_em(
     # agreement probabilities (EM is label-symmetric)
     if sum(m) < sum(u):
         m, u = u, m
+    # per-field repair (ADVICE r6): the aggregate orientation can leave
+    # an individual UNINFORMATIVE field with m[i] <= u[i], which
+    # fellegi_sunter_join rejects (needs 0 < u < m < 1) — contradicting
+    # the "ready to pass" contract. Swap any inverted field (its
+    # evidence direction was simply flipped) and nudge exact ties apart
+    # by eps: the field then contributes ~zero log-odds weight, which
+    # is the honest score for a field EM could not separate.
+    eps = 1e-6
+    for i in range(k):
+        if m[i] < u[i]:
+            m[i], u[i] = u[i], m[i]
+        if m[i] <= u[i]:  # tie after swap
+            m[i] = min(u[i] + eps, hi)
+            u[i] = min(u[i], m[i] - eps)
     out = {}
     for i, c in enumerate(cols):
         spec = (m[i], u[i]) if fields[c] is None else (m[i], u[i], fields[c])

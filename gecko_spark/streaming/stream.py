@@ -591,6 +591,13 @@ def heavy_hitters_stream(
     ``output_mode`` must match the sink's: "update" for memory/console
     sinks, "append" for file sinks (the emissions are identical — each
     batch re-emits the running summary).
+
+    Checkpoint compatibility: adding ``emit`` grew the per-shard state
+    row from 3 to 4 fields (round 6). ``applyInPandasWithState`` state
+    is positional, so a stream restarted from a PRE-change checkpoint
+    misreads or fails on the old rows — restart from a fresh
+    checkpoint (the sketch re-warms; counts are lower bounds either
+    way). See MIGRATION.md's streaming section.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -843,8 +850,11 @@ def link_stream(
 
     Returns the stream's rows plus ``(match_id, match_score)`` —
     null when no candidate passes the threshold (or the block is
-    unseen). ``block_stream``/``block_static`` are Column expressions
-    over each side (e.g. ``linkage.block_prefix(...)``)."""
+    unseen). ``match_id`` has the SAME type as ``clean``'s
+    ``clean_id_col`` (like the batch ``linkage_join``); clean rows
+    with a null id are skipped as candidates. ``block_stream``/
+    ``block_static`` are Column expressions over each side (e.g.
+    ``linkage.block_prefix(...)``)."""
     from gecko_spark.operators.linkage import jaro_winkler_py
 
     if score not in ("levenshtein", "jaro_winkler"):
@@ -852,10 +862,15 @@ def link_stream(
             f"score must be 'levenshtein' or 'jaro_winkler', got {score!r}"
         )
 
+    # preserve the clean id's type end-to-end: the old cast("long")
+    # silently nulled every string id (match_id always null, and null
+    # cids then crashed the tie-break inside the Arrow kernel)
+    id_type = clean.schema[clean_id_col].dataType
+
     cands = clean.groupBy(block_static.alias("__bk__")).agg(
         F.collect_list(
             F.struct(
-                F.col(clean_id_col).cast("long").alias("cid"),
+                F.col(clean_id_col).alias("cid"),
                 F.col(on).alias("cval"),
             )
         ).alias("__cands__")
@@ -890,7 +905,7 @@ def link_stream(
     @F.pandas_udf(
         T.StructType(
             [
-                T.StructField("match_id", T.LongType()),
+                T.StructField("match_id", id_type),
                 T.StructField("match_score", T.DoubleType()),
             ]
         )
@@ -902,7 +917,7 @@ def link_stream(
             if v is not None and cl is not None:
                 for c in cl:
                     cid, cval = c["cid"], c["cval"]
-                    if cval is None:
+                    if cval is None or cid is None:
                         continue
                     if use_jw:
                         sc = jaro_winkler_py(v, cval)

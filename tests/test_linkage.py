@@ -466,3 +466,38 @@ def test_soundex_sql_oracle_matches_spark(spark):
     got_duck = dict(con.execute(f"SELECT s, {e._soundex_sql('s')} FROM t").fetchall())
     mism = {s: (got_spark[s], got_duck[s]) for s in got_duck if got_spark[s] != got_duck[s]}
     assert not mism, list(mism.items())[:5]
+
+
+def test_estimate_mu_em_uninformative_field_roundtrip(spark):
+    """An uninformative field (pure noise — same agreement rate in both
+    classes) must not break the estimate_mu_em -> fellegi_sunter_join
+    round-trip (ADVICE r6: per-field m<=u after global orientation made
+    fellegi_sunter_join raise 'need 0 < u < m < 1')."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    # 300 true pairs: name agrees for matches, noise is a coin flip on
+    # BOTH sides — EM cannot separate it
+    for i in range(300):
+        nm = f"person{i:04d}"
+        rows.append((i, nm, rng.choice("ab"), 0))
+    clean = spark.createDataFrame(rows, "pid long, name string, noise string, zip int")
+    dirty = spark.createDataFrame(
+        [(i, nm, rng.choice("ab"), z) for i, nm, _, z in rows],
+        "pid long, name string, noise string, zip int",
+    )
+    est = L.estimate_mu_em(
+        dirty, clean, "pid", "pid", {"name": None, "noise": None},
+        block_a=[F.col("zip")], block_b=[F.col("zip")],
+    )
+    for c, spec in est.items():
+        m, u = spec[0], spec[1]
+        assert 0 < u < m < 1, (c, spec)
+    # must not raise
+    linked = L.fellegi_sunter_join(
+        dirty, clean, "pid", "pid", est,
+        block_a=[F.col("zip")], block_b=[F.col("zip")],
+        min_weight=0.0, keep="best",
+    )
+    assert linked.count() > 0

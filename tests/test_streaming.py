@@ -970,3 +970,38 @@ def test_link_stream_hot_block_guard(spark, tmp_path):
     got = spark.sql("SELECT * FROM link_hot_guard").toPandas().set_index("pid")
     assert pd.isna(got.loc[0, "match_id"])   # zip 0 block (50 cands) dropped
     assert got.loc[55, "match_id"] == 55     # zip 1 block (10 cands) kept
+
+
+def test_link_stream_preserves_clean_id_type(spark, tmp_path):
+    """match_id must carry the clean table's id TYPE (ADVICE r6: a
+    forced cast('long') silently nulled every string id and null cids
+    then crashed the tie-break): string ids round-trip verbatim,
+    null-id clean rows are skipped as candidates."""
+    from gecko_spark.streaming import link_stream
+
+    clean = spark.createDataFrame(
+        [("cust-07", "alice smith", 1), (None, "alice smyth", 1),
+         ("cust-03", "bob jones", 2)],
+        "pid string, name string, zip int",
+    )
+    dirty = pd.DataFrame(
+        {"rid": [1, 2], "name": ["alice smith", "bob jonez"], "zip": [1, 2]}
+    ).astype({"zip": "int32"})
+    src = tmp_path / "sid"
+    src.mkdir()
+    dirty.to_parquet(src / "f.parquet", index=False)
+    stream = spark.readStream.schema("rid long, name string, zip int").parquet(
+        str(src)
+    )
+    out = link_stream(
+        stream, clean, "rid", "pid", "name",
+        block_stream=F.col("zip"), block_static=F.col("zip"),
+        max_dist=1,
+    )
+    assert out.schema["match_id"].dataType.simpleString() == "string"
+    _run(out, "link_string_ids")
+    got = spark.sql("SELECT * FROM link_string_ids").toPandas().set_index("rid")
+    # 'alice smith' ties dist=0 vs the real row and dist=1 vs the
+    # null-id row; null-id candidates are skipped, not crashed on
+    assert got.loc[1, "match_id"] == "cust-07"
+    assert got.loc[2, "match_id"] == "cust-03"
