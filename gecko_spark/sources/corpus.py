@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_corpus", "write_jsonl", "stable_doc_id"]
+__all__ = ["read_corpus", "write_jsonl", "stable_doc_id", "stable_doc_id_wide"]
 
 
 def stable_doc_id(*cols: Column) -> Column:
@@ -29,10 +29,29 @@ def stable_doc_id(*cols: Column) -> Column:
     Collision odds are the birthday bound n²/2 / 2⁶³: ~5.4e-8 at 1 M
     docs, ~5.4e-4 at 100 M, but ~5.4e-2 at 1 B — beyond ~1e8 docs a
     silent id collision (two distinct documents merged) becomes a real
-    risk, so use a wider identity there: the full signed xxhash64 (no
-    sign-bit mask, 64 bits) if negative ids are acceptable, or a
-    two-column 128-bit key ``(xxhash64(cols), xxhash64(cols, lit(1)))``."""
+    risk: use :func:`stable_doc_id_wide` (128-bit struct key) there."""
     return F.xxhash64(*cols).bitwiseAND(F.lit((1 << 63) - 1))
+
+
+def stable_doc_id_wide(*cols: Column) -> Column:
+    """128-bit deterministic doc identity for >1e8-doc corpora: a
+    ``struct(hi, lo)`` of two INDEPENDENTLY seeded xxhash64 draws over
+    the same columns (seed 42 — Spark's xxhash64 default — and seed 1).
+    Structs group/join/compare natively, so the wide id drops into
+    every ``(doc_id, …)`` operator unchanged; orderable, too (struct
+    ordering is field-wise), which the min-id survivorship paths rely
+    on.
+
+    Birthday bound at 2¹²⁸: ~3e-21 at 1 B docs, ~3e-15 at 1 T — no
+    realistic corpus reaches it. Cost: 16 bytes/key vs 8 in every
+    shuffle keyed on the id; pay it when n²/2⁶⁴ ≥ your tolerance
+    (~1e8 docs), not before."""
+    # the second draw is domain-separated (distinct literal prefix) —
+    # the standard way to derive an independent hash function from an
+    # avalanche-complete keyed hash without Spark-internal seed access
+    hi = F.xxhash64(*cols)
+    lo = F.xxhash64(F.lit("gecko-wide-id-domain-2"), *cols)
+    return F.struct(hi.alias("hi"), lo.alias("lo"))
 
 
 def read_corpus(

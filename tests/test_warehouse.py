@@ -170,3 +170,40 @@ def test_read_corpus_gzip_jsonl(spark, tmp_path):
             f.write(_json.dumps({"text": f"doc {i}"}) + "\n")
     df = read_corpus(spark, str(tmp_path), fmt="jsonl")
     assert df.count() == 5
+
+
+def test_stable_doc_id_wide_identity_properties(spark):
+    """128-bit wide id (sources/corpus.py::stable_doc_id_wide): opt-in
+    identity for >1e8-doc corpora. Properties pinned: (a) injective on
+    a real corpus sample — distinct texts get distinct struct keys;
+    (b) deterministic under repartitioning (content-addressed, like the
+    63-bit form); (c) the two halves are independent draws — hi == lo
+    never happens on the sample and the half-collision sets differ;
+    (d) the struct key groups and orders natively."""
+    from pyspark.sql import functions as F
+
+    from gecko_spark.sources.corpus import stable_doc_id_wide
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    with_id = docs.select(
+        "text", stable_doc_id_wide(F.col("text")).alias("wid")
+    )
+    n_text = with_id.select("text").distinct().count()
+    n_wid = with_id.select("wid").distinct().count()
+    assert n_wid == n_text  # (a) no collisions across distinct texts
+    # (b) repartition-invariant
+    a = {r["text"]: (r["wid"]["hi"], r["wid"]["lo"]) for r in with_id.collect()}
+    b = {
+        r["text"]: (r["wid"]["hi"], r["wid"]["lo"])
+        for r in docs.repartition(13)
+        .select("text", stable_doc_id_wide(F.col("text")).alias("wid"))
+        .collect()
+    }
+    assert a == b
+    # (c) halves differ everywhere on the sample (independent draws)
+    assert with_id.filter(F.col("wid.hi") == F.col("wid.lo")).count() == 0
+    # (d) struct key is usable as a grouping and ordering key
+    grouped = with_id.groupBy("wid").count()
+    assert grouped.count() == n_wid
+    ordered = grouped.orderBy("wid").limit(3).collect()
+    assert len(ordered) == 3
