@@ -4453,29 +4453,79 @@ FROM ranked WHERE rank <= 20
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries 1–50 are the driver-graded window (the driver evaluates the
-    # first 50 dict entries). Rotation history: round 2 graded the §2
-    # operator surface (CORRECTNESS_r02 50/50), round 4 the relational/
-    # LLM-ops surface (r04 50/50), round 5 the round-5 additions plus the
-    # r02-era generator/mutator re-grades (r05 50/50). Round 6 (this
-    # round): (a) the twelve mutator entries whose newest driver grade is
-    # still r02 — three rounds stale, the judge's #2 ask — go first;
-    # (b) then every entry whose code is touched in round 6 (replacement/
-    # phonetic/regex table plumbing gained a precomputed-frequency
-    # option, topk_cosine_bruteforce gained a size guard, heavy_hitters
-    # changed its cache ownership); (c) the remaining slots refresh the
-    # r04-era relational surface (TPC-H shapes + window/session/join/
-    # set-op family), whose newest driver grade is two rounds old.
-    # Everything past slot 50 is r4/r5-driver-green with unchanged code
+    # first 50 dict entries). Rotation history: r02 graded the §2
+    # operator surface, r04 the relational/LLM-ops surface, r05 the
+    # round-5 additions + r02-era re-grades, r06 the r02-stale mutators
+    # + the relational refresh. Round 7 (this round, VERDICT r6 #3):
+    # (a) code touched in round 7 — the new soundex-oracle linkage
+    # query, the heavy-hitters kernel rewrite (+ its top-k sibling),
+    # the brute-force guard hints, the vectorized Jaro-Winkler kernel,
+    # and every dedup operator whose cache ownership changed;
+    # (b) the 19 queries whose newest driver grade is r04 — two rounds
+    # stale; (c) the remaining slots refresh r05-era grades (generator/
+    # mutator singles, TPC-H q1/q6/q7/q10, asof/skew, samples). After
+    # this round no query's newest driver grade is older than r5.
+    # Everything past slot 50 is r5/r6-driver-green with unchanged code
     # and stays strict-locally verified by tools/check_oracle.py (same
     # compare, same data as the driver).
     return {
-        # --- round-6 additions, never driver-graded: grade first ---
+        # --- (a) round-7 touched code — grade first ---
+        "q_linkage_soundex": _q_linkage_soundex,
+        "sketch_heavy_hitters": _sketch_heavy_hitters,
+        "sketch_topk_counts": _sketch_topk_counts,
+        "topk_cosine_bruteforce": _topk_cosine,
+        "q_linkage_jw": _q_linkage_jw,
+        "dedup_minhash_pairs": _dedup_minhash,
+        "dedup_simhash_pairs": _dedup_simhash,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_embedding_pairs": _dedup_embedding,
+        "dedup_semantic_pairs": _dedup_semantic,
+        "dedup_fp_overlap": _dedup_fp_overlap,
+        "dedup_cluster_reps": _dedup_cluster_reps,
+        # --- (b) newest driver grade is r04 — re-grade this round ---
+        "decontam_filter": _decontam_filter,
+        "decontam_overlap": _decontam_overlap,
+        "dedup_exact": _dedup_exact,
+        "dedup_transitive": _dedup_transitive,
+        "emb_quantize_int8": _emb_quantize,
+        "gen_group": _gen_group,
+        "gen_uniform": _gen_uniform,
+        "mut_chain": _mut_chain,
+        "pack_sequences": _pack_sequences,
+        "q_cube_flag_status": _q_cube,
+        "q_distinct_counts": _q_distinct_counts,
+        "q_json_props": _q_json_props,
+        "q_percentile_price": _q_percentiles,
+        "sketch_cm_counts": _sketch_cm_counts,
+        "sketch_cm_estimate": _sketch_cm_estimate,
+        "sketch_kmv_by_group": _sketch_kmv_by_group,
+        "text_pii_redact": _text_pii_redact,
+        "text_repetition": _text_repetition,
+        # --- (c) r05-era refresh ---
+        "gen_normal": _gen_normal,
+        "gen_freq_single": _gen_freq_single,
+        "gen_freq_multi": _gen_freq_multi,
+        "gen_datetime": _gen_datetime,
+        "gen_group_exact": _gen_group_exact,
+        "gen_function": _gen_function,
+        "gen_datasource": _gen_datasource,
+        "mut_insert": _mut_insert,
+        "mut_function": _mut_function,
+        "mut_group": _mut_group,
+        "mut_cldr_keymap": _mut_cldr,
+        "q1_pricing_summary": _q1,
+        "q6_revenue_filter": _q6,
+        "q7_nation_volume": _q7,
+        "q10_returned_items": _q10,
+        "q_asof_join": _q_asof_join,
+        "q_skew_join": _q_skew_join,
+        "sample_reservoir_n": _sample_reservoir,
+        "sample_split": _sample_split,
+        "text_stats": _text_stats,
+        # --- entries 51+: r5/r6-driver-green, code unchanged ---
         "q_linkage_blocked": _q_linkage_blocked,
         "q_linkage_snm": _q_linkage_snm,
-        "q_linkage_jw": _q_linkage_jw,
         "q_linkage_fs": _q_linkage_fs,
-        "q_linkage_soundex": _q_linkage_soundex,
-        # --- (a) newest driver grade is r02 — re-grade this round ---
         "mut_missing_value": _mut_missing,
         "mut_generator_splice": _mut_splice,
         "mut_permute": _mut_permute,
@@ -4488,14 +4538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mut_lowercase": _mut_lowercase,
         "mut_uppercase": _mut_uppercase,
         "mut_missing_strict_p": _mut_missing_strict,
-        # --- (b) code touched in round 6 — regression cover ---
         "mut_replacement_inline": _mut_replacement_inline,
         "mut_replacement_whole": _mut_replacement_whole,
         "mut_phonetic": _mut_phonetic,
         "mut_regex": _mut_regex,
-        "topk_cosine_bruteforce": _topk_cosine,
-        "sketch_heavy_hitters": _sketch_heavy_hitters,
-        # --- (c) r04-era relational refresh ---
         "decontam_filter_bloom": _decontam_filter_bloom,
         "text_tfidf_top3": _text_tfidf,
         "q2_min_cost_supplier": _q2,
@@ -4524,57 +4570,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_region_nation": _q_rollup,
         "q_set_ops": _q_set_ops,
         "q_range_join": _q_range_join,
-        # --- entries 51+: r4/r5-driver-green, code unchanged ---
-        "q_cube_flag_status": _q_cube,
-        "q_percentile_price": _q_percentiles,
-        # (q_distinct_counts / q_json_props / q_percentile_price /
-        # q_cube_flag_status ceded their window slots to the four
-        # never-graded round-6 linkage queries — all r04-green,
-        # unchanged code, strict-locally verified like everything below)
-        "q_distinct_counts": _q_distinct_counts,
-        "q_json_props": _q_json_props,
-        "q1_pricing_summary": _q1,
-        "q6_revenue_filter": _q6,
-        "q7_nation_volume": _q7,
-        "q10_returned_items": _q10,
-        "q_asof_join": _q_asof_join,
-        "q_skew_join": _q_skew_join,
-        "gen_normal": _gen_normal,
-        "gen_freq_single": _gen_freq_single,
-        "gen_freq_multi": _gen_freq_multi,
-        "gen_datetime": _gen_datetime,
-        "gen_group_exact": _gen_group_exact,
-        "gen_function": _gen_function,
-        "gen_datasource": _gen_datasource,
-        "gen_uniform": _gen_uniform,
-        "gen_group": _gen_group,
-        "mut_insert": _mut_insert,
-        "mut_function": _mut_function,
-        "mut_group": _mut_group,
-        "mut_cldr_keymap": _mut_cldr,
-        "mut_chain": _mut_chain,
-        "dedup_exact": _dedup_exact,
-        "dedup_minhash_pairs": _dedup_minhash,
         "dedup_groups": _dedup_groups,
-        "dedup_simhash_pairs": _dedup_simhash,
-        "dedup_ngram_jaccard": _dedup_jaccard,
-        "dedup_embedding_pairs": _dedup_embedding,
-        "dedup_semantic_pairs": _dedup_semantic,
-        "dedup_transitive": _dedup_transitive,
-        "dedup_cluster_reps": _dedup_cluster_reps,
-        "dedup_fp_overlap": _dedup_fp_overlap,
-        "sample_reservoir_n": _sample_reservoir,
         "sample_weighted_n": _sample_weighted,
         "sample_stratified": _sample_stratified,
-        "sample_split": _sample_split,
         "sample_split_grouped": _sample_split_grouped,
         "sample_shuffle": _sample_shuffle,
         "sample_mix_corpus": _sample_mix_corpus,
         "topk_cosine_ivf": _topk_ivf,
-        "emb_quantize_int8": _emb_quantize,
         "doc_normalize_filter": _doc_normalize_filter,
         "doc_fingerprints": _doc_fingerprints,
-        "text_stats": _text_stats,
         "text_line_dedupe": _text_line_dedupe,
         "text_unigram_logprob": _text_unigram_logprob,
         "text_chunks": _text_chunks,
@@ -4582,18 +4586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_strip_html": _text_strip_html,
         "text_url_normalize": _text_url_normalize,
         "text_vocab_divergence": _text_vocab_divergence,
-        "text_pii_redact": _text_pii_redact,
-        "text_repetition": _text_repetition,
         "sketch_kmv_distinct": _sketch_kmv,
-        "sketch_kmv_by_group": _sketch_kmv_by_group,
-        "sketch_cm_counts": _sketch_cm_counts,
-        "sketch_cm_estimate": _sketch_cm_estimate,
         "sketch_quantiles": _sketch_quantiles,
         "sketch_quantiles_by_group": _sketch_quantiles_by_group,
-        "sketch_topk_counts": _sketch_topk_counts,
-        "decontam_overlap": _decontam_overlap,
-        "decontam_filter": _decontam_filter,
-        "pack_sequences": _pack_sequences,
     }
 
 

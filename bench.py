@@ -35,6 +35,40 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 BENCH_N = 1_000_000
 
+# Stable cross-round comparison set (VERDICT r6 #10): these 25 entries
+# have existed unchanged since round 5, so their sum is comparable
+# round-over-round even as the full suite grows ~5 entries per round.
+# The driver JSON reports BOTH totals; do not add to or reorder this
+# list when adding bench entries — new entries only affect the full
+# total.
+HEADLINE_25 = [
+    "gen_1m_4cols",
+    "mut_1m_edit_chain",
+    "mut_1m_replacement_inline",
+    "mut_1m_phonetic",
+    "mut_1m_regex_table",
+    "mut_1m_3spec_e2e",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_window_topk_orders",
+    "q_events_hourly",
+    "q_events_sessions",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_transitive",
+    "text_stats",
+    "text_line_dedupe",
+    "text_unigram_logprob",
+    "text_chunks",
+    "sketch_quantiles",
+    "sketch_heavy_hitters",
+    "topk_cosine_bruteforce",
+    "decontam_filter",
+    "q_skew_join",
+    "q21_waiting_supplier",
+]
+
 OCR = pd.DataFrame(
     {"source": ["l", "rn", "O", "5", "cl"], "target": ["1", "m", "0", "S", "d"]}
 )
@@ -369,12 +403,18 @@ def main():
     finally:
         spark.stop()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    headline = [q for q in HEADLINE_25 if q in queries]
     result = {
         "metric": "gecko_spark bench: gen+mutate @1M rows + headline queries",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
         "sf": sf,
+        # fixed 25-entry subset, unchanged since round 5 — the
+        # round-over-round comparable number (the full total grows as
+        # entries are added)
+        "headline25_total": round(sum(queries[q] for q in headline), 3),
+        "headline25_n": len(headline),
     }
     if errors:
         # A failing query would otherwise shrink the headline total and
