@@ -659,23 +659,31 @@ def top_k_by_count(
     k: int,
     capacity: Optional[int] = None,
     verify: bool = True,
+    exact_factor: int = 8,
 ) -> DataFrame:
     """EXACT top-k most frequent values as ``(value, cnt, rank)``
     (rank by cnt desc, value asc — a total order, so the result is
     unique and oracle-comparable) without ever shuffling the column's
     full cardinality: the same Misra–Gries candidates + exact-recount
-    machinery as :func:`heavy_hitters`.
+    machinery as :func:`heavy_hitters`, including its one-scan exact
+    path — when no partition truncated (sentinel ``exact`` flags), the
+    collected summaries ARE exact partial counts, so the top-k is the
+    driver-side sort of their sums: one scan, no recount, and the
+    certificate holds trivially (the candidates are the full support).
 
-    The top-k is provably exact when the k-th recounted count exceeds
-    the MG error bound n/(capacity+1) — no non-candidate can beat it.
-    With ``verify=True`` (default) that certificate is CHECKED from the
-    result itself (k rows + one total — config-sized driver traffic)
-    and a too-small capacity raises instead of silently returning a
-    wrong top-k; when the candidate recount covers the whole input
-    (sum of recounts == n) the candidate set is the entire support and
-    the result is exact regardless. Default capacity ``max(64, 8·k)``
-    makes the certificate hold for any corpus where the k-th most
-    frequent value claims more than 1/(8k+1) of the stream."""
+    Otherwise the top-k is provably exact when the k-th recounted
+    count exceeds the MG error bound n/(capacity+1) — no non-candidate
+    can beat it. With ``verify=True`` (default) that certificate is
+    CHECKED from the result itself (k rows + one total — config-sized
+    driver traffic) and a too-small capacity raises instead of
+    silently returning a wrong top-k; when the candidate recount
+    covers the whole input (sum of recounts == n) the candidate set is
+    the entire support and the result is exact regardless. Default
+    capacity ``max(64, 8·k)`` makes the certificate hold for any
+    corpus where the k-th most frequent value claims more than
+    1/(8k+1) of the stream. Candidates are collected once (≤
+    partitions × exact_cap rows) — nothing is persisted, so repeated
+    calls leave no cache entries behind."""
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
     if capacity is None:
@@ -688,10 +696,32 @@ def top_k_by_count(
     src = df.select(c.cast("string").alias("value")).where(
         F.col("value").isNotNull()
     )
-    cands = heavy_hitter_candidates(df, col, capacity).persist()
-    vals = cands.where(F.col("value").isNotNull()).select("value").distinct()
+    spark = df.sparkSession
+
+    def _local(rows3):
+        out = pd.DataFrame(rows3, columns=["value", "cnt", "rank"])
+        out["cnt"] = out["cnt"].astype("int64")
+        out["rank"] = out["rank"].astype("int64")
+        return spark.createDataFrame(out, "value string, cnt long, rank long")
+
+    cand_rows = heavy_hitter_candidates(df, col, capacity, exact_factor).collect()
+    sentinels = [r for r in cand_rows if r["value"] is None]
+    n = sum(r["cnt"] for r in sentinels)
+    if sentinels and all(r["exact"] for r in sentinels):
+        # one-scan exact path: sums of exact partial counts, ranked on
+        # the driver (rows are already there); exact regardless of k
+        agg: dict = {}
+        for r in cand_rows:
+            if r["value"] is not None:
+                agg[r["value"]] = agg.get(r["value"], 0) + r["cnt"]
+        ordered = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return _local([(v, cc, i + 1) for i, (v, cc) in enumerate(ordered)])
+    vals = sorted({r["value"] for r in cand_rows if r["value"] is not None})
+    vals_df = spark.createDataFrame(
+        [(v,) for v in vals], T.StructType([T.StructField("value", T.StringType())])
+    )
     counts = (
-        src.join(F.broadcast(vals), "value", "left_semi")
+        src.join(F.broadcast(vals_df), "value", "left_semi")
         .groupBy("value")
         .agg(F.count("*").alias("cnt"))
     )
@@ -708,16 +738,11 @@ def top_k_by_count(
         .select("value", "cnt", F.col("rank").cast("long").alias("rank"))
     )
     if not verify:
-        # lazy return references the persisted candidates: tie the
-        # cache's lifetime to the result (unified ownership policy —
-        # core.persist_until_released) instead of leaking it
-        from gecko_spark.core import persist_until_released
-
-        return persist_until_released(cands, topk)
+        # the candidate set is already a local relation — nothing to
+        # cache, nothing to leak
+        return topk
     rows = topk.collect()  # ≤ k rows by construction
-    n = cands.where(F.col("value").isNull()).agg(F.sum("cnt")).collect()[0][0] or 0
     covered = counts.agg(F.sum("cnt")).collect()[0][0] or 0
-    cands.unpersist()  # everything derived is materialized above
     complete = covered == n  # candidates are the entire support
     if len(rows) == k and not complete:
         kth = rows[-1]["cnt"]
@@ -735,8 +760,4 @@ def top_k_by_count(
     # return the verified rows as a fresh config-sized DataFrame (the
     # certificate already forced the computation; re-materializing k
     # rows beats re-running both scans on the next action)
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(r["value"], r["cnt"], r["rank"]) for r in rows],
-        "value string, cnt long, rank long",
-    )
+    return _local([(r["value"], r["cnt"], r["rank"]) for r in rows])
