@@ -2814,12 +2814,23 @@ def _topk_cosine(spark, sf):
     qs = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    # query_rows hint: vec_id is unique, so the filter yields exactly 3
-    # rows — telling the guard avoids an eager count() job on the
-    # filtered scan (corpus side stays a metadata-only parquet count)
-    return cosine_topk_bruteforce(emb, qs, k=5, query_rows=3).select(
-        "query_id", "vec_id", "rank"
-    )
+    # row hints: vec_id is unique, so the filter yields exactly 3 rows;
+    # the corpus size comes from parquet FOOTER metadata (driver-side,
+    # no Spark job) — the guard then costs zero jobs per call
+    import os
+
+    corpus_rows = None
+    try:
+        import pyarrow.parquet as _pq
+
+        p = os.path.join(sf, "embeddings.parquet")
+        if os.path.isfile(p):
+            corpus_rows = _pq.read_metadata(p).num_rows
+    except Exception:
+        pass  # fall back to the guard's own count()
+    return cosine_topk_bruteforce(
+        emb, qs, k=5, corpus_rows=corpus_rows, query_rows=3
+    ).select("query_id", "vec_id", "rank")
 
 
 _TOPK_COSINE_SQL = """
