@@ -261,13 +261,16 @@ def main():
     )
 
     cap(
-        "heavy hitters: MG summary scan + broadcast-pruned recount",
+        "heavy hitters: one-scan exact path (round 7)",
         qs["sketch_heavy_hitters"](spark, sf),
-        "Pass 1 is a mapInPandas summary whose output is partitions×capacity "
-        "rows; pass 2's recount joins the candidate list as a BROADCAST "
-        "left-semi below the aggregation exchange, so the groupBy key space "
-        "is the candidate set, never the column's cardinality; the total-count "
-        "join is a 1-row IdentityBroadcast.",
+        "When no partition truncated (bounded-adaptive kernel, sentinel "
+        "`exact` flags), the collected summaries ARE exact partial counts: "
+        "the returned plan is a LocalTableScan of the driver-summed, "
+        "already-filtered result — the recount scan is gone. "
+        "High-cardinality keys (cardinality > exact_factor×capacity per "
+        "partition) fall back to the r5 shape: mapInPandas MG summary + "
+        "BROADCAST left-semi candidate-pruned recount, groupBy key space "
+        "bounded by the candidate set, never the column's cardinality.",
     )
 
     cap(
