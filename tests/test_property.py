@@ -295,6 +295,12 @@ _SWEEP_QUERIES = [
     "q_linkage_blocked",
     "q_linkage_jw",
     "q_linkage_fs",
+    # round 7: soundex-blocked linkage (new oracle'd block key) and the
+    # certified top-k, whose exact/MG path choice must not depend on
+    # layout (different partition counts can flip a partition between
+    # exact and truncated — the RESULT may not change)
+    "q_linkage_soundex",
+    "sketch_topk_counts",
 ]
 
 
