@@ -12,12 +12,14 @@ multimodal path REAL (not stubbed) for them:
 - **PNG** (``\\x89PNG`` magic): non-interlaced 8-bit gray / gray+alpha /
   RGB / RGBA / palette — stdlib ``zlib`` inflate + per-scanline
   unfiltering (all five filter types), no external deps.
-- **JPEG** (``\\xff\\xd8\\xff`` magic): BASELINE sequential DCT (SOF0),
-  8-bit, 1- or 3-component, arbitrary chroma subsampling factors and
-  restart markers — pure NumPy Huffman + matrix IDCT (round 5).
-  Progressive (SOF2) / arithmetic / 12-bit JPEGs raise. A matching
-  minimal encoder (:func:`encode_jpeg_baseline`, Annex K tables) exists
-  so tests can build real JPEG bytes without PIL.
+- **JPEG** (``\\xff\\xd8\\xff`` magic): BASELINE sequential DCT (SOF0)
+  and PROGRESSIVE DCT (SOF2, round 7 — spectral selection, successive
+  approximation, EOB runs per T.81 Annex G), 8-bit, 1- or 3-component,
+  arbitrary chroma subsampling factors and restart markers — pure
+  NumPy Huffman + matrix IDCT. Arithmetic-coded / hierarchical /
+  12-bit JPEGs raise. Matching minimal encoders
+  (:func:`encode_jpeg_baseline`, :func:`encode_jpeg_progressive`)
+  exist so tests can build real JPEG bytes without PIL.
 
 Video still raises — a honest boundary, surfaced per-batch inside the
 executors. All functions are deterministic, so pipelines built on them
@@ -459,12 +461,15 @@ class _BitReader:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a BASELINE sequential JPEG (SOF0, 8-bit, Huffman) into
-    (H, W, 3) uint8 RGB — stdlib + NumPy only. Supports 1 or 3
-    components, any h/v sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...)
-    with nearest upsampling, and DRI/RSTn restart intervals.
-    Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-    UnsupportedImageError."""
+    """Decode a BASELINE (SOF0) or PROGRESSIVE (SOF2) 8-bit Huffman
+    JPEG into (H, W, 3) uint8 RGB — stdlib + NumPy only. Supports 1 or
+    3 components, any h/v sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...)
+    with nearest upsampling, DRI/RSTn restart intervals, and for
+    progressive streams the full T.81 Annex G Huffman feature set:
+    spectral selection, successive approximation (DC and AC first +
+    refinement passes), EOB runs, and interleaved or single-component
+    DC scans. Arithmetic coding, hierarchical/lossless SOFs, and
+    12-bit precision raise UnsupportedImageError."""
     if data[:3] != b"\xff\xd8\xff":
         raise UnsupportedImageError("not a JPEG payload")
     pos = 2
@@ -474,13 +479,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     width = height = 0
     restart_interval = 0
-    while pos + 4 <= len(data):
+    progressive = False
+    allocated = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise UnsupportedImageError(f"bad JPEG marker alignment at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > len(data):
+            break
         (seglen,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2 : pos + seglen]
         if marker == 0xC4:  # DHT
@@ -503,17 +514,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tbl[_ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
                 qt[pq_tq & 0xF] = tbl.reshape(8, 8)
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise UnsupportedImageError(f"{precision}-bit JPEG (8-bit only)")
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise UnsupportedImageError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}; only "
-                "baseline sequential SOF0 is supported)"
+                f"unsupported JPEG SOF marker 0xFF{marker:02X} (baseline "
+                "SOF0 and progressive SOF2 only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -525,13 +537,219 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(x for x in comps if x["id"] == cs)
                 comp["dc"] = huff_dc.get(td_ta >> 4)
                 comp["ac"] = huff_ac.get(td_ta & 0xF)
-                if comp["dc"] is None or comp["ac"] is None:
-                    raise UnsupportedImageError("missing JPEG Huffman table")
                 order.append(comp)
-            pos += seglen
-            return _jpeg_scan(data, pos, order, qt, width, height, restart_interval)
+            if not progressive:
+                for comp in order:
+                    if comp["dc"] is None or comp["ac"] is None:
+                        raise UnsupportedImageError("missing JPEG Huffman table")
+                pos += seglen
+                return _jpeg_scan(data, pos, order, qt, width, height, restart_interval)
+            ss, se, ah_al = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0xF
+            if not allocated:
+                if not comps or width <= 0 or height <= 0:
+                    raise UnsupportedImageError("JPEG scan before a valid SOF")
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = -(-width // (8 * hmax))
+                mcus_y = -(-height // (8 * vmax))
+                for c in comps:
+                    c["coef"] = np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64
+                    )
+                    # non-interleaved block grid (T.81 A.2.2): covers
+                    # the component's OWN ceil dimensions, which can be
+                    # smaller than the MCU-padded grid above
+                    cw_px = -(-(width * c["h"]) // hmax)
+                    ch_px = -(-(height * c["v"]) // vmax)
+                    c["bw"] = -(-cw_px // 8)
+                    c["bh"] = -(-ch_px // 8)
+                allocated = True
+            pos = _jpeg_progressive_scan(
+                data, pos + seglen, order, ss, se, ah, al,
+                restart_interval, mcus_x, mcus_y,
+            )
+            continue
         pos += seglen
+    if progressive and allocated:
+        return _jpeg_reconstruct(comps, qt, width, height)
     raise UnsupportedImageError("JPEG has no SOS scan")
+
+
+def _jpeg_progressive_scan(
+    data, pos, scomps, ss, se, ah, al, restart_interval, mcus_x, mcus_y
+):
+    """Decode ONE progressive scan into the components' coefficient
+    arrays (zigzag order); returns the byte offset of the next marker.
+    Implements T.81 G.1.2: DC first/refine (interleaved or single-
+    component), AC first/refine with EOB runs — all coefficient
+    updates in the successive-approximation bit arithmetic (two's
+    complement OR for DC bits, ±1<<Al magnitude growth for AC)."""
+    r = _BitReader(data, pos)
+    p1 = 1 << al
+
+    def _refine_nonzero(coef, idx):
+        # correction bit for a history-nonzero coefficient
+        if r.read_bit() and (int(coef[idx]) & p1) == 0:
+            coef[idx] += p1 if coef[idx] >= 0 else -p1
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise UnsupportedImageError("JPEG DC scan with Se != 0")
+        for c in scomps:
+            c["pred"] = 0
+        if c_interleaved := len(scomps) > 1:
+            total_units = mcus_x * mcus_y
+        else:
+            c0 = scomps[0]
+            total_units = c0["bw"] * c0["bh"]
+        n = 0
+        for u in range(total_units):
+            if restart_interval and n and n % restart_interval == 0:
+                r.align_to_marker()
+                for c in scomps:
+                    c["pred"] = 0
+            n += 1
+            if c_interleaved:
+                my, mx = divmod(u, mcus_x)
+                blocks = [
+                    (c, my * c["v"] + by, mx * c["h"] + bx)
+                    for c in scomps
+                    for by in range(c["v"])
+                    for bx in range(c["h"])
+                ]
+            else:
+                by, bx = divmod(u, scomps[0]["bw"])
+                blocks = [(scomps[0], by, bx)]
+            for c, by, bx in blocks:
+                coef = c["coef"][by, bx]
+                if ah == 0:
+                    if c["dc"] is None:
+                        raise UnsupportedImageError("missing JPEG DC table")
+                    s = r.decode_symbol(c["dc"])
+                    c["pred"] += r.receive_extend(s)
+                    coef[0] = c["pred"] << al
+                else:
+                    if r.read_bit():
+                        coef[0] = int(coef[0]) | p1
+    else:  # AC scan: always a single component (T.81 B.2.3)
+        if len(scomps) != 1:
+            raise UnsupportedImageError("interleaved progressive AC scan")
+        c = scomps[0]
+        if c["ac"] is None:
+            raise UnsupportedImageError("missing JPEG AC table")
+        ac = c["ac"]
+        eobrun = 0
+        n = 0
+        for u in range(c["bw"] * c["bh"]):
+            if restart_interval and n and n % restart_interval == 0:
+                r.align_to_marker()
+                eobrun = 0
+            n += 1
+            by, bx = divmod(u, c["bw"])
+            coef = c["coef"][by, bx]
+            if ah == 0:  # first pass for these bits
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = r.decode_symbol(ac)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += r.read_bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise UnsupportedImageError("JPEG AC index overflow")
+                    coef[k] = r.receive_extend(size) << al
+                    k += 1
+            else:  # refinement pass (G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = r.decode_symbol(ac)
+                        run, size = rs >> 4, rs & 0xF
+                        val = 0
+                        if size == 0:
+                            if run != 15:
+                                eobrun = 1 << run
+                                if run:
+                                    eobrun += r.read_bits(run)
+                                break
+                            # ZRL: skip 16 zero-history positions
+                        else:
+                            if size != 1:
+                                raise UnsupportedImageError(
+                                    "JPEG AC refinement size != 1"
+                                )
+                            val = p1 if r.read_bit() else -p1
+                        while k <= se:
+                            if coef[k]:
+                                _refine_nonzero(coef, k)
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if val and k <= se:
+                            coef[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if coef[k]:
+                            _refine_nonzero(coef, k)
+                        k += 1
+                    eobrun -= 1
+    # locate the next marker (skip stuffed 0xFF00 and any stray fill)
+    p = r.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] not in (0x00,) and not (0xD0 <= data[p + 1] <= 0xD7)
+    ):
+        p += 1
+    return p
+
+
+def _jpeg_reconstruct(comps, qt, width, height):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble RGB — batched einsum over all blocks per component."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        if c["tq"] not in qt:
+            raise UnsupportedImageError(f"missing JPEG quant table {c['tq']}")
+        q = qt[c["tq"]].astype(np.float64)
+        ch, cw = c["coef"].shape[:2]
+        full = np.zeros((ch, cw, 64))
+        full[:, :, _ZIGZAG] = c["coef"]
+        blocks = full.reshape(ch, cw, 8, 8) * q[None, None]
+        px = np.einsum("ij,abjk,kl->abil", _DCT_T.T, blocks, _DCT_T) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(ch * 8, cw * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
+    if len(planes) != 3:
+        raise UnsupportedImageError(f"{len(planes)}-component JPEG (1 or 3 only)")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.ascontiguousarray(np.clip(np.round(rgb), 0, 255).astype(np.uint8))
 
 
 def _jpeg_scan(data, pos, comps, qt, width, height, restart_interval):
@@ -818,6 +1036,298 @@ def encode_jpeg_baseline(
     )
 
 
+# flat AC Huffman table for progressive scans: every valid RRRRSSSS
+# symbol (incl. the EOBn codes 0x10..0xE0 that Annex K's typical tables
+# lack) at code length 9 — canonical, Kraft-satisfying, shared by
+# encoder and decoder through the same DHT segment
+_PROG_AC_SYMS = sorted(
+    {(run << 4) | size for run in range(16) for size in range(11)}
+)
+_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0],
+    _PROG_AC_SYMS,
+)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 75,
+    subsample: bool = False,
+    grayscale: bool = False,
+) -> bytes:
+    """Minimal PROGRESSIVE (SOF2) JPEG encoder — the test-fixture
+    counterpart of :func:`decode_jpeg`'s progressive path, exercising
+    every Annex G Huffman feature: an interleaved DC first scan at
+    Al=1, per-component AC first scans split into TWO spectral bands
+    (1–5, 6–63) at Al=1 with EOB-run accumulation, per-component AC
+    refinement scans (Ah=1 → Al=0, correction bits + newly-nonzero
+    coefficients), and a DC refinement scan (raw bits). Quantized
+    coefficients are identical to :func:`encode_jpeg_baseline` at the
+    same quality/sampling, so decoding both must give IDENTICAL pixels
+    — the round-trip test's oracle. No restart intervals (the RSTn
+    logic is shared with, and covered by, the baseline path)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"need (H, W, 3) uint8, got {img.shape} {img.dtype}")
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    h, w = img.shape[:2]
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q_lum = np.clip((_Q_LUM * scale + 50) // 100, 1, 255)
+    q_chrom = np.clip((_Q_CHROM * scale + 50) // 100, 1, 255)
+
+    f = img.astype(np.float64)
+    yp = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128.0
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128.0
+
+    if grayscale and subsample:
+        raise ValueError("subsample is meaningless for grayscale JPEG")
+    hs = vs = 2 if (subsample and not grayscale) else 1
+    if subsample and not grayscale:
+        ph, pw = -h % 2, -w % 2
+        cbp = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
+        crp = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
+        cb = (cbp[0::2, 0::2] + cbp[1::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 1::2]) / 4.0
+        cr = (crp[0::2, 0::2] + crp[1::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 1::2]) / 4.0
+
+    def pad_to(p, mult):
+        return np.pad(p, ((0, -p.shape[0] % mult), (0, -p.shape[1] % mult)), mode="edge")
+
+    hmax, vmax = hs, vs
+    if grayscale:
+        planes = [(pad_to(yp, 8), q_lum, 1, 1)]
+    else:
+        planes = [
+            (pad_to(yp, 8 * vs), q_lum, hs, vs),
+            (pad_to(cb, 8), q_chrom, 1, 1),
+            (pad_to(cr, 8), q_chrom, 1, 1),
+        ]
+    mcus_x = planes[0][0].shape[1] // (8 * hs)
+    mcus_y = planes[0][0].shape[0] // (8 * vs)
+
+    # quantized zigzag coefficients for every block (MCU-padded grid),
+    # plus the smaller non-interleaved grid dims for the AC scans
+    comps = []
+    for ci, (plane, q, chh, cv) in enumerate(planes):
+        gh, gw = plane.shape[0] // 8, plane.shape[1] // 8
+        coef = np.zeros((gh, gw, 64), dtype=np.int64)
+        for by in range(gh):
+            for bx in range(gw):
+                coef[by, bx] = _quantize_block(plane, by * 8, bx * 8, q)
+        cw_px = -(-(w * chh) // hmax)
+        ch_px = -(-(h * cv) // vmax)
+        comps.append(
+            {
+                "coef": coef,
+                "h": chh,
+                "v": cv,
+                "bw": -(-cw_px // 8),
+                "bh": -(-ch_px // 8),
+                "tq": 0 if ci == 0 else 1,
+                "dc_tbl": 0 if ci == 0 else 1,
+            }
+        )
+
+    enc_dc = [_huff_encode_table(*_HUFF_DC_LUM), _huff_encode_table(*_HUFF_DC_CHROM)]
+    enc_ac = _huff_encode_table(*_HUFF_AC_PROG)
+
+    def sos_header(comp_ids, tables, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid, t in zip(comp_ids, tables):
+            body += bytes([cid, t])
+        return _jpeg_seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def mcu_blocks():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            yield ci, my * c["v"] + by, mx * c["h"] + bx
+
+    scans = []
+
+    # --- DC first scan (interleaved, Al=1) ------------------------------
+    wtr = _BitWriter()
+    pred = [0] * len(comps)
+    for ci, by, bx in mcu_blocks():
+        v = int(comps[ci]["coef"][by, bx, 0]) >> 1  # arithmetic point transform
+        diff = v - pred[ci]
+        pred[ci] = v
+        s = _jpeg_category(diff)
+        wtr.write(*enc_dc[comps[ci]["dc_tbl"]][s])
+        if s:
+            wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    wtr.flush()
+    scans.append(
+        (
+            sos_header(
+                [ci + 1 for ci in range(len(comps))],
+                [c["dc_tbl"] << 4 for c in comps],
+                0, 0, 0, 1,
+            ),
+            bytes(wtr.out),
+        )
+    )
+
+    # --- AC first scans: two spectral bands per component, Al=1 ---------
+    def ac_first(ci, ss, se, al):
+        c = comps[ci]
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                wtr.write(*enc_ac[rr << 4])
+                if rr:
+                    wtr.write(eobrun - (1 << rr), rr)
+                eobrun = 0
+
+        for u in range(c["bw"] * c["bh"]):
+            by, bx = divmod(u, c["bw"])
+            zz = c["coef"][by, bx]
+            # truncate-toward-zero point transform (T.81 G.1.2.2)
+            vals = [int(np.fix(zz[k] / (1 << al))) for k in range(ss, se + 1)]
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(i for i, v in enumerate(vals) if v)
+            for i, v in enumerate(vals[: last_nz + 1]):
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    wtr.write(*enc_ac[0xF0])
+                    run -= 16
+                s = _jpeg_category(v)
+                wtr.write(*enc_ac[(run << 4) | s])
+                wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < len(vals) - 1:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eob()
+        flush_eob()
+        wtr.flush()
+        return (sos_header([ci + 1], [0], ss, se, 0, al), bytes(wtr.out))
+
+    for ci in range(len(comps)):
+        scans.append(ac_first(ci, 1, 5, 1))
+        scans.append(ac_first(ci, 6, 63, 1))
+
+    # --- AC refinement scans: Ah=1 -> Al=0 ------------------------------
+    def ac_refine(ci, ss, se, ah, al):
+        c = comps[ci]
+        wtr = _BitWriter()
+        eobrun = 0
+        pending_bits: list = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                wtr.write(*enc_ac[rr << 4])
+                if rr:
+                    wtr.write(eobrun - (1 << rr), rr)
+                eobrun = 0
+            for b in pending_bits:
+                wtr.write(b, 1)
+            pending_bits.clear()
+
+        for u in range(c["bw"] * c["bh"]):
+            by, bx = divmod(u, c["bw"])
+            zz = c["coef"][by, bx]
+            absv = [abs(int(zz[k])) for k in range(ss, se + 1)]
+            t = [a >> al for a in absv]
+            hist = [a >> ah for a in absv]
+            run = 0
+            br: list = []
+            wrote = False
+            for i in range(len(t)):
+                if t[i] == 0:
+                    run += 1
+                    if run == 16:
+                        # EAGER ZRL: emitted the moment 16 zero-history
+                        # positions accumulate, so the correction bits
+                        # in ``br`` are exactly the ones interleaved
+                        # within this 16-zero span — the decoder reads
+                        # them in position order during the ZRL skip.
+                        # (A retroactive flush at the next nonzero can
+                        # place corrections beyond the span after the
+                        # ZRL, which the decoder would misread as the
+                        # next Huffman symbol. Trailing ZRLs folded
+                        # into no EOB are wasteful but valid.)
+                        flush_eob()
+                        wtr.write(*enc_ac[0xF0])
+                        for b in br:
+                            wtr.write(b, 1)
+                        br.clear()
+                        run = 0
+                        wrote = True
+                    continue
+                if hist[i] != 0:
+                    br.append(t[i] & 1)
+                    continue
+                # newly nonzero at this precision (t[i] == 1)
+                flush_eob()
+                wtr.write(*enc_ac[(run << 4) | 1])
+                wtr.write(1 if zz[ss + i] > 0 else 0, 1)
+                for b in br:
+                    wtr.write(b, 1)
+                br.clear()
+                run = 0
+                wrote = True
+            if run or br or not wrote:
+                eobrun += 1
+                pending_bits.extend(br)
+                if eobrun == 32767:
+                    flush_eob()
+        flush_eob()
+        wtr.flush()
+        return (sos_header([ci + 1], [0], ss, se, ah, al), bytes(wtr.out))
+
+    for ci in range(len(comps)):
+        scans.append(ac_refine(ci, 1, 63, 1, 0))
+
+    # --- DC refinement scan (raw bits, no Huffman table) ----------------
+    wtr = _BitWriter()
+    for ci, by, bx in mcu_blocks():
+        wtr.write(int(comps[ci]["coef"][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    scans.append(
+        (
+            sos_header(
+                [ci + 1 for ci in range(len(comps))],
+                [0] * len(comps),
+                0, 0, 1, 0,
+            ),
+            bytes(wtr.out),
+        )
+    )
+
+    ncomp = len(comps)
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, c in enumerate(comps):
+        sof_body += bytes([ci + 1, (c["h"] << 4) | c["v"], c["tq"]])
+    out = b"\xff\xd8" + _jpeg_dqt(0, q_lum)
+    if not grayscale:
+        out += _jpeg_dqt(1, q_chrom)
+    out += _jpeg_dht(0, 0, _HUFF_DC_LUM)
+    if not grayscale:
+        out += _jpeg_dht(0, 1, _HUFF_DC_CHROM)
+    out += _jpeg_dht(1, 0, _HUFF_AC_PROG)
+    out += _jpeg_seg(0xC2, sof_body)
+    for header, payload in scans:
+        out += header + payload
+    return out + b"\xff\xd9"
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Decode any supported payload into (H, W, 3) uint8 RGB."""
     fmt = sniff_format(data)
@@ -831,9 +1341,9 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_jpeg(data)
     raise UnsupportedImageError(
         "unsupported image format (pure-Python codecs cover uncompressed "
-        "BMP, binary PPM/PGM, non-interlaced 8-bit PNG, and baseline "
-        "sequential JPEG; progressive JPEG/video need PIL/opencv on the "
-        "executors)"
+        "BMP, binary PPM/PGM, non-interlaced 8-bit PNG, and baseline + "
+        "progressive Huffman JPEG; arithmetic-coded JPEG/video need "
+        "PIL/opencv on the executors)"
     )
 
 

@@ -12,9 +12,9 @@ Audio and video-frame paths are REAL for uncompressed containers
 (round 5): PCM **WAV** decode → windowed-RMS features, and
 **Y4M/YUV4MPEG2** parsing → luma-plane frame sampling, both via
 :mod:`gecko_spark.functions.av_codecs` (struct + NumPy only).
-Compressed media (MP3/H.264/...) and progressive JPEG still raise
+Compressed media (MP3/H.264/...) still raises
 ``NotImplementedError`` — PIL/ffmpeg on the executors is a
-one-function swap. ``fake=True`` keeps the deterministic content-hash
+one-function swap (progressive JPEG decodes natively since round 7). ``fake=True`` keeps the deterministic content-hash
 stub (any payload, fixed shapes) for plumbing tests. Everything
 Spark-side — schemas, Arrow batch shapes, ``mapInPandas`` iterator
 plumbing, partition sizing — is identical in both modes.
@@ -128,8 +128,9 @@ def decode_image_features(
 
     ``fake=False`` decodes BMP/PPM/PGM/PNG/baseline-JPEG payloads with
     the pure-Python codecs and pools them into grid features;
-    unsupported payloads (progressive JPEG, video) raise
-    ``UnsupportedImageError`` at executor time. ``fake=True`` runs the
+    (baseline AND progressive since round 7); unsupported payloads
+    (arithmetic-coded JPEG, video) raise ``UnsupportedImageError`` at
+    executor time. ``fake=True`` runs the
     content-hash stub on any payload.
     """
     out_schema = T.StructType(

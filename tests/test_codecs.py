@@ -372,15 +372,68 @@ def test_jpeg_deterministic():
 def test_jpeg_rejects_unsupported():
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     data = bytearray(encode_jpeg_baseline(img, quality=90))
-    # flip SOF0 (0xC0) to progressive SOF2 (0xC2)
+    # flip SOF0 (0xC0) to lossless SOF3 (0xC3) — genuinely unsupported
+    # (SOF2 progressive decodes natively since round 7)
     idx = bytes(data).find(b"\xff\xc0")
-    data[idx + 1] = 0xC2
-    with pytest.raises(UnsupportedImageError, match="non-baseline"):
+    data[idx + 1] = 0xC3
+    with pytest.raises(UnsupportedImageError, match="SOF"):
         decode_jpeg(bytes(data))
     with pytest.raises(UnsupportedImageError, match="not a JPEG"):
         decode_jpeg(b"BMnope")
     with pytest.raises(UnsupportedImageError):
         decode_jpeg(b"\xff\xd8\xff\xe0junkjunkjunk")
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive (SOF2) decode must be PIXEL-IDENTICAL to baseline at
+    the same quality/sampling: both encoders quantize to the same
+    coefficients, so any mismatch is a bug in the successive-
+    approximation or spectral-selection logic, not quant noise. Covers
+    4:4:4, 4:2:0 with non-multiple-of-16 dims (non-interleaved AC
+    grids smaller than the MCU-padded DC grid), and grayscale."""
+    from gecko_spark.functions.codecs import encode_jpeg_progressive
+
+    for shape, kw in [
+        ((13, 21), {}),
+        ((40, 56), {"subsample": True}),
+        ((33, 41), {"subsample": True}),  # odd dims: bh < MCU grid rows
+        ((16, 16), {"grayscale": True}),
+    ]:
+        img = _smooth_image(shape)
+        base = decode_jpeg(encode_jpeg_baseline(img, quality=90, **kw))
+        blob = encode_jpeg_progressive(img, quality=90, **kw)
+        assert b"\xff\xc2" in blob and sniff_format(blob) == "jpeg"
+        prog = decode_jpeg(blob)
+        assert np.array_equal(prog, base), (shape, kw)
+
+
+def test_jpeg_progressive_noise_image_exact():
+    """High-entropy input: every band has coefficients, EOB runs stay
+    short, refinement emits dense correction + newly-nonzero bits —
+    the adversarial case for the Annex G bit plumbing."""
+    from gecko_spark.functions.codecs import encode_jpeg_progressive
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 17, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg_baseline(img, quality=85))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=85))
+    assert np.array_equal(prog, base)
+    # flat/low-entropy input: long EOB runs across blocks (EOBn > 1
+    # symbols from the flat progressive AC table)
+    flat = np.full((48, 64, 3), 120, dtype=np.uint8)
+    flat[0, 0] = [130, 110, 125]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, quality=50)),
+        decode_jpeg(encode_jpeg_baseline(flat, quality=50)),
+    )
+
+
+def test_jpeg_progressive_through_decode_image():
+    from gecko_spark.functions.codecs import encode_jpeg_progressive
+
+    img = _smooth_image((12, 12))
+    out = decode_image(encode_jpeg_progressive(img, quality=90))
+    assert out.shape == img.shape
 
 
 @given(_images())
