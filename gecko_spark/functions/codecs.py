@@ -48,6 +48,39 @@ __all__ = [
 ]
 
 
+def _malformed_guard(fn):
+    """Convert the raw exceptions a malformed/truncated stream provokes
+    inside a decoder (index/struct/key/overflow errors from garbage
+    lengths and offsets) into :class:`UnsupportedImageError`, the typed
+    error the multimodal executors quarantine per payload — one corrupt
+    image in a 100 TB scan should surface as an unsupported payload,
+    not kill the task with an inscrutable ``IndexError``."""
+    import functools
+    import zlib
+
+    @functools.wraps(fn)
+    def wrapped(data: bytes):
+        try:
+            return fn(data)
+        except UnsupportedImageError:
+            raise
+        except (
+            ValueError,
+            IndexError,
+            KeyError,
+            OverflowError,
+            StopIteration,
+            struct.error,
+            zlib.error,
+        ) as ex:
+            raise UnsupportedImageError(
+                f"malformed {fn.__name__.removeprefix('decode_')} stream: "
+                f"{type(ex).__name__}: {ex}"
+            ) from ex
+
+    return wrapped
+
+
 class UnsupportedImageError(NotImplementedError):
     """Payload is not one of the pure-Python-decodable formats."""
 
@@ -71,6 +104,7 @@ def sniff_format(data: bytes) -> str:
     return "unknown"
 
 
+@_malformed_guard
 def decode_bmp(data: bytes) -> np.ndarray:
     """Decode an uncompressed 24/32-bit BMP into (H, W, 3) uint8 RGB."""
     if len(data) < 54 or data[:2] != b"BM":
@@ -133,6 +167,7 @@ def _pnm_tokens(data: bytes, n: int, start: int) -> tuple[list[int], int]:
     return vals, i + 1  # exactly one whitespace after maxval per spec
 
 
+@_malformed_guard
 def decode_ppm(data: bytes) -> np.ndarray:
     """Decode binary PPM (P6) / PGM (P5) into (H, W, 3) uint8 RGB."""
     magic = data[:2]
@@ -208,6 +243,7 @@ def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.nda
     return out
 
 
+@_malformed_guard
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a non-interlaced 8-bit PNG (gray / gray+alpha / RGB /
     RGBA / palette) into (H, W, 3) uint8 RGB using only stdlib zlib.
@@ -460,6 +496,7 @@ class _BitReader:
         raise UnsupportedImageError("invalid JPEG Huffman code")
 
 
+@_malformed_guard
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a BASELINE (SOF0) or PROGRESSIVE (SOF2) 8-bit Huffman
     JPEG into (H, W, 3) uint8 RGB — stdlib + NumPy only. Supports 1 or

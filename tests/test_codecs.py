@@ -464,3 +464,40 @@ def test_jpeg_grayscale_single_component():
     assert np.array_equal(out, rst)
     with pytest.raises(ValueError, match="subsample"):
         encode_jpeg_baseline(img, grayscale=True, subsample=True)
+
+
+def test_decoders_raise_typed_error_on_malformed_streams():
+    """Truncated or byte-corrupted payloads must raise
+    UnsupportedImageError (the typed error the multimodal executors
+    quarantine per payload), never a raw IndexError/struct.error —
+    fuzzed over every decoder with its own valid output as the seed."""
+    from gecko_spark.functions.codecs import (
+        decode_bmp,
+        decode_image,
+        encode_jpeg_progressive,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 17, 3)).astype(np.uint8)
+    blobs = [
+        encode_jpeg_baseline(img, quality=85),
+        encode_jpeg_progressive(img, quality=85),
+        encode_ppm(img),
+    ]
+    for blob in blobs:
+        for cut in range(2, len(blob), 41):
+            try:
+                decode_image(blob[:cut])
+            except UnsupportedImageError:
+                pass  # the only acceptable failure type
+        for _ in range(120):
+            b = bytearray(blob)
+            b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+            try:
+                decode_image(bytes(b))
+            except UnsupportedImageError:
+                pass
+    # direct decoder entry (bypassing sniff) with garbage
+    with pytest.raises(UnsupportedImageError):
+        decode_bmp(b"BM" + b"\x01" * 10)
