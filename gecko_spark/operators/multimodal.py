@@ -310,12 +310,15 @@ def sample_video_frames(
     """Sample frames from video payloads: one output row per sampled
     frame (media_id, frame_index, frame binary).
 
-    ``fake=False`` parses Y4M/YUV4MPEG2 payloads (the raw-frame
-    interchange format) with the pure-Python parser and emits every
-    ``every_n``-th luma plane as a binary PGM (P5) image — a REAL
-    frame-extraction path with no external deps; compressed containers
-    (MP4/WebM/...) raise ``UnsupportedMediaError`` at executor time.
-    ``fake=True`` keeps the 64-byte-slice stub for arbitrary payloads.
+    ``fake=False`` parses Y4M/YUV4MPEG2 payloads (raw frames) AND
+    Motion-JPEG AVI payloads (compressed frames — round 7) with the
+    pure-Python parsers and emits every ``every_n``-th luma plane as a
+    binary PGM (P5) image — a REAL frame-extraction path with no
+    external deps. For MJPEG only the SAMPLED frames are
+    JPEG-decoded (a thousand-frame clip sampled to eight costs eight
+    decodes). Other compressed containers (MP4/WebM/...) raise
+    ``UnsupportedMediaError`` at executor time. ``fake=True`` keeps
+    the 64-byte-slice stub for arbitrary payloads.
 
     Output rows fan out (one per frame), so a downstream repartition
     may be warranted when every_n is small relative to clip length.
@@ -330,7 +333,14 @@ def sample_video_frames(
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
-            from gecko_spark.functions.av_codecs import decode_y4m
+            import numpy as _np
+
+            from gecko_spark.functions.av_codecs import (
+                decode_avi_mjpeg,
+                decode_y4m,
+                sniff_av_format,
+            )
+            from gecko_spark.functions.codecs import decode_jpeg
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
@@ -347,6 +357,30 @@ def sample_video_frames(
                     continue
                 if len(b) == 0:
                     continue  # null/empty payload: no frames, no poison
+                if sniff_av_format(b) == "avi":
+                    jpegs, hdr = decode_avi_mjpeg(b)
+                    for j, fi in enumerate(range(0, len(jpegs), every_n)):
+                        if j >= max_frames:
+                            break
+                        rgb = decode_jpeg(jpegs[fi]).astype(_np.float64)
+                        # BT.601 luma, same weighting the JPEG encoder
+                        # used to build Y — recovers the luma plane
+                        luma = _np.clip(
+                            _np.round(
+                                0.299 * rgb[:, :, 0]
+                                + 0.587 * rgb[:, :, 1]
+                                + 0.114 * rgb[:, :, 2]
+                            ),
+                            0,
+                            255,
+                        ).astype(_np.uint8)
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(
+                            b"P5\n%d %d\n255\n" % (luma.shape[1], luma.shape[0])
+                            + luma.tobytes()
+                        )
+                    continue
                 planes, hdr = decode_y4m(b)
                 w, h = hdr["width"], hdr["height"]
                 for j, fi in enumerate(range(0, planes.shape[0], every_n)):

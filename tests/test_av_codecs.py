@@ -189,3 +189,135 @@ class TestSparkVideoPath:
         media = MM.media_table(spark, df, "media_id", "payload", "video/x-y4m")
         out = MM.sample_video_frames(media, every_n=2, max_frames=5, fake=False)
         assert out.count() == 5
+
+
+# -- IMA ADPCM (compressed audio, round 7) -----------------------------------
+
+
+def test_ima_adpcm_hand_computed_block():
+    """Decode a hand-built mono block against an in-test independent
+    walk of the spec tables (predictor=100, index=4, nibbles
+    0,1,...,7,8,...,15 twice over a 16-sample block)."""
+    import struct
+
+    from gecko_spark.functions.av_codecs import _IMA_STEPS, decode_wav
+
+    nibbles = list(range(16))
+    block = struct.pack("<hBB", 100, 4, 0) + bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, 16, 2)
+    )
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, len(block), 4, 2, 17)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    samples, rate = decode_wav(wav)
+    assert rate == 8000 and samples.shape == (17, 1)
+    # independent reference walk (index table per spec)
+    adjust = [-1, -1, -1, -1, 2, 4, 6, 8]
+    pred, idx, want = 100, 4, [100]
+    for nib in nibbles:
+        step = int(_IMA_STEPS[idx])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + adjust[nib & 7]))
+        want.append(pred)
+    assert samples[:, 0].tolist() == want
+
+
+def test_ima_adpcm_roundtrip_sine_and_stereo():
+    """encode -> decode round trip: ADPCM is lossy, but on a smooth
+    signal the 4-bit adaptive delta tracks within a small fraction of
+    full scale; stereo channels stay independent."""
+    from gecko_spark.functions.av_codecs import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+        sniff_av_format,
+    )
+
+    t = np.arange(3000)
+    sine = (8000 * np.sin(2 * np.pi * t / 200)).astype(np.int16)
+    blob = encode_wav_ima_adpcm(sine, 16000)
+    assert sniff_av_format(blob) == "wav"
+    out, rate = decode_wav(blob)
+    assert rate == 16000
+    n = len(sine)
+    err = np.abs(out[:n, 0].astype(np.int32) - sine.astype(np.int32))
+    assert err.mean() < 300 and err.max() < 2500  # < ~1% / ~8% of range
+
+    stereo = np.stack([sine, -sine], axis=1)
+    out2, _ = decode_wav(encode_wav_ima_adpcm(stereo, 16000))
+    e0 = np.abs(out2[:n, 0].astype(np.int32) - sine.astype(np.int32)).mean()
+    e1 = np.abs(out2[:n, 1].astype(np.int32) + sine.astype(np.int32)).mean()
+    assert e0 < 300 and e1 < 300
+
+
+# -- Motion-JPEG AVI (compressed video, round 7) -----------------------------
+
+
+def test_avi_mjpeg_roundtrip_and_codec_guard():
+    from gecko_spark.functions.av_codecs import (
+        UnsupportedMediaError,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        sniff_av_format,
+    )
+    from gecko_spark.functions.codecs import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (6, 16, 24, 3)).astype(np.uint8)
+    blob = encode_avi_mjpeg(frames, fps=25)
+    assert sniff_av_format(blob) == "avi"
+    jpegs, hdr = decode_avi_mjpeg(blob)
+    assert hdr == {"width": 24, "height": 16, "fps": 25.0, "n_frames": 6}
+    for i, j in enumerate(jpegs):
+        assert np.array_equal(
+            decode_jpeg(j), decode_jpeg(encode_jpeg_baseline(frames[i], quality=85))
+        )
+    # a non-MJPG vids handler must raise, not mis-decode
+    bad = blob.replace(b"vidsMJPG", b"vidsH264")
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedMediaError, match="MJPG"):
+        decode_avi_mjpeg(bad)
+    with _pytest.raises(UnsupportedMediaError):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_sample_video_frames_avi_matches_y4m_pipeline(spark):
+    """The Spark frame sampler must treat an MJPEG AVI like a Y4M clip:
+    every_n-th frame as PGM luma, decoding only sampled frames. Gray
+    frames make luma recovery exact through JPEG (Cb=Cr=128 -> Y equals
+    the gray value up to quantization of a CONSTANT block, which q90
+    preserves exactly)."""
+    from gecko_spark.functions.av_codecs import encode_avi_mjpeg
+    from gecko_spark.operators import multimodal as MM
+
+    levels = [40, 90, 140, 190, 240]
+    frames = np.stack(
+        [np.full((16, 16, 3), v, dtype=np.uint8) for v in levels]
+    )
+    blob = encode_avi_mjpeg(frames, fps=10, quality=90)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    got = (
+        MM.sample_video_frames(df, every_n=2, max_frames=8, fake=False)
+        .orderBy("frame_index")
+        .collect()
+    )
+    assert [r["frame_index"] for r in got] == [0, 2, 4]
+    for r, want in zip(got, [40, 140, 240]):
+        payload = bytes(r["frame"])
+        assert payload.startswith(b"P5\n16 16\n255\n")
+        pix = np.frombuffer(payload.split(b"\n", 3)[3], dtype=np.uint8)
+        assert np.abs(pix.astype(int) - want).max() <= 1
