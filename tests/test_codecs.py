@@ -501,3 +501,27 @@ def test_decoders_raise_typed_error_on_malformed_streams():
     # direct decoder entry (bypassing sniff) with garbage
     with pytest.raises(UnsupportedImageError):
         decode_bmp(b"BM" + b"\x01" * 10)
+
+
+def test_spark_decode_features_progressive_jpeg(spark):
+    """End-to-end mapInPandas with a PROGRESSIVE JPEG payload: the
+    executor path must produce the exact features of the baseline
+    encoding of the same image (identical decoded pixels by the
+    codec-level equality test)."""
+    from gecko_spark.functions.codecs import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+    from gecko_spark.operators import multimodal as MM
+
+    img = _smooth_image((16, 16))
+    rows = [
+        (1, bytearray(encode_jpeg_baseline(img, quality=90)), "image/jpeg"),
+        (2, bytearray(encode_jpeg_progressive(img, quality=90)), "image/jpeg"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary, mime string")
+    feats = {
+        r["media_id"]: r["features"]
+        for r in MM.decode_image_features(df, out_dim=4, fake=False).collect()
+    }
+    assert feats[1] == feats[2]
