@@ -53,6 +53,28 @@ class UnsupportedMediaError(NotImplementedError):
     """Payload is not one of the pure-Python-decodable A/V formats."""
 
 
+def _malformed_guard(fn):
+    """Same contract as codecs._malformed_guard: malformed/truncated
+    streams surface as :class:`UnsupportedMediaError` (quarantinable
+    per payload), never as raw index/struct/value errors from garbage
+    offsets."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(data: bytes):
+        try:
+            return fn(data)
+        except (UnsupportedMediaError, NotImplementedError):
+            raise
+        except (ValueError, IndexError, KeyError, OverflowError, struct.error) as ex:
+            raise UnsupportedMediaError(
+                f"malformed {fn.__name__.removeprefix('decode_')} stream: "
+                f"{type(ex).__name__}: {ex}"
+            ) from ex
+
+    return wrapped
+
+
 def sniff_av_format(data: bytes) -> str:
     """'wav' | 'y4m' | 'avi' | 'unknown' from magic bytes."""
     if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
@@ -69,6 +91,7 @@ def sniff_av_format(data: bytes) -> str:
 # ---------------------------------------------------------------------------
 
 
+@_malformed_guard
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a PCM WAV payload to ``(samples, sample_rate)`` where
     ``samples`` is int16 of shape (n_frames, n_channels). 8-bit PCM
@@ -300,6 +323,7 @@ def _y4m_chroma_div(cs: str) -> int:
     raise UnsupportedMediaError(f"unsupported Y4M colorspace C{cs}")
 
 
+@_malformed_guard
 def decode_y4m(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode a YUV4MPEG2 payload to ``(y_planes, header)`` where
     ``y_planes`` is uint8 of shape (n_frames, height, width) — the luma
@@ -401,6 +425,7 @@ def _riff_chunks(data: bytes, pos: int, end: int):
         pos = body + size + (size & 1)
 
 
+@_malformed_guard
 def decode_avi_mjpeg(data: bytes) -> tuple[list, dict]:
     """Parse a Motion-JPEG AVI payload into ``(jpeg_frames, header)``:
     ``jpeg_frames`` is a list of the raw JPEG bytes of each video

@@ -321,3 +321,44 @@ def test_sample_video_frames_avi_matches_y4m_pipeline(spark):
         assert payload.startswith(b"P5\n16 16\n255\n")
         pix = np.frombuffer(payload.split(b"\n", 3)[3], dtype=np.uint8)
         assert np.abs(pix.astype(int) - want).max() <= 1
+
+
+def test_av_decoders_raise_typed_error_on_malformed_streams():
+    """Truncation + byte-corruption fuzz across all A/V decoders must
+    only ever raise UnsupportedMediaError (same quarantine contract as
+    the image decoders)."""
+    from gecko_spark.functions.av_codecs import (
+        UnsupportedMediaError,
+        decode_avi_mjpeg,
+        decode_wav,
+        decode_y4m,
+        encode_avi_mjpeg,
+        encode_wav,
+        encode_wav_ima_adpcm,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(4)
+    sine = (5000 * np.sin(np.arange(900) / 40)).astype(np.int16)
+    cases = [
+        (encode_wav(sine, 8000), decode_wav),
+        (encode_wav_ima_adpcm(sine, 8000), decode_wav),
+        (encode_y4m(rng.integers(0, 256, (3, 16, 16)).astype(np.uint8)), decode_y4m),
+        (
+            encode_avi_mjpeg(rng.integers(0, 256, (3, 16, 16, 3)).astype(np.uint8)),
+            decode_avi_mjpeg,
+        ),
+    ]
+    for blob, dec in cases:
+        for cut in range(1, len(blob), max(1, len(blob) // 40)):
+            try:
+                dec(blob[:cut])
+            except UnsupportedMediaError:
+                pass
+        for _ in range(150):
+            b = bytearray(blob)
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            try:
+                dec(bytes(b))
+            except UnsupportedMediaError:
+                pass
