@@ -2704,11 +2704,14 @@ FROM pairs GROUP BY id_a, id_b
 
 
 def _dedup_simhash(spark, sf):
+    from gecko_spark.core import adopt_cache_owner
     from gecko_spark.operators.dedup import simhash_candidate_pairs
 
     docs = load_table(spark, sf, "documents")
-    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=8).withColumn(
-        "hamming", F.col("hamming").cast("long")
+    owner = simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=8)
+    # owner adoption keeps the signature cache live for the derived cast
+    return adopt_cache_owner(
+        owner.withColumn("hamming", F.col("hamming").cast("long")), owner
     )
 
 

@@ -139,11 +139,21 @@ def bench_queries(spark, sf_dir):
                     break
                 best = dt if best is None else min(best, dt)
             runs = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.time()
                 thunk()
                 runs.append(time.time() - t0)
-            out[name] = round(sorted(runs)[len(runs) // 2], 3)
+            runs.sort()
+            # per-entry dispersion (VERDICT r7 #2): med + min/max over
+            # the 5 timed runs, so a committed regression separates
+            # from machine drift without archaeology — the round-8
+            # profiling showed identical code varying 1.4× across
+            # sessions on shuffle-task-dense entries
+            out[name] = {
+                "med": round(runs[len(runs) // 2], 3),
+                "lo": round(runs[0], 3),
+                "hi": round(runs[-1], 3),
+            }
         except Exception as ex:  # noqa: BLE001 — keep the bench alive
             errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
 
@@ -392,9 +402,42 @@ def bench_queries(spark, sf_dir):
     return out, errors
 
 
+def _env_fingerprint(cpus):
+    """One-line environment fingerprint recorded with every bench run:
+    separates machine drift from code regressions when comparing
+    rounds (VERDICT r7 #2)."""
+    import platform
+
+    fp = {"cpus": cpus, "platform": platform.platform()}
+    try:
+        with open("/proc/loadavg") as f:
+            fp["loadavg_start"] = float(f.read().split()[0])
+        with open("/proc/meminfo") as f:
+            mem = dict(
+                line.split(":")[:2] for line in f.read().splitlines() if ":" in line
+            )
+        fp["mem_available_gb"] = round(
+            int(mem.get("MemAvailable", "0 kB").split()[0]) / 1024**2, 1
+        )
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        t0 = sum(v)
+        time.sleep(0.5)
+        with open("/proc/stat") as f:
+            w = list(map(int, f.readline().split()[1:]))
+        d = [b - a for a, b in zip(v, w)]
+        tot = sum(d) or 1
+        fp["cpu_busy_pct"] = round(100 * (1 - d[3] / tot), 1)  # non-idle
+        fp["cpu_steal_pct"] = round(100 * d[7] / tot, 1) if len(d) > 7 else 0.0
+    except OSError:
+        pass
+    return fp
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    env = _env_fingerprint(cpus)
     spark = get_spark(app_name="gecko-spark-bench", cpus=cpus, shuffle_partitions=cpus)
     try:
         # warm the JVM/session so timings measure the queries, not startup
@@ -403,18 +446,20 @@ def main():
     finally:
         spark.stop()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    meds = {q: v["med"] for q, v in queries.items()}
     headline = [q for q in HEADLINE_25 if q in queries]
     result = {
         "metric": "gecko_spark bench: gen+mutate @1M rows + headline queries",
-        "value": round(sum(queries.values()), 3),
+        "value": round(sum(meds.values()), 3),
         "unit": "sec",
         "queries": queries,
         "sf": sf,
         # fixed 25-entry subset, unchanged since round 5 — the
         # round-over-round comparable number (the full total grows as
         # entries are added)
-        "headline25_total": round(sum(queries[q] for q in headline), 3),
+        "headline25_total": round(sum(meds[q] for q in headline), 3),
         "headline25_n": len(headline),
+        "env": env,
     }
     if errors:
         # A failing query would otherwise shrink the headline total and

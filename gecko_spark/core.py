@@ -242,6 +242,15 @@ def persist_until_released(cached, owner):
     other — correctness is unaffected (the plan recomputes), only the
     reuse is lost, and only in that interleaved-handles edge.
 
+    CALLER CONTRACT: the cache lives exactly as long as the returned
+    ``owner`` OBJECT. Chaining (``pairs(df).filter(...)``) creates a
+    NEW DataFrame and drops the owner immediately (CPython refcount),
+    releasing the cache before any job runs — correct but the persist
+    becomes dead weight. Hold the owner in a variable while evaluating
+    derived frames, or tie a derived result's lifetime to it with
+    :func:`adopt_cache_owner` (what the in-package consumers like
+    ``minhash_dedupe`` do).
+
     Returns ``owner`` for chaining."""
     import weakref
 
@@ -255,3 +264,18 @@ def persist_until_released(cached, owner):
 
     weakref.finalize(owner, _release)
     return owner
+
+
+def adopt_cache_owner(derived, *owners):
+    """Keep ``owners``' internal caches (tied to their object lifetime
+    by :func:`persist_until_released`) alive for as long as ``derived``
+    is — a strong reference chain, so a caller holding only the derived
+    result still evaluates against the warm cache, and dropping the
+    result releases everything transitively (ADVICE r7: the common
+    ``pairs(df).filter(...)`` chain was silently releasing the
+    signature cache before the first job).
+
+    Returns ``derived`` for chaining."""
+    existing = getattr(derived, "_gecko_cache_owners", ())
+    derived._gecko_cache_owners = tuple(existing) + tuple(owners)
+    return derived

@@ -505,9 +505,14 @@ def encode_avi_mjpeg(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0,
     )
+    # AVISTREAMHEADER: dwFlags, wPriority, wLanguage, dwInitialFrames,
+    # dwScale, dwRate, dwStart, dwLength, dwSuggestedBufferSize,
+    # dwQuality, dwSampleSize (9 dwords after the two words), then
+    # rcFrame — 56 bytes total, the layout strict external parsers
+    # expect (ADVICE r7: an extra trailing dword shifted rcFrame by 4)
     strh = (
         b"vids" + b"MJPG"
-        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0)
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0)
         + struct.pack("<hhhh", 0, 0, w, h)
     )
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D, w * h * 3, 0, 0, 0, 0)

@@ -39,6 +39,8 @@ __all__ = [
     "sniff_format",
     "decode_image",
     "resize_nearest",
+    "encode_bmp",
+    "encode_png",
     "encode_ppm",
     "decode_bmp",
     "decode_ppm",
@@ -85,6 +87,26 @@ class UnsupportedImageError(NotImplementedError):
     """Payload is not one of the pure-Python-decodable formats."""
 
 
+# Decoded-size sanity cap (ADVICE r7): corrupt header dimension fields
+# (JPEG SOF height/width, PNG IHDR, BMP biWidth/biHeight) must be
+# quarantined as UnsupportedImageError BEFORE they drive unbounded
+# numpy allocations — a corrupt payload declaring 65535×65535 would
+# otherwise OOM the executor task instead of being skipped. 64 MP
+# covers any sane training-corpus image; callers with genuinely larger
+# inputs can raise the module attribute.
+MAX_DECODE_PIXELS = 64_000_000
+
+
+def _check_dims(width: int, height: int, fmt: str) -> None:
+    if width <= 0 or height <= 0:
+        raise UnsupportedImageError(f"bad {fmt} dimensions {width}x{height}")
+    if width * height > MAX_DECODE_PIXELS:
+        raise UnsupportedImageError(
+            f"{fmt} dimensions {width}x{height} exceed the decode cap of "
+            f"{MAX_DECODE_PIXELS} pixels (codecs.MAX_DECODE_PIXELS)"
+        )
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -120,8 +142,9 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise UnsupportedImageError(f"compressed BMP (method {compression})")
     if bpp not in (24, 32):
         raise UnsupportedImageError(f"{bpp}-bit BMP (24/32 only)")
-    if width <= 0 or height == 0:
+    if height == 0:
         raise UnsupportedImageError(f"bad dimensions {width}x{height}")
+    _check_dims(width, abs(height), "BMP")
     bottom_up = height > 0
     height = abs(height)
     bytes_pp = bpp // 8
@@ -176,8 +199,7 @@ def decode_ppm(data: bytes) -> np.ndarray:
     (width, height, maxval), off = _pnm_tokens(data, 3, 2)
     if maxval <= 0 or maxval > 255:
         raise UnsupportedImageError(f"PNM maxval {maxval} (8-bit only)")
-    if width <= 0 or height <= 0:
-        raise UnsupportedImageError(f"bad dimensions {width}x{height}")
+    _check_dims(width, height, "PNM")
     channels = 3 if magic == b"P6" else 1
     need = width * height * channels
     if len(data) - off < need:
@@ -279,8 +301,9 @@ def decode_png(data: bytes) -> np.ndarray:
             idat += body
         elif ctype == b"IEND":
             break
-    if width <= 0 or height <= 0:
-        raise UnsupportedImageError(f"bad PNG dimensions {width}x{height}")
+    # cap BEFORE the zlib decompress: corrupt IHDR dims must not drive
+    # a multi-GB inflate + unfilter allocation
+    _check_dims(width, height, "PNG")
     if not idat:
         raise UnsupportedImageError("PNG has no IDAT data")
     ch = _PNG_CHANNELS[color_type]
@@ -556,9 +579,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise UnsupportedImageError(f"{precision}-bit JPEG (8-bit only)")
+            # cap BEFORE any coefficient-grid allocation: a corrupt SOF
+            # declaring 65535x65535 would otherwise allocate multi-GB
+            # int64 arrays per component and OOM the task
+            _check_dims(width, height, "JPEG")
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                h, v = hv >> 4, hv & 0xF
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise UnsupportedImageError(
+                        f"JPEG sampling factors {h}x{v} out of the T.81 "
+                        "1..4 range — corrupt SOF"
+                    )
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise UnsupportedImageError(
                 f"unsupported JPEG SOF marker 0xFF{marker:02X} (baseline "
@@ -1394,6 +1427,54 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     rows = ((np.arange(height) * 2 + 1) * src_h) // (2 * height)
     cols = ((np.arange(width) * 2 + 1) * src_w) // (2 * width)
     return np.ascontiguousarray(img[rows[:, None], cols[None, :]])
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 RGB as an uncompressed 24-bit bottom-up
+    BMP (BI_RGB) — the exact layout :func:`decode_bmp` reads back.
+    Deterministic byte-for-byte, so BMP fixtures can serve oracle-exact
+    multimodal contract queries."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"need (H, W, 3) uint8, got {img.shape} {img.dtype}")
+    h, w = img.shape[:2]
+    row_stride = (w * 3 + 3) & ~3
+    pad = row_stride - w * 3
+    # BGR channel order, bottom-up rows, 4-byte row padding
+    bgr = img[::-1, :, ::-1]
+    body = b"".join(bgr[y].tobytes() + b"\x00" * pad for y in range(h))
+    pixel_offset = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", pixel_offset + len(body), 0, 0, pixel_offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 RGB as an 8-bit truecolor non-interlaced
+    PNG (filter 0 on every row, one IDAT) — losslessly read back by
+    :func:`decode_png`, so PNG fixtures are oracle-exact too."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"need (H, W, 3) uint8, got {img.shape} {img.dtype}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def encode_ppm(img: np.ndarray) -> bytes:

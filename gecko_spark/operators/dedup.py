@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gecko_spark.core import persist_until_released
+from gecko_spark.core import adopt_cache_owner, persist_until_released
 
 __all__ = [
     "char_shingles",
@@ -401,11 +401,14 @@ def minhash_dedupe(
     the higher id is removed (single-pass min-id survivorship — the
     standard one-shot approximation of connected components; iterate
     for transitive closure if needed)."""
-    pairs = minhash_candidate_pairs(
+    # hold the owner frame (not just the .filter() derivative) so the
+    # signature cache stays live while the returned plan is evaluated
+    owner = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_size, seed
-    ).filter(F.col("est_jaccard") >= threshold)
+    )
+    pairs = owner.filter(F.col("est_jaccard") >= threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    return adopt_cache_owner(df.join(losers, id_col, "left_anti"), owner)
 
 
 def connected_components(
@@ -547,9 +550,14 @@ def minhash_dedupe_transitive(
     ``connected_components``; use ``on_nonconvergence="raise"`` when the
     output must match an exact-closure oracle (split components on long
     duplicate chains would otherwise silently keep extra duplicates)."""
-    pairs = minhash_candidate_pairs(
+    # `owner` keeps the signature cache live through the eager edge
+    # checkpoint inside connected_components — the one evaluation of
+    # the pair pipeline; after that the labels are checkpoint-backed
+    # and the cache is correctly released at function exit.
+    owner = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_size, seed
-    ).filter(F.col("est_jaccard") >= threshold)
+    )
+    pairs = owner.filter(F.col("est_jaccard") >= threshold)
     comps = connected_components(
         pairs, max_iterations=max_iterations, on_nonconvergence=on_nonconvergence
     )
@@ -621,9 +629,12 @@ def minhash_cluster_representatives(
     per cluster of size ≥ 2: ``(cluster_id, rep_id, n_members)``; to
     dedupe a corpus with it, anti-join the non-representative members.
     """
-    pairs = minhash_candidate_pairs(
+    # owner held through connected_components' eager edge checkpoint
+    # (see minhash_dedupe_transitive)
+    owner = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_size, seed
-    ).filter(F.col("est_jaccard") >= threshold)
+    )
+    pairs = owner.filter(F.col("est_jaccard") >= threshold)
     comps = connected_components(
         pairs, max_iterations=max_iterations, on_nonconvergence=on_nonconvergence
     )
@@ -1349,7 +1360,10 @@ def semantic_dedupe(
         max_cluster_size, method,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    # `pairs` is the cache owner (persist_until_released); tie it to
+    # the returned plan so the internal cache survives until the caller
+    # drops the result
+    return adopt_cache_owner(df.join(losers, id_col, "left_anti"), pairs)
 
 
 # ---------------------------------------------------------------------------

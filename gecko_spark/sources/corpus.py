@@ -35,8 +35,11 @@ def stable_doc_id(*cols: Column) -> Column:
 
 def stable_doc_id_wide(*cols: Column) -> Column:
     """128-bit deterministic doc identity for >1e8-doc corpora: a
-    ``struct(hi, lo)`` of two INDEPENDENTLY seeded xxhash64 draws over
-    the same columns (seed 42 — Spark's xxhash64 default — and seed 1).
+    ``struct(hi, lo)`` of two independent xxhash64 draws over the same
+    columns — ``hi`` is the plain draw, ``lo`` is DOMAIN-SEPARATED by a
+    literal prefix column (Spark exposes no per-call xxhash64 seed; a
+    distinct prefix through an avalanche-complete hash is the standard
+    equivalent way to derive a second independent function).
     Structs group/join/compare natively, so the wide id drops into
     every ``(doc_id, …)`` operator unchanged; orderable, too (struct
     ordering is field-wise), which the min-id survivorship paths rely

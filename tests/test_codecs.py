@@ -503,6 +503,64 @@ def test_decoders_raise_typed_error_on_malformed_streams():
         decode_bmp(b"BM" + b"\x01" * 10)
 
 
+def test_corrupt_header_dimensions_capped_not_oom():
+    """ADVICE r7 (codecs.py _check_dims): corrupt header DIMENSION
+    fields — JPEG SOF height/width, PNG IHDR, BMP biWidth/biHeight —
+    must raise UnsupportedImageError BEFORE driving unbounded numpy
+    allocations (a declared 65535x65535 image would allocate multi-GB
+    coefficient arrays and OOM the executor instead of quarantining
+    the payload). Each corrupt blob must fail FAST and typed."""
+    import struct
+    import time
+
+    from gecko_spark.functions import codecs as C
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+
+    # JPEG: patch the SOF0 height/width to 65535x65535
+    jpg = bytearray(C.encode_jpeg_baseline(img, quality=85))
+    i = jpg.find(b"\xff\xc0")
+    struct.pack_into(">HH", jpg, i + 5, 65535, 65535)
+    # PNG: patch IHDR width/height
+    png = bytearray(C.encode_png(img)) if hasattr(C, "encode_png") else None
+    # BMP: patch biWidth/biHeight
+    bmp = bytearray(C.encode_bmp(img)) if hasattr(C, "encode_bmp") else None
+    # PNM: declared huge dims in the header
+    pnm = b"P6\n65535 65535\n255\n" + b"\x00" * 64
+
+    blobs = [bytes(jpg), pnm]
+    if png is not None:
+        struct.pack_into(">II", png, 16, 2**24, 2**24)
+        blobs.append(bytes(png))
+    if bmp is not None:
+        struct.pack_into("<ii", bmp, 18, 2**24, 2**24)
+        blobs.append(bytes(bmp))
+
+    for blob in blobs:
+        t0 = time.time()
+        with pytest.raises(UnsupportedImageError, match="cap|dimensions"):
+            C.decode_image(blob)
+        assert time.time() - t0 < 1.0  # failed before any big allocation
+
+    # corrupt JPEG sampling factors (outside T.81's 1..4) are typed too
+    jpg2 = bytearray(C.encode_jpeg_baseline(img, quality=85))
+    i = jpg2.find(b"\xff\xc0")
+    jpg2[i + 11] = 0x97  # h=9, v=7
+    with pytest.raises(UnsupportedImageError, match="sampling"):
+        C.decode_jpeg(bytes(jpg2))
+
+    # the cap is advisory, not hardcoded: raising it restores decode
+    old = C.MAX_DECODE_PIXELS
+    try:
+        C.MAX_DECODE_PIXELS = 16 * 16 - 1
+        with pytest.raises(UnsupportedImageError, match="cap"):
+            C.decode_jpeg(C.encode_jpeg_baseline(img))
+    finally:
+        C.MAX_DECODE_PIXELS = old
+    assert C.decode_jpeg(C.encode_jpeg_baseline(img)).shape == (16, 16, 3)
+
+
 def test_spark_decode_features_progressive_jpeg(spark):
     """End-to-end mapInPandas with a PROGRESSIVE JPEG payload: the
     executor path must produce the exact features of the baseline

@@ -1378,3 +1378,55 @@ def test_operator_caches_released_when_results_dropped(spark, docs):
             del out
             gc.collect()
             assert cm.isEmpty()  # dropped result released its cache
+
+
+def test_derived_results_keep_cache_alive(spark, docs):
+    """ADVICE r7 (core.py adopt_cache_owner): operators that CONSUME a
+    persist-owning frame internally (minhash_dedupe chains .filter off
+    minhash_candidate_pairs) must not release the signature cache the
+    moment the intermediate owner object is garbage-collected — the
+    returned result holds the owner alive, so evaluation hits the warm
+    cache; dropping the result still releases everything."""
+    import gc
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+
+    out = D.minhash_dedupe(docs, "doc_id", "text", threshold=0.5)
+    gc.collect()  # the intermediate owner local is long gone...
+    assert out._gecko_cache_owners  # ...but the result holds it
+    assert not cm.isEmpty()  # persist registered, NOT yet released
+    n = out.count()
+    assert n > 0
+    assert not cm.isEmpty()  # still warm for a second evaluation
+    del out
+    gc.collect()
+    assert cm.isEmpty()  # transitive release on result drop
+
+
+def test_shared_cache_release_edge(spark, docs):
+    """VERDICT r7 #6: two live results over the SAME input share one
+    cached-plan entry (Spark canonicalized-plan matching). Dropping one
+    result releases the shared entry EARLY for the other — the survivor
+    must still evaluate correctly (recompute path), and no cache may
+    survive once both are dropped."""
+    import gc
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+
+    a = D.minhash_candidate_pairs(docs, "doc_id", "text")
+    b = D.minhash_candidate_pairs(docs, "doc_id", "text")
+    na = a.count()
+    assert not cm.isEmpty()
+    del a
+    gc.collect()
+    # the shared entry was released by a's finalizer; b must still be
+    # fully evaluable (recompute) and give identical results
+    nb = b.count()
+    assert nb == na
+    del b
+    gc.collect()
+    assert cm.isEmpty()  # nothing survives both drops
