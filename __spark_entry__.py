@@ -24,6 +24,7 @@ output partitioning-independent and SQL-replayable.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 import pandas as pd
@@ -4465,149 +4466,410 @@ FROM ranked WHERE rank <= 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Multimodal oracle fixtures (round 8, VERDICT r7 #3): every payload's
+# DECODED content is known in closed form — BMP/PNG losslessly carry a
+# formula image, JPEGs carry a constant-gray image (builder-asserted),
+# WAVs carry formula int16 samples — so DuckDB replays the engine's
+# deterministic feature reduction from the parquet's meta columns while
+# Spark decodes the actual codec bytes. A hash mismatch means the
+# decode path broke. Fixtures: tools/make_media_fixture.py.
+# ---------------------------------------------------------------------------
+
+_FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
+_MEDIA_IMAGES = os.path.join(_FIXDIR, "media_images.parquet")
+_MEDIA_AUDIO = os.path.join(_FIXDIR, "media_audio.parquet")
+
+
+def _mm_image_features(spark, sf):
+    """Image decode → 4×4 grid features through the REAL executor path
+    (mapInPandas, pure-Python BMP/PNG/baseline+progressive-JPEG
+    decoders, multimodal.py::decode_image_features). Features are
+    gray/255 floats; ×255 rounds back to the exact integer gray
+    samples, so the contract is integer-exact end to end. The null
+    payload row exercises the per-payload quarantine path."""
+    from gecko_spark.operators.multimodal import decode_image_features
+
+    media = spark.read.parquet(_MEDIA_IMAGES)
+    feats = decode_image_features(media, out_dim=16)
+    # null payloads coalesce to [] so both engines agree on the row's
+    # representation (a NULL list round-trips as None vs NaN in pandas)
+    return feats.select(
+        "media_id",
+        "mime",
+        F.coalesce(
+            F.expr("transform(features, x -> cast(round(x * 255) as int))"),
+            F.expr("cast(array() as array<int>)"),
+        ).alias("gray16"),
+    )
+
+
+_MM_IMAGE_FEATURES_SQL = f"""
+WITH m AS (SELECT media_id, mime, h, w, kind, cval
+           FROM read_parquet('{_MEDIA_IMAGES}')),
+grid AS (SELECT i FROM generate_series(0, 15) AS t(i)),
+px AS (
+  SELECT m.media_id, m.mime, g.i,
+         CAST(CASE m.kind
+           WHEN 'formula' THEN
+             (7 * (((2 * (g.i % 4) + 1) * m.w) // 8)
+              + 13 * (((2 * (g.i // 4) + 1) * m.h) // 8)
+              + 31 * m.media_id) % 256
+           WHEN 'const' THEN m.cval
+         END AS INT) AS v
+  FROM m CROSS JOIN grid g
+  WHERE m.kind <> 'null')
+SELECT media_id, mime, list(v ORDER BY i) AS gray16
+FROM px GROUP BY media_id, mime
+UNION ALL
+SELECT media_id, mime, []::INT[] AS gray16 FROM m WHERE kind = 'null'
+"""
+
+
+def _mm_audio_features(spark, sf):
+    """Audio decode → 16-window RMS envelope through the real executor
+    path (RIFF/WAV parse + windowed RMS in
+    multimodal.py::decode_audio_features). The fixture samples are
+    exact multiples of 2⁻¹⁵, so every float64 sum is integer-exact in
+    any order and sqrt/scale round identically in both engines —
+    ×1e6-rounded bigints hash-match bit-for-bit."""
+    from gecko_spark.operators.multimodal import decode_audio_features
+
+    media = spark.read.parquet(_MEDIA_AUDIO)
+    feats = decode_audio_features(media, out_dim=16)
+    return feats.select(
+        "media_id",
+        "mime",
+        F.coalesce(
+            F.expr("transform(features, x -> cast(round(x * 1e6) as bigint))"),
+            F.expr("cast(array() as array<bigint>)"),
+        ).alias("rms_1e6"),
+        "sample_rate",
+        F.col("duration_ms"),
+    )
+
+
+_MM_AUDIO_FEATURES_SQL = f"""
+WITH m AS (SELECT media_id, mime, n, rate, kind
+           FROM read_parquet('{_MEDIA_AUDIO}')),
+win AS (SELECT i AS w FROM generate_series(0, 15) AS t(i)),
+b AS (SELECT m.media_id, m.mime, m.n, m.rate, win.w,
+             (win.w * m.n) // 16 AS lo, ((win.w + 1) * m.n) // 16 AS hi
+      FROM m CROSS JOIN win WHERE m.kind = 'formula'),
+samp AS (SELECT media_id, UNNEST(range(n)) AS i FROM m WHERE kind = 'formula'),
+k AS (SELECT media_id, i,
+             (31 * i * i + 7 * i + 1000003 * media_id) % 65536 - 32768 AS kv
+      FROM samp),
+rms AS (
+  SELECT b.media_id, b.mime, b.rate, b.n, b.w,
+         CAST(round(CAST(CAST(
+             sqrt(CAST(SUM(k.kv * k.kv) AS DOUBLE)
+                  / GREATEST(b.hi - b.lo, 1)) / 32768.0
+           AS REAL) AS DOUBLE) * 1e6) AS BIGINT) AS v
+  FROM b JOIN k ON k.media_id = b.media_id AND k.i >= b.lo AND k.i < b.hi
+  GROUP BY b.media_id, b.mime, b.rate, b.n, b.w, b.lo, b.hi)
+SELECT media_id, mime, list(v ORDER BY w) AS rms_1e6,
+       CAST(rate AS INT) AS sample_rate,
+       CAST((n * 1000) // rate AS BIGINT) AS duration_ms
+FROM rms GROUP BY media_id, mime, rate, n
+UNION ALL
+SELECT media_id, mime, []::BIGINT[] AS rms_1e6, NULL AS sample_rate,
+       NULL AS duration_ms
+FROM m WHERE kind = 'null'
+"""
+
+
+def _stream_dedupe_parity(spark, sf):
+    """Streaming dedup batch parity (round 8, VERDICT r7 #4): the
+    events table plus a FULL duplicate copy streamed as two separate
+    files (maxFilesPerTrigger=1, so the copy arrives in a LATER
+    micro-batch and the suppression is genuinely cross-batch state in
+    dropDuplicatesWithinWatermark) through streaming/stream.py::
+    dedupe_stream must emit exactly the batch-distinct row set. The
+    oracle is plain SELECT on events — duplicates are keyed by
+    event_id, copies are byte-identical, and the horizon exceeds the
+    data's time span, so the contract is hash-exact, not rows-only."""
+    import shutil
+    import uuid
+
+    from gecko_spark.streaming.stream import dedupe_stream
+
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scratch")
+    src = os.path.join(base, f"stream_parity_{run_id}", "src")
+    ckpt = os.path.join(base, f"stream_parity_{run_id}", "ckpt")
+    os.makedirs(src, exist_ok=True)
+    src_file = os.path.join(sf, "events.parquet")
+    shutil.copy(src_file, os.path.join(src, "batch1.parquet"))
+    shutil.copy(src_file, os.path.join(src, "batch2.parquet"))
+    sink = f"stream_dedupe_parity_{run_id}"
+    try:
+        schema = spark.read.parquet(src_file).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # watermarks require TIMESTAMP (the parquet column is NTZ);
+        # session tz is pinned UTC so the cast is value-preserving, and
+        # the output casts back for oracle parity
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        # emit event time as epoch micros: timestamp WIDTHS (ns vs us)
+        # differ between the two engines' pandas round-trips
+        deduped = dedupe_stream(stream, ["event_id"], watermark="3650 days").withColumn(
+            "ts_us", F.unix_micros(F.col("ts"))
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    return spark.table(sink).select(
+        "event_id", "ts_us", "user_id", "event_type", "value", "props"
+    )
+
+
+_STREAM_DEDUPE_PARITY_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+FROM (SELECT DISTINCT * FROM events)
+"""
+
+
+# The driver-graded window: the driver evaluates the FIRST 50 dict
+# entries of queries(). Rotation history: r02 graded the §2 operator
+# surface, r04 the relational/LLM-ops surface, r05 the round-5
+# additions, r06 the r02-stale mutators + relational refresh, r07 the
+# round-7-touched code + r04-stale re-grades. Round 8 (VERDICT r7 #5/#7):
+# (a) code touched or ADDED in round 8 — the two multimodal oracle
+# queries, the streaming-dedup parity query, and the three dedup
+# entries whose cache-adoption internals changed; (b) all 19 queries
+# whose newest driver grade is r5; (c) 25 of the 47 r6-graded entries
+# (the full TPC-H q2–q22 catalogue, the linkage trio, the
+# window/session/set-op relational queries). After this round no
+# query's newest driver grade is older than r6. queries() is BUILT
+# from this list + the catalogue, with overlap asserts, so the window
+# can never silently diverge from the catalogue (a duplicate key in
+# the old dict literal would have collapsed silently).
+WINDOW_50 = [
+    # --- (a) round-8 new or touched code ---
+    "mm_image_features",
+    "mm_audio_features",
+    "stream_dedupe_parity",
+    "dedup_simhash_pairs",
+    "dedup_transitive",
+    "dedup_cluster_reps",
+    # --- (b) newest driver grade is r5 — two rounds stale ---
+    "dedup_groups",
+    "doc_fingerprints",
+    "doc_normalize_filter",
+    "sample_mix_corpus",
+    "sample_shuffle",
+    "sample_split_grouped",
+    "sample_stratified",
+    "sample_weighted_n",
+    "sketch_kmv_distinct",
+    "sketch_quantiles",
+    "sketch_quantiles_by_group",
+    "text_chunks",
+    "text_chunks_tokens",
+    "text_line_dedupe",
+    "text_strip_html",
+    "text_unigram_logprob",
+    "text_url_normalize",
+    "text_vocab_divergence",
+    "topk_cosine_ivf",
+    # --- (c) r6-era refresh: TPC-H catalogue + linkage + relational ---
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_region_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_order_histogram",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_branch_revenue",
+    "q20_qty_threshold",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q_linkage_blocked",
+    "q_linkage_snm",
+    "q_linkage_fs",
+    "q_window_topk_orders",
+    "q_events_hourly",
+    "q_events_sessions",
+    "q_set_ops",
+]
+
+# Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
+# duplicated name is detectable (dict literals silently keep the last
+# binding). Order beyond the window is stable but not significant.
+_CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" = [
+    # round-8 additions
+    ("mm_image_features", _mm_image_features),
+    ("mm_audio_features", _mm_audio_features),
+    ("stream_dedupe_parity", _stream_dedupe_parity),
+    # generators
+    ("gen_function", _gen_function),
+    ("gen_uniform", _gen_uniform),
+    ("gen_normal", _gen_normal),
+    ("gen_freq_single", _gen_freq_single),
+    ("gen_freq_multi", _gen_freq_multi),
+    ("gen_datetime", _gen_datetime),
+    ("gen_group", _gen_group),
+    ("gen_group_exact", _gen_group_exact),
+    ("gen_datasource", _gen_datasource),
+    # mutators
+    ("mut_chain", _mut_chain),
+    ("mut_function", _mut_function),
+    ("mut_group", _mut_group),
+    ("mut_cldr_keymap", _mut_cldr),
+    ("mut_insert", _mut_insert),
+    ("mut_missing_value", _mut_missing),
+    ("mut_generator_splice", _mut_splice),
+    ("mut_permute", _mut_permute),
+    ("mut_datetime_offset", _mut_datetime_offset),
+    ("mut_categorical", _mut_categorical),
+    ("mut_repeat", _mut_repeat),
+    ("mut_delete", _mut_delete),
+    ("mut_substitute", _mut_substitute),
+    ("mut_transpose", _mut_transpose),
+    ("mut_lowercase", _mut_lowercase),
+    ("mut_uppercase", _mut_uppercase),
+    ("mut_missing_strict_p", _mut_missing_strict),
+    ("mut_replacement_inline", _mut_replacement_inline),
+    ("mut_replacement_whole", _mut_replacement_whole),
+    ("mut_phonetic", _mut_phonetic),
+    ("mut_regex", _mut_regex),
+    # TPC-H-ish relational catalogue
+    ("q1_pricing_summary", _q1),
+    ("q2_min_cost_supplier", _q2),
+    ("q3_shipping_priority", _q3),
+    ("q4_priority_exists", _q4),
+    ("q5_region_revenue", _q5),
+    ("q6_revenue_filter", _q6),
+    ("q7_nation_volume", _q7),
+    ("q8_market_share", _q8),
+    ("q9_product_profit", _q9),
+    ("q10_returned_items", _q10),
+    ("q11_important_stock", _q11),
+    ("q12_shipmode_priority", _q12),
+    ("q13_order_histogram", _q13),
+    ("q14_promo_share", _q14),
+    ("q15_top_supplier", _q15),
+    ("q16_supplier_cnt", _q16),
+    ("q17_small_qty_revenue", _q17),
+    ("q18_large_volume", _q18),
+    ("q19_branch_revenue", _q19),
+    ("q20_qty_threshold", _q20),
+    ("q21_waiting_supplier", _q21),
+    ("q22_global_sales_opportunity", _q22),
+    # joins / windows / relational extras
+    ("q_window_topk_orders", _q_topk),
+    ("q_events_hourly", _q_events_hourly),
+    ("q_events_sessions", _q_events_sessions),
+    ("q_anti_join", _q_anti_join),
+    ("q_semi_join", _q_semi_join),
+    ("q_rollup_region_nation", _q_rollup),
+    ("q_set_ops", _q_set_ops),
+    ("q_range_join", _q_range_join),
+    ("q_asof_join", _q_asof_join),
+    ("q_skew_join", _q_skew_join),
+    ("q_cube_flag_status", _q_cube),
+    ("q_distinct_counts", _q_distinct_counts),
+    ("q_json_props", _q_json_props),
+    ("q_percentile_price", _q_percentiles),
+    # record linkage
+    ("q_linkage_blocked", _q_linkage_blocked),
+    ("q_linkage_snm", _q_linkage_snm),
+    ("q_linkage_jw", _q_linkage_jw),
+    ("q_linkage_fs", _q_linkage_fs),
+    ("q_linkage_soundex", _q_linkage_soundex),
+    # dedup
+    ("dedup_exact", _dedup_exact),
+    ("dedup_groups", _dedup_groups),
+    ("dedup_minhash_pairs", _dedup_minhash),
+    ("dedup_simhash_pairs", _dedup_simhash),
+    ("dedup_ngram_jaccard", _dedup_jaccard),
+    ("dedup_embedding_pairs", _dedup_embedding),
+    ("dedup_semantic_pairs", _dedup_semantic),
+    ("dedup_fp_overlap", _dedup_fp_overlap),
+    ("dedup_cluster_reps", _dedup_cluster_reps),
+    ("dedup_transitive", _dedup_transitive),
+    # decontamination
+    ("decontam_filter", _decontam_filter),
+    ("decontam_overlap", _decontam_overlap),
+    ("decontam_filter_bloom", _decontam_filter_bloom),
+    # sampling
+    ("sample_reservoir_n", _sample_reservoir),
+    ("sample_split", _sample_split),
+    ("sample_weighted_n", _sample_weighted),
+    ("sample_stratified", _sample_stratified),
+    ("sample_split_grouped", _sample_split_grouped),
+    ("sample_shuffle", _sample_shuffle),
+    ("sample_mix_corpus", _sample_mix_corpus),
+    # similarity / embeddings
+    ("topk_cosine_bruteforce", _topk_cosine),
+    ("topk_cosine_ivf", _topk_ivf),
+    ("emb_quantize_int8", _emb_quantize),
+    ("pack_sequences", _pack_sequences),
+    # text analysis
+    ("text_stats", _text_stats),
+    ("text_pii_redact", _text_pii_redact),
+    ("text_repetition", _text_repetition),
+    ("text_tfidf_top3", _text_tfidf),
+    ("text_line_dedupe", _text_line_dedupe),
+    ("text_unigram_logprob", _text_unigram_logprob),
+    ("text_chunks", _text_chunks),
+    ("text_chunks_tokens", _text_chunks_tokens),
+    ("text_strip_html", _text_strip_html),
+    ("text_url_normalize", _text_url_normalize),
+    ("text_vocab_divergence", _text_vocab_divergence),
+    ("doc_normalize_filter", _doc_normalize_filter),
+    ("doc_fingerprints", _doc_fingerprints),
+    # sketches
+    ("sketch_cm_counts", _sketch_cm_counts),
+    ("sketch_cm_estimate", _sketch_cm_estimate),
+    ("sketch_kmv_distinct", _sketch_kmv),
+    ("sketch_kmv_by_group", _sketch_kmv_by_group),
+    ("sketch_quantiles", _sketch_quantiles),
+    ("sketch_quantiles_by_group", _sketch_quantiles_by_group),
+    ("sketch_heavy_hitters", _sketch_heavy_hitters),
+    ("sketch_topk_counts", _sketch_topk_counts),
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Entries 1–50 are the driver-graded window (the driver evaluates the
-    # first 50 dict entries). Rotation history: r02 graded the §2
-    # operator surface, r04 the relational/LLM-ops surface, r05 the
-    # round-5 additions + r02-era re-grades, r06 the r02-stale mutators
-    # + the relational refresh. Round 7 (this round, VERDICT r6 #3):
-    # (a) code touched in round 7 — the new soundex-oracle linkage
-    # query, the heavy-hitters kernel rewrite (+ its top-k sibling),
-    # the brute-force guard hints, the vectorized Jaro-Winkler kernel,
-    # and every dedup operator whose cache ownership changed;
-    # (b) the 19 queries whose newest driver grade is r04 — two rounds
-    # stale; (c) the remaining slots refresh r05-era grades (generator/
-    # mutator singles, TPC-H q1/q6/q7/q10, asof/skew, samples). After
-    # this round no query's newest driver grade is older than r5.
-    # Everything past slot 50 is r5/r6-driver-green with unchanged code
-    # and stays strict-locally verified by tools/check_oracle.py (same
-    # compare, same data as the driver).
-    return {
-        # --- (a) round-7 touched code — grade first ---
-        "q_linkage_soundex": _q_linkage_soundex,
-        "sketch_heavy_hitters": _sketch_heavy_hitters,
-        "sketch_topk_counts": _sketch_topk_counts,
-        "topk_cosine_bruteforce": _topk_cosine,
-        "q_linkage_jw": _q_linkage_jw,
-        "dedup_minhash_pairs": _dedup_minhash,
-        "dedup_simhash_pairs": _dedup_simhash,
-        "dedup_ngram_jaccard": _dedup_jaccard,
-        "dedup_embedding_pairs": _dedup_embedding,
-        "dedup_semantic_pairs": _dedup_semantic,
-        "dedup_fp_overlap": _dedup_fp_overlap,
-        "dedup_cluster_reps": _dedup_cluster_reps,
-        # --- (b) newest driver grade is r04 — re-grade this round ---
-        "decontam_filter": _decontam_filter,
-        "decontam_overlap": _decontam_overlap,
-        "dedup_exact": _dedup_exact,
-        "dedup_transitive": _dedup_transitive,
-        "emb_quantize_int8": _emb_quantize,
-        "gen_group": _gen_group,
-        "gen_uniform": _gen_uniform,
-        "mut_chain": _mut_chain,
-        "pack_sequences": _pack_sequences,
-        "q_cube_flag_status": _q_cube,
-        "q_distinct_counts": _q_distinct_counts,
-        "q_json_props": _q_json_props,
-        "q_percentile_price": _q_percentiles,
-        "sketch_cm_counts": _sketch_cm_counts,
-        "sketch_cm_estimate": _sketch_cm_estimate,
-        "sketch_kmv_by_group": _sketch_kmv_by_group,
-        "text_pii_redact": _text_pii_redact,
-        "text_repetition": _text_repetition,
-        # --- (c) r05-era refresh ---
-        "gen_normal": _gen_normal,
-        "gen_freq_single": _gen_freq_single,
-        "gen_freq_multi": _gen_freq_multi,
-        "gen_datetime": _gen_datetime,
-        "gen_group_exact": _gen_group_exact,
-        "gen_function": _gen_function,
-        "gen_datasource": _gen_datasource,
-        "mut_insert": _mut_insert,
-        "mut_function": _mut_function,
-        "mut_group": _mut_group,
-        "mut_cldr_keymap": _mut_cldr,
-        "q1_pricing_summary": _q1,
-        "q6_revenue_filter": _q6,
-        "q7_nation_volume": _q7,
-        "q10_returned_items": _q10,
-        "q_asof_join": _q_asof_join,
-        "q_skew_join": _q_skew_join,
-        "sample_reservoir_n": _sample_reservoir,
-        "sample_split": _sample_split,
-        "text_stats": _text_stats,
-        # --- entries 51+: r5/r6-driver-green, code unchanged ---
-        "q_linkage_blocked": _q_linkage_blocked,
-        "q_linkage_snm": _q_linkage_snm,
-        "q_linkage_fs": _q_linkage_fs,
-        "mut_missing_value": _mut_missing,
-        "mut_generator_splice": _mut_splice,
-        "mut_permute": _mut_permute,
-        "mut_datetime_offset": _mut_datetime_offset,
-        "mut_categorical": _mut_categorical,
-        "mut_repeat": _mut_repeat,
-        "mut_delete": _mut_delete,
-        "mut_substitute": _mut_substitute,
-        "mut_transpose": _mut_transpose,
-        "mut_lowercase": _mut_lowercase,
-        "mut_uppercase": _mut_uppercase,
-        "mut_missing_strict_p": _mut_missing_strict,
-        "mut_replacement_inline": _mut_replacement_inline,
-        "mut_replacement_whole": _mut_replacement_whole,
-        "mut_phonetic": _mut_phonetic,
-        "mut_regex": _mut_regex,
-        "decontam_filter_bloom": _decontam_filter_bloom,
-        "text_tfidf_top3": _text_tfidf,
-        "q2_min_cost_supplier": _q2,
-        "q3_shipping_priority": _q3,
-        "q4_priority_exists": _q4,
-        "q5_region_revenue": _q5,
-        "q8_market_share": _q8,
-        "q9_product_profit": _q9,
-        "q11_important_stock": _q11,
-        "q12_shipmode_priority": _q12,
-        "q13_order_histogram": _q13,
-        "q14_promo_share": _q14,
-        "q15_top_supplier": _q15,
-        "q16_supplier_cnt": _q16,
-        "q17_small_qty_revenue": _q17,
-        "q18_large_volume": _q18,
-        "q19_branch_revenue": _q19,
-        "q20_qty_threshold": _q20,
-        "q21_waiting_supplier": _q21,
-        "q22_global_sales_opportunity": _q22,
-        "q_window_topk_orders": _q_topk,
-        "q_events_hourly": _q_events_hourly,
-        "q_events_sessions": _q_events_sessions,
-        "q_anti_join": _q_anti_join,
-        "q_semi_join": _q_semi_join,
-        "q_rollup_region_nation": _q_rollup,
-        "q_set_ops": _q_set_ops,
-        "q_range_join": _q_range_join,
-        "dedup_groups": _dedup_groups,
-        "sample_weighted_n": _sample_weighted,
-        "sample_stratified": _sample_stratified,
-        "sample_split_grouped": _sample_split_grouped,
-        "sample_shuffle": _sample_shuffle,
-        "sample_mix_corpus": _sample_mix_corpus,
-        "topk_cosine_ivf": _topk_ivf,
-        "doc_normalize_filter": _doc_normalize_filter,
-        "doc_fingerprints": _doc_fingerprints,
-        "text_line_dedupe": _text_line_dedupe,
-        "text_unigram_logprob": _text_unigram_logprob,
-        "text_chunks": _text_chunks,
-        "text_chunks_tokens": _text_chunks_tokens,
-        "text_strip_html": _text_strip_html,
-        "text_url_normalize": _text_url_normalize,
-        "text_vocab_divergence": _text_vocab_divergence,
-        "sketch_kmv_distinct": _sketch_kmv,
-        "sketch_quantiles": _sketch_quantiles,
-        "sketch_quantiles_by_group": _sketch_quantiles_by_group,
-    }
+    names = [n for n, _ in _CATALOGUE_PAIRS]
+    assert len(names) == len(set(names)), sorted(
+        n for n in set(names) if names.count(n) > 1
+    )
+    cat = dict(_CATALOGUE_PAIRS)
+    assert len(WINDOW_50) == 50 and len(set(WINDOW_50)) == 50
+    missing = [n for n in WINDOW_50 if n not in cat]
+    assert not missing, f"window names absent from catalogue: {missing}"
+    out = {n: cat[n] for n in WINDOW_50}
+    for n, fn in _CATALOGUE_PAIRS:
+        if n not in out:
+            out[n] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mm_image_features": _MM_IMAGE_FEATURES_SQL,
+        "mm_audio_features": _MM_AUDIO_FEATURES_SQL,
+        "stream_dedupe_parity": _STREAM_DEDUPE_PARITY_SQL,
         "q_linkage_blocked": _Q_LINKAGE_BLOCKED_SQL,
         "q_linkage_snm": _Q_LINKAGE_SNM_SQL,
         "q_linkage_jw": _Q_LINKAGE_JW_SQL,

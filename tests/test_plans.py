@@ -127,3 +127,23 @@ def test_cm_estimate_broadcasts_sketch(spark):
     est = cm_estimate(sk, ["1-URGENT"], depth=3, width=64)
     p = _plan(est)
     assert "BroadcastHashJoin" in p and "BuildRight" in p, p
+
+
+def test_query_catalogue_invariants():
+    """VERDICT r7 #5: queries() is BUILT from WINDOW_50 + the catalogue
+    pair list, so the driver window cannot silently diverge — duplicate
+    names in a dict literal would have collapsed silently; the pair
+    list makes them detectable and this test pins it."""
+    names = [n for n, _ in entry._CATALOGUE_PAIRS]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    assert not dupes, f"duplicate catalogue keys: {dupes}"
+
+    assert len(entry.WINDOW_50) == 50
+    assert len(set(entry.WINDOW_50)) == 50
+    q = entry.queries()
+    assert list(q)[:50] == entry.WINDOW_50  # window leads, in order
+    assert len(q) == len(names)  # every catalogue entry surfaces
+    # every oracle key has a query; callables are callable
+    o = entry.oracle_sql()
+    assert set(o) <= set(q)
+    assert all(callable(f) for f in q.values())
