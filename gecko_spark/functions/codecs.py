@@ -1124,18 +1124,30 @@ def encode_jpeg_progressive(
     quality: int = 75,
     subsample: bool = False,
     grayscale: bool = False,
+    scan_script: str = "two_band",
 ) -> bytes:
     """Minimal PROGRESSIVE (SOF2) JPEG encoder — the test-fixture
     counterpart of :func:`decode_jpeg`'s progressive path, exercising
     every Annex G Huffman feature: an interleaved DC first scan at
-    Al=1, per-component AC first scans split into TWO spectral bands
-    (1–5, 6–63) at Al=1 with EOB-run accumulation, per-component AC
-    refinement scans (Ah=1 → Al=0, correction bits + newly-nonzero
-    coefficients), and a DC refinement scan (raw bits). Quantized
-    coefficients are identical to :func:`encode_jpeg_baseline` at the
-    same quality/sampling, so decoding both must give IDENTICAL pixels
-    — the round-trip test's oracle. No restart intervals (the RSTn
-    logic is shared with, and covered by, the baseline path)."""
+    Al=1, AC first scans with EOB-run accumulation, AC refinement
+    scans (correction bits + newly-nonzero coefficients), and a DC
+    refinement scan (raw bits). Two scan scripts (ADVICE r7 — the
+    single-stage script left the chained-refinement decode path
+    without a fixture):
+
+    - ``"two_band"``: per-component AC in two spectral bands (1–5,
+      6–63) at Al=1, one refinement stage Ah=1 → Al=0.
+    - ``"libjpeg"``: libjpeg's default script (jcparam.c) — luma AC
+      descends Al=2 → (Ah=2, Al=1) → (Ah=1, Al=0), a chained
+      TWO-stage successive approximation with the DC completion scan
+      interleaved mid-sequence; the shape real-world progressive
+      JPEGs overwhelmingly carry.
+
+    Quantized coefficients are identical to
+    :func:`encode_jpeg_baseline` at the same quality/sampling, so
+    decoding both must give IDENTICAL pixels — the round-trip test's
+    oracle for either script. No restart intervals (the RSTn logic is
+    shared with, and covered by, the baseline path)."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError(f"need (H, W, 3) uint8, got {img.shape} {img.dtype}")
     if not 1 <= quality <= 100:
@@ -1218,19 +1230,19 @@ def encode_jpeg_progressive(
     scans = []
 
     # --- DC first scan (interleaved, Al=1) ------------------------------
-    wtr = _BitWriter()
-    pred = [0] * len(comps)
-    for ci, by, bx in mcu_blocks():
-        v = int(comps[ci]["coef"][by, bx, 0]) >> 1  # arithmetic point transform
-        diff = v - pred[ci]
-        pred[ci] = v
-        s = _jpeg_category(diff)
-        wtr.write(*enc_dc[comps[ci]["dc_tbl"]][s])
-        if s:
-            wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    wtr.flush()
-    scans.append(
-        (
+    def dc_first():
+        wtr = _BitWriter()
+        pred = [0] * len(comps)
+        for ci, by, bx in mcu_blocks():
+            v = int(comps[ci]["coef"][by, bx, 0]) >> 1  # arithmetic point transform
+            diff = v - pred[ci]
+            pred[ci] = v
+            s = _jpeg_category(diff)
+            wtr.write(*enc_dc[comps[ci]["dc_tbl"]][s])
+            if s:
+                wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        wtr.flush()
+        return (
             sos_header(
                 [ci + 1 for ci in range(len(comps))],
                 [c["dc_tbl"] << 4 for c in comps],
@@ -1238,7 +1250,6 @@ def encode_jpeg_progressive(
             ),
             bytes(wtr.out),
         )
-    )
 
     # --- AC first scans: two spectral bands per component, Al=1 ---------
     def ac_first(ci, ss, se, al):
@@ -1286,10 +1297,6 @@ def encode_jpeg_progressive(
         flush_eob()
         wtr.flush()
         return (sos_header([ci + 1], [0], ss, se, 0, al), bytes(wtr.out))
-
-    for ci in range(len(comps)):
-        scans.append(ac_first(ci, 1, 5, 1))
-        scans.append(ac_first(ci, 6, 63, 1))
 
     # --- AC refinement scans: Ah=1 -> Al=0 ------------------------------
     def ac_refine(ci, ss, se, ah, al):
@@ -1362,16 +1369,13 @@ def encode_jpeg_progressive(
         wtr.flush()
         return (sos_header([ci + 1], [0], ss, se, ah, al), bytes(wtr.out))
 
-    for ci in range(len(comps)):
-        scans.append(ac_refine(ci, 1, 63, 1, 0))
-
     # --- DC refinement scan (raw bits, no Huffman table) ----------------
-    wtr = _BitWriter()
-    for ci, by, bx in mcu_blocks():
-        wtr.write(int(comps[ci]["coef"][by, bx, 0]) & 1, 1)
-    wtr.flush()
-    scans.append(
-        (
+    def dc_refine():
+        wtr = _BitWriter()
+        for ci, by, bx in mcu_blocks():
+            wtr.write(int(comps[ci]["coef"][by, bx, 0]) & 1, 1)
+        wtr.flush()
+        return (
             sos_header(
                 [ci + 1 for ci in range(len(comps))],
                 [0] * len(comps),
@@ -1379,7 +1383,37 @@ def encode_jpeg_progressive(
             ),
             bytes(wtr.out),
         )
-    )
+
+    if scan_script == "two_band":
+        scans.append(dc_first())
+        for ci in range(len(comps)):
+            scans.append(ac_first(ci, 1, 5, 1))
+            scans.append(ac_first(ci, 6, 63, 1))
+        for ci in range(len(comps)):
+            scans.append(ac_refine(ci, 1, 63, 1, 0))
+        scans.append(dc_refine())
+    elif scan_script == "libjpeg":
+        # libjpeg's default progressive script (jcparam.c): luma AC
+        # descends Al=2 -> (Ah=2, Al=1) -> (Ah=1, Al=0) — a CHAINED
+        # two-stage successive-approximation refinement — with the DC
+        # completion scan interleaved mid-sequence. This is the scan
+        # shape real-world progressive JPEGs overwhelmingly carry.
+        scans.append(dc_first())
+        scans.append(ac_first(0, 1, 5, 2))
+        if len(comps) == 3:
+            scans.append(ac_first(1, 1, 63, 1))
+            scans.append(ac_first(2, 1, 63, 1))
+        scans.append(ac_first(0, 6, 63, 2))
+        scans.append(ac_refine(0, 1, 63, 2, 1))
+        scans.append(dc_refine())
+        if len(comps) == 3:
+            scans.append(ac_refine(1, 1, 63, 1, 0))
+            scans.append(ac_refine(2, 1, 63, 1, 0))
+        scans.append(ac_refine(0, 1, 63, 1, 0))
+    else:
+        raise ValueError(
+            f"unknown scan_script {scan_script!r} (two_band | libjpeg)"
+        )
 
     ncomp = len(comps)
     sof_body = struct.pack(">BHHB", 8, h, w, ncomp)

@@ -583,3 +583,37 @@ def test_spark_decode_features_progressive_jpeg(spark):
         for r in MM.decode_image_features(df, out_dim=4, fake=False).collect()
     }
     assert feats[1] == feats[2]
+
+
+def test_jpeg_progressive_libjpeg_script_matches_baseline():
+    """ADVICE r7: externally produced progressive JPEGs use libjpeg's
+    default scan script — luma AC descending Al=2 -> (Ah=2, Al=1) ->
+    (Ah=1, Al=0), a CHAINED two-stage successive approximation with
+    the DC completion scan interleaved mid-sequence — which the old
+    single-stage fixture never exercised. The decoder must produce
+    pixels IDENTICAL to baseline for that script too, on smooth and
+    high-entropy inputs, color and grayscale, 4:4:4 and 4:2:0."""
+    from gecko_spark.functions.codecs import encode_jpeg_progressive
+
+    rng = np.random.default_rng(23)
+    cases = [
+        (_smooth_image((13, 21)), {}),
+        (_smooth_image((33, 41)), {"subsample": True}),
+        (_smooth_image((16, 16)), {"grayscale": True}),
+        (rng.integers(0, 256, (24, 17, 3), dtype=np.uint8), {"quality": 40}),
+    ]
+    for img, kw in cases:
+        kw = dict(kw)
+        q = kw.pop("quality", 90)
+        base = decode_jpeg(encode_jpeg_baseline(img, quality=q, **kw))
+        blob = encode_jpeg_progressive(
+            img, quality=q, scan_script="libjpeg", **kw
+        )
+        assert b"\xff\xc2" in blob and sniff_format(blob) == "jpeg"
+        # the chained script's scan count: color = DC + 4 AC-first +
+        # 4 refinements + DC-refine = 10; grayscale = 6
+        n_sos = blob.count(b"\xff\xda")
+        assert n_sos == (6 if kw.get("grayscale") else 10), n_sos
+        assert np.array_equal(decode_jpeg(blob), base), (img.shape, kw)
+    with pytest.raises(ValueError):
+        encode_jpeg_progressive(cases[0][0], scan_script="bogus")
