@@ -4579,6 +4579,67 @@ FROM m WHERE kind = 'null'
 """
 
 
+_MEDIA_VIDEO = os.path.join(_FIXDIR, "media_video.parquet")
+
+
+def _mm_video_frames(spark, sf):
+    """Video frame sampling through the REAL executor path
+    (multimodal.py::sample_video_frames): RIFF/AVI walk + per-sampled-
+    frame JPEG decode + BT.601 luma for MJPEG, raw-plane extraction
+    for Y4M — only the SAMPLED frames are decoded. Fixture frames are
+    constant-gray (builder-asserted through the same luma math), so
+    the emitted PGM's pixel min == max == the recorded constant; the
+    wrapper summarizes each PGM (header dims + pixel range) and the
+    oracle replays sampling arithmetic + `cvals` from the meta
+    columns. The null-payload row emits no frames on both sides."""
+    from gecko_spark.operators.multimodal import sample_video_frames
+
+    media = spark.read.parquet(_MEDIA_VIDEO)
+    frames = sample_video_frames(media, every_n=3, max_frames=3)
+
+    def _summarize(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [], "fh": [], "fw": [],
+                   "gmin": [], "gmax": []}
+            for mid, fi, fr in zip(
+                pdf["media_id"], pdf["frame_index"], pdf["frame"]
+            ):
+                b = bytes(fr)
+                assert b.startswith(b"P5\n")
+                nl = b.index(b"\n", 3)
+                w, h = (int(x) for x in b[3:nl].split())
+                px = np.frombuffer(b[nl + 1 + 4 :], dtype=np.uint8)
+                assert px.size == w * h
+                out["media_id"].append(mid)
+                out["frame_index"].append(fi)
+                out["fh"].append(h)
+                out["fw"].append(w)
+                out["gmin"].append(int(px.min()))
+                out["gmax"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(
+        _summarize,
+        "media_id long, frame_index int, fh int, fw int, gmin int, gmax int",
+    )
+
+
+_MM_VIDEO_FRAMES_SQL = f"""
+WITH m AS (SELECT media_id, n_frames, fh, fw, cvals
+           FROM read_parquet('{_MEDIA_VIDEO}') WHERE kind = 'const'),
+fi AS (SELECT m.media_id, m.n_frames, m.fh, m.fw, m.cvals,
+              UNNEST(range(3)) AS j
+       FROM m)
+SELECT media_id, CAST(j * 3 AS INT) AS frame_index,
+       fh, fw,
+       cvals[CAST(j * 3 AS INT) + 1] AS gmin,
+       cvals[CAST(j * 3 AS INT) + 1] AS gmax
+FROM fi WHERE j * 3 < n_frames
+"""
+
+
 def _stream_dedupe_parity(spark, sf):
     """Streaming dedup batch parity (round 8, VERDICT r7 #4): the
     events table plus a FULL duplicate copy streamed as two separate
@@ -4659,6 +4720,7 @@ WINDOW_50 = [
     # --- (a) round-8 new or touched code ---
     "mm_image_features",
     "mm_audio_features",
+    "mm_video_frames",
     "stream_dedupe_parity",
     "dedup_simhash_pairs",
     "dedup_transitive",
@@ -4708,7 +4770,6 @@ WINDOW_50 = [
     "q_window_topk_orders",
     "q_events_hourly",
     "q_events_sessions",
-    "q_set_ops",
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
@@ -4718,6 +4779,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     # round-8 additions
     ("mm_image_features", _mm_image_features),
     ("mm_audio_features", _mm_audio_features),
+    ("mm_video_frames", _mm_video_frames),
     ("stream_dedupe_parity", _stream_dedupe_parity),
     # generators
     ("gen_function", _gen_function),
@@ -4869,6 +4931,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mm_image_features": _MM_IMAGE_FEATURES_SQL,
         "mm_audio_features": _MM_AUDIO_FEATURES_SQL,
+        "mm_video_frames": _MM_VIDEO_FRAMES_SQL,
         "stream_dedupe_parity": _STREAM_DEDUPE_PARITY_SQL,
         "q_linkage_blocked": _Q_LINKAGE_BLOCKED_SQL,
         "q_linkage_snm": _Q_LINKAGE_SNM_SQL,

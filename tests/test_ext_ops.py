@@ -1430,3 +1430,46 @@ def test_shared_cache_release_edge(spark, docs):
     del b
     gc.collect()
     assert cm.isEmpty()  # nothing survives both drops
+
+
+def test_index_roundtrip_recall_bounds(spark, tmp_path):
+    """VERDICT r7 #8 (suite-side twin of tools/scale_ivfpq.py): the full
+    production chain build -> write -> read -> query must hold a recall
+    bound THROUGH the parquet index artifacts, for both the IVF and the
+    PQ+rerank path, on a clustered corpus (real embedding corpora are
+    clustered; pure-random unit vectors noise-rank the true top-k and
+    recall would measure nothing)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.scale_ivfpq import make_clustered_vectors, recall_at_k
+
+    vecs = make_clustered_vectors(spark, 4000, n_clusters=16).persist()
+    vecs.count()
+    queries = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = S.cosine_topk_bruteforce(
+        vecs, queries, k=10, max_scored_rows=100_000
+    ).toPandas()
+
+    with_lists, cents = S.ivf_assign(vecs, n_centroids=16, seed=1)
+    S.write_ivf_index(with_lists, str(tmp_path / "ivf"), cents)
+    lists, cents2 = S.read_ivf_index(spark, str(tmp_path / "ivf"))
+    # nprobe=8 of 16: at 4k rows the sample-trained centroids split the
+    # latent clusters more than at scale (tools/scale_ivfpq.py holds
+    # >=0.9 at nprobe=8 of 256 on 1M rows); the bound tests the chain,
+    # not small-sample centroid quality
+    ivf = S.cosine_topk_ivf(lists, cents2, queries, k=10, nprobe=8).toPandas()
+    assert recall_at_k(exact, ivf) >= 0.9
+
+    books = S.pq_train(vecs, m=8, k_codes=64, seed=0)
+    S.write_pq_index(S.pq_encode(vecs, books), books, str(tmp_path / "pq"))
+    codes2, books2 = S.read_pq_index(spark, str(tmp_path / "pq"))
+    # shortlist must exceed the ~250-vector latent cluster size: ADC
+    # distortion noise-ranks WITHIN a tight cluster, so a shortlist
+    # smaller than the cluster drops true neighbors before the exact
+    # re-rank can recover them (recall 0.73 at shortlist=100)
+    rer = S.pq_topk_rerank(codes2, books2, vecs, queries, k=10, shortlist=400).toPandas()
+    assert recall_at_k(exact, rer) >= 0.9
+    vecs.unpersist()

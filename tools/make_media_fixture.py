@@ -43,7 +43,15 @@ from gecko_spark.functions.codecs import (  # noqa: E402
     encode_jpeg_progressive,
     encode_png,
 )
-from gecko_spark.functions.av_codecs import decode_wav, encode_wav  # noqa: E402
+from gecko_spark.functions.av_codecs import (  # noqa: E402
+    decode_avi_mjpeg,
+    decode_wav,
+    decode_y4m,
+    encode_avi_mjpeg,
+    encode_wav,
+    encode_y4m,
+)
+from gecko_spark.functions.codecs import decode_jpeg  # noqa: E402
 from gecko_spark.operators.multimodal import (  # noqa: E402
     _real_audio_features,
     _real_features,
@@ -195,6 +203,87 @@ def build_audio() -> None:
     print(f"media_audio.parquet: {len(rows)} rows")
 
 
+def frame_gray(media_id: int, fi: int) -> int:
+    """Requested per-frame constant gray — the DECODED value may differ
+    for MJPEG (quantized DC rounding); the builder records the decoded
+    value in ``cvals``, asserting only constancy."""
+    return (37 * fi + 53 * media_id + 40) % 200 + 20
+
+
+def build_video() -> None:
+    """media_video.parquet: Motion-JPEG AVI and Y4M clips whose frames
+    are CONSTANT-gray (per-frame value varies). A constant block is
+    DC-only under the DCT, so each MJPEG frame decodes to a constant
+    too; the builder asserts constancy frame-by-frame through the SAME
+    luma math ``sample_video_frames`` applies, and records the decoded
+    constants in the ``cvals`` list column the SQL oracle replays. Y4M
+    is raw luma — lossless by construction, asserted anyway."""
+    rows = []
+    for mid, n_frames, (h, w), kind in [
+        (1, 10, (24, 32), "avi"),
+        (2, 7, (16, 16), "avi"),
+        (3, 12, (8, 24), "avi"),
+        (4, 9, (18, 22), "y4m"),
+        (5, 5, (32, 10), "y4m"),
+    ]:
+        greys = [frame_gray(mid, fi) for fi in range(n_frames)]
+        if kind == "avi":
+            frames = np.stack(
+                [np.full((h, w, 3), g, dtype=np.uint8) for g in greys]
+            )
+            blob = encode_avi_mjpeg(frames, quality=92)
+            jpegs, hdr = decode_avi_mjpeg(blob)
+            assert len(jpegs) == n_frames and hdr["width"] == w
+            cvals = []
+            for jp in jpegs:
+                rgb = decode_jpeg(jp).astype(np.float64)
+                luma = np.clip(
+                    np.round(
+                        0.299 * rgb[:, :, 0]
+                        + 0.587 * rgb[:, :, 1]
+                        + 0.114 * rgb[:, :, 2]
+                    ),
+                    0,
+                    255,
+                ).astype(np.uint8)
+                vals = np.unique(luma)
+                assert len(vals) == 1, f"video id {mid} frame not constant: {vals}"
+                cvals.append(int(vals[0]))
+            mime = "video/x-msvideo"
+        else:
+            planes = np.stack(
+                [np.full((h, w), g, dtype=np.uint8) for g in greys]
+            )
+            blob = encode_y4m(planes)
+            dec, hdr = decode_y4m(blob)
+            assert np.array_equal(dec, planes) and hdr["width"] == w
+            cvals = greys
+            mime = "video/x-yuv4mpeg"
+        rows.append((mid, mime, blob, n_frames, h, w, "const", cvals))
+    rows.append((6, "video/unknown", None, 0, 0, 0, "null", []))
+
+    schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("mime", pa.string()),
+            ("content", pa.binary()),
+            ("n_frames", pa.int32()),
+            ("fh", pa.int32()),
+            ("fw", pa.int32()),
+            ("kind", pa.string()),
+            ("cvals", pa.list_(pa.int32())),
+        ]
+    )
+    cols = list(zip(*rows))
+    tbl = pa.table(
+        {f.name: pa.array(c, type=f.type) for f, c in zip(schema, cols)},
+        schema=schema,
+    )
+    pq.write_table(tbl, os.path.join(OUT_DIR, "media_video.parquet"))
+    print(f"media_video.parquet: {len(rows)} rows")
+
+
 if __name__ == "__main__":
     build_images()
     build_audio()
+    build_video()

@@ -1,0 +1,165 @@
+"""IVF / PQ index ROUND-TRIP scale datapoint (VERDICT r7 #8): at 1M
+64-dim vectors, build -> write -> read -> query through the parquet
+index artifacts, with recall@10 vs the exact matrix baseline ASSERTED
+(not just printed). Prints SCALE.md rows.
+
+The corpus is CLUSTERED (n_clusters latent centers + per-vector noise,
+all pure Column algebra — no driver-side data): real embedding corpora
+are clustered, and pure-random unit vectors are a degenerate ANN case
+where the true top-k is noise-ranked and recall measures nothing.
+Usage: python tools/scale_ivfpq.py [n] [n_clusters]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from gecko_spark import get_spark
+from gecko_spark.operators.similarity import (
+    cosine_topk_ivf,
+    cosine_topk_matrix,
+    ivf_assign,
+    pq_encode,
+    pq_topk_rerank,
+    pq_train,
+    read_ivf_index,
+    read_pq_index,
+    write_ivf_index,
+    write_pq_index,
+)
+
+TWO_PI = 2.0 * 3.141592653589793
+
+
+def _gauss_pair(key, seed: int, d: int):
+    """Two deterministic N(0,1) draws keyed on (key, seed+d) via
+    xxhash64 uniforms + Box-Muller — same construction as
+    tools/scale_pq.py::make_vectors."""
+    u1 = (F.pmod(F.xxhash64(key, F.lit(seed + d)), F.lit(1_000_003)) + 1) / 1_000_004.0
+    u2 = F.pmod(F.xxhash64(key, F.lit(seed + d + 1)), F.lit(1_000_003)) / 1_000_003.0
+    r = F.sqrt(-2.0 * F.log(u1))
+    return r * F.cos(TWO_PI * u2), r * F.sin(TWO_PI * u2)
+
+
+def make_clustered_vectors(
+    spark, n: int, dim: int = 64, n_clusters: int = 256, spread: float = 0.35, seed: int = 7
+):
+    """(vec_id, embedding): unit-normalized center(cluster) + spread*noise.
+
+    Center components are keyed on the CLUSTER id, noise on the VECTOR
+    id — two Box-Muller stacks over the same Range scan; the whole
+    corpus is one Project, zero shuffles."""
+    df = spark.range(n).withColumnRenamed("id", "vec_id")
+    cluster = F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed + 9999)), F.lit(n_clusters))
+    cols = []
+    for d in range(0, dim, 2):
+        c1, c2 = _gauss_pair(cluster, seed, d)
+        g1, g2 = _gauss_pair(F.col("vec_id"), seed + 1_000_000, d)
+        cols.append(c1 + spread * g1)
+        cols.append(c2 + spread * g2)
+    vec = F.array(*cols[:dim])
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(vec, lambda x: x / norm)
+    return df.select("vec_id", unit.alias("embedding"))
+
+
+def recall_at_k(exact_pdf, approx_pdf) -> float:
+    r, qids = 0.0, exact_pdf["query_id"].unique()
+    for qid in qids:
+        e = set(exact_pdf[exact_pdf["query_id"] == qid]["vec_id"])
+        a = set(approx_pdf[approx_pdf["query_id"] == qid]["vec_id"])
+        r += len(e & a) / len(e)
+    return r / len(qids)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_clusters = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    k, n_queries = 10, 100
+    spark = get_spark(
+        app_name="scale-ivfpq", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    workdir = tempfile.mkdtemp(prefix="ivfpq_scale_")
+    try:
+        vecs = make_clustered_vectors(spark, n, n_clusters=n_clusters).persist()
+        vecs.count()
+        queries = vecs.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        t0 = time.time()
+        exact = cosine_topk_matrix(vecs, queries, k=k).toPandas()
+        t_exact = time.time() - t0
+
+        # ---- IVF: assign -> write(partitioned) -> read -> pruned query
+        t0 = time.time()
+        with_lists, cents = ivf_assign(vecs, n_centroids=n_clusters, seed=1)
+        with_lists = with_lists.persist()
+        with_lists.count()
+        t_build = time.time() - t0
+        t0 = time.time()
+        write_ivf_index(with_lists, f"{workdir}/ivf", cents)
+        t_write = time.time() - t0
+        t0 = time.time()
+        lists, cents2 = read_ivf_index(spark, f"{workdir}/ivf")
+        t_read = time.time() - t0
+        t0 = time.time()
+        approx = cosine_topk_ivf(lists, cents2, queries, k=k, nprobe=8).toPandas()
+        t_query = time.time() - t0
+        r_ivf = recall_at_k(exact, approx)
+        print(
+            f"IVF n={n:,} dim=64 lists={n_clusters}: build {t_build:.2f}s, "
+            f"write {t_write:.2f}s, read {t_read:.2f}s, "
+            f"query k={k} nprobe=8 x{n_queries}q {t_query:.2f}s "
+            f"(exact matrix baseline {t_exact:.2f}s), recall@10={r_ivf:.3f}",
+            flush=True,
+        )
+        assert r_ivf >= 0.9, f"IVF recall@10 {r_ivf:.3f} < 0.9"
+
+        # ---- PQ: train -> encode -> write -> read -> ADC+rerank query
+        t0 = time.time()
+        books = pq_train(vecs, m=8, k_codes=256, seed=0)
+        codes = pq_encode(vecs, books)
+        write_pq_index(codes, books, f"{workdir}/pq")
+        t_pq_build = time.time() - t0
+        t0 = time.time()
+        codes2, books2 = read_pq_index(spark, f"{workdir}/pq")
+        t_pq_read = time.time() - t0
+        # The shortlist is the recall knob, and it must scale with the
+        # corpus's cluster density: ADC distortion noise-ranks WITHIN a
+        # tight cluster, so a shortlist below the ~n/n_clusters cluster
+        # size drops true neighbors before the exact re-rank can recover
+        # them. Measure an undersized and a cluster-sized shortlist so
+        # the crossover is a recorded datapoint, and assert on the
+        # properly sized one.
+        sl_small, sl_big = 200, max(400, 2 * n // n_clusters)
+        for sl in (sl_small, sl_big):
+            t0 = time.time()
+            rer = pq_topk_rerank(
+                codes2, books2, vecs, queries, k=k, shortlist=sl
+            ).toPandas()
+            t_pq_query = time.time() - t0
+            r_pq = recall_at_k(exact, rer)
+            print(
+                f"PQ  n={n:,} dim=64 m=8 k_codes=256: train+encode+write "
+                f"{t_pq_build:.2f}s, read {t_pq_read:.2f}s, ADC+rerank k={k} "
+                f"shortlist={sl} x{n_queries}q {t_pq_query:.2f}s, "
+                f"recall@10={r_pq:.3f}",
+                flush=True,
+            )
+        assert r_pq >= 0.9, f"PQ rerank recall@10 {r_pq:.3f} < 0.9 at shortlist={sl_big}"
+        print("RECALL BOUNDS PASS (>=0.9 both paths)", flush=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
