@@ -2637,17 +2637,11 @@ def _dedup_minhash(spark, sf):
     return minhash_candidate_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
 
 
-def _dedup_minhash_sql(num_hashes: int = 64, bands: int = 16, n: int = 5) -> str:
-    """Exact DuckDB oracle for the full MinHash+LSH pipeline.
-
-    The engine's signature hash is portable integer arithmetic
-    (dedup.py::minhash_signature): code-point polynomial rolling hash
-    mod 2^31-1, then 64 universal-hash permutations, 16 band slices,
-    in-bucket pair join. This SQL replays every step with the same
-    constants, so candidate pairs AND estimated Jaccard match
-    bit-for-bit. (ASCII corpus assumption: Python str.lower ==
-    SQL lower; the testdata documents are ASCII.)
-    """
+def _minhash_sigs_cte(num_hashes: int = 64, n: int = 5) -> str:
+    """Shared CTE body computing ``sigs(doc, sig)`` — the exact DuckDB
+    replay of dedup.py::minhash_signature (code-point polynomial
+    rolling hash mod 2^31-1, universal-hash permutations). Used by the
+    batch-pair oracle AND the incremental-index oracle."""
     from gecko_spark.operators.dedup import _P, _perm_params
 
     params = _perm_params(num_hashes, seed=0)
@@ -2662,13 +2656,7 @@ def _dedup_minhash_sql(num_hashes: int = 64, bands: int = 16, n: int = 5) -> str
         f"CAST(unicode(s[i+{j}]) AS BIGINT) * {pows[j]}" for j in range(n)
     )
     pw_lst = "[" + ",".join(str(p) for p in pows) + "]"
-    rpb = num_hashes // bands
-    # The permutations are a 64-row VALUES table CROSS JOINed against
-    # the docs (NOT literal lists indexed inside the inner lambda —
-    # DuckDB would rebuild the 64-element list once per lambda
-    # evaluation, a ~60× slowdown measured at sf0.01).
-    return f"""
-WITH hashes AS (
+    return f"""hashes AS (
   SELECT doc_id AS doc, lower(text) AS s,
     CASE
       WHEN s IS NULL OR length(s) = 0 THEN CAST([] AS BIGINT[])
@@ -2689,7 +2677,27 @@ WITH hashes AS (
   FROM hashes CROSS JOIN perms
 ), sigs AS (
   SELECT doc, list(v ORDER BY p) AS sig FROM sig_elems GROUP BY doc
-), banded AS (
+)"""
+
+
+def _dedup_minhash_sql(num_hashes: int = 64, bands: int = 16, n: int = 5) -> str:
+    """Exact DuckDB oracle for the full MinHash+LSH pipeline.
+
+    The engine's signature hash is portable integer arithmetic
+    (dedup.py::minhash_signature): code-point polynomial rolling hash
+    mod 2^31-1, then 64 universal-hash permutations, 16 band slices,
+    in-bucket pair join. This SQL replays every step with the same
+    constants, so candidate pairs AND estimated Jaccard match
+    bit-for-bit. (ASCII corpus assumption: Python str.lower ==
+    SQL lower; the testdata documents are ASCII.)
+    """
+    rpb = num_hashes // bands
+    # The permutations are a 64-row VALUES table CROSS JOINed against
+    # the docs (NOT literal lists indexed inside the inner lambda —
+    # DuckDB would rebuild the 64-element list once per lambda
+    # evaluation, a ~60× slowdown measured at sf0.01).
+    return f"""
+WITH {_minhash_sigs_cte(num_hashes, n)}, banded AS (
   SELECT doc, sig, b AS band, sig[b*{rpb}+1 : b*{rpb}+{rpb}] AS bucket
   FROM sigs, range(0, {bands}) t(b)
 ), pairs AS (
@@ -2701,6 +2709,66 @@ WITH hashes AS (
 )
 SELECT id_a, id_b, any_value(est_jaccard) AS est_jaccard
 FROM pairs GROUP BY id_a, id_b
+"""
+
+
+def _dedup_incremental(spark, sf):
+    """Incremental dedupe against a PERSISTED MinHash signature index
+    (dedup.py::write_minhash_index / dedupe_against_index — the
+    continuous-ingestion path, previously unit-tested only): the even
+    doc_ids are written to a parquet index, the odd doc_ids arrive as
+    the new batch and keep only rows with no indexed near-duplicate.
+    The historical text is never re-read — the batch meets the index's
+    banded signatures in one (band, bucket) equi-join. localCheckpoint
+    materializes the survivors so the scratch index can be deleted
+    before the driver collects."""
+    import shutil
+    import uuid
+
+    from gecko_spark.operators.dedup import (
+        dedupe_against_index,
+        write_minhash_index,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scratch")
+    path = os.path.join(base, f"mh_index_{uuid.uuid4().hex[:12]}")
+    try:
+        write_minhash_index(old, "doc_id", "text", path)
+        index = spark.read.parquet(path)
+        surv = dedupe_against_index(
+            new, index, "doc_id", "text", threshold=0.8
+        ).select("doc_id", "lang", "source")
+        return surv.localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _dedup_incremental_sql(
+    num_hashes: int = 64, bands: int = 16, n: int = 5, threshold: float = 0.8
+) -> str:
+    """Oracle: replay the signatures (shared CTE), band both halves,
+    and keep odd docs with NO even-doc collision whose signature-match
+    fraction reaches the threshold — exactly dedupe_against_index's
+    drop rule."""
+    rpb = num_hashes // bands
+    return f"""
+WITH {_minhash_sigs_cte(num_hashes, n)}, banded AS (
+  SELECT doc, sig, b AS band, sig[b*{rpb}+1 : b*{rpb}+{rpb}] AS bucket
+  FROM sigs, range(0, {bands}) t(b)
+), dupes AS (
+  SELECT DISTINCT nw.doc
+  FROM banded nw JOIN banded ix
+    ON nw.band = ix.band AND nw.bucket = ix.bucket
+   AND nw.doc % 2 = 1 AND ix.doc % 2 = 0
+  WHERE len(list_filter(range(1, {num_hashes + 1}),
+                        p -> nw.sig[p] = ix.sig[p])) / {num_hashes}.0
+        >= {threshold}
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc FROM dupes)
 """
 
 
@@ -4722,6 +4790,7 @@ WINDOW_50 = [
     "mm_audio_features",
     "mm_video_frames",
     "stream_dedupe_parity",
+    "dedup_incremental_index",
     "dedup_simhash_pairs",
     "dedup_transitive",
     "dedup_cluster_reps",
@@ -4769,7 +4838,6 @@ WINDOW_50 = [
     "q_linkage_fs",
     "q_window_topk_orders",
     "q_events_hourly",
-    "q_events_sessions",
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
@@ -4861,6 +4929,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("dedup_exact", _dedup_exact),
     ("dedup_groups", _dedup_groups),
     ("dedup_minhash_pairs", _dedup_minhash),
+    ("dedup_incremental_index", _dedup_incremental),
     ("dedup_simhash_pairs", _dedup_simhash),
     ("dedup_ngram_jaccard", _dedup_jaccard),
     ("dedup_embedding_pairs", _dedup_embedding),
@@ -4997,6 +5066,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_groups": _DEDUP_GROUPS_SQL,
         "dedup_minhash_pairs": _dedup_minhash_sql(),
+        "dedup_incremental_index": _dedup_incremental_sql(),
         "dedup_simhash_pairs": _dedup_simhash_sql(),
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": _dedup_embedding_sql(),
