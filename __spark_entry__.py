@@ -4769,6 +4769,90 @@ FROM (SELECT DISTINCT * FROM events)
 """
 
 
+def _stream_user_stats_parity(spark, sf):
+    """Custom-stateful-operator batch parity (round 8): the events
+    table split by event_id parity into two files streamed one per
+    micro-batch — every user's history SPANS both batches, so the
+    per-user running (count, max) state in streaming/stream.py::
+    running_user_stats (applyInPandasWithState) genuinely accumulates
+    across micro-batch boundaries. foreachBatch captures each batch's
+    update rows with its batch_id; each user's LAST update must equal
+    the plain batch GROUP BY. sum_value is excluded from the contract
+    by design: the stateful kernel folds float64 sums in arrival order
+    while SQL sums in scan order, and float addition is not
+    associative — count and max are order-independent and hash-exact.
+    The 3650-day watermark keeps batch-2 rows from being dropped as
+    late (span > any real session's lateness bound; parity needs every
+    row to reach the operator)."""
+    import shutil
+    import uuid
+
+    from gecko_spark.streaming.stream import running_user_stats
+
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scratch", f"ustats_{run_id}"
+    )
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src, exist_ok=True)
+    events = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    captured: list = []
+    try:
+        # two parity halves written by Spark itself (pandas' parquet
+        # timestamps clash with the NTZ schema), modification times
+        # forced so the file source streams them in order (batch 0 =
+        # even event_ids)
+        import glob as _glob
+
+        for i, half in enumerate((0, 1)):
+            tmp = os.path.join(base, f"half{i}")
+            events.filter(F.col("event_id") % 2 == half).coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            p = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(part, p)
+            os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        schema = events.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        stats = running_user_stats(stream, watermark="3650 days")
+
+        def _capture(batch_df, batch_id):
+            bpdf = batch_df.toPandas()
+            bpdf["__bid__"] = batch_id
+            captured.append(bpdf)
+
+        q = (
+            stats.writeStream.outputMode("update")
+            .foreachBatch(_capture)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    allb = pd.concat(captured, ignore_index=True)
+    final = (
+        allb.sort_values("__bid__")
+        .groupby("user_id", as_index=False)
+        .last()[["user_id", "n_events", "max_value"]]
+    )
+    return spark.createDataFrame(
+        final, "user_id long, n_events long, max_value double"
+    )
+
+
+_STREAM_USER_STATS_PARITY_SQL = """
+SELECT user_id, count(*) AS n_events, max(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 # The driver-graded window: the driver evaluates the FIRST 50 dict
 # entries of queries(). Rotation history: r02 graded the §2 operator
 # surface, r04 the relational/LLM-ops surface, r05 the round-5
@@ -4790,6 +4874,7 @@ WINDOW_50 = [
     "mm_audio_features",
     "mm_video_frames",
     "stream_dedupe_parity",
+    "stream_user_stats_parity",
     "dedup_incremental_index",
     "dedup_simhash_pairs",
     "dedup_transitive",
@@ -4837,7 +4922,6 @@ WINDOW_50 = [
     "q_linkage_snm",
     "q_linkage_fs",
     "q_window_topk_orders",
-    "q_events_hourly",
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
@@ -4849,6 +4933,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("mm_audio_features", _mm_audio_features),
     ("mm_video_frames", _mm_video_frames),
     ("stream_dedupe_parity", _stream_dedupe_parity),
+    ("stream_user_stats_parity", _stream_user_stats_parity),
     # generators
     ("gen_function", _gen_function),
     ("gen_uniform", _gen_uniform),
@@ -5002,6 +5087,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_features": _MM_AUDIO_FEATURES_SQL,
         "mm_video_frames": _MM_VIDEO_FRAMES_SQL,
         "stream_dedupe_parity": _STREAM_DEDUPE_PARITY_SQL,
+        "stream_user_stats_parity": _STREAM_USER_STATS_PARITY_SQL,
         "q_linkage_blocked": _Q_LINKAGE_BLOCKED_SQL,
         "q_linkage_snm": _Q_LINKAGE_SNM_SQL,
         "q_linkage_jw": _Q_LINKAGE_JW_SQL,

@@ -250,6 +250,7 @@ def bench_queries(spark, sf_dir):
     for name in [
         "dedup_exact",
         "dedup_minhash_pairs",
+        "dedup_incremental_index",  # round 8: batch-vs-persisted-index dedupe
         "dedup_transitive",  # round 5: CC edge-checkpoint fix made it benchable
         "dedup_semantic_pairs",  # round 5: SemDeDup-style clustered near-dup
         "text_stats",
