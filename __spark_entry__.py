@@ -4858,13 +4858,16 @@ FROM events GROUP BY user_id
 # surface, r04 the relational/LLM-ops surface, r05 the round-5
 # additions, r06 the r02-stale mutators + relational refresh, r07 the
 # round-7-touched code + r04-stale re-grades. Round 8 (VERDICT r7 #5/#7):
-# (a) code touched or ADDED in round 8 — the two multimodal oracle
-# queries, the streaming-dedup parity query, and the three dedup
+# (a) code touched or ADDED in round 8 — three multimodal oracle
+# queries, two streaming parity queries (dedupe + custom-stateful
+# user stats), the incremental-index dedupe, and the three dedup
 # entries whose cache-adoption internals changed; (b) all 19 queries
-# whose newest driver grade is r5; (c) 25 of the 47 r6-graded entries
+# whose newest driver grade is r5; (c) 22 of the 47 r6-graded entries
 # (the full TPC-H q2–q22 catalogue, the linkage trio, the
-# window/session/set-op relational queries). After this round no
-# query's newest driver grade is older than r6. queries() is BUILT
+# window/set-op relational queries; q_set_ops, q_events_hourly and
+# q_events_sessions yielded their slots to the round-8 additions and
+# re-grade in r9). After this round no query's newest driver grade
+# is older than r6. queries() is BUILT
 # from this list + the catalogue, with overlap asserts, so the window
 # can never silently diverge from the catalogue (a duplicate key in
 # the old dict literal would have collapsed silently).

@@ -538,18 +538,32 @@ def ivf_assign(
 
 
 def write_ivf_index(
-    corpus_with_lists: DataFrame, path: str, centroids: np.ndarray
+    corpus_with_lists: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    compact: bool = True,
 ) -> None:
     """Persist an IVF index as parquet PARTITIONED BY the list id, plus
     the centroid matrix as a sidecar parquet.
 
     The partitioned layout is what makes ``nprobe`` search a genuine
     partition-pruning scan at 100 TB: probing 4 of 256 lists reads
-    ~1.6% of the files, enforced by the source, not a filter."""
+    ~1.6% of the files, enforced by the source, not a filter.
+
+    ``compact=True`` (default) repartitions by the list id before the
+    write — ONE shuffle buys ~1 file per list instead of up to
+    ``tasks × lists`` small files (a 1M/256-list write produces 8 192
+    tiny files uncompacted; at 100 TB that small-files shape is what
+    kills the namenode and the probe-scan's open() budget). Pass
+    ``compact=False`` to keep the write shuffle-free when the input is
+    already clustered by list."""
     import pandas as pd
 
+    lists_df = corpus_with_lists
+    if compact:
+        lists_df = lists_df.repartition(F.col("__ivf_list__"))
     (
-        corpus_with_lists.write.mode("overwrite")
+        lists_df.write.mode("overwrite")
         .partitionBy("__ivf_list__")
         .parquet(f"{path}/lists")
     )
