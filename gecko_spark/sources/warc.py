@@ -1,0 +1,429 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the Common Crawl corpus
+format — as a first-class Spark data source.
+
+``spark.read.format("warc")`` turns a directory of ``.warc`` /
+``.warc.gz`` files into a DataFrame of records with the HTTP envelope
+already split off::
+
+    spark.dataSource.register(WarcDataSource)
+    df = (spark.read.format("warc")
+          .option("path", "/data/cc/segment-00/*.warc.gz")
+          .option("recordTypes", "response")
+          .load())
+    corpus = warc_to_corpus(df)   # -> (doc_id, text, meta)
+
+Why a Python DataSource and not ``binaryFile`` + a UDF: a Common Crawl
+WARC is ~1 GB gzipped; ``binaryFile`` materialises the whole file as one
+row (and tops out at 2 GB), while this reader STREAMS each file through
+a fixed-size decompression window and yields Arrow batches of records —
+task memory is bounded by ``maxPayloadBytes`` + one batch, never by file
+size.
+
+Scale shape (100 TB = one Common Crawl snapshot):
+
+* one input partition per file — a crawl segment lists tens of
+  thousands of ~1 GB files, so the natural parallelism is already far
+  wider than any executor fleet, with no shuffle anywhere;
+* gzip members are NOT split within a file: Common Crawl compresses one
+  member per record precisely so that rows are randomly accessible
+  GIVEN the companion CDX index, but a full-corpus scan reads every
+  byte anyway — per-file streaming is the optimal access pattern and
+  avoids depending on index availability;
+* ``maxPayloadBytes`` (default 8 MiB) truncates pathological payloads
+  instead of OOMing the task; truncation is surfaced in the
+  ``truncated`` column, mirroring WARC's own ``WARC-Truncated`` header
+  semantics;
+* malformed records (bad version line, unparseable headers, short
+  payload) are quarantined per record — counted, optionally kept as
+  ``warc_type='__malformed__'`` rows — a single corrupt member must
+  not kill a 1000-file task (``strict=false`` default).
+
+The format itself (public spec, ISO 28500 / WARC 1.1): each record is a
+version line ``WARC/1.0|1.1`` + CRLF header lines + CRLF CRLF + exactly
+``Content-Length`` payload bytes + CRLF CRLF. ``response`` records carry
+an HTTP/1.x message as payload; this reader splits its status line,
+headers and body (``parseHttp=true`` default).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+import os
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+__all__ = [
+    "MalformedWarcError",
+    "WarcDataSource",
+    "iter_warc_records",
+    "read_warc",
+    "warc_to_corpus",
+    "write_warc",
+]
+
+_CRLF = b"\r\n"
+_MAX_HEADER_BYTES = 64 * 1024  # sanity cap: a header block past this is corrupt
+_DEFAULT_MAX_PAYLOAD = 8 * 1024 * 1024
+
+
+class MalformedWarcError(ValueError):
+    """A record violated the WARC framing (bad version line, oversized
+    or unterminated header block, payload shorter than Content-Length).
+    Raised in ``strict`` mode; otherwise the record is quarantined."""
+
+
+def _readline_capped(fp, cap: int) -> bytes:
+    line = fp.readline(cap + 1)
+    if len(line) > cap:
+        raise MalformedWarcError(f"header line exceeds {cap} bytes")
+    return line
+
+
+def _parse_header_block(fp) -> Optional[dict]:
+    """Read one ``WARC/x.y`` version line + headers. Returns None at
+    clean EOF (including trailing blank lines between members)."""
+    line = _readline_capped(fp, _MAX_HEADER_BYTES)
+    # tolerate inter-record padding: spec says records are separated by
+    # exactly CRLF CRLF, but writers disagree; skip blank lines
+    while line in (_CRLF, b"\n"):
+        line = _readline_capped(fp, _MAX_HEADER_BYTES)
+    if not line:
+        return None
+    if not line.startswith(b"WARC/"):
+        raise MalformedWarcError(f"expected WARC version line, got {line[:40]!r}")
+    headers: dict[str, str] = {"__version__": line.strip().decode("ascii", "replace")}
+    total = len(line)
+    while True:
+        line = _readline_capped(fp, _MAX_HEADER_BYTES)
+        total += len(line)
+        if total > _MAX_HEADER_BYTES:
+            raise MalformedWarcError("header block exceeds sanity cap")
+        if line in (_CRLF, b"\n"):
+            return headers
+        if not line:
+            raise MalformedWarcError("EOF inside header block")
+        # continuation lines (obs-fold) are appended to the last field
+        if line[:1] in (b" ", b"\t") and len(headers) > 1:
+            headers[last] += " " + line.strip().decode("utf-8", "replace")  # noqa: F821
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise MalformedWarcError(f"malformed header line {line[:40]!r}")
+        last = name.strip().decode("ascii", "replace").lower()
+        headers[last] = value.strip().decode("utf-8", "replace")
+
+
+def _split_http(payload: bytes) -> tuple[Optional[int], Optional[str], bytes]:
+    """Split an HTTP/1.x message block: (status, content_type, body).
+    Returns (None, None, payload) when the payload isn't HTTP."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head, sep, body = payload.partition(b"\r\n\r\n")
+    if not sep:
+        head, sep, body = payload.partition(b"\n\n")
+        if not sep:
+            return None, None, payload
+    lines = head.split(b"\n")
+    parts = lines[0].split()
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    ctype = None
+    for ln in lines[1:]:
+        name, s, value = ln.partition(b":")
+        if s and name.strip().lower() == b"content-type":
+            ctype = value.strip().decode("utf-8", "replace")
+            break
+    return status, ctype, body
+
+
+def iter_warc_records(
+    raw,
+    *,
+    gzipped: bool = False,
+    max_payload_bytes: int = _DEFAULT_MAX_PAYLOAD,
+    strict: bool = False,
+) -> Iterator[dict]:
+    """Stream records from one WARC stream with bounded memory.
+
+    Yields one dict per record: the WARC headers (lower-cased keys),
+    plus ``payload`` (bytes, truncated at ``max_payload_bytes``),
+    ``payload_length`` (the declared Content-Length), ``truncated`` and
+    ``record_seq`` (0-based ordinal within the stream — byte offsets
+    into the COMPRESSED file require the crawl's CDX index, so this
+    reader does not pretend to provide them). ``gzipped`` handles both
+    whole-file gzip and Common Crawl's member-per-record concatenation
+    (``gzip.GzipFile`` consumes concatenated members transparently).
+    The record trailer (CRLF CRLF) is absorbed by the header parser's
+    blank-line skip rather than a fixed read, so writers that frame
+    with a single CRLF — or none at EOF — still parse. In non-strict
+    mode a framing error yields one ``{"__malformed__": <reason>}``
+    marker and stops the file (framing is byte-exact: there is no
+    resynchronisation point after a bad Content-Length)."""
+    fp = gzip.GzipFile(fileobj=raw) if gzipped else raw
+    fp = io.BufferedReader(fp, 1024 * 1024)
+    seq = 0
+    while True:
+        try:
+            headers = _parse_header_block(fp)
+            if headers is None:
+                return
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                raise MalformedWarcError("missing/invalid Content-Length")
+            keep = min(length, max_payload_bytes)
+            payload = fp.read(keep)
+            if len(payload) < keep:
+                raise MalformedWarcError("payload shorter than Content-Length")
+            remaining = length - keep
+            while remaining > 0:  # skip the truncated tail in chunks
+                skipped = len(fp.read(min(remaining, 1 << 20)))
+                if skipped == 0:
+                    raise MalformedWarcError("payload shorter than Content-Length")
+                remaining -= skipped
+        except MalformedWarcError as ex:
+            if strict:
+                raise
+            yield {"__malformed__": str(ex), "record_seq": seq}
+            return
+        headers["payload"] = payload
+        headers["payload_length"] = length
+        headers["truncated"] = length > keep
+        headers["record_seq"] = seq
+        seq += 1
+        yield headers
+
+
+_SCHEMA = (
+    "record_id string, warc_type string, target_uri string, "
+    "warc_date string, warc_content_type string, http_status int, "
+    "http_content_type string, payload binary, payload_length bigint, "
+    "truncated boolean, file string"
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc")`` — see module docstring.
+
+    Options: ``path`` (file, directory or glob; comma-separated),
+    ``recordTypes`` (comma-separated WARC-Type filter, e.g.
+    ``response,resource``; empty = all), ``parseHttp`` (default true),
+    ``maxPayloadBytes`` (default 8 MiB), ``strict`` (default false),
+    ``keepMalformed`` (default true: quarantined rows appear with
+    ``warc_type='__malformed__'`` so corruption is countable; false
+    drops them)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> "WarcReader":
+        return WarcReader(self.options)
+
+
+def _expand_paths(spec: str) -> list[str]:
+    out: list[str] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if os.path.isdir(part):
+            part = os.path.join(part, "*.warc*")
+        hits = sorted(_glob.glob(part))
+        if not hits and not os.path.isdir(part):
+            raise FileNotFoundError(f"warc source: no files match {part!r}")
+        out.extend(hits)
+    if not out:
+        raise FileNotFoundError("warc source: `path` matched no files")
+    return out
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options):
+        if "path" not in options:
+            raise ValueError("warc source requires a `path` option")
+        self.paths = _expand_paths(options["path"])
+        self.types = {
+            t.strip().lower()
+            for t in options.get("recordTypes", "").split(",")
+            if t.strip()
+        }
+        self.parse_http = options.get("parseHttp", "true").lower() == "true"
+        self.max_payload = int(options.get("maxPayloadBytes", _DEFAULT_MAX_PAYLOAD))
+        self.strict = options.get("strict", "false").lower() == "true"
+        self.keep_malformed = options.get("keepMalformed", "true").lower() == "true"
+
+    def partitions(self):
+        return [_FilePartition(p) for p in self.paths]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
+
+        path = partition.path
+        gz = path.endswith(".gz")
+        rows: list[tuple] = []
+        batch_bytes = 0
+
+        def flush():
+            nonlocal rows, batch_bytes
+            if rows:
+                yield pa.RecordBatch.from_pandas(
+                    _rows_frame(rows), preserve_index=False
+                )
+            rows, batch_bytes = [], 0
+
+        with open(path, "rb") as raw:
+            for rec in iter_warc_records(
+                raw,
+                gzipped=gz,
+                max_payload_bytes=self.max_payload,
+                strict=self.strict,
+            ):
+                if "__malformed__" in rec:
+                    # quarantine row: the reason rides in `payload` (it
+                    # IS the row's content), type marks it filterable
+                    if self.keep_malformed:
+                        rows.append(
+                            (None, "__malformed__", None, None, None, None,
+                             None, rec["__malformed__"].encode(), None, False,
+                             path)
+                        )
+                    continue
+                wtype = rec.get("warc-type", "").lower()
+                if self.types and wtype not in self.types:
+                    continue
+                payload = rec["payload"]
+                status = ctype = None
+                if self.parse_http and wtype in ("response", "revisit"):
+                    status, ctype, payload = _split_http(payload)
+                rows.append(
+                    (
+                        rec.get("warc-record-id"),
+                        wtype,
+                        rec.get("warc-target-uri"),
+                        rec.get("warc-date"),
+                        rec.get("content-type"),
+                        status,
+                        ctype,
+                        payload,
+                        rec["payload_length"],
+                        bool(rec["truncated"]),
+                        path,
+                    )
+                )
+                batch_bytes += len(payload) + 256
+                if len(rows) >= 256 or batch_bytes >= 16 * 1024 * 1024:
+                    yield from flush()
+        yield from flush()
+
+
+def _rows_frame(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "record_id", "warc_type", "target_uri", "warc_date",
+            "warc_content_type", "http_status", "http_content_type",
+            "payload", "payload_length", "truncated", "file",
+        ],
+    ).astype({"http_status": "Int32", "payload_length": "Int64"})
+
+
+def read_warc(spark, path: str, **options) -> DataFrame:
+    """Convenience wrapper: register the source (idempotent) and load."""
+    try:
+        spark.dataSource.register(WarcDataSource)
+    except Exception:  # already registered
+        pass
+    reader = spark.read.format("warc").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, str(v).lower() if isinstance(v, bool) else str(v))
+    return reader.load()
+
+
+def warc_to_corpus(df: DataFrame, *, encoding: str = "utf-8") -> DataFrame:
+    """Project WARC response rows onto the engine's enforced corpus
+    shape ``(doc_id, text, meta)`` (sources/corpus.py contract):
+    content-addressed stable ids over (uri, date), payload decoded as
+    text with replacement (charset sniffing is a content-model concern
+    — layer it on top via a mutator/text op when needed). Pure Column
+    algebra; no Python in the row path beyond the source itself."""
+    from gecko_spark.sources.corpus import stable_doc_id
+
+    return (
+        df.filter(F.col("warc_type") == "response")
+        .select(
+            stable_doc_id(F.col("target_uri"), F.col("warc_date")).alias("doc_id"),
+            F.decode(F.col("payload"), encoding).alias("text"),
+            F.to_json(
+                F.struct(
+                    F.col("target_uri").alias("uri"),
+                    F.col("warc_date").alias("date"),
+                    F.col("http_status").alias("status"),
+                    F.col("http_content_type").alias("content_type"),
+                    F.col("payload_length").alias("length"),
+                    F.col("truncated"),
+                )
+            ).alias("meta"),
+        )
+    )
+
+
+def write_warc(
+    records: list[dict], path: str, *, member_per_record: Optional[bool] = None
+) -> None:
+    """Write records to a ``.warc`` / ``.warc.gz`` file (test fixtures,
+    re-export). Each record dict: ``warc_type``, ``payload`` bytes, and
+    optional ``record_id`` / ``target_uri`` / ``warc_date`` /
+    ``content_type`` / extra headers under ``headers``. ``.gz`` paths
+    default to Common Crawl's member-per-record framing."""
+    gz = path.endswith(".gz")
+    if member_per_record is None:
+        member_per_record = gz
+
+    def frame(seq: int, rec: dict) -> bytes:
+        payload = rec["payload"]
+        headers = [
+            ("WARC-Type", rec.get("warc_type", "resource")),
+            ("WARC-Record-ID", rec.get("record_id", f"<urn:rec:{seq}>")),
+            ("WARC-Date", rec.get("warc_date", "2024-01-01T00:00:00Z")),
+        ]
+        if rec.get("target_uri"):
+            headers.append(("WARC-Target-URI", rec["target_uri"]))
+        if rec.get("content_type"):
+            headers.append(("Content-Type", rec["content_type"]))
+        headers.extend(rec.get("headers", {}).items())
+        headers.append(("Content-Length", str(len(payload))))
+        head = b"WARC/1.1\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode() for k, v in headers
+        )
+        return head + b"\r\n" + payload + b"\r\n\r\n"
+
+    if gz and member_per_record:
+        with open(path, "wb") as out:
+            for i, rec in enumerate(records):
+                out.write(gzip.compress(frame(i, rec)))
+    elif gz:
+        with gzip.open(path, "wb") as out:
+            for i, rec in enumerate(records):
+                out.write(frame(i, rec))
+    else:
+        with open(path, "wb") as out:
+            for i, rec in enumerate(records):
+                out.write(frame(i, rec))

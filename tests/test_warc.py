@@ -1,0 +1,186 @@
+"""WARC source: parser framing, Spark DataSource scan, corpus shape.
+
+The format is public (ISO 28500 / WARC 1.1); fixtures are built by the
+in-repo writer and parsed back byte-exactly — plus hand-framed bytes so
+the parser is not only tested against its own writer.
+"""
+
+import gzip
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gecko_spark.sources.warc import (
+    MalformedWarcError,
+    _split_http,
+    iter_warc_records,
+    read_warc,
+    warc_to_corpus,
+    write_warc,
+)
+
+
+def _records(n=6):
+    out = []
+    for i in range(n):
+        body = f"<html><title>page {i}</title><body>{'ab' * (10 * i)}</body></html>".encode()
+        status = b"200 OK" if i % 3 else b"404 Not Found"
+        http = (
+            b"HTTP/1.1 " + status + b"\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"Server: t\r\n\r\n" + body
+        )
+        out.append(
+            dict(
+                warc_type="response",
+                record_id=f"<urn:uuid:{i}>",
+                target_uri=f"https://example.com/p{i}",
+                warc_date="2024-05-01T12:00:00Z",
+                content_type="application/http; msgtype=response",
+                payload=http,
+            )
+        )
+    out.append(
+        dict(warc_type="warcinfo", payload=b"software: gecko\r\n",
+             content_type="application/warc-fields")
+    )
+    return out
+
+
+@pytest.mark.parametrize(
+    "name,member_per_record",
+    [("plain.warc", None), ("cc.warc.gz", True), ("whole.warc.gz", False)],
+)
+def test_roundtrip_all_framings(tmp_path, name, member_per_record):
+    """Plain, Common Crawl member-per-record gzip, and whole-file gzip
+    all parse back to the same records in order."""
+    p = str(tmp_path / name)
+    recs = _records()
+    write_warc(recs, p, member_per_record=member_per_record)
+    with open(p, "rb") as f:
+        got = list(iter_warc_records(f, gzipped=name.endswith(".gz")))
+    assert [r["record_seq"] for r in got] == list(range(len(recs)))
+    assert [r["warc-type"] for r in got] == [r["warc_type"] for r in recs]
+    for g, r in zip(got, recs):
+        assert g["payload"] == r["payload"]
+        assert not g["truncated"]
+
+
+def test_parses_foreign_framing():
+    """Hand-framed bytes (LF-only header line endings, no trailer at
+    EOF, WARC/1.0) — not produced by the in-repo writer — still parse."""
+    blob = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Target-URI: https://x/y\r\n"
+        b"Content-Length: 5\r\n"
+        b"\r\n"
+        b"hello\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 2\r\n\r\nhi"
+    )
+    got = list(iter_warc_records(io.BytesIO(blob)))
+    assert [r["payload"] for r in got] == [b"hello", b"hi"]
+    assert got[0]["warc-target-uri"] == "https://x/y"
+    assert got[0]["__version__"] == "WARC/1.0"
+
+
+def test_truncation_cap(tmp_path):
+    p = str(tmp_path / "t.warc")
+    write_warc(_records(), p)
+    with open(p, "rb") as f:
+        got = list(iter_warc_records(f, max_payload_bytes=30))
+    assert len(got) == 7  # truncation must not desync later records
+    for r in got:
+        assert len(r["payload"]) <= 30
+        assert r["truncated"] == (r["payload_length"] > 30)
+
+
+def test_malformed_quarantine_and_strict(tmp_path):
+    p = str(tmp_path / "t.warc")
+    write_warc(_records(3), p)
+    blob = open(p, "rb").read()
+    chopped = io.BytesIO(blob[:-60])  # cut into the final record
+    got = list(iter_warc_records(chopped))
+    assert "__malformed__" in got[-1]
+    assert all("__malformed__" not in r for r in got[:-1])
+    with pytest.raises(MalformedWarcError):
+        list(iter_warc_records(io.BytesIO(blob[:-60]), strict=True))
+    got = list(iter_warc_records(io.BytesIO(b"NOT A WARC\r\n")))
+    assert "__malformed__" in got[0]
+    # oversized header block trips the sanity cap instead of buffering it
+    big = b"WARC/1.1\r\nX: " + b"a" * (70 * 1024) + b"\r\n\r\n"
+    got = list(iter_warc_records(io.BytesIO(big)))
+    assert "__malformed__" in got[0]
+
+
+def test_split_http():
+    st, ct, body = _split_http(b"HTTP/1.1 301 Moved\r\nLocation: /x\r\ncontent-type: a/b\r\n\r\nBODY")
+    assert (st, ct, body) == (301, "a/b", b"BODY")
+    st, ct, body = _split_http(b"not http at all")
+    assert (st, ct) == (None, None) and body == b"not http at all"
+
+
+def test_datasource_scan(spark, tmp_path):
+    recs = _records()
+    write_warc(recs[:4], str(tmp_path / "f1.warc.gz"))
+    write_warc(recs[4:], str(tmp_path / "f2.warc"))
+    df = read_warc(spark, str(tmp_path))
+    # one input partition per file — the 100 TB parallelism unit
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 7
+    resp = read_warc(spark, str(tmp_path), recordTypes="response")
+    assert resp.count() == 6
+    row = resp.filter(F.col("target_uri") == "https://example.com/p1").first()
+    assert row.http_status == 200
+    assert row.http_content_type == "text/html; charset=utf-8"
+    assert bytes(row.payload).startswith(b"<html><title>page 1")
+    # raw mode keeps the HTTP envelope in the payload
+    raw = read_warc(spark, str(tmp_path), recordTypes="response", parseHttp=False)
+    assert bytes(raw.filter(F.col("target_uri") == "https://example.com/p1")
+                 .first().payload).startswith(b"HTTP/1.1 200")
+
+
+def test_datasource_malformed_rows(spark, tmp_path):
+    p = str(tmp_path / "bad.warc")
+    write_warc(_records(3), p)
+    blob = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(blob[:-60])
+    df = read_warc(spark, p)
+    rows = df.collect()
+    bad = [r for r in rows if r.warc_type == "__malformed__"]
+    assert len(bad) == 1 and bytes(bad[0].payload)  # reason rides in payload
+    assert len(rows) == 4  # 3 responses + 1 quarantine (warcinfo chopped)
+    assert read_warc(spark, p, keepMalformed=False).count() == 3
+
+
+def test_warc_to_corpus(spark, tmp_path):
+    write_warc(_records(), str(tmp_path / "c.warc.gz"))
+    corpus = warc_to_corpus(read_warc(spark, str(tmp_path)))
+    pdf = corpus.toPandas().sort_values("text", ignore_index=True)
+    assert list(corpus.columns) == ["doc_id", "text", "meta"]
+    assert len(pdf) == 6  # warcinfo filtered out
+    assert pdf["doc_id"].is_unique
+    assert pdf["text"].str.startswith("<html><title>page ").all()
+    # content-addressed ids: re-reading yields identical ids
+    pdf2 = (warc_to_corpus(read_warc(spark, str(tmp_path)))
+            .toPandas().sort_values("text", ignore_index=True))
+    assert pdf["doc_id"].tolist() == pdf2["doc_id"].tolist()
+
+
+def test_fixture_file_committed(spark):
+    """The committed oracle fixture parses and matches its meta parquet
+    (the same contract `corpus_warc` grades driver-side)."""
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    warc = os.path.join(fixdir, "corpus.warc.gz")
+    if not os.path.exists(warc):
+        pytest.skip("fixture not built")
+    df = read_warc(spark, warc, recordTypes="response").toPandas()
+    exp = spark.read.parquet(os.path.join(fixdir, "warc_expected.parquet")).toPandas()
+    assert len(df) == len(exp)
+    merged = df.merge(exp, left_on="target_uri", right_on="uri")
+    assert len(merged) == len(exp)
+    assert (merged["http_status"] == merged["status"]).all()
+    assert (merged["payload"].map(bytes) == merged["body"].map(bytes)).all()
