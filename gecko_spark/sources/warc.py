@@ -60,9 +60,13 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 __all__ = [
     "MalformedWarcError",
     "WarcDataSource",
+    "fetch_warc_by_index",
     "iter_warc_records",
+    "read_cdxj",
     "read_warc",
+    "surt_key",
     "warc_to_corpus",
+    "write_cdxj",
     "write_warc",
 ]
 
@@ -387,12 +391,18 @@ def warc_to_corpus(df: DataFrame, *, encoding: str = "utf-8") -> DataFrame:
 
 def write_warc(
     records: list[dict], path: str, *, member_per_record: Optional[bool] = None
-) -> None:
+) -> list[tuple[int, int]]:
     """Write records to a ``.warc`` / ``.warc.gz`` file (test fixtures,
     re-export). Each record dict: ``warc_type``, ``payload`` bytes, and
     optional ``record_id`` / ``target_uri`` / ``warc_date`` /
     ``content_type`` / extra headers under ``headers``. ``.gz`` paths
-    default to Common Crawl's member-per-record framing."""
+    default to Common Crawl's member-per-record framing.
+
+    Returns per-record ``(offset, length)`` byte spans in the written
+    file — under member-per-record framing these are exactly the CDX
+    index's compressed-member coordinates (each span is one complete
+    gzip member), feeding :func:`write_cdxj`. For the other framings
+    the spans cover the UNCOMPRESSED frame and are informational."""
     gz = path.endswith(".gz")
     if member_per_record is None:
         member_per_record = gz
@@ -415,15 +425,196 @@ def write_warc(
         )
         return head + b"\r\n" + payload + b"\r\n\r\n"
 
+    spans: list[tuple[int, int]] = []
     if gz and member_per_record:
         with open(path, "wb") as out:
             for i, rec in enumerate(records):
-                out.write(gzip.compress(frame(i, rec)))
+                member = gzip.compress(frame(i, rec))
+                spans.append((out.tell(), len(member)))
+                out.write(member)
     elif gz:
         with gzip.open(path, "wb") as out:
             for i, rec in enumerate(records):
-                out.write(frame(i, rec))
+                blob = frame(i, rec)
+                spans.append((out.tell(), len(blob)))
+                out.write(blob)
     else:
         with open(path, "wb") as out:
             for i, rec in enumerate(records):
-                out.write(frame(i, rec))
+                blob = frame(i, rec)
+                spans.append((out.tell(), len(blob)))
+                out.write(blob)
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# CDX index layer: selective (random-access) reads of a crawl.
+#
+# A full-corpus scan (WarcDataSource above) reads every byte; but the
+# other production access pattern — "fetch THESE 10^6 of the crawl's
+# 10^10 records" — must not. Common Crawl ships a CDXJ index per crawl:
+# one line per record, `<SURT key> <14-digit timestamp> {json}`, where
+# the json carries the record's (filename, offset, length) compressed-
+# member coordinates. Because the member-per-record gzip framing makes
+# every record an independently decompressible byte span, an indexed
+# fetch is: join your keys against the index (columnar, pushdown-
+# friendly), then ranged reads of exactly the members you need —
+# at 100 TB the difference between reading 100 TB and reading ~0.01%.
+# ---------------------------------------------------------------------------
+
+
+def surt_key(url: str) -> str:
+    """Minimal SURT (Sort-friendly URI Reordering Transform) key, the
+    CDX line's primary sort key: scheme stripped, host lowercased and
+    dot-reversed, default ports dropped — `com,example)/path`. Enough
+    to build and join self-consistent indexes; byte-compatibility with
+    every edge of a third-party generator's canonicalisation (www-
+    stripping policy, session-param removal) is NOT promised — join on
+    `url` when mixing index producers."""
+    rest = url.split("://", 1)[-1]
+    host, slash, path = rest.partition("/")
+    host = host.rsplit("@", 1)[-1].lower()
+    for p in (":80", ":443"):
+        if host.endswith(p):
+            host = host[: -len(p)]
+    return ",".join(reversed(host.split("."))) + ")/" + path.lower()
+
+
+def write_cdxj(entries: list[dict], path: str) -> None:
+    """Write a CDXJ index file (plain or ``.gz``). Each entry:
+    ``url``, ``filename``, ``offset``, ``length`` (ints — the spans
+    :func:`write_warc` returns), optional ``timestamp`` (14-digit),
+    ``status``, ``mime``, ``digest``. Lines are emitted in SURT-key
+    order, the format's sort contract."""
+    import json as _json
+
+    lines = []
+    for e in entries:
+        key = surt_key(e["url"])
+        ts = str(e.get("timestamp", "20240101000000"))
+        body = {"url": e["url"], "filename": e["filename"],
+                "offset": str(int(e["offset"])), "length": str(int(e["length"]))}
+        for k in ("status", "mime", "digest"):
+            if e.get(k) is not None:
+                body[k] = str(e[k])
+        lines.append(f"{key} {ts} {_json.dumps(body, sort_keys=True)}\n")
+    lines.sort()
+    data = "".join(lines).encode()
+    if path.endswith(".gz"):
+        with gzip.open(path, "wb") as out:
+            out.write(data)
+    else:
+        with open(path, "wb") as out:
+            out.write(data)
+
+
+def read_cdxj(spark, path: str) -> DataFrame:
+    """Load a CDXJ index as a DataFrame: ``surt_key, timestamp, url,
+    filename, offset, length, status, mime, digest``. Pure Column
+    parsing over ``spark.read.text`` (which handles ``.gz`` and globs
+    natively) — the index scan itself is distributed and prunable."""
+    from pyspark.sql import types as T
+
+    meta = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("filename", T.StringType()),
+            T.StructField("offset", T.StringType()),
+            T.StructField("length", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+    lines = spark.read.text(path)
+    j = F.from_json(F.expr("substring(value, instr(value, '{'))"), meta)
+    return lines.select(
+        F.split(F.col("value"), " ", 3).getItem(0).alias("surt_key"),
+        F.split(F.col("value"), " ", 3).getItem(1).alias("timestamp"),
+        j.url.alias("url"),
+        j.filename.alias("filename"),
+        j.offset.cast("bigint").alias("offset"),
+        j.length.cast("bigint").alias("length"),
+        j.status.cast("int").alias("status"),
+        j.mime.alias("mime"),
+        j.digest.alias("digest"),
+    )
+
+
+def fetch_warc_by_index(
+    index: DataFrame,
+    warc_dir: str,
+    *,
+    parse_http: bool = True,
+    max_payload_bytes: int = _DEFAULT_MAX_PAYLOAD,
+) -> DataFrame:
+    """Fetch exactly the records an index selection names: ranged reads
+    of individual gzip members, never a full-file scan.
+
+    ``index`` needs ``filename``, ``offset``, ``length`` columns (a
+    filtered :func:`read_cdxj` result); ``warc_dir`` roots the relative
+    filenames. The fetch is ``mapInPandas`` repartitioned by filename,
+    sorted by offset within each task — sequential-ish I/O per file,
+    one open handle at a time, memory bounded by one member. On an
+    object store the same seek+read maps to a ranged GET; a member
+    that fails to decompress/parse yields a quarantine row
+    (``warc_type='__malformed__'``, reason in ``payload``) instead of
+    failing the task."""
+    sel = index.select("filename", "offset", "length").repartition(
+        F.col("filename")
+    )
+
+    def fetch(batches):
+        import pandas as pd  # noqa: F401
+
+        for pdf in batches:
+            pdf = pdf.sort_values(["filename", "offset"])
+            rows = []
+            cur_name, cur_fp = None, None
+            try:
+                for fname, off, length in pdf.itertuples(index=False):
+                    path = os.path.join(warc_dir, fname)
+                    if fname != cur_name:
+                        if cur_fp is not None:
+                            cur_fp.close()
+                        cur_name, cur_fp = fname, open(path, "rb")
+                    cur_fp.seek(int(off))
+                    member = cur_fp.read(int(length))
+                    try:
+                        recs = list(
+                            iter_warc_records(
+                                io.BytesIO(member),
+                                gzipped=member[:2] == b"\x1f\x8b",
+                                max_payload_bytes=max_payload_bytes,
+                                strict=True,
+                            )
+                        )
+                        if len(recs) != 1:
+                            raise MalformedWarcError(
+                                f"span holds {len(recs)} records, expected 1"
+                            )
+                        rec = recs[0]
+                    except (MalformedWarcError, OSError) as ex:
+                        rows.append(
+                            (None, "__malformed__", None, None, None, None,
+                             None, str(ex).encode(), None, False, path)
+                        )
+                        continue
+                    wtype = rec.get("warc-type", "").lower()
+                    payload = rec["payload"]
+                    status = ctype = None
+                    if parse_http and wtype in ("response", "revisit"):
+                        status, ctype, payload = _split_http(payload)
+                    rows.append(
+                        (rec.get("warc-record-id"), wtype,
+                         rec.get("warc-target-uri"), rec.get("warc-date"),
+                         rec.get("content-type"), status, ctype, payload,
+                         rec["payload_length"], bool(rec["truncated"]), path)
+                    )
+            finally:
+                if cur_fp is not None:
+                    cur_fp.close()
+            if rows:
+                yield _rows_frame(rows)
+
+    return sel.mapInPandas(fetch, schema=_SCHEMA)

@@ -184,3 +184,100 @@ def test_fixture_file_committed(spark):
     assert len(merged) == len(exp)
     assert (merged["http_status"] == merged["status"]).all()
     assert (merged["payload"].map(bytes) == merged["body"].map(bytes)).all()
+
+
+# --- CDX index layer: selective reads ---------------------------------------
+
+from gecko_spark.sources.warc import (  # noqa: E402
+    fetch_warc_by_index,
+    read_cdxj,
+    surt_key,
+    write_cdxj,
+)
+
+
+def test_surt_key():
+    assert surt_key("https://www.Example.com:443/Path/X?q=1") == "com,example,www)/path/x?q=1"
+    assert surt_key("http://a.b.c:80/") == "c,b,a)/"
+    assert surt_key("https://user@host.org") == "org,host)/"
+
+
+def _indexed_crawl(tmp_path, files=3, per_file=6):
+    entries = []
+    for fno in range(files):
+        recs = []
+        for i in range(per_file):
+            rid = fno * per_file + i
+            body = f"<html>doc {rid}</html>".encode()
+            http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            recs.append(
+                dict(warc_type="response", record_id=f"<urn:uuid:{rid}>",
+                     target_uri=f"https://ex.com/d{rid:02d}",
+                     warc_date="2024-05-01T12:00:00Z",
+                     content_type="application/http; msgtype=response",
+                     payload=http)
+            )
+        fname = f"part-{fno}.warc.gz"
+        spans = write_warc(recs, str(tmp_path / fname))
+        for rec, (off, ln) in zip(recs, spans):
+            entries.append(dict(url=rec["target_uri"], filename=fname,
+                                offset=off, length=ln, status=200,
+                                mime="text/html", timestamp="20240501120000"))
+    write_cdxj(entries, str(tmp_path / "index.cdxj.gz"))
+    return entries
+
+
+def test_write_warc_spans_are_standalone_members(tmp_path):
+    """Each (offset, length) span from member-per-record framing is one
+    complete gzip member: seek+read+parse yields exactly that record."""
+    entries = _indexed_crawl(tmp_path, files=1)
+    with open(tmp_path / "part-0.warc.gz", "rb") as f:
+        for e in entries:
+            f.seek(e["offset"])
+            member = f.read(e["length"])
+            got = list(iter_warc_records(io.BytesIO(member), gzipped=True,
+                                         strict=True))
+            assert len(got) == 1
+            assert got[0]["warc-target-uri"] == e["url"]
+
+
+def test_cdxj_roundtrip(spark, tmp_path):
+    entries = _indexed_crawl(tmp_path)
+    idx = read_cdxj(spark, str(tmp_path / "index.cdxj.gz"))
+    pdf = idx.toPandas().sort_values("url", ignore_index=True)
+    assert len(pdf) == len(entries)
+    assert pdf["surt_key"].is_monotonic_increasing  # SURT sort contract
+    exp = sorted(entries, key=lambda e: e["url"])
+    assert pdf["offset"].tolist() == [e["offset"] for e in exp]
+    assert pdf["length"].tolist() == [e["length"] for e in exp]
+    assert (pdf["status"] == 200).all()
+
+
+def test_indexed_fetch_matches_full_scan(spark, tmp_path):
+    _indexed_crawl(tmp_path)
+    idx = read_cdxj(spark, str(tmp_path / "index.cdxj.gz"))
+    want = ["https://ex.com/d03", "https://ex.com/d07", "https://ex.com/d12",
+            "https://ex.com/d17"]
+    fetched = (fetch_warc_by_index(idx.filter(F.col("url").isin(want)),
+                                   str(tmp_path))
+               .toPandas().sort_values("target_uri", ignore_index=True))
+    scanned = (read_warc(spark, str(tmp_path / "*.warc.gz"),
+                         recordTypes="response")
+               .filter(F.col("target_uri").isin(want))
+               .toPandas().sort_values("target_uri", ignore_index=True))
+    assert fetched["target_uri"].tolist() == sorted(want)
+    assert scanned["target_uri"].tolist() == fetched["target_uri"].tolist()
+    for a, b in zip(fetched["payload"], scanned["payload"]):
+        assert bytes(a) == bytes(b)
+    assert (fetched["http_status"] == scanned["http_status"]).all()
+
+
+def test_indexed_fetch_quarantines_bad_span(spark, tmp_path):
+    _indexed_crawl(tmp_path, files=1)
+    bad = spark.createDataFrame(
+        [("part-0.warc.gz", 3, 50), ("part-0.warc.gz", 0, 207)],
+        "filename string, offset long, length long",
+    )
+    rows = fetch_warc_by_index(bad, str(tmp_path)).collect()
+    kinds = sorted(r.warc_type for r in rows)
+    assert kinds == ["__malformed__", "response"]
