@@ -139,3 +139,14 @@ def test_linkage_eval_example_end_to_end(tmp_path):
 
     accs = [float(m) for m in re.findall(r"pid accuracy (\d\.\d+)", out)]
     assert len(accs) == 3 and all(a > 0.98 for a in accs), out
+
+
+def test_warc_ingest_example_end_to_end(tmp_path):
+    out_dir, stdout = _run_example("warc_ingest.py", tmp_path)
+    assert "20 mirrors dropped" in stdout
+    assert "indexed fetch: 100 records" in stdout
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{out_dir}/corpus.parquet")
+    assert t.num_rows == 180
+    assert {"doc_id", "text", "meta"} <= set(t.column_names)
