@@ -4879,6 +4879,32 @@ def _corpus_warc(spark, sf):
     )
 
 
+def _text_main_content(spark, sf):
+    """Main-content extraction (C4/jusText-style boilerplate-block
+    removal, `text.extract_main_content`) over the construction-checked
+    HTML fixture: each page's expected extraction is decided by the
+    PLANTED block fates (length/link-density/heading-promotion), written
+    into the fixture parquet independently of the kernel
+    (tools/make_html_fixture.py) — the oracle replays the expectation,
+    Spark runs the real Arrow-batched parser kernel."""
+    from gecko_spark.operators.text import extract_main_content
+
+    df = spark.read.parquet(os.path.join(_FIXDIR, "html_pages.parquet"))
+    main = extract_main_content(F.col("html"))
+    return df.select(
+        F.col("page_id"),
+        F.length(main).cast("bigint").alias("main_len"),
+        F.md5(F.encode(main, "utf-8")).alias("main_md5"),
+    )
+
+
+_TEXT_MAIN_CONTENT_SQL = f"""
+SELECT page_id, length(expected_main) AS main_len,
+       md5(expected_main) AS main_md5
+FROM read_parquet('{_FIXDIR}/html_pages.parquet')
+"""
+
+
 _CORPUS_WARC_SQL = f"""
 -- DuckDB md5 is VARCHAR-only and CAST(blob AS VARCHAR) emits the
 -- ESCAPED blob literal (quotes/non-ASCII become \\x..); decode() is the
@@ -4974,6 +5000,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("stream_dedupe_parity", _stream_dedupe_parity),
     ("stream_user_stats_parity", _stream_user_stats_parity),
     ("corpus_warc", _corpus_warc),
+    ("text_main_content", _text_main_content),
     # generators
     ("gen_function", _gen_function),
     ("gen_uniform", _gen_uniform),
@@ -5129,6 +5156,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedupe_parity": _STREAM_DEDUPE_PARITY_SQL,
         "stream_user_stats_parity": _STREAM_USER_STATS_PARITY_SQL,
         "corpus_warc": _CORPUS_WARC_SQL,
+        "text_main_content": _TEXT_MAIN_CONTENT_SQL,
         "q_linkage_blocked": _Q_LINKAGE_BLOCKED_SQL,
         "q_linkage_snm": _Q_LINKAGE_SNM_SQL,
         "q_linkage_jw": _Q_LINKAGE_JW_SQL,

@@ -892,6 +892,125 @@ def strip_html(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Main-content extraction (boilerplate-block removal)
+# ---------------------------------------------------------------------------
+
+# block-level elements: encountering one of these starts a new text
+# block (the unit link-density/length scoring operates on)
+_BLOCK_TAGS = frozenset(
+    "p div section article li ul ol dl dd dt h1 h2 h3 h4 h5 h6 td th tr "
+    "table thead tbody header footer nav aside main blockquote pre form "
+    "figure figcaption br hr body title".split()
+)
+_SKIP_CONTENT_TAGS = frozenset(("script", "style", "noscript", "template"))
+_HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+
+def _segment_blocks(html: str) -> list:
+    """Parse HTML into text blocks with per-block link-char counts,
+    via the stdlib tolerant parser. Returns [(tag, text, link_chars)]."""
+    from html.parser import HTMLParser
+
+    blocks: list = []
+
+    class _P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.texts: list = []
+            self.link = 0
+            self.tag = "body"
+            self.skip = 0
+            self.a = 0
+
+        def _flush(self, next_tag):
+            text = " ".join("".join(self.texts).split())
+            if text:
+                blocks.append((self.tag, text, self.link))
+            self.texts, self.link, self.tag = [], 0, next_tag
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP_CONTENT_TAGS:
+                self.skip += 1
+            elif tag in _BLOCK_TAGS:
+                self._flush(tag)
+            elif tag == "a":
+                self.a += 1
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP_CONTENT_TAGS:
+                self.skip = max(0, self.skip - 1)
+            elif tag in _BLOCK_TAGS:
+                self._flush(self.tag)
+            elif tag == "a":
+                self.a = max(0, self.a - 1)
+
+        def handle_data(self, data):
+            if self.skip:
+                return
+            self.texts.append(data)
+            if self.a:
+                self.link += len(data)
+
+    p = _P()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # tolerate pathological markup; keep whatever was segmented
+    p._flush("body")
+    return blocks
+
+
+def _extract_main_py(
+    html: str, min_block_chars: int, max_link_density: float
+) -> str:
+    blocks = _segment_blocks(html)
+    good = [
+        len(text) >= min_block_chars
+        and link <= max_link_density * len(text)
+        for _, text, link in blocks
+    ]
+    # heading promotion (jusText's near-good rule, simplified): a short
+    # heading survives when the block right after it is good — section
+    # titles belong to their section's content
+    kept = []
+    for i, (tag, text, _link) in enumerate(blocks):
+        if good[i] or (
+            tag in _HEADING_TAGS and i + 1 < len(blocks) and good[i + 1]
+        ):
+            kept.append(text)
+    return "\n".join(kept)
+
+
+def extract_main_content(
+    text: Column,
+    min_block_chars: int = 40,
+    max_link_density: float = 0.35,
+) -> Column:
+    """Main-content extraction for web pages: segment the HTML into
+    block-level text blocks (stdlib tolerant parser), score each by
+    length and link density, and keep the content blocks — the
+    C4/jusText-style boilerplate removal step that
+    :func:`strip_html` (which keeps EVERY visible character) is not.
+    Navigation menus and footers are link-dense or short, so they fall
+    to the two thresholds; headings survive when the block after them
+    does (section titles belong to their section).
+
+    Deterministic per row (fixture-oracle-checkable), Arrow-batched
+    pandas_udf — the parse is genuinely imperative, so this is the
+    documented slow path next to ``strip_html``'s pure-Column fast
+    path; there is no shuffle and no driver traffic, so at 100 TB it
+    scales exactly as wide as the scan. Returns '' for null input."""
+    mbc, mld = int(min_block_chars), float(max_link_density)
+
+    @F.pandas_udf(T.StringType())
+    def _extract(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(lambda h: _extract_main_py(h, mbc, mld))
+
+    return _extract(text)
+
+
+# ---------------------------------------------------------------------------
 # URL normalization
 # ---------------------------------------------------------------------------
 

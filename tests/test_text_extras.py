@@ -765,3 +765,88 @@ class TestShuffleRanked:
         )
         with pytest.raises(ValueError, match="buckets"):
             shuffle_ranked(df, "k", LcgRandom("k", 9), buckets=0)
+
+
+# --- main-content extraction (boilerplate-block removal) --------------------
+
+from gecko_spark.operators.text import (  # noqa: E402
+    _extract_main_py,
+    extract_main_content,
+)
+
+
+_PAGE = """
+<html><head><title>My Site</title><style>p{color:red}</style>
+<script>var x = "not content";</script></head><body>
+<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li>
+<li><a href="/contact">Contact us right here</a></li></ul></nav>
+<article>
+<h2>The actual story</h2>
+<p>This is the first real paragraph of the article body, long enough to
+pass the minimum block length threshold with no links inside it.</p>
+<p>A second paragraph with <a href="/r">one link</a> but mostly plain
+prose that keeps the overall link density comfortably low.</p>
+</article>
+<aside><a href="/ad1">Sponsored</a> <a href="/ad2">More ads</a></aside>
+<footer>(c) 2024 Site. <a href="/privacy">Privacy</a></footer>
+</body></html>
+"""
+
+
+def test_extract_main_kernel_keeps_content_drops_boilerplate():
+    out = _extract_main_py(_PAGE, 40, 0.35)
+    assert "first real paragraph" in out and "second paragraph" in out
+    assert "The actual story" in out  # heading promoted by next-good block
+    for boiler in ("Home", "About", "Sponsored", "Privacy", "My Site",
+                   "color:red", "not content"):
+        assert boiler not in out
+    # blocks arrive in document order, newline-joined
+    assert out.index("actual story") < out.index("first real")
+
+
+def test_extract_main_kernel_edges():
+    assert _extract_main_py("", 40, 0.35) == ""
+    assert _extract_main_py("<<<>>>&&& <p", 40, 0.35) == ""
+    plain = ("word " * 30).strip()
+    assert _extract_main_py(plain, 40, 0.35) == plain
+    # all-link page -> nothing survives the density gate
+    links = "<p>" + " ".join(f'<a href="/{i}">some linked text {i}</a>'
+                             for i in range(20)) + "</p>"
+    assert _extract_main_py(links, 40, 0.35) == ""
+    # heading with NO following good block is dropped (no promotion)
+    assert _extract_main_py("<h1>Lonely heading</h1><p>tiny</p>", 40, 0.35) == ""
+
+
+def test_extract_main_thresholds():
+    page = "<p>short but real text</p>"
+    assert _extract_main_py(page, 40, 0.35) == ""          # under min length
+    assert _extract_main_py(page, 10, 0.35) != ""          # relaxed keeps it
+    linky = '<p>half of this block is <a href="/x">a pretty long link text here</a></p>'
+    assert _extract_main_py(linky, 10, 0.35) == ""         # density gate
+    assert _extract_main_py(linky, 10, 0.9) != ""          # relaxed keeps it
+
+
+def test_extract_main_content_column(spark):
+    df = spark.createDataFrame(
+        [(1, _PAGE), (2, None), (3, "<p>" + "plain body text " * 10 + "</p>")],
+        "id int, html string",
+    )
+    pdf = (df.select("id", extract_main_content(F.col("html")).alias("main"))
+           .toPandas().set_index("id"))
+    assert "first real paragraph" in pdf.loc[1, "main"]
+    assert pdf.loc[2, "main"] == ""          # null -> ''
+    assert pdf.loc[3, "main"].startswith("plain body text")
+    plan = df.select(extract_main_content(F.col("html")))._jdf.queryExecution() \
+             .executedPlan().toString()
+    assert "ArrowEvalPython" in plan         # Arrow-batched, not row-by-row
+
+
+def test_extract_main_fixture_parity(spark):
+    """The committed fixture's planted expectations reproduce exactly —
+    the same contract `text_main_content` grades driver-side."""
+    import os as _os
+    fix = _os.path.join(_os.path.dirname(__file__), "fixtures",
+                        "html_pages.parquet")
+    pdf = spark.read.parquet(fix).toPandas()
+    got = pdf["html"].map(lambda h: _extract_main_py(h, 40, 0.35))
+    assert (got == pdf["expected_main"]).all()
