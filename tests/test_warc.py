@@ -281,3 +281,60 @@ def test_indexed_fetch_quarantines_bad_span(spark, tmp_path):
     rows = fetch_warc_by_index(bad, str(tmp_path)).collect()
     kinds = sorted(r.warc_type for r in rows)
     assert kinds == ["__malformed__", "response"]
+
+
+# --- streaming ingestion ----------------------------------------------------
+
+from gecko_spark.sources.warc import read_warc_stream  # noqa: E402
+
+
+def _mk_segment(land, fno, n=4):
+    recs = [
+        dict(warc_type="response", target_uri=f"https://s.com/{fno:02d}-{i}",
+             record_id=f"<urn:{fno}-{i}>", warc_date="2024-06-01T00:00:00Z",
+             content_type="application/http; msgtype=response",
+             payload=b"HTTP/1.1 200 OK\r\n\r\n"
+             + f"<p>doc {fno}-{i}</p>".encode())
+        for i in range(n)
+    ]
+    write_warc(recs, os.path.join(land, f"seg-{fno}.warc.gz"))
+
+
+def test_stream_ingests_only_new_files(spark, tmp_path):
+    """Micro-batches over a landing directory: each run processes
+    exactly the files that arrived since the committed offset."""
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land)
+    captured = []
+
+    def run_once():
+        q = (read_warc_stream(spark, land, recordTypes="response")
+             .writeStream.foreachBatch(
+                 lambda df, bid: captured.append(
+                     sorted(r.target_uri for r in df.collect())))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    _mk_segment(land, 0)
+    _mk_segment(land, 1)
+    run_once()
+    assert len(captured) == 1 and len(captured[0]) == 8
+
+    _mk_segment(land, 2)
+    run_once()  # same checkpoint: only seg-2 arrives
+    assert captured[-1] == [f"https://s.com/02-{i}" for i in range(4)]
+
+    run_once()  # nothing new: no rows delivered
+    assert sum(len(c) for c in captured) == 12
+
+
+def test_stream_schema_matches_batch(spark, tmp_path):
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    _mk_segment(land, 0)
+    stream_df = read_warc_stream(spark, land)
+    batch_df = read_warc(spark, land)
+    assert stream_df.schema == batch_df.schema
+    assert stream_df.isStreaming
