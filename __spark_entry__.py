@@ -4853,6 +4853,59 @@ FROM events GROUP BY user_id
 """
 
 
+def _stream_warc_parity(spark, sf):
+    """Streaming-WARC batch parity (round 8): the committed fixture
+    crawl ingested through the REAL streaming path — the custom
+    DataSourceStreamReader (`sources/warc.py::WarcStreamReader`,
+    offset-tracked file set, one partition per newly arrived segment,
+    executor-side record parse) via readStream + availableNow — must
+    yield byte-for-byte the same projection as the batch scan, graded
+    against the same expected-meta oracle as `corpus_warc`."""
+    import shutil
+    import uuid
+
+    from gecko_spark.sources.warc import read_warc_stream
+
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scratch",
+        f"warc_stream_{run_id}",
+    )
+    land = os.path.join(base, "land")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(land, exist_ok=True)
+    shutil.copy(
+        os.path.join(_FIXDIR, "corpus.warc.gz"),
+        os.path.join(land, "seg-0.warc.gz"),
+    )
+    sink = f"stream_warc_parity_{run_id}"
+    try:
+        stream = read_warc_stream(spark, land, recordTypes="response")
+        q = (
+            stream.select(
+                F.col("target_uri").alias("uri"),
+                F.col("http_status").alias("status"),
+                F.col("http_content_type").alias("content_type"),
+                F.length(F.col("payload")).cast("bigint").alias("length"),
+                F.md5(F.col("payload")).alias("body_md5"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(sink).toPandas()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "uri string, status int, content_type string, "
+        "length bigint, body_md5 string",
+    )
+
+
 def _corpus_warc(spark, sf):
     """WARC (Common Crawl format) ingestion through the real Python
     DataSource scan: the committed ``corpus.warc.gz`` fixture (CC
@@ -5000,6 +5053,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("stream_dedupe_parity", _stream_dedupe_parity),
     ("stream_user_stats_parity", _stream_user_stats_parity),
     ("corpus_warc", _corpus_warc),
+    ("stream_warc_parity", _stream_warc_parity),
     ("text_main_content", _text_main_content),
     # generators
     ("gen_function", _gen_function),
@@ -5156,6 +5210,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedupe_parity": _STREAM_DEDUPE_PARITY_SQL,
         "stream_user_stats_parity": _STREAM_USER_STATS_PARITY_SQL,
         "corpus_warc": _CORPUS_WARC_SQL,
+        "stream_warc_parity": _CORPUS_WARC_SQL,
         "text_main_content": _TEXT_MAIN_CONTENT_SQL,
         "q_linkage_blocked": _Q_LINKAGE_BLOCKED_SQL,
         "q_linkage_snm": _Q_LINKAGE_SNM_SQL,

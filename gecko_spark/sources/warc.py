@@ -260,18 +260,22 @@ def _expand_paths(spec: str) -> list[str]:
 
 class WarcReader(DataSourceReader):
     def __init__(self, options):
+        # normalize to lowercase keys: the live options object is
+        # case-insensitive, but a dict-splatted copy of it (the
+        # streaming reader does this to override `path`) is not
+        options = {str(k).lower(): v for k, v in dict(options).items()}
         if "path" not in options:
             raise ValueError("warc source requires a `path` option")
         self.paths = _expand_paths(options["path"])
         self.types = {
             t.strip().lower()
-            for t in options.get("recordTypes", "").split(",")
+            for t in options.get("recordtypes", "").split(",")
             if t.strip()
         }
-        self.parse_http = options.get("parseHttp", "true").lower() == "true"
-        self.max_payload = int(options.get("maxPayloadBytes", _DEFAULT_MAX_PAYLOAD))
+        self.parse_http = options.get("parsehttp", "true").lower() == "true"
+        self.max_payload = int(options.get("maxpayloadbytes", _DEFAULT_MAX_PAYLOAD))
         self.strict = options.get("strict", "false").lower() == "true"
-        self.keep_malformed = options.get("keepMalformed", "true").lower() == "true"
+        self.keep_malformed = options.get("keepmalformed", "true").lower() == "true"
 
     def partitions(self):
         return [_FilePartition(p) for p in self.paths]

@@ -297,6 +297,11 @@ def _mk_segment(land, fno, n=4):
              + f"<p>doc {fno}-{i}</p>".encode())
         for i in range(n)
     ]
+    # a request record per segment: the recordTypes filter must drop it
+    # in the STREAMING path too (regression: a dict-splatted copy of
+    # the case-insensitive options once lowercased `recordTypes` away)
+    recs.append(dict(warc_type="request", target_uri=f"https://s.com/{fno:02d}-0",
+                     payload=b"GET / HTTP/1.1\r\n\r\n"))
     write_warc(recs, os.path.join(land, f"seg-{fno}.warc.gz"))
 
 
