@@ -4974,15 +4974,17 @@ FROM read_parquet('{_FIXDIR}/warc_expected.parquet')
 # additions, r06 the r02-stale mutators + relational refresh, r07 the
 # round-7-touched code + r04-stale re-grades. Round 8 (VERDICT r7 #5/#7):
 # (a) code touched or ADDED in round 8 — three multimodal oracle
-# queries, two streaming parity queries (dedupe + custom-stateful
-# user stats), the incremental-index dedupe, and the three dedup
-# entries whose cache-adoption internals changed; (b) all 19 queries
-# whose newest driver grade is r5; (c) 22 of the 47 r6-graded entries
-# (the full TPC-H q2–q22 catalogue, the linkage trio, the
-# window/set-op relational queries; q_set_ops, q_events_hourly and
-# q_events_sessions yielded their slots to the round-8 additions and
-# re-grade in r9). After this round no query's newest driver grade
-# is older than r6. queries() is BUILT
+# queries, three streaming parity queries (dedupe, custom-stateful
+# user stats, streaming WARC ingestion), the WARC scan and
+# main-content-extraction entries, the incremental-index dedupe, and
+# the three dedup entries whose cache-adoption internals changed;
+# (b) all 19 queries whose newest driver grade is r5; (c) 19 of the
+# 47 r6-graded entries (TPC-H catalogue, the linkage trio,
+# q_window_topk_orders; q_set_ops, q_events_hourly, q_events_sessions,
+# q16_supplier_cnt, q20_qty_threshold and q22_global_sales_opportunity
+# yielded their slots to the round-8 additions and re-grade in r9).
+# After this round no query's newest driver grade is older than r6.
+# queries() is BUILT
 # from this list + the catalogue, with overlap asserts, so the window
 # can never silently diverge from the catalogue (a duplicate key in
 # the old dict literal would have collapsed silently).
@@ -4993,6 +4995,9 @@ WINDOW_50 = [
     "mm_video_frames",
     "stream_dedupe_parity",
     "stream_user_stats_parity",
+    "corpus_warc",
+    "stream_warc_parity",
+    "text_main_content",
     "dedup_incremental_index",
     "dedup_simhash_pairs",
     "dedup_transitive",
@@ -5029,13 +5034,10 @@ WINDOW_50 = [
     "q13_order_histogram",
     "q14_promo_share",
     "q15_top_supplier",
-    "q16_supplier_cnt",
     "q17_small_qty_revenue",
     "q18_large_volume",
     "q19_branch_revenue",
-    "q20_qty_threshold",
     "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
     "q_linkage_blocked",
     "q_linkage_snm",
     "q_linkage_fs",
