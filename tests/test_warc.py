@@ -343,3 +343,45 @@ def test_stream_schema_matches_batch(spark, tmp_path):
     batch_df = read_warc(spark, land)
     assert stream_df.schema == batch_df.schema
     assert stream_df.isStreaming
+
+
+# --- property fuzz + plan shape ---------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=400), min_size=1,
+                      max_size=8),
+    member_gz=st.booleans(),
+)
+def test_fuzz_roundtrip_arbitrary_payloads(tmp_path_factory, payloads,
+                                           member_gz):
+    """ANY byte payload round-trips through write->parse, in order,
+    under both framings — the Content-Length framing must be binary-safe
+    (payloads containing CRLF CRLF, fake 'WARC/1.1' headers, NULs...)."""
+    d = tmp_path_factory.mktemp("fuzz")
+    p = str(d / ("f.warc.gz" if member_gz else "f.warc"))
+    recs = [dict(warc_type="resource", target_uri=f"urn:x:{i}", payload=b)
+            for i, b in enumerate(payloads)]
+    write_warc(recs, p, member_per_record=member_gz or None)
+    with open(p, "rb") as f:
+        got = list(iter_warc_records(f, gzipped=member_gz, strict=True))
+    assert [r["payload"] for r in got] == payloads
+    assert [r["warc-target-uri"] for r in got] == [f"urn:x:{i}"
+                                                  for i in range(len(payloads))]
+
+
+def test_plan_shapes(spark, tmp_path):
+    """Scan: no Exchange anywhere (pure per-file source). Indexed fetch:
+    exactly the one repartition-by-filename exchange."""
+    _indexed_crawl(tmp_path, files=2)
+    scan = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    p = scan._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    idx = read_cdxj(spark, str(tmp_path / "index.cdxj.gz"))
+    fetch = fetch_warc_by_index(idx, str(tmp_path))
+    p = fetch._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, p
