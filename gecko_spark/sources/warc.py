@@ -702,7 +702,15 @@ def read_warc_stream(spark, path: str, **options) -> DataFrame:
     directory — each micro-batch reads exactly the newly arrived files
     (one partition per file), then flows into the engine's streaming
     operators (``streaming/stream.py``) or a ``foreachBatch`` sink.
-    Same options as :func:`read_warc`."""
+    Same options as :func:`read_warc`.
+
+    Caveat: ``Trigger.AvailableNow`` falls back to single-batch
+    execution for Python stream sources (Spark logs the warning; the
+    DataSource API exposes no SupportsTriggerAvailableNow hook) — all
+    currently-listed files land in ONE batch instead of rate-limited
+    batches. Correctness is unaffected: offsets still commit, and a
+    restarted query reads only files that arrived since. Use the
+    default processing-time trigger for incremental batch sizing."""
     try:
         spark.dataSource.register(WarcDataSource)
     except Exception:
