@@ -4122,6 +4122,62 @@ FROM orig o LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def _text_bigram_logprob(spark, sf):
+    """Mean bigram log-probability with stupid backoff
+    (text.py::bigram_logprob): the KenLM-perplexity-filter stand-in —
+    word ORDER matters, so shuffled/template text scores below natural
+    prose with identical unigram profiles. Same decimal(28,6)
+    determinism contract as the unigram entry; the oracle replays the
+    window LAG + bigram/context/unigram model joins exactly."""
+    from gecko_spark.operators.text import bigram_logprob
+
+    docs = load_table(spark, sf, "documents")
+    return bigram_logprob(docs, "doc_id", "text")
+
+
+_TEXT_BIGRAM_LOGPROB_SQL = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos
+       FROM toks),
+pairs AS (SELECT doc_id, pos, tok,
+                 LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM tf),
+uni AS (SELECT tok, COUNT(*) AS ucnt FROM pairs GROUP BY tok),
+total AS (SELECT SUM(ucnt) AS total FROM uni),
+big AS (SELECT prev, tok, COUNT(*) AS bcnt FROM pairs
+        WHERE prev IS NOT NULL GROUP BY prev, tok),
+ctx AS (SELECT prev, SUM(bcnt) AS ccnt FROM big GROUP BY prev),
+logp AS (
+  SELECT p.doc_id,
+         CAST(ROUND(LN(CASE
+           WHEN p.prev IS NULL THEN CAST(u.ucnt AS DOUBLE) / tt.total
+           WHEN b.bcnt IS NOT NULL THEN CAST(b.bcnt AS DOUBLE) / c.ccnt
+           ELSE 0.4 * CAST(u.ucnt AS DOUBLE) / tt.total
+         END), 6) AS DECIMAL(28, 6)) AS lp
+  FROM pairs p
+  JOIN uni u USING (tok)
+  LEFT JOIN big b ON b.prev = p.prev AND b.tok = p.tok
+  LEFT JOIN ctx c ON c.prev = p.prev
+  CROSS JOIN total tt
+),
+scored AS (
+  -- mean rounded in EXACT integer micro-arithmetic (half away from
+  -- zero): double ROUND is not portable on ties — measured at sf0.1,
+  -- doc 2000's 24-token mean is exactly -3.5561505 and the engines'
+  -- x*1e6 double artifacts split it
+  SELECT doc_id, COUNT(*) AS n,
+         CAST(SUM(lp) * 1000000 AS BIGINT) AS s_mic
+  FROM logp GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN s.n > 0 THEN
+         CAST((CASE WHEN s.s_mic < 0 THEN -1 ELSE 1 END)
+              * ((2 * ABS(s.s_mic) + s.n) // (2 * s.n)) AS DOUBLE) / 1000000
+       END AS avg_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def _text_unigram_logprob(spark, sf):
     """Mean unigram log-probability per doc (text.py::unigram_logprob):
     the classic cheap LM-quality signal, self-trained on the corpus.
@@ -5169,6 +5225,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("text_tfidf_top3", _text_tfidf),
     ("text_line_dedupe", _text_line_dedupe),
     ("text_unigram_logprob", _text_unigram_logprob),
+    ("text_bigram_logprob", _text_bigram_logprob),
     ("text_chunks", _text_chunks),
     ("text_chunks_tokens", _text_chunks_tokens),
     ("text_strip_html", _text_strip_html),
@@ -5322,6 +5379,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,
         "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+        "text_bigram_logprob": _TEXT_BIGRAM_LOGPROB_SQL,
         "sample_mix_corpus": _sample_mix_corpus_sql(),
         "text_strip_html": _TEXT_STRIP_HTML_SQL,
         "text_url_normalize": _TEXT_URL_NORMALIZE_SQL,

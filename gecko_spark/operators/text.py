@@ -734,6 +734,106 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability with stupid backoff —
+    the next step up from :func:`unigram_logprob` and the cheap stand-in
+    for the KenLM-perplexity filter of CCNet-style pipelines: fluent
+    word ORDER now matters, so shuffled or template-stitched text scores
+    visibly below natural prose even when its unigram profile is clean.
+
+    Model = the corpus itself. Per token position:
+    ``p = c(prev,w)/c(prev·)`` when the bigram was seen;
+    ``backoff · c(w)/T`` when not (stupid backoff, Brants et al. 2007 —
+    unnormalized scores, standard at corpus scale); first tokens score
+    ``c(w)/T``. Returns ``(id, n_tokens, avg_logprob)``.
+
+    Plan shape: tokenize+posexplode (narrow) → one window (lag over
+    positions, shuffle by doc) → bigram aggregation (one shuffle);
+    context totals ``c(prev·)`` derive from the ALREADY-REDUCED bigram
+    table, not a second corpus pass; scoring joins stream the positions
+    against the two model tables (AQE broadcasts them when the vocab
+    fits, shuffle-joins otherwise — both shapes scale). Same
+    cross-engine determinism contract as unigram: per-token ``ln p``
+    rounded to 6 decimals, summed as ``decimal(28,6)`` (associative),
+    mean divided back in double."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("tok").over(w))
+
+    uni = pairs.groupBy("tok").agg(F.count("*").alias("ucnt"))
+    total = uni.agg(F.sum("ucnt").alias("__total__"))  # 1 row — broadcast
+    big = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count("*").alias("bcnt"))
+    )
+    ctx = big.groupBy("prev").agg(F.sum("bcnt").alias("ccnt"))
+
+    scored_toks = (
+        pairs.join(uni, "tok")
+        .join(big, ["prev", "tok"], "left")
+        .join(ctx, "prev", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "logp",
+            F.round(
+                F.when(
+                    F.col("prev").isNull(),
+                    F.log(F.col("ucnt").cast("double") / F.col("__total__")),
+                )
+                .when(
+                    F.col("bcnt").isNotNull(),
+                    F.log(F.col("bcnt").cast("double") / F.col("ccnt")),
+                )
+                .otherwise(
+                    F.log(
+                        F.lit(float(backoff))
+                        * F.col("ucnt").cast("double")
+                        / F.col("__total__")
+                    )
+                ),
+                6,
+            ).cast("decimal(28, 6)"),
+        )
+    )
+    # The mean is rounded in EXACT integer micro-arithmetic, not via
+    # double ROUND: sum(logp) is a scale-6 decimal, so sum·10⁶ is an
+    # exact integer, and half-away-from-zero rounding of (sum·10⁶)/n is
+    # sign·⌊(2·|s|+n)/(2n)⌋ — pure int64 ops both engines replay
+    # bit-identically. A double round here is NOT portable: ties are
+    # real (measured: a 24-token doc whose mean is exactly
+    # -3.5561505), and the engines' x·10⁶ double artifacts split them.
+    scored = scored_toks.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum("logp") * F.lit(1000000)).cast("long").alias("__s_mic__"),
+    )
+    sign = F.when(F.col("__s_mic__") < 0, F.lit(-1)).otherwise(F.lit(1))
+    num = F.lit(2) * F.abs(F.col("__s_mic__")) + F.col("n_tokens")
+    den = F.lit(2) * F.col("n_tokens")
+    # exact int64 floor-division: (num - num % den) is divisible by den,
+    # so the double quotient is exact (values ≪ 2^53)
+    avg_mic = (num - num % den) / den
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.when(
+            F.col("n_tokens") > 0, sign * avg_mic / F.lit(1000000.0)
+        ).alias("avg_logprob"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -850,3 +850,60 @@ def test_extract_main_fixture_parity(spark):
     pdf = spark.read.parquet(fix).toPandas()
     got = pdf["html"].map(lambda h: _extract_main_py(h, 40, 0.35))
     assert (got == pdf["expected_main"]).all()
+
+
+# --- bigram LM quality score ------------------------------------------------
+
+from gecko_spark.operators.text import bigram_logprob, unigram_logprob  # noqa: E402
+
+
+def test_bigram_logprob_ranks_word_order(spark):
+    """Shuffled text with an IDENTICAL unigram profile must score far
+    below natural prose under the bigram model — the signal unigram
+    scoring cannot provide."""
+    nat = "the cat sat on the mat and the dog lay on the rug"
+    rows = [(i, nat) for i in range(1, 9)]
+    rows.append((9, "mat the on dog sat the rug cat lay the and on the"))
+    rows += [(10, ""), (11, "the"), (12, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bi = bigram_logprob(docs).toPandas().set_index("doc_id")
+    un = unigram_logprob(docs).toPandas().set_index("doc_id")
+    # unigram: indistinguishable; bigram: wide gap
+    assert abs(un.loc[8, "avg_logprob"] - un.loc[9, "avg_logprob"]) < 0.05
+    assert bi.loc[8, "avg_logprob"] > bi.loc[9, "avg_logprob"] + 0.5
+    # edges: empty/null -> 0 tokens + NULL score; singleton -> unigram
+    assert bi.loc[10, "n_tokens"] == 0 and bi.loc[12, "n_tokens"] == 0
+    assert bi.loc[11, "n_tokens"] == 1
+
+
+def test_bigram_logprob_matches_hand_model(spark):
+    """Exact check on a corpus small enough to compute by hand."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b x")], "doc_id long, text string"
+    )
+    out = bigram_logprob(docs).toPandas().set_index("doc_id")
+    # counts: uni a=3 b=3 x=1, T=7; bigrams: ab=3, ba=1, bx=1; ctx a=3 b=2... 
+    # wait: pairs per doc1: (a,b),(b,a),(a,b); doc2: (a,b),(b,x)
+    # big: ab=3, ba=1, bx=1; ctx: a->3, b->2
+    def lp(x):
+        return round(math.log(x), 6)
+
+    d1 = (lp(3 / 7) + lp(3 / 3) + lp(1 / 2) + lp(3 / 3)) / 4  # a | b|a | a|b | b|a
+    d2 = (lp(3 / 7) + lp(3 / 3) + lp(1 / 2)) / 3
+    assert abs(out.loc[1, "avg_logprob"] - round(d1, 6)) < 1e-9
+    assert abs(out.loc[2, "avg_logprob"] - round(d2, 6)) < 1e-9
+
+
+def test_bigram_logprob_partition_invariance(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{(i + 2) % 5} filler word")
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    a = bigram_logprob(docs.repartition(1)).toPandas().sort_values("doc_id",
+                                                                   ignore_index=True)
+    b = bigram_logprob(docs.repartition(13)).toPandas().sort_values("doc_id",
+                                                                    ignore_index=True)
+    assert (a["avg_logprob"] == b["avg_logprob"]).all()
