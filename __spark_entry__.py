@@ -4203,12 +4203,17 @@ logp AS (
   FROM toks_flat t JOIN freq f USING (tok) CROSS JOIN total tt
 ),
 scored AS (
-  SELECT doc_id, COUNT(*) AS n_tokens,
-         ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+  -- tie-proof integer mean rounding, matching the engine (see the
+  -- bigram entry for the measured tie this guards against)
+  SELECT doc_id, COUNT(*) AS n,
+         CAST(SUM(lp) * 1000000 AS BIGINT) AS s_mic
   FROM logp GROUP BY doc_id
 )
-SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
-       s.avg_logprob
+SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN s.n > 0 THEN
+         CAST((CASE WHEN s.s_mic < 0 THEN -1 ELSE 1 END)
+              * ((2 * ABS(s.s_mic) + s.n) // (2 * s.n)) AS DOUBLE) / 1000000
+       END AS avg_logprob
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 

@@ -721,16 +721,24 @@ def unigram_logprob(
             ).cast("decimal(28, 6)"),
         )
     )
+    # mean rounded in exact int64 micro-arithmetic — identical
+    # semantics to a double ROUND everywhere except on exact rational
+    # ties, where double rounding splits engines (see bigram_logprob,
+    # which measured such a tie at sf0.1)
     scored = logp.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
-        F.round(F.sum("logp").cast("double") / F.count("*"), 6).alias(
-            "avg_logprob"
-        ),
+        (F.sum("logp") * F.lit(1000000)).cast("long").alias("__s_mic__"),
     )
+    sign = F.when(F.col("__s_mic__") < 0, F.lit(-1)).otherwise(F.lit(1))
+    num = F.lit(2) * F.abs(F.col("__s_mic__")) + F.col("n_tokens")
+    den = F.lit(2) * F.col("n_tokens")
+    avg_mic = (num - num % den) / den  # exact: numerator divisible by den
     return df.select(F.col(id_col)).join(scored, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
-        F.col("avg_logprob"),
+        F.when(
+            F.col("n_tokens") > 0, sign * avg_mic / F.lit(1000000.0)
+        ).alias("avg_logprob"),
     )
 
 
