@@ -61,6 +61,11 @@ FRUIT_TYPES = pd.DataFrame(
 GEN_N = 10_000
 
 
+
+_FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
+_MEDIA_IMAGES = os.path.join(_FIXDIR, "media_images.parquet")
+_MEDIA_AUDIO = os.path.join(_FIXDIR, "media_audio.parquet")
+
 def _u(key: str, seed: int, salt: int, stream: int = 1) -> str:
     """Uniform [0,1) SQL text — identical in Spark and DuckDB.
 
@@ -4122,6 +4127,32 @@ FROM orig o LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def _text_bpe_tokens(spark, sf):
+    """BPE subword encoding (text.py::bpe_tokens, Sennrich greedy
+    lowest-rank-first merges) over the HAND-DERIVED fixture: the merge
+    table is fixed and each expected token sequence was derived by hand
+    from the algorithm (tools/make_bpe_fixture.py — covering the
+    end-of-word-marker blocking, rank-beats-position, and
+    unseen-char-passthrough subtleties), so the oracle replays literals
+    while Spark runs the real Arrow kernel."""
+    from gecko_spark.operators.text import bpe_tokens
+
+    merges = [("a", "b"), ("ab", "c</w>"), ("ab", "c")]  # = fixture's
+    df = spark.read.parquet(os.path.join(_FIXDIR, "bpe_expected.parquet"))
+    tk = bpe_tokens(F.col("text"), merges)
+    return df.select(
+        F.col("text_id"),
+        F.array_join(tk, " ").alias("tokens"),
+        F.size(tk).cast("long").alias("n_tokens"),
+    )
+
+
+_TEXT_BPE_TOKENS_SQL = f"""
+SELECT text_id, expected AS tokens, expected_n AS n_tokens
+FROM read_parquet('{_FIXDIR}/bpe_expected.parquet')
+"""
+
+
 def _text_bigram_logprob(spark, sf):
     """Mean bigram log-probability with stupid backoff
     (text.py::bigram_logprob): the KenLM-perplexity-filter stand-in —
@@ -4605,9 +4636,6 @@ FROM ranked WHERE rank <= 20
 # decode path broke. Fixtures: tools/make_media_fixture.py.
 # ---------------------------------------------------------------------------
 
-_FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
-_MEDIA_IMAGES = os.path.join(_FIXDIR, "media_images.parquet")
-_MEDIA_AUDIO = os.path.join(_FIXDIR, "media_audio.parquet")
 
 
 def _mm_image_features(spark, sf):
@@ -5231,6 +5259,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("text_line_dedupe", _text_line_dedupe),
     ("text_unigram_logprob", _text_unigram_logprob),
     ("text_bigram_logprob", _text_bigram_logprob),
+    ("text_bpe_tokens", _text_bpe_tokens),
     ("text_chunks", _text_chunks),
     ("text_chunks_tokens", _text_chunks_tokens),
     ("text_strip_html", _text_strip_html),
@@ -5385,6 +5414,7 @@ def oracle_sql() -> dict[str, str]:
         "text_line_dedupe": _LINE_DEDUPE_SQL,
         "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "text_bigram_logprob": _TEXT_BIGRAM_LOGPROB_SQL,
+        "text_bpe_tokens": _TEXT_BPE_TOKENS_SQL,
         "sample_mix_corpus": _sample_mix_corpus_sql(),
         "text_strip_html": _TEXT_STRIP_HTML_SQL,
         "text_url_normalize": _TEXT_URL_NORMALIZE_SQL,

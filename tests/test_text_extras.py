@@ -907,3 +907,56 @@ def test_bigram_logprob_partition_invariance(spark):
     b = bigram_logprob(docs.repartition(13)).toPandas().sort_values("doc_id",
                                                                     ignore_index=True)
     assert (a["avg_logprob"] == b["avg_logprob"]).all()
+
+
+# --- BPE tokenization -------------------------------------------------------
+
+from gecko_spark.operators.text import (  # noqa: E402
+    _bpe_encode_word,
+    bpe_tokens,
+    bpe_train,
+    bpe_vocab,
+)
+
+
+def test_bpe_train_learns_frequent_pairs(spark):
+    rows = [(i, "the cat then that the then the that lethe")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=10, sample_rows=100)
+    assert ("t", "h") in merges[:3]          # dominant pair merges early
+    # determinism: identical merges under any partitioning
+    assert bpe_train(docs.repartition(7), n_merges=10, sample_rows=100) == merges
+    # encode round-trips losslessly (</w> marks word ends)
+    out = (docs.limit(1)
+           .select(bpe_tokens(F.col("text"), merges).alias("tk"))
+           .collect()[0].tk)
+    assert "".join(out).replace("</w>", " ").strip() == \
+        "the cat then that the then the that lethe"
+    v = bpe_vocab(merges, "abcdefghijklmnopqrstuvwxyz")
+    assert all(t in v for t in out)
+    assert len(set(v.values())) == len(v)    # ids are distinct
+
+
+def test_bpe_encode_word_rank_priority():
+    """Rank beats position: (ab,c</w>) rank 1 fires at the later site
+    before (ab,c) rank 2 at the earlier one."""
+    ranks = {("a", "b"): 0, ("ab", "c</w>"): 1, ("ab", "c"): 2}
+    assert _bpe_encode_word("abcabc", ranks) == ("abc", "abc</w>")
+    assert _bpe_encode_word("ab", ranks) == ("a", "b</w>")  # marker blocks r0
+    assert _bpe_encode_word("zq", {}) == ("z", "q</w>")     # unseen chars
+
+
+def test_bpe_fixture_hand_cases(spark):
+    """The committed hand-derived fixture reproduces exactly — the same
+    contract text_bpe_tokens grades driver-side."""
+    import os as _os
+    fix = _os.path.join(_os.path.dirname(__file__), "fixtures",
+                        "bpe_expected.parquet")
+    merges = [("a", "b"), ("ab", "c</w>"), ("ab", "c")]
+    pdf = (spark.read.parquet(fix)
+           .select("text_id", "expected",
+                   F.array_join(bpe_tokens(F.col("text"), merges), " ")
+                   .alias("got"))
+           .toPandas())
+    assert (pdf["got"] == pdf["expected"]).all()
