@@ -4127,6 +4127,104 @@ FROM orig o LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def _text_gopher_quality(spark, sf):
+    """Gopher quality rules (text.py::gopher_quality_flags, Rae et al.
+    2021 §A1.1.1) — per-rule booleans + conjunction. The corpus is
+    plain single-line text, so the query PLANTS deterministic rule
+    triggers per doc_id (10 bullet lines / an ellipsis-ended line / a
+    run of # symbols) before the gate — every rule column varies by
+    row and the oracle rebuilds the identical planted input. Pure
+    higher-order-function Column algebra, zero Python; the SQL replays
+    the same word/line splits and double ratios."""
+    from gecko_spark.operators.text import gopher_quality_flags
+
+    docs = load_table(spark, sf, "documents")
+    bullets = "\n".join("* bullet item here" for _ in range(10))
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\n" + bullets))
+            .when(F.col("doc_id") % 7 == 1, F.lit("\ntrailing thought..."))
+            .when(F.col("doc_id") % 7 == 2, F.lit(" " + "# " * 30))
+            .when(
+                F.col("doc_id") % 7 > 4,
+                F.lit(" the story of the people that have come to be with"),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+    return gopher_quality_flags(planted, "doc_id", "text", min_words=20)
+
+
+_TEXT_GOPHER_QUALITY_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 7 = 0 THEN chr(10) ||
+             repeat('* bullet item here' || chr(10), 9) || '* bullet item here'
+           WHEN doc_id % 7 = 1 THEN chr(10) || 'trailing thought...'
+           WHEN doc_id % 7 = 2 THEN ' ' || repeat('# ', 30)
+           WHEN doc_id % 7 > 4 THEN
+             ' the story of the people that have come to be with'
+           ELSE '' END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0) AS words,
+    list_filter(string_split_regex(text, '\\n'),
+                l -> len(trim(l)) > 0) AS lines,
+    COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                         t -> len(t) > 0), []) AS tk
+  FROM planted
+),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(words, w -> len(w))), 0) AS DOUBLE)
+      / GREATEST(CAST(len(words) AS DOUBLE), 1.0) AS mean_len,
+    (len(string_split_regex(text, '#')) - 1
+     + len(string_split_regex(text, '\\.\\.\\.')) - 1
+     + len(string_split_regex(text, CHR(8230))) - 1) AS n_sym,
+    GREATEST(CAST(len(lines) AS DOUBLE), 1.0) AS n_lines,
+    CAST(len(list_filter(lines,
+         l -> regexp_matches(trim(l), '^([*' || CHR(8226) || CHR(8227) ||
+                             CHR(9642) || '-]\\s)'))) AS DOUBLE) AS bullet_lines,
+    CAST(len(list_filter(lines,
+         l -> regexp_matches(rtrim(l), '(\\.\\.\\.|' || CHR(8230) || ')$')))
+         AS DOUBLE) AS ellipsis_lines,
+    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+         AS DOUBLE) AS alpha_words,
+    (CAST(list_contains(tk, 'the') AS INT) + CAST(list_contains(tk, 'be') AS INT)
+     + CAST(list_contains(tk, 'to') AS INT) + CAST(list_contains(tk, 'of') AS INT)
+     + CAST(list_contains(tk, 'and') AS INT)
+     + CAST(list_contains(tk, 'that') AS INT)
+     + CAST(list_contains(tk, 'have') AS INT)
+     + CAST(list_contains(tk, 'with') AS INT)) AS stop_hits
+  FROM base
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+  (mean_len >= 3.0 AND mean_len <= 10.0) AS rule_mean_word_length,
+  (CAST(n_sym AS DOUBLE) / GREATEST(CAST(n_words AS DOUBLE), 1.0) <= 0.1)
+    AS rule_symbol_ratio,
+  (bullet_lines / n_lines <= 0.9) AS rule_bullet_lines,
+  (ellipsis_lines / n_lines <= 0.3) AS rule_ellipsis_lines,
+  (alpha_words / GREATEST(CAST(n_words AS DOUBLE), 1.0) >= 0.8)
+    AS rule_alpha_words,
+  (stop_hits >= 2) AS rule_stopwords,
+  ((n_words >= 20 AND n_words <= 100000)
+   AND (mean_len >= 3.0 AND mean_len <= 10.0)
+   AND (CAST(n_sym AS DOUBLE) / GREATEST(CAST(n_words AS DOUBLE), 1.0) <= 0.1)
+   AND (bullet_lines / n_lines <= 0.9)
+   AND (ellipsis_lines / n_lines <= 0.3)
+   AND (alpha_words / GREATEST(CAST(n_words AS DOUBLE), 1.0) >= 0.8)
+   AND (stop_hits >= 2)) AS passes
+FROM m
+"""
+
+
 def _text_bpe_tokens(spark, sf):
     """BPE subword encoding (text.py::bpe_tokens, Sennrich greedy
     lowest-rank-first merges) over the HAND-DERIVED fixture: the merge
@@ -5260,6 +5358,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("text_unigram_logprob", _text_unigram_logprob),
     ("text_bigram_logprob", _text_bigram_logprob),
     ("text_bpe_tokens", _text_bpe_tokens),
+    ("text_gopher_quality", _text_gopher_quality),
     ("text_chunks", _text_chunks),
     ("text_chunks_tokens", _text_chunks_tokens),
     ("text_strip_html", _text_strip_html),
@@ -5415,6 +5514,7 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "text_bigram_logprob": _TEXT_BIGRAM_LOGPROB_SQL,
         "text_bpe_tokens": _TEXT_BPE_TOKENS_SQL,
+        "text_gopher_quality": _TEXT_GOPHER_QUALITY_SQL,
         "sample_mix_corpus": _sample_mix_corpus_sql(),
         "text_strip_html": _TEXT_STRIP_HTML_SQL,
         "text_url_normalize": _TEXT_URL_NORMALIZE_SQL,

@@ -168,6 +168,90 @@ def quality_score(text: Column) -> Column:
     return (len_score * F.lit(0.3) + alpha_score * F.lit(0.4) + stop_score * F.lit(0.3))
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021, §A1.1.1) as
+    one pure-Column projection — the standard pretraining-corpus gate,
+    named so pipelines can cite exactly what they filtered with:
+
+    * word count in ``[min_words, max_words]`` (paper: 50–100 000)
+    * mean word length in [3, 10]
+    * symbol-to-word ratio ≤ 0.1 (``#`` and ``…``/``...``)
+    * ≤ 90 % of lines start with a bullet; ≤ 30 % end with an ellipsis
+    * ≥ 80 % of words contain at least one alphabetic character
+    * at least 2 distinct hits from the paper's stopword list
+      (the, be, to, of, and, that, have, with)
+
+    Returns one row per doc: each rule as its own boolean column plus
+    the conjunction ``passes`` — keep the flags for corpus forensics,
+    ``.filter("passes")`` for the gate. Zero Python, zero shuffles
+    (word split + higher-order-function aggregates per row): the gate
+    runs at parquet-scan speed at any corpus size, and every predicate
+    is engine-portable arithmetic the DuckDB oracle replays."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    mean_len = sum_len / F.greatest(n_words.cast("double"), F.lit(1.0))
+    n_hash = F.size(F.split(t, r"#")) - 1
+    n_ellip = (F.size(F.split(t, r"\.\.\.")) - 1) + (
+        F.size(F.split(t, "…")) - 1
+    )
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.greatest(F.size(lines).cast("double"), F.lit(1.0))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).rlike(r"^([*•‣▪-]\s)"),
+        )
+    ).cast("double")
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"),
+        )
+    ).cast("double")
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))
+    ).cast("double")
+    stop = F.lit(["the", "be", "to", "of", "and", "that", "have", "with"])
+    stop_hits = F.size(
+        F.filter(stop, lambda s: F.array_contains(tokens(t), s))
+    )
+
+    nw_d = F.greatest(n_words.cast("double"), F.lit(1.0))
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_len = (mean_len >= 3.0) & (mean_len <= 10.0)
+    r_symbols = ((n_hash + n_ellip).cast("double") / nw_d) <= 0.1
+    r_bullets = (bullet_lines / n_lines) <= 0.9
+    r_ellipsis = (ellipsis_lines / n_lines) <= 0.3
+    r_alpha = (alpha_words / nw_d) >= 0.8
+    r_stopwords = stop_hits >= 2
+
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        r_words.alias("rule_word_count"),
+        r_mean_len.alias("rule_mean_word_length"),
+        r_symbols.alias("rule_symbol_ratio"),
+        r_bullets.alias("rule_bullet_lines"),
+        r_ellipsis.alias("rule_ellipsis_lines"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stopwords.alias("rule_stopwords"),
+        (
+            r_words & r_mean_len & r_symbols & r_bullets & r_ellipsis
+            & r_alpha & r_stopwords
+        ).alias("passes"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: sorted distinct lowercase tokens
     joined with single spaces, hashed to 62 bits — equal fingerprints ⇐

@@ -960,3 +960,38 @@ def test_bpe_fixture_hand_cases(spark):
                    .alias("got"))
            .toPandas())
     assert (pdf["got"] == pdf["expected"]).all()
+
+
+# --- Gopher quality rules ---------------------------------------------------
+
+from gecko_spark.operators.text import gopher_quality_flags  # noqa: E402
+
+
+def test_gopher_rules_fire_individually(spark):
+    good = ("The quick brown fox jumps over the lazy dog and runs off to be "
+            "with the pack of hounds that have come from far away today. ") * 3
+    rows = [
+        (1, good),
+        (2, "short text"),                                    # word count
+        (3, good.replace(" ", " # ")),                        # symbol ratio
+        (4, "\n".join("* bullet line item" for _ in range(20)) + "\nplain"),
+        (5, " ".join("aaaaaaaaaaaaaaaaaaaaaaa" for _ in range(60))),
+        (6, None),
+        (7, " ".join("123 456" for _ in range(40)) + " the to of and that"),
+        (8, good + "\n" + "\n".join(f"line {i} goes on..." for i in range(9))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = gopher_quality_flags(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "passes"]
+    assert not out.loc[2, "rule_word_count"]
+    assert not out.loc[3, "rule_symbol_ratio"]
+    assert not out.loc[4, "rule_bullet_lines"]
+    assert not out.loc[5, "rule_mean_word_length"]
+    assert not out.loc[5, "rule_stopwords"]
+    assert out.loc[6, "n_words"] == 0 and not out.loc[6, "passes"]
+    assert not out.loc[7, "rule_alpha_words"]
+    assert not out.loc[8, "rule_ellipsis_lines"]  # 9/10 lines end ...
+    # the gate is one narrow JVM projection: no shuffle, no Python
+    plan = (gopher_quality_flags(docs)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange" not in plan and "Python" not in plan
