@@ -4225,6 +4225,164 @@ FROM m
 """
 
 
+def _text_gopher_repetition(spark, sf):
+    """Gopher repetition rules (text.py::gopher_repetition_flags, Rae
+    et al. 2021 §A1.1.2): duplicate line/paragraph (count and char)
+    fractions, top 2/3/4-gram char fraction, duplicated 5–10-gram char
+    fraction. The corpus is single-line text, so the query PLANTS
+    per-doc_id triggers — repeated lines, duplicated paragraphs, a
+    dominant 2-gram run, a repeated 7-gram — and the oracle rebuilds
+    the identical input and replays every formula (per-unit counts via
+    unnest+GROUP BY; deterministic top-gram tie-break ORDER BY cnt
+    DESC, gram ASC). Engine side is ONE stateless Arrow kernel — zero
+    shuffles at any corpus size."""
+    from gecko_spark.operators.text import gopher_repetition_flags
+
+    docs = load_table(spark, sf, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nrepeat me line\nrepeat me line\nrepeat me line"),
+            )
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.lit("\n\ndup para block here\n\ndup para block here"),
+            )
+            .when(F.col("doc_id") % 5 == 2, F.lit(" " + "badger " * 7))
+            .when(
+                F.col("doc_id") % 5 == 3,
+                F.lit(" one two three four five six seven" * 2),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+    return gopher_repetition_flags(planted, "doc_id", "text")
+
+
+def _gopher_rep_sql() -> str:
+    gram_ctes, dup_sel, top_sel = [], [], []
+    for n in range(2, 11):
+        gram_ctes.append(
+            f"g{n} AS (SELECT doc_id, unnest(list_transform("
+            f"range(1, greatest(len(w) - {n - 1}, 0) + 1), "
+            f"i -> array_to_string(w[i:i+{n - 1}], ' '))) AS gram FROM words),\n"
+            f"g{n}c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g{n} "
+            f"GROUP BY doc_id, gram)"
+        )
+    for n in (2, 3, 4):
+        top_sel.append(
+            f"t{n} AS (SELECT doc_id, cnt * len(gram) AS mass FROM ("
+            f"SELECT doc_id, gram, cnt, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            f"ORDER BY cnt DESC, gram ASC) AS rn FROM g{n}c) WHERE rn = 1 "
+            f"AND cnt >= 2)"
+        )
+    for n in range(5, 11):
+        dup_sel.append(
+            f"d{n} AS (SELECT doc_id, SUM((cnt - 1) * len(gram)) AS mass "
+            f"FROM g{n}c WHERE cnt > 1 GROUP BY doc_id)"
+        )
+    units = """
+lines AS (SELECT doc_id, unnest(list_filter(list_transform(
+  string_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0)) AS u
+  FROM planted),
+linec AS (SELECT doc_id, u, COUNT(*) AS cnt FROM lines GROUP BY doc_id, u),
+linem AS (SELECT doc_id, SUM(cnt) AS n_units, COUNT(*) AS n_distinct,
+  SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * len(u) ELSE 0 END) AS dup_mass
+  FROM linec GROUP BY doc_id),
+paras AS (SELECT doc_id, unnest(list_filter(list_transform(
+  string_split(text, chr(10) || chr(10)), l -> trim(l)), l -> len(l) > 0)) AS u
+  FROM planted),
+parac AS (SELECT doc_id, u, COUNT(*) AS cnt FROM paras GROUP BY doc_id, u),
+param AS (SELECT doc_id, SUM(cnt) AS n_units, COUNT(*) AS n_distinct,
+  SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * len(u) ELSE 0 END) AS dup_mass
+  FROM parac GROUP BY doc_id)"""
+    metrics = """
+SELECT p.doc_id,
+  CAST(COALESCE(lm.n_units - lm.n_distinct, 0) AS DOUBLE)
+    / GREATEST(CAST(COALESCE(lm.n_units, 0) AS DOUBLE), 1.0) AS dup_line_frac,
+  CAST(COALESCE(lm.dup_mass, 0) AS DOUBLE) / GREATEST(len(p.text), 1)
+    AS dup_line_char_frac,
+  CAST(COALESCE(pm.n_units - pm.n_distinct, 0) AS DOUBLE)
+    / GREATEST(CAST(COALESCE(pm.n_units, 0) AS DOUBLE), 1.0) AS dup_para_frac,
+  CAST(COALESCE(pm.dup_mass, 0) AS DOUBLE) / GREATEST(len(p.text), 1)
+    AS dup_para_char_frac,
+  CAST(COALESCE(t2.mass, 0) AS DOUBLE) / GREATEST(len(p.text), 1)
+    AS top_2gram_char_frac,
+  CAST(COALESCE(t3.mass, 0) AS DOUBLE) / GREATEST(len(p.text), 1)
+    AS top_3gram_char_frac,
+  CAST(COALESCE(t4.mass, 0) AS DOUBLE) / GREATEST(len(p.text), 1)
+    AS top_4gram_char_frac,
+  CAST(COALESCE(d5.mass, 0) AS DOUBLE) / GREATEST(len(p.text), 1)
+    AS dup_5gram_char_frac,
+  CAST(COALESCE(d6.mass, 0) AS DOUBLE) / GREATEST(len(p.text), 1)
+    AS dup_6gram_char_frac,
+  CAST(COALESCE(d7.mass, 0) AS DOUBLE) / GREATEST(len(p.text), 1)
+    AS dup_7gram_char_frac,
+  CAST(COALESCE(d8.mass, 0) AS DOUBLE) / GREATEST(len(p.text), 1)
+    AS dup_8gram_char_frac,
+  CAST(COALESCE(d9.mass, 0) AS DOUBLE) / GREATEST(len(p.text), 1)
+    AS dup_9gram_char_frac,
+  CAST(COALESCE(d10.mass, 0) AS DOUBLE) / GREATEST(len(p.text), 1)
+    AS dup_10gram_char_frac
+FROM planted p
+LEFT JOIN linem lm USING (doc_id) LEFT JOIN param pm USING (doc_id)
+LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+LEFT JOIN d6 USING (doc_id) LEFT JOIN d7 USING (doc_id)
+LEFT JOIN d8 USING (doc_id) LEFT JOIN d9 USING (doc_id)
+LEFT JOIN d10 USING (doc_id)"""
+    rules = {
+        "rule_dup_line": ("dup_line_frac", 0.30),
+        "rule_dup_para": ("dup_para_frac", 0.30),
+        "rule_dup_line_char": ("dup_line_char_frac", 0.20),
+        "rule_dup_para_char": ("dup_para_char_frac", 0.20),
+        "rule_top_2gram": ("top_2gram_char_frac", 0.20),
+        "rule_top_3gram": ("top_3gram_char_frac", 0.18),
+        "rule_top_4gram": ("top_4gram_char_frac", 0.16),
+        "rule_dup_5gram": ("dup_5gram_char_frac", 0.15),
+        "rule_dup_6gram": ("dup_6gram_char_frac", 0.14),
+        "rule_dup_7gram": ("dup_7gram_char_frac", 0.13),
+        "rule_dup_8gram": ("dup_8gram_char_frac", 0.12),
+        "rule_dup_9gram": ("dup_9gram_char_frac", 0.11),
+        "rule_dup_10gram": ("dup_10gram_char_frac", 0.10),
+    }
+    rule_cols = ",\n  ".join(
+        f"(m.{col} <= {thr}) AS {name}" for name, (col, thr) in rules.items()
+    )
+    conj = " AND ".join(f"(m.{col} <= {thr})" for col, thr in rules.values())
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 5 = 0 THEN chr(10) || 'repeat me line' || chr(10)
+             || 'repeat me line' || chr(10) || 'repeat me line'
+           WHEN doc_id % 5 = 1 THEN chr(10) || chr(10)
+             || 'dup para block here' || chr(10) || chr(10)
+             || 'dup para block here'
+           WHEN doc_id % 5 = 2 THEN ' ' || repeat('badger ', 7)
+           WHEN doc_id % 5 = 3 THEN
+             repeat(' one two three four five six seven', 2)
+           ELSE '' END AS text
+  FROM documents
+),
+words AS (SELECT doc_id, text,
+  list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS w
+  FROM planted),
+{units},
+{",".join(gram_ctes)},
+{",".join(top_sel)},
+{",".join(dup_sel)},
+m AS ({metrics})
+SELECT m.*,
+  {rule_cols},
+  ({conj}) AS passes
+FROM m
+"""
+
+
 def _text_bpe_tokens(spark, sf):
     """BPE subword encoding (text.py::bpe_tokens, Sennrich greedy
     lowest-rank-first merges) over the HAND-DERIVED fixture: the merge
@@ -5359,6 +5517,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("text_bigram_logprob", _text_bigram_logprob),
     ("text_bpe_tokens", _text_bpe_tokens),
     ("text_gopher_quality", _text_gopher_quality),
+    ("text_gopher_repetition", _text_gopher_repetition),
     ("text_chunks", _text_chunks),
     ("text_chunks_tokens", _text_chunks_tokens),
     ("text_strip_html", _text_strip_html),
@@ -5515,6 +5674,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_logprob": _TEXT_BIGRAM_LOGPROB_SQL,
         "text_bpe_tokens": _TEXT_BPE_TOKENS_SQL,
         "text_gopher_quality": _TEXT_GOPHER_QUALITY_SQL,
+        "text_gopher_repetition": _gopher_rep_sql(),
         "sample_mix_corpus": _sample_mix_corpus_sql(),
         "text_strip_html": _TEXT_STRIP_HTML_SQL,
         "text_url_normalize": _TEXT_URL_NORMALIZE_SQL,

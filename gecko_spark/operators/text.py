@@ -470,6 +470,119 @@ def text_stats(
     return df.select(*base, *stats)
 
 
+_GOPHER_TOP_NGRAM = {2: 0.20, 3: 0.18, 4: 0.16}
+_GOPHER_DUP_NGRAM = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _gopher_repetition_metrics(text: str) -> dict:
+    """Per-doc repetition metrics, exact (see gopher_repetition_flags
+    for the formula contract the SQL oracle replays)."""
+    from collections import Counter
+
+    out: dict = {}
+    n_chars = max(len(text), 1)
+    for key, sep in (("line", "\n"), ("para", "\n\n")):
+        units = [u for u in (s.strip() for s in text.split(sep)) if u]
+        n = len(units)
+        counts = Counter(units)
+        out[f"dup_{key}_frac"] = (n - len(counts)) / max(n, 1)
+        out[f"dup_{key}_char_frac"] = (
+            sum((c - 1) * len(u) for u, c in counts.items() if c > 1) / n_chars
+        )
+    toks = text.split()
+    for n in (2, 3, 4):
+        grams = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        mx = max(grams.values()) if grams else 0
+        if mx >= 2:
+            # deterministic tie-break: max count, then the
+            # lexicographically smallest gram (both engines agree)
+            g = min(g for g, c in grams.items() if c == mx)
+            out[f"top_{n}gram_char_frac"] = mx * len(g) / n_chars
+        else:
+            # a gram occurring once is not repetition: a short doc's
+            # top gram covering most of it must not fail the gate
+            out[f"top_{n}gram_char_frac"] = 0.0
+    for n in range(5, 11):
+        grams = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        out[f"dup_{n}gram_char_frac"] = (
+            sum((c - 1) * len(g) for g, c in grams.items() if c > 1) / n_chars
+        )
+    return out
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The published Gopher REPETITION rules (Rae et al. 2021 §A1.1.2)
+    — the within-document half of the Gopher gate
+    (:func:`gopher_quality_flags` is the across-rules half):
+
+    * duplicate line / paragraph fraction ≤ 0.30
+      (``(n_units − n_distinct) / n_units``; units are non-empty
+      trimmed ``\\n`` / ``\\n\\n`` splits)
+    * duplicate line / paragraph CHARACTER fraction ≤ 0.20
+      (chars in occurrences beyond each unit's first, over ``len(text)``)
+    * top word-n-gram character fraction, n = 2/3/4 ≤ 0.20/0.18/0.16
+      (``count·len(gram) / len(text)``, gram joined with single
+      spaces; a top gram occurring ONCE contributes 0 — it is not
+      repetition, and without that clause every short document fails;
+      ties break to the lexicographically smallest gram so both
+      engines pick the same one)
+    * duplicated word-n-gram character fraction, n = 5…10 ≤
+      0.15…0.10 (``Σ (count−1)·len(gram) / len(text)`` over grams
+      occurring more than once — the simple occurrence-mass form;
+      implementations differ on overlap accounting, so the exact
+      formula is pinned here and replayed verbatim by the oracle)
+
+    Every metric is a function of the document alone → one stateless
+    Arrow kernel, ZERO shuffles at any corpus size. Returns the metric
+    columns (exact int-ratio doubles), per-rule booleans, and the
+    conjunction ``passes``."""
+    names = (
+        ["dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+         "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+        + [f"dup_{n}gram_char_frac" for n in range(5, 11)]
+    )
+    struct = T.StructType([T.StructField(n, T.DoubleType()) for n in names])
+
+    @F.pandas_udf(struct)
+    def _metrics(s: pd.Series) -> pd.DataFrame:
+        rows = [
+            _gopher_repetition_metrics(t if isinstance(t, str) else "")
+            for t in s
+        ]
+        return pd.DataFrame(rows, columns=names)
+
+    m = df.select(F.col(id_col), _metrics(F.col(text_col)).alias("__m__"))
+    cols = [F.col(id_col)] + [F.col(f"__m__.{n}").alias(n) for n in names]
+    out = m.select(*cols)
+    rules = {
+        "rule_dup_line": F.col("dup_line_frac") <= 0.30,
+        "rule_dup_para": F.col("dup_para_frac") <= 0.30,
+        "rule_dup_line_char": F.col("dup_line_char_frac") <= 0.20,
+        "rule_dup_para_char": F.col("dup_para_char_frac") <= 0.20,
+    }
+    for n, thr in _GOPHER_TOP_NGRAM.items():
+        rules[f"rule_top_{n}gram"] = F.col(f"top_{n}gram_char_frac") <= thr
+    for n, thr in _GOPHER_DUP_NGRAM.items():
+        rules[f"rule_dup_{n}gram"] = F.col(f"dup_{n}gram_char_frac") <= thr
+    passes = None
+    for expr in rules.values():
+        passes = expr if passes is None else (passes & expr)
+    return out.select(
+        "*",
+        *[expr.alias(name) for name, expr in rules.items()],
+        passes.alias("passes"),
+    )
+
+
 def repetition_profile(
     df: DataFrame,
     id_col: str = "doc_id",

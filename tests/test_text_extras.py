@@ -995,3 +995,46 @@ def test_gopher_rules_fire_individually(spark):
     plan = (gopher_quality_flags(docs)._jdf.queryExecution().executedPlan()
             .toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# --- Gopher repetition rules ------------------------------------------------
+
+from gecko_spark.operators.text import (  # noqa: E402
+    _gopher_repetition_metrics,
+    gopher_repetition_flags,
+)
+
+
+def test_gopher_repetition_kernel_hand_values():
+    m = _gopher_repetition_metrics("same line\nsame line\nsame line\nother")
+    assert abs(m["dup_line_frac"] - 2 / 4) < 1e-12
+    # duplicated occurrences: 2 * len("same line") = 18 chars of 35
+    assert abs(m["dup_line_char_frac"] - 18 / 35) < 1e-12
+    m = _gopher_repetition_metrics("x y x y x y")
+    # top 2-gram "x y" count 3, len 3; text len 11
+    assert abs(m["top_2gram_char_frac"] - 9 / 11) < 1e-12
+    # a top gram occurring once is NOT repetition
+    m = _gopher_repetition_metrics("alpha beta gamma delta")
+    assert m["top_2gram_char_frac"] == 0.0
+    assert _gopher_repetition_metrics("")["dup_line_frac"] == 0.0
+
+
+def test_gopher_repetition_flags(spark):
+    rows = [
+        (1, "alpha beta gamma\ndelta epsilon zeta\neta theta iota"),
+        (2, "same line\nsame line\nsame line\nother"),
+        (3, "spam phrase spam phrase spam phrase spam phrase end of doc"),
+        (4, None),
+        (5, "para one here\n\npara one here\n\npara two here"),
+        (6, "a b c d e f g h i j a b c d e f g h i j xx yy zz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = gopher_repetition_flags(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "passes"] and out.loc[4, "passes"]
+    assert not out.loc[2, "rule_dup_line"]
+    assert not out.loc[3, "rule_top_2gram"]
+    assert not out.loc[5, "rule_dup_para"]
+    assert not out.loc[6, "rule_dup_10gram"]
+    plan = (gopher_repetition_flags(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan and "ArrowEvalPython" in plan
