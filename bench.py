@@ -273,8 +273,31 @@ def bench_queries(spark, sf_dir):
         "q_linkage_snm",  # round 6: two-phase-rank sorted neighborhood
         "q_linkage_jw",  # round 6: Jaro-Winkler Arrow kernel (honest per-pair python cost)
         "q_linkage_fs",  # round 6: Fellegi-Sunter literal-odds scoring, pure codegen
+        "text_bigram_logprob",  # round 8: stupid-backoff bigram LM score
+        "text_gopher_quality",  # round 8: Gopher A1.1.1 rule gate (pure HOF)
+        "text_gopher_repetition",  # round 8: Gopher A1.1.2, one Arrow kernel
     ]:
         timed(name, lambda n=name: _run(qs[n](spark, sf_dir)))
+
+    # main-content extraction over the documents table wrapped in
+    # planted HTML (nav + article + footer per doc) — the contract
+    # entry runs on a tiny fixture, so the bench times the kernel at
+    # corpus scale instead
+    def _main_content():
+        from gecko_spark.operators.text import extract_main_content
+
+        docs = load_table(spark, sf_dir, "documents")
+        html = F.concat(
+            F.lit('<html><body><nav><a href="/">Home</a> '
+                  '<a href="/a">About</a> <a href="/c">Contact</a></nav>'
+                  "<article><p>"),
+            F.col("text"),
+            F.lit('</p></article><footer>(c) <a href="/p">Privacy</a>'
+                  "</footer></body></html>"),
+        )
+        _run(docs.select("doc_id", extract_main_content(html).alias("main")))
+
+    timed("text_main_content_corpus", _main_content)
 
     # matrix-scoring top-k at a 100-query load (the HOF path is ~5×
     # slower here and the gap grows with queries × dim)
