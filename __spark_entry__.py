@@ -4383,6 +4383,90 @@ FROM m
 """
 
 
+def _text_c4_clean(spark, sf):
+    """C4 cleaning rules (text.py::c4_clean, Raffel et al. 2020 §2.2):
+    line-level terminal-punctuation / min-words / javascript filters +
+    page-level sentence-count, curly-brace and lorem-ipsum gates. The
+    corpus is single-line text without terminal punctuation, so the
+    query PLANTS per-doc_id triggers (a five-sentence tail, a
+    javascript line, a curly brace, a lorem-ipsum marker, a
+    no-punctuation line) and the oracle rebuilds the identical input
+    and replays every predicate. Pure HOF Column algebra, zero Python."""
+    from gecko_spark.operators.text import c4_clean
+
+    docs = load_table(spark, sf, "documents")
+    tail = (
+        ". More good text here one. Two more here now. Three more here"
+        " now. Four more now here. Five it is now done."
+    )
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(tail))
+            .when(
+                F.col("doc_id") % 6 == 1,
+                F.lit("\nthis line uses javascript heavily.\n" + tail.lstrip(". ")),
+            )
+            .when(F.col("doc_id") % 6 == 2, F.lit(" { code block }" + tail))
+            .when(F.col("doc_id") % 6 == 3, F.lit(" lorem ipsum filler." + tail))
+            .when(
+                F.col("doc_id") % 6 == 4,
+                F.lit("\nshort no punct line here" + tail),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+    return c4_clean(planted, "doc_id", "text")
+
+
+_TEXT_C4_CLEAN_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 6 = 0 THEN
+             '. More good text here one. Two more here now. Three more here now. Four more now here. Five it is now done.'
+           WHEN doc_id % 6 = 1 THEN chr(10) ||
+             'this line uses javascript heavily.' || chr(10)
+             || 'More good text here one. Two more here now. Three more here now. Four more now here. Five it is now done.'
+           WHEN doc_id % 6 = 2 THEN ' { code block }'
+             || '. More good text here one. Two more here now. Three more here now. Four more now here. Five it is now done.'
+           WHEN doc_id % 6 = 3 THEN ' lorem ipsum filler.'
+             || '. More good text here one. Two more here now. Three more here now. Four more now here. Five it is now done.'
+           WHEN doc_id % 6 = 4 THEN chr(10) || 'short no punct line here'
+             || '. More good text here one. Two more here now. Three more here now. Four more now here. Five it is now done.'
+           ELSE '' END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines
+  FROM planted
+),
+k AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, l ->
+      regexp_matches(rtrim(l), '[.!?"]$')
+      AND len(list_filter(string_split_regex(l, '\\s+'),
+                          w -> len(w) > 0)) >= 3
+      AND NOT regexp_matches(lower(l), '\\bjavascript\\b')) AS keep
+  FROM base
+)
+SELECT doc_id,
+  -- DuckDB array_to_string([]) is NULL where Spark array_join is ''
+  COALESCE(array_to_string(keep, chr(10)), '') AS text_clean,
+  CAST(len(keep) AS BIGINT) AS n_lines_kept,
+  CAST(len(lines) - len(keep) AS BIGINT) AS n_lines_dropped,
+  CAST(len(string_split_regex(COALESCE(array_to_string(keep, chr(10)), ''),
+       '[.!?]')) - 1 AS BIGINT) AS n_sentences,
+  ((len(string_split_regex(COALESCE(array_to_string(keep, chr(10)), ''),
+       '[.!?]')) - 1 >= 5)
+   AND NOT contains(text, '{')
+   AND NOT contains(lower(text), 'lorem ipsum')) AS kept
+FROM k
+"""
+
+
 def _text_bpe_tokens(spark, sf):
     """BPE subword encoding (text.py::bpe_tokens, Sennrich greedy
     lowest-rank-first merges) over the HAND-DERIVED fixture: the merge
@@ -5518,6 +5602,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("text_bpe_tokens", _text_bpe_tokens),
     ("text_gopher_quality", _text_gopher_quality),
     ("text_gopher_repetition", _text_gopher_repetition),
+    ("text_c4_clean", _text_c4_clean),
     ("text_chunks", _text_chunks),
     ("text_chunks_tokens", _text_chunks_tokens),
     ("text_strip_html", _text_strip_html),
@@ -5675,6 +5760,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": _TEXT_BPE_TOKENS_SQL,
         "text_gopher_quality": _TEXT_GOPHER_QUALITY_SQL,
         "text_gopher_repetition": _gopher_rep_sql(),
+        "text_c4_clean": _TEXT_C4_CLEAN_SQL,
         "sample_mix_corpus": _sample_mix_corpus_sql(),
         "text_strip_html": _TEXT_STRIP_HTML_SQL,
         "text_url_normalize": _TEXT_URL_NORMALIZE_SQL,

@@ -252,6 +252,64 @@ def gopher_quality_flags(
     )
 
 
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sentences: int = 5,
+    min_line_words: int = 3,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) as one pure-
+    Column projection — the third named published gate next to the two
+    Gopher ones, and the only one that REWRITES text (line filtering)
+    rather than just flagging:
+
+    * keep only lines ending in a terminal punctuation mark
+      (``.``, ``!``, ``?``, ``"``) after right-trim
+    * drop lines with fewer than ``min_line_words`` words (paper: 3)
+    * drop lines containing the word ``javascript`` (case-insensitive)
+    * ``kept`` requires: ≥ ``min_sentences`` sentences in the cleaned
+      text (terminal-punctuation count, the deterministic proxy), no
+      ``{`` anywhere in the ORIGINAL text (code page), and no
+      ``lorem ipsum`` (case-insensitive)
+
+    (The paper's remaining steps live elsewhere in this engine: its
+    three-sentence-span dedup is :func:`line_dedupe`-class corpus
+    dedup, its bad-words list is :func:`filter_by_domain`-style config,
+    its langdetect gate is :func:`lang_id`.)
+
+    Returns ``(id, text_clean, n_lines_kept, n_lines_dropped,
+    n_sentences, kept)`` — filter on ``kept`` for the gate, keep the
+    counts for forensics. Zero Python, zero shuffles; every predicate
+    replays in the DuckDB oracle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    keep = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike(r'[.!?"]$')
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: F.length(w) > 0))
+            >= min_line_words
+        )
+        & ~F.lower(l).rlike(r"\bjavascript\b"),
+    )
+    clean = F.array_join(keep, "\n")
+    n_sent = F.size(F.split(clean, r"[.!?]")) - 1
+    kept = (
+        (n_sent >= min_sentences)
+        & ~t.contains("{")
+        & ~F.lower(t).contains("lorem ipsum")
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("text_clean"),
+        F.size(keep).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(keep)).cast("long").alias("n_lines_dropped"),
+        n_sent.cast("long").alias("n_sentences"),
+        kept.alias("kept"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: sorted distinct lowercase tokens
     joined with single spaces, hashed to 62 bits — equal fingerprints ⇐

@@ -1038,3 +1038,35 @@ def test_gopher_repetition_flags(spark):
     plan = (gopher_repetition_flags(docs)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan and "ArrowEvalPython" in plan
+
+
+# --- C4 cleaning rules ------------------------------------------------------
+
+from gecko_spark.operators.text import c4_clean  # noqa: E402
+
+
+def test_c4_clean_rules(spark):
+    rows = [
+        (1, "This is a good sentence. Here is another one!\n"
+            "And a third one here.\nShort.\nno terminal punct here\n"
+            "A final proper sentence to reach five. Plus one more for luck."),
+        (2, "Uses javascript to render. This needs javascript on.\n"
+            "A plain fine sentence here. And more of them. Even more now. "
+            "Another. Final one."),
+        (3, "function() { return 1; }\nA sentence. Another. Third. Fourth. "
+            "Fifth one."),
+        (4, "Lorem Ipsum dolor sit amet. More sentences. Three. Four. "
+            "Five now."),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = c4_clean(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "kept"] and out.loc[1, "n_lines_dropped"] == 2
+    assert "no terminal" not in out.loc[1, "text_clean"]
+    assert "javascript" not in out.loc[2, "text_clean"].lower()
+    assert out.loc[2, "kept"]
+    assert not out.loc[3, "kept"]   # curly-brace code page
+    assert not out.loc[4, "kept"]   # lorem ipsum
+    assert not out.loc[5, "kept"] and out.loc[5, "text_clean"] == ""
+    plan = c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
