@@ -276,6 +276,7 @@ def bench_queries(spark, sf_dir):
         "text_bigram_logprob",  # round 8: stupid-backoff bigram LM score
         "text_gopher_quality",  # round 8: Gopher A1.1.1 rule gate (pure HOF)
         "text_gopher_repetition",  # round 8: Gopher A1.1.2, one Arrow kernel
+        "text_c4_clean",  # round 8: C4 line-rewriting gate, pure HOF
     ]:
         timed(name, lambda n=name: _run(qs[n](spark, sf_dir)))
 
