@@ -11,9 +11,13 @@ plus the selective re-fetch path a 100 TB deployment uses:
                          record parse, HTTP envelope split)
   2. corpus shape       (warc_to_corpus — content-addressed doc_id,
                          text, json meta)
-  3. boilerplate strip  (text.strip_html)
+  3. content extraction (text.extract_main_content — jusText-style
+                         block scoring: nav/script/footer never reach
+                         the corpus)
   4. quality + lang     (text.text_stats projection)
   5. exact dedup        (dedup.dedupe_exact — mirrored pages collapse)
+  5b. published gates   (gopher_quality_flags / gopher_repetition_flags
+                         / c4_clean as a pass-rate report)
   6. selective fetch    (read_cdxj + fetch_warc_by_index — ranged gzip-
                          member reads of an index selection: the
                          "re-pull these 10^6 of 10^10 records" path
@@ -35,7 +39,13 @@ from pyspark.sql import functions as F
 
 from gecko_spark import get_spark
 from gecko_spark.operators.dedup import dedupe_exact
-from gecko_spark.operators.text import strip_html, text_stats
+from gecko_spark.operators.text import (
+    c4_clean,
+    extract_main_content,
+    gopher_quality_flags,
+    gopher_repetition_flags,
+    text_stats,
+)
 from gecko_spark.sources.warc import (
     fetch_warc_by_index,
     read_cdxj,
@@ -54,7 +64,9 @@ def synth_crawl(d: str, n_files: int = 4, per_file: int = 50) -> None:
             rid = fno * per_file + i
             # every 10th page is a byte-identical mirror of page rid-1
             body_id = rid - 1 if rid % 10 == 9 else rid
-            words = " ".join(f"tok{(body_id * 7 + j) % 97}" for j in range(80))
+            # 997 > 7·n_docs keeps every page's word sequence unique, so
+            # dedup collapses exactly the planted mirrors and nothing else
+            words = " ".join(f"tok{(body_id * 7 + j) % 997}" for j in range(80))
             body = (
                 f"<html><head><title>page {body_id}</title></head>"
                 f"<body><script>var x=1;</script><p>{words}</p></body></html>"
@@ -96,8 +108,11 @@ def main() -> None:
                         recordTypes="response")
         corpus = warc_to_corpus(raw)
 
-        # 3–4: strip markup, project quality/lang stats
-        clean = corpus.withColumn("text", strip_html(F.col("text")))
+        # 3–4: main-content extraction (the <script> and nav links
+        # never reach the corpus), then quality/lang stats
+        clean = corpus.withColumn(
+            "text", extract_main_content(F.col("text"), min_block_chars=30)
+        )
         enriched = text_stats(clean, "text")
 
         # 5: exact dedup — the planted mirrors collapse
@@ -106,6 +121,23 @@ def main() -> None:
         print(f"corpus: {n_raw} docs -> {n_dedup} after exact dedup "
               f"({n_raw - n_dedup} mirrors dropped)")
         assert n_raw - n_dedup == 20, "expected 20 planted mirrors"
+
+        # 5b: the published gates as a REPORT (synthetic token pages
+        # naturally fail English-stopword rules — a real corpus gates
+        # with .filter("passes") / .filter("kept"))
+        gq = gopher_quality_flags(deduped, min_words=10).agg(
+            F.avg(F.col("rule_word_count").cast("int")).alias("word_count"),
+            F.avg(F.col("rule_alpha_words").cast("int")).alias("alpha"),
+        ).collect()[0]
+        gr = gopher_repetition_flags(deduped).agg(
+            F.avg(F.col("passes").cast("int")).alias("p")
+        ).collect()[0]
+        c4 = c4_clean(deduped).agg(
+            F.avg(F.col("kept").cast("int")).alias("p")
+        ).collect()[0]
+        print(f"gates: gopher word-count {gq.word_count:.2f}, "
+              f"alpha {gq.alpha:.2f}; repetition pass {gr.p:.2f}; "
+              f"c4 kept {c4.p:.2f}")
 
         # 6: selective re-fetch of an index slice (no crawl scan)
         idx = read_cdxj(spark, os.path.join(crawl, "index.cdxj.gz"))
