@@ -4467,6 +4467,47 @@ FROM k
 """
 
 
+def _text_quality_classifier(spark, sf):
+    """Hashed n-gram linear quality classifier
+    (classifier.py::hashed_linear_score — the fastText/CCNet-style
+    corpus gate): logit = Σ_tokens w[polyhash(tok, P1) % 1024], exact
+    int64 end-to-end (integer sums are order-independent, so the
+    value-hash matches any engine). Weights here are the seeded
+    deterministic vector (classifier.py::seeded_weights) so the oracle
+    can derive them from the same formula; trained weights
+    (train_hashed_classifier → quantize_weights) serve through the
+    identical code path and are covered by tests/test_classifier.py.
+    One Arrow projection, zero shuffles — scan-parallel at any scale."""
+    from gecko_spark.operators.classifier import hashed_linear_score, seeded_weights
+
+    docs = load_table(spark, sf, "documents")
+    return hashed_linear_score(
+        docs, seeded_weights(1024), id_col="doc_id", text_col="text"
+    )
+
+
+def _text_quality_classifier_sql(n_features: int = 1024, span: int = 1000) -> str:
+    from gecko_spark.functions.portable_hash import P1, P2, sql_horner
+
+    return f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+idx AS (SELECT doc_id, {sql_horner('tok', P1)} % {n_features} AS i FROM tok),
+w AS (SELECT CAST(i AS BIGINT) AS i,
+             {sql_horner('CAST(i AS VARCHAR)', P2)} % {2 * span + 1} - {span} AS wt
+      FROM range({n_features}) t(i)),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(wt) AS BIGINT) AS logit
+  FROM idx JOIN w USING (i) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_toks, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(logit, 0) AS BIGINT) AS logit,
+       COALESCE(logit, 0) >= 0 AS passes
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+
+
 def _text_bpe_tokens(spark, sf):
     """BPE subword encoding (text.py::bpe_tokens, Sennrich greedy
     lowest-rank-first merges) over the HAND-DERIVED fixture: the merge
@@ -5428,6 +5469,7 @@ WINDOW_50 = [
     "stream_warc_parity",
     "text_main_content",
     "dedup_incremental_index",
+    "text_quality_classifier",
     "dedup_simhash_pairs",
     "dedup_transitive",
     "dedup_cluster_reps",
@@ -5454,7 +5496,6 @@ WINDOW_50 = [
     # --- (c) r6-era refresh: TPC-H catalogue + linkage + relational ---
     "q2_min_cost_supplier",
     "q3_shipping_priority",
-    "q4_priority_exists",
     "q5_region_revenue",
     "q8_market_share",
     "q9_product_profit",
@@ -5603,6 +5644,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("text_gopher_quality", _text_gopher_quality),
     ("text_gopher_repetition", _text_gopher_repetition),
     ("text_c4_clean", _text_c4_clean),
+    ("text_quality_classifier", _text_quality_classifier),
     ("text_chunks", _text_chunks),
     ("text_chunks_tokens", _text_chunks_tokens),
     ("text_strip_html", _text_strip_html),
@@ -5761,6 +5803,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_quality": _TEXT_GOPHER_QUALITY_SQL,
         "text_gopher_repetition": _gopher_rep_sql(),
         "text_c4_clean": _TEXT_C4_CLEAN_SQL,
+        "text_quality_classifier": _text_quality_classifier_sql(),
         "sample_mix_corpus": _sample_mix_corpus_sql(),
         "text_strip_html": _TEXT_STRIP_HTML_SQL,
         "text_url_normalize": _TEXT_URL_NORMALIZE_SQL,
