@@ -277,6 +277,7 @@ def bench_queries(spark, sf_dir):
         "text_gopher_quality",  # round 8: Gopher A1.1.1 rule gate (pure HOF)
         "text_gopher_repetition",  # round 8: Gopher A1.1.2, one Arrow kernel
         "text_c4_clean",  # round 8: C4 line-rewriting gate, pure HOF
+        "text_quality_classifier",  # round 8: hashed-BoW linear gate, one Arrow projection
     ]:
         timed(name, lambda n=name: _run(qs[n](spark, sf_dir)))
 
