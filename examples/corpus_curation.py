@@ -18,6 +18,9 @@ way a 100 TB pretraining-data job would chain them:
                          bigram dominates the token stream)
   5b. redundancy gate   (text.compression_ratio — drop docs whose zlib
                          ratio flags long-range template repetition)
+  5c. learned gate      (classifier.hashed_linear_score — fastText/
+                         CCNet-style hashed-BoW linear model, exact-int64
+                         serving in one Arrow projection)
   6. enrichment         (text.text_stats + fingerprints, one projection)
   7. as-of context join (joins.asof_join — attach each doc's nearest
                          preceding event by ingest order, single shuffle)
@@ -51,6 +54,7 @@ from gecko_spark.operators.dedup import (
     minhash_dedupe_transitive,
     semantic_dedupe,
 )
+from gecko_spark.operators.classifier import hashed_linear_score, seeded_weights
 from gecko_spark.operators.joins import asof_join
 from gecko_spark.operators.text import (
     compression_ratio,
@@ -104,6 +108,18 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # redundancy gate: template/stuffed docs compress far below prose;
     # the synthetic corpus is word-sampled so a loose floor suffices
     gated2 = gated2.filter(compression_ratio(F.col("text")) > 0.05)
+
+    # learned quality gate (classifier.hashed_linear_score): the
+    # fastText/CCNet-style hashed-BoW linear model, served as exact
+    # int64 in one Arrow projection. Weights here are the seeded
+    # demo vector with a permissive threshold so the synthetic corpus
+    # passes; a real pipeline trains on labeled reference-vs-junk docs
+    # (train_hashed_classifier -> quantize_weights) and serves through
+    # this same call
+    clf = hashed_linear_score(
+        gated2, seeded_weights(4096), id_col="doc_id", threshold=-(10**9)
+    )
+    gated2 = gated2.join(clf.filter("passes").select("doc_id"), "doc_id", "left_semi")
 
     enriched = text_stats(gated2)
 
