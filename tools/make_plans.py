@@ -274,6 +274,15 @@ def main():
     )
 
     cap(
+        "hashed linear classifier: scan-shaped serve, zero exchanges (round 8)",
+        qs["text_quality_classifier"](spark, sf),
+        "The fastText/CCNet-style gate is one ArrowEvalPython projection over "
+        "the pruned 2-column parquet scan — the weight vector ships in the "
+        "kernel closure, so scoring never joins, never shuffles, and "
+        "parallelism is purely the scan's.",
+    )
+
+    cap(
         "vocab divergence: top-k as TakeOrderedAndProject, no global window",
         qs["text_vocab_divergence"](spark, sf),
         "The KL-contribution ranking over the union vocabulary compiles to "
