@@ -66,6 +66,14 @@ def test_score_matches_python_replay(spark):
         assert got[doc_id] == (n, logit + 3, logit + 3 >= 5), doc_id
 
 
+def test_serve_plan_is_one_arrow_projection(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = hashed_linear_score(df, seeded_weights(D))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # the kernel runs (not pruned away)
+    assert "Exchange" not in plan and "Join" not in plan  # scan-shaped
+
+
 def test_empty_doc_scores_bias(spark):
     df = spark.createDataFrame([(1, "")], "doc_id long, text string")
     row = hashed_linear_score(df, seeded_weights(D), bias=-7).collect()[0]
