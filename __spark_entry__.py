@@ -4630,6 +4630,50 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def _text_ppl_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity split (text.py::
+    perplexity_buckets, Wenzek et al. 2020 §4.3): per-language exact
+    terciles of the unigram LM score, integer window comparisons
+    (3c ≤ n / 3c ≤ 2n with a peers-included RANGE frame) so tie groups
+    never split across buckets and any engine replays the assignment
+    bit-for-bit. Zero-token docs (NULL score) land in tail. The
+    sampled-thresholds projection mode is the 100 TB path
+    (unit-tested); this entry exercises the exact mode end-to-end."""
+    from gecko_spark.operators.text import perplexity_buckets, unigram_logprob
+
+    docs = load_table(spark, sf, "documents")
+    lp = unigram_logprob(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return perplexity_buckets(lp, "avg_logprob", ("lang",)).select(
+        "doc_id", "lang", "avg_logprob", "ppl_bucket"
+    )
+
+
+_TEXT_PPL_BUCKETS_SQL = f"""
+WITH lp AS ({_UNIGRAM_LOGPROB_SQL}),
+j AS (
+  SELECT lp.doc_id, d.lang, lp.avg_logprob
+  FROM lp JOIN documents d USING (doc_id)
+),
+s AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY lang) AS n,
+         COUNT(*) OVER (PARTITION BY lang ORDER BY avg_logprob DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM j WHERE avg_logprob IS NOT NULL
+)
+SELECT doc_id, lang, avg_logprob,
+       CASE WHEN 3 * c <= n THEN 'head'
+            WHEN 3 * c <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM s
+UNION ALL
+SELECT doc_id, lang, avg_logprob, 'tail' AS ppl_bucket
+FROM j WHERE avg_logprob IS NULL
+"""
+
+
 # HTML wrapper planted around each document (the corpus itself is plain
 # text): single-quote-free so both engines can hold it in one literal.
 _HTML_PRE = (
@@ -5645,6 +5689,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("text_gopher_repetition", _text_gopher_repetition),
     ("text_c4_clean", _text_c4_clean),
     ("text_quality_classifier", _text_quality_classifier),
+    ("text_ppl_buckets", _text_ppl_buckets),
     ("text_chunks", _text_chunks),
     ("text_chunks_tokens", _text_chunks_tokens),
     ("text_strip_html", _text_strip_html),
@@ -5804,6 +5849,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_repetition": _gopher_rep_sql(),
         "text_c4_clean": _TEXT_C4_CLEAN_SQL,
         "text_quality_classifier": _text_quality_classifier_sql(),
+        "text_ppl_buckets": _TEXT_PPL_BUCKETS_SQL,
         "sample_mix_corpus": _sample_mix_corpus_sql(),
         "text_strip_html": _TEXT_STRIP_HTML_SQL,
         "text_url_normalize": _TEXT_URL_NORMALIZE_SQL,

@@ -17,7 +17,7 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -39,6 +39,7 @@ __all__ = [
     "tfidf_top_terms",
     "line_dedupe",
     "unigram_logprob",
+    "perplexity_buckets",
     "chunk_documents",
     "chunk_documents_tokens",
     "HTML_ENTITIES",
@@ -995,6 +996,65 @@ def unigram_logprob(
             F.col("n_tokens") > 0, sign * avg_mic / F.lit(1000000.0)
         ).alias("avg_logprob"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_cols: tuple = (),
+    thresholds: "tuple[float, float] | None" = None,
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020 §4.3):
+    rank documents by an LM quality score (``unigram_logprob`` /
+    ``bigram_logprob`` — HIGHER = more fluent = lower perplexity) and
+    bucket the top / middle / bottom thirds, optionally per group
+    (CCNet buckets per language).
+
+    Two modes, two scale shapes:
+
+    * ``thresholds=(t_head, t_middle)`` — the 100 TB path and what
+      CCNet itself does: cutoffs come from a bounded SAMPLE of the
+      corpus, bucketing is a pure projection (``score ≥ t_head`` →
+      head, ``≥ t_middle`` → middle, else tail). Zero shuffles.
+    * ``thresholds=None`` — exact terciles via one window per group:
+      ``c`` = rows with score ≥ mine (RANGE frame, peers included),
+      ``n`` = group size; head iff ``3c ≤ n``, middle iff ``3c ≤ 2n``.
+      Pure integer comparisons — no float quantile interpolation — so
+      any engine replays the assignment bit-for-bit, and ties land in
+      the same bucket regardless of partitioning. One shuffle on
+      ``group_cols``; each group funnels through one reducer, so this
+      mode is for corpora (or samples) where groups fit a partition —
+      per-language groups at full corpus scale should use sampled
+      thresholds.
+
+    NULL scores (docs with no tokens) always land in ``tail`` and are
+    excluded from the tercile counts."""
+    score = F.col(score_col)
+    if thresholds is not None:
+        t_head, t_mid = thresholds
+        bucket = (
+            F.when(score.isNull(), F.lit("tail"))
+            .when(score >= F.lit(t_head), F.lit("head"))
+            .when(score >= F.lit(t_mid), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        return df.withColumn(bucket_col, bucket)
+    scored = df.filter(score.isNotNull())
+    nulls = df.filter(score.isNull()).withColumn(bucket_col, F.lit("tail"))
+    w_n = Window.partitionBy(*group_cols)
+    w_c = (
+        Window.partitionBy(*group_cols)
+        .orderBy(score.desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n, c = F.count("*").over(w_n), F.count("*").over(w_c)
+    bucket = (
+        F.when(F.lit(3) * c <= n, F.lit("head"))
+        .when(F.lit(3) * c <= F.lit(2) * n, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn(bucket_col, bucket).unionByName(nulls)
 
 
 def bpe_train(

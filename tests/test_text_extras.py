@@ -1070,3 +1070,49 @@ def test_c4_clean_rules(spark):
     assert not out.loc[5, "kept"] and out.loc[5, "text_clean"] == ""
     plan = c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestPerplexityBuckets:
+    """CCNet head/middle/tail split (text.py::perplexity_buckets)."""
+
+    def _df(self, spark):
+        # two groups; en scores 9..1 (9 docs -> 3/3/3), de scores with a
+        # tie pair straddling the head cut; one null-score doc
+        rows = (
+            [(i, "en", float(10 - i)) for i in range(1, 10)]
+            + [(20, "de", 5.0), (21, "de", 5.0), (22, "de", 3.0)]
+            + [(30, "en", None)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, lang string, s double")
+
+    def test_exact_terciles_and_ties(self, spark):
+        from gecko_spark.operators.text import perplexity_buckets
+
+        out = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in perplexity_buckets(self._df(spark), "s", ("lang",)).collect()
+        }
+        # en: 9 docs, thirds by descending score
+        assert [out[i] for i in range(1, 10)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+        # de: tied 5.0 pair -> c=2 for both, n=3: 3c=6 > n=3 and <= 2n=6
+        # -> both middle (ties NEVER split across buckets); 3.0 -> tail
+        assert out[20] == out[21] == "middle" and out[22] == "tail"
+        assert out[30] == "tail"  # null score
+
+    def test_threshold_mode_is_projection(self, spark):
+        from gecko_spark.operators.text import perplexity_buckets
+
+        df = self._df(spark)
+        out = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in perplexity_buckets(df, "s", thresholds=(7.0, 4.0)).collect()
+        }
+        assert out[1] == out[2] == out[3] == "head"   # scores 9,8,7
+        assert out[20] == "middle" and out[22] == "tail" and out[30] == "tail"
+        plan = (
+            perplexity_buckets(df, "s", thresholds=(7.0, 4.0))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
