@@ -5069,20 +5069,25 @@ def _mm_image_features(spark, sf):
     decoders, multimodal.py::decode_image_features). Features are
     gray/255 floats; ×255 rounds back to the exact integer gray
     samples, so the contract is integer-exact end to end. The null
-    payload row exercises the per-payload quarantine path."""
+    payload row exercises the per-payload quarantine path.
+
+    Contract shape (round 9, VERDICT r8 #1): the feature vector is
+    EXPLODED to scalar (media_id, mime, i, v) rows — the driver's
+    canonicalizer pandas-sorts raw column values, and array-typed
+    columns crash it (``TypeError: unhashable type: 'list'``,
+    CORRECTNESS_r08.json). Quarantined (null-payload) rows emit one
+    sentinel row (i=0, v=-1) so they stay visible without introducing
+    NULL ints (which would widen the pandas dtype to float)."""
     from gecko_spark.operators.multimodal import decode_image_features
 
     media = spark.read.parquet(_MEDIA_IMAGES)
     feats = decode_image_features(media, out_dim=16)
-    # null payloads coalesce to [] so both engines agree on the row's
-    # representation (a NULL list round-trips as None vs NaN in pandas)
+    arr = F.coalesce(
+        F.expr("transform(features, x -> cast(round(x * 255) as int))"),
+        F.expr("array(cast(-1 as int))"),
+    )
     return feats.select(
-        "media_id",
-        "mime",
-        F.coalesce(
-            F.expr("transform(features, x -> cast(round(x * 255) as int))"),
-            F.expr("cast(array() as array<int>)"),
-        ).alias("gray16"),
+        "media_id", "mime", F.posexplode(arr).alias("i", "v")
     )
 
 
@@ -5101,10 +5106,10 @@ px AS (
          END AS INT) AS v
   FROM m CROSS JOIN grid g
   WHERE m.kind <> 'null')
-SELECT media_id, mime, list(v ORDER BY i) AS gray16
-FROM px GROUP BY media_id, mime
+SELECT media_id, mime, CAST(i AS INT) AS i, v FROM px
 UNION ALL
-SELECT media_id, mime, []::INT[] AS gray16 FROM m WHERE kind = 'null'
+SELECT media_id, mime, CAST(0 AS INT) AS i, CAST(-1 AS INT) AS v
+FROM m WHERE kind = 'null'
 """
 
 
@@ -5114,20 +5119,28 @@ def _mm_audio_features(spark, sf):
     multimodal.py::decode_audio_features). The fixture samples are
     exact multiples of 2⁻¹⁵, so every float64 sum is integer-exact in
     any order and sqrt/scale round identically in both engines —
-    ×1e6-rounded bigints hash-match bit-for-bit."""
+    ×1e6-rounded bigints hash-match bit-for-bit.
+
+    Contract shape (round 9, VERDICT r8 #1): the RMS envelope is
+    EXPLODED to scalar (media_id, mime, w, v, sample_rate,
+    duration_ms) rows — array columns crash the driver's raw-sort
+    canonicalizer (CORRECTNESS_r08.json). Quarantined rows emit one
+    sentinel row (w=0, v=-1) and coalesce their NULL meta ints to -1
+    so no pandas column widens to float."""
     from gecko_spark.operators.multimodal import decode_audio_features
 
     media = spark.read.parquet(_MEDIA_AUDIO)
     feats = decode_audio_features(media, out_dim=16)
+    arr = F.coalesce(
+        F.expr("transform(features, x -> cast(round(x * 1e6) as bigint))"),
+        F.expr("array(cast(-1 as bigint))"),
+    )
     return feats.select(
         "media_id",
         "mime",
-        F.coalesce(
-            F.expr("transform(features, x -> cast(round(x * 1e6) as bigint))"),
-            F.expr("cast(array() as array<bigint>)"),
-        ).alias("rms_1e6"),
-        "sample_rate",
-        F.col("duration_ms"),
+        F.posexplode(arr).alias("w", "v"),
+        F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
+        F.coalesce(F.col("duration_ms"), F.lit(-1)).alias("duration_ms"),
     )
 
 
@@ -5150,13 +5163,13 @@ rms AS (
            AS REAL) AS DOUBLE) * 1e6) AS BIGINT) AS v
   FROM b JOIN k ON k.media_id = b.media_id AND k.i >= b.lo AND k.i < b.hi
   GROUP BY b.media_id, b.mime, b.rate, b.n, b.w, b.lo, b.hi)
-SELECT media_id, mime, list(v ORDER BY w) AS rms_1e6,
+SELECT media_id, mime, CAST(w AS INT) AS w, v,
        CAST(rate AS INT) AS sample_rate,
        CAST((n * 1000) // rate AS BIGINT) AS duration_ms
-FROM rms GROUP BY media_id, mime, rate, n
+FROM rms
 UNION ALL
-SELECT media_id, mime, []::BIGINT[] AS rms_1e6, NULL AS sample_rate,
-       NULL AS duration_ms
+SELECT media_id, mime, CAST(0 AS INT) AS w, CAST(-1 AS BIGINT) AS v,
+       CAST(-1 AS INT) AS sample_rate, CAST(-1 AS BIGINT) AS duration_ms
 FROM m WHERE kind = 'null'
 """
 

@@ -147,3 +147,36 @@ def test_query_catalogue_invariants():
     o = entry.oracle_sql()
     assert set(o) <= set(q)
     assert all(callable(f) for f in q.values())
+
+
+def test_contract_schemas_are_scalar_only(spark):
+    """VERDICT r8 #1 guard: the driver's canonicalizer pandas-sorts RAW
+    column values, so an array/map/struct-typed column in ANY contract
+    query crashes the hard gate (``TypeError: unhashable type: 'list'``
+    — exactly how mm_image_features/mm_audio_features errored in
+    CORRECTNESS_r08.json despite being oracle-correct). Pin every
+    catalogue entry to scalar-only top-level columns. Streaming parity
+    entries execute real micro-batch runs inside their builders, so
+    they are exercised in test_streaming / check_oracle instead; their
+    non-stream siblings cover the schema shapes here."""
+    from pyspark.sql import types as T
+
+    skip = {  # builders that RUN streams/writes; schema covered elsewhere
+        "stream_dedupe_parity",
+        "stream_user_stats_parity",
+        "stream_warc_parity",
+        "dedup_incremental_index",
+    }
+    bad = {}
+    for name, fn in entry._CATALOGUE_PAIRS:
+        if name in skip:
+            continue
+        df = fn(spark, SF)
+        nested = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, f"non-scalar contract columns (driver-sort crash): {bad}"

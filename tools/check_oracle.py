@@ -24,10 +24,29 @@ from gecko_spark.sources.testdata import TABLES  # noqa: E402
 
 
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the DRIVER's canonicalization: sort RAW column values.
+
+    Round 8 lesson (CORRECTNESS_r08.json mm_image_features /
+    mm_audio_features): this function used to ``astype(str)`` object
+    columns before sorting, which silently made array-typed contract
+    columns sortable locally while the driver's raw ``sort_values``
+    crashed with ``TypeError: unhashable type: 'list'``. Local green
+    must PREDICT driver green, so non-scalar cells are now rejected
+    loudly before the sort instead of being papered over."""
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pdf[c].dtype == object:
-            pdf[c] = pdf[c].astype(str)
+            bad = pdf[c].map(
+                lambda v: isinstance(v, (list, tuple, dict, set, bytearray))
+                or type(v).__name__ == "ndarray"
+            )
+            if bad.any():
+                raise TypeError(
+                    f"non-scalar values in contract column {c!r} "
+                    f"(e.g. {pdf[c][bad].iloc[0]!r:.60}): the driver's "
+                    "canonicalizer sorts raw values and would crash — "
+                    "explode or summarize to scalar columns"
+                )
     return pdf.sort_values(list(pdf.columns), ignore_index=True)
 
 
