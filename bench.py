@@ -460,6 +460,51 @@ def _env_fingerprint(cpus):
     return fp
 
 
+# The driver ingests only a bounded tail of stdout: round 8's line —
+# with full per-entry {med,lo,hi} dispersion dicts — outgrew it and
+# BENCH_r08.json recorded rc=0 but parsed=null, losing the round's
+# official perf record (VERDICT r8 #2). The stdout line is therefore a
+# compact med-only summary under a hard size cap, and the full
+# dispersion goes to a committed artifact file instead.
+DISPERSION_FILE = "BENCH_DISPERSION.json"
+STDOUT_LINE_CAP = 1900  # r8's artifact kept a 2000-char tail; stay under
+
+
+def compact_stdout_line(result: dict, cap: int = STDOUT_LINE_CAP) -> str:
+    """Render the driver-facing JSON line: per-entry MEDIANS only
+    (floats, the pre-r8 shape that parsed fine), compact separators, a
+    trimmed env fingerprint, and a pointer to the dispersion artifact.
+    If the line still exceeds ``cap`` (suite growth), non-headline
+    entries are dropped before the headline set — the totals summarize
+    the rest and the dispersion file always has everything."""
+    slim = dict(result)
+    slim["queries"] = {
+        q: (v["med"] if isinstance(v, dict) else v)
+        for q, v in result["queries"].items()
+    }
+    env = result.get("env", {})
+    slim["env"] = {
+        k: env[k]
+        for k in ("cpus", "loadavg_start", "cpu_busy_pct", "cpu_steal_pct")
+        if k in env
+    }
+    slim["dispersion_file"] = DISPERSION_FILE
+    if "errors" in slim:
+        # full tracebacks live in the dispersion file; the line only
+        # needs the failing names so `partial` is explainable at a glance
+        slim["errors"] = sorted(slim["errors"])[:5]
+        slim["errors_n"] = len(result["errors"])
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > cap:
+        keep = [q for q in HEADLINE_25 if q in slim["queries"]]
+        dropped = len(slim["queries"]) - len(keep)
+        slim["queries"] = {q: slim["queries"][q] for q in keep}
+        slim["queries_dropped"] = dropped
+        line = json.dumps(slim, separators=(",", ":"))
+    assert "\n" not in line and len(line) <= cap, len(line)
+    return line
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -493,7 +538,11 @@ def main():
         # so round-over-round comparisons skip it.
         result["errors"] = errors
         result["partial"] = True
-    print(json.dumps(result))
+    # full {med,lo,hi} dispersion → committed artifact, compact line → stdout
+    disp = os.path.join(os.path.dirname(os.path.abspath(__file__)), DISPERSION_FILE)
+    with open(disp, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(compact_stdout_line(result))
 
 
 if __name__ == "__main__":

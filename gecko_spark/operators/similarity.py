@@ -40,6 +40,10 @@ __all__ = [
     "pq_topk_rerank",
     "write_pq_index",
     "read_pq_index",
+    "ivfpq_build",
+    "cosine_topk_ivfpq",
+    "write_ivfpq_index",
+    "read_ivfpq_index",
 ]
 
 
@@ -719,15 +723,23 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """(id, codes array<int>) — each vector's nearest code per subspace.
-    One Arrow kernel per batch (three BLAS-shaped ops per subspace), no
-    shuffle: encoding is embarrassingly parallel and the output is the
-    compressed index you persist (codes are ≤ 256 so a parquet sink
-    stores them as bytes after dictionary encoding)."""
+    """(id, codes array<int>[, carry…]) — each vector's nearest code per
+    subspace. One Arrow kernel per batch (three BLAS-shaped ops per
+    subspace), no shuffle: encoding is embarrassingly parallel and the
+    output is the compressed index you persist (codes are ≤ 256 so a
+    parquet sink stores them as bytes after dictionary encoding).
+    ``carry_cols`` ride along unchanged — the IVF-PQ build uses it for
+    ``__ivf_list__`` so the codes never need a data-sized join back to
+    their list assignment."""
     m, k_codes, dsub = codebooks.shape
     books = codebooks  # closed over; broadcast by Spark with the task
     id_type = corpus.schema[id_col].dataType.simpleString()
+    carry = list(carry_cols)
+    carry_schema = "".join(
+        f", {c} {corpus.schema[c].dataType.simpleString()}" for c in carry
+    )
 
     def _enc(batches):
         for pdf in batches:
@@ -745,12 +757,13 @@ def pq_encode(
                     + (cents * cents).sum(axis=1)[None, :]
                 )
                 codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf[id_col].to_numpy(), "codes": list(codes)}
-            )
+            out = {"vec_id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        _enc, f"vec_id {id_type}, codes array<int>"
+    return corpus.select(id_col, vec_col, *carry).mapInPandas(
+        _enc, f"vec_id {id_type}, codes array<int>{carry_schema}"
     )
 
 
@@ -922,3 +935,262 @@ def read_pq_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
         m, k_codes, dsub
     )
     return codes, books
+
+
+# ---------------------------------------------------------------------------
+# IVF×PQ (IVFADC, Jégou et al. 2011 "Product Quantization for Nearest
+# Neighbor Search"): the composition of the two legs above, and the fix
+# for standalone PQ's shortlist cliff (SCALE.md round-8 addendum 2
+# finding 1: raw-vector PQ noise-ranks WITHIN a tight cluster, so the
+# rerank shortlist had to scale with the n/n_lists cluster size —
+# recall@10 fell 1.000 → 0.172 when it didn't). Two composed ideas:
+#   1. IVF pruning: a query only scans its nprobe nearest lists —
+#      nprobe/n_lists of the codes, a partition-pruned read when the
+#      index is stored partitioned by list.
+#   2. RESIDUAL encoding: PQ quantizes (vector − list centroid), not
+#      the raw vector. Residuals span the intra-cluster spread instead
+#      of the unit sphere, so the same code budget resolves distances
+#      INSIDE a cluster — which is exactly where the true neighbors
+#      live and exactly what raw-vector PQ could not rank. ADC then
+#      scores ||​(q − c_list) − residual̂||² per probed list with a
+#      per-(query, list) lookup table.
+# Net: the shortlist needs to cover only ADC noise among true
+# near-neighbors, not the whole cluster — it stops scaling with
+# n/n_lists.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 0,
+    init: str = "kmeans",
+    ivf_id_col: Optional[str] = None,
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Build the IVFADC index: IVF-assign, subtract each vector's list
+    centroid JVM-side (``zip_with`` over a broadcast n_lists-row join —
+    no Python in the residual path), train PQ codebooks ON THE
+    RESIDUALS, and encode. Returns ``(codes_df, centroids, codebooks)``
+    where ``codes_df`` is (id, codes, __ivf_list__) — the only
+    data-sized artifact, ~dim·4/m× smaller than the float corpus."""
+    with_lists, centroids = ivf_assign(
+        corpus, vec_col, n_centroids, seed=seed, init=init, id_col=ivf_id_col
+    )
+    spark = corpus.sparkSession
+    cent_pdf = pd.DataFrame(
+        {
+            "__ivf_list__": range(len(centroids)),
+            "__cent__": [[float(x) for x in c] for c in centroids],
+        }
+    )
+    cent_df = spark.createDataFrame(cent_pdf)
+    resid = with_lists.join(F.broadcast(cent_df), "__ivf_list__").withColumn(
+        "__residual__",
+        F.zip_with(F.col(vec_col), F.col("__cent__"), lambda a, b: a - b),
+    )
+    books = pq_train(resid, "__residual__", m=m, k_codes=k_codes, seed=seed)
+    codes = pq_encode(
+        resid, books, id_col=id_col, vec_col="__residual__",
+        carry_cols=["__ivf_list__"],
+    )
+    return codes, centroids, books
+
+
+def cosine_topk_ivfpq(
+    codes_with_lists: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+) -> DataFrame:
+    """IVFADC search: per query, ADC over the PQ codes of its
+    ``nprobe`` nearest lists (residual LUT per (query, probed list)),
+    keep ``shortlist`` candidates, then exact-cosine re-rank on the
+    float vectors of only those ``Q × shortlist`` rows.
+
+    Scale shape: the codes scan prunes to ``nprobe/n_lists`` of the
+    index (a partition-pruned read via :func:`read_ivfpq_index`'s
+    layout), each Arrow batch does one LUT gather per probed list
+    present and keeps per-query top-``shortlist`` (argpartition), the
+    one window shuffle sees ``batches × Q × shortlist`` candidate rows,
+    and the re-rank fetch is id-keyed over Q·shortlist rows. Queries
+    and LUTs (Q × nprobe × m × k_codes floats) are driver-built —
+    queries are small by definition."""
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be ≥ k {k}")
+    m, k_codes, dsub = codebooks.shape
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError("queries is empty")
+    qm = np.array(qpdf[query_vec_col].tolist(), dtype=np.float64)
+    if qm.shape[1] != m * dsub:
+        raise ValueError(f"query dim {qm.shape[1]} != codebook dim {m * dsub}")
+    nq = len(qpdf)
+    # probe selection: same sequential-fold dots as cosine_topk_ivf so
+    # the two paths probe identically on identical inputs
+    sims = np.array([[_seq_dot(q, c) for c in centroids] for q in qm])
+    probe_lists = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+
+    # per-(query, probed list) residual LUTs, grouped by list id:
+    # lut_by_list[l] = (query_row_indices, LUT[len(idx), m, k_codes])
+    lut_by_list: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for l in np.unique(probe_lists):
+        qidx = np.nonzero((probe_lists == l).any(axis=1))[0]
+        qres = qm[qidx] - centroids[l][None, :]  # query residuals vs c_l
+        luts = np.empty((len(qidx), m, k_codes), dtype=np.float64)
+        for j in range(m):
+            qs = qres[:, j * dsub : (j + 1) * dsub]
+            cents = codebooks[j]
+            luts[:, j, :] = (
+                (qs * qs).sum(axis=1, keepdims=True)
+                - 2.0 * (qs @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+        lut_by_list[int(l)] = (qidx, luts)
+
+    qids = qpdf[query_id_col].tolist()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    cid_type = codes_with_lists.schema["vec_id"].dataType.simpleString()
+    probed = sorted(lut_by_list)
+    sl = shortlist
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q, out_v, out_d = [], [], []
+            for l, grp in pdf.groupby("__ivf_list__", sort=False):
+                ent = lut_by_list.get(int(l))
+                if ent is None:
+                    continue
+                qidx, luts = ent
+                codes = np.array(grp["codes"].tolist(), dtype=np.int64)
+                dists = np.zeros((codes.shape[0], len(qidx)), dtype=np.float64)
+                for j in range(m):
+                    dists += luts[:, j, :][:, codes[:, j]].T  # B×Ql
+                kk = min(sl, dists.shape[0])
+                top = np.argpartition(dists, kk - 1, axis=0)[:kk]
+                ids = grp["vec_id"].to_numpy()
+                for qi in range(len(qidx)):
+                    sel = top[:, qi]
+                    out_q.extend([qids[qidx[qi]]] * len(sel))
+                    out_v.extend(ids[sel])
+                    out_d.extend(dists[sel, qi])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "vec_id": out_v, "adc_dist": out_d}
+                )
+
+    # the isin filter is what partition-prunes the probed read when the
+    # codes come from read_ivfpq_index's list-partitioned layout
+    cand = (
+        codes_with_lists.filter(F.col("__ivf_list__").isin(probed))
+        .select("vec_id", "codes", "__ivf_list__")
+        .mapInPandas(
+            _score, f"query_id {qid_type}, vec_id {cid_type}, adc_dist double"
+        )
+    )
+    wsl = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id")
+    )
+    cand = (
+        cand.withColumn("__r__", F.row_number().over(wsl))
+        .filter(F.col("__r__") <= sl)
+        .select("query_id", "vec_id")
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv__"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv__")
+            ),
+            "vec_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(F.col("__cv__"), F.col("__qv__")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def write_ivfpq_index(
+    codes_with_lists: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    compact: bool = True,
+) -> None:
+    """Persist an IVFADC index: the code table parquet PARTITIONED BY
+    list id (so ``nprobe`` search is a partition-pruned read of
+    ~nprobe/n_lists of the files), plus centroid and codebook sidecars.
+    ``compact`` repartitions by list before the write — one shuffle
+    buys ~1 file per list instead of tasks×lists small files, the same
+    trade :func:`write_ivf_index` measured (964 → 61 files at 1M)."""
+    df = codes_with_lists
+    if compact:
+        df = df.repartition(F.col("__ivf_list__"))
+    df.write.mode("overwrite").partitionBy("__ivf_list__").parquet(f"{path}/codes")
+    spark = codes_with_lists.sparkSession
+    cent_pdf = pd.DataFrame(
+        {
+            "list_id": range(len(centroids)),
+            "centroid": [[float(x) for x in c] for c in centroids],
+        }
+    )
+    spark.createDataFrame(cent_pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    m, k_codes, _ = codebooks.shape
+    book_pdf = pd.DataFrame(
+        {
+            "subspace": [j for j in range(m) for _ in range(k_codes)],
+            "code": [c for _ in range(m) for c in range(k_codes)],
+            "centroid": [
+                [float(x) for x in codebooks[j, c]]
+                for j in range(m)
+                for c in range(k_codes)
+            ],
+        }
+    )
+    spark.createDataFrame(book_pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebooks"
+    )
+
+
+def read_ivfpq_index(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Load an IVFADC index written by :func:`write_ivfpq_index`."""
+    codes = spark.read.parquet(f"{path}/codes")
+    cent_pdf = (
+        spark.read.parquet(f"{path}/centroids").toPandas().sort_values("list_id")
+    )
+    centroids = np.array(cent_pdf["centroid"].tolist(), dtype=np.float64)
+    pdf = (
+        spark.read.parquet(f"{path}/codebooks")
+        .toPandas()
+        .sort_values(["subspace", "code"])
+    )
+    m = int(pdf["subspace"].max()) + 1
+    k_codes = int(pdf["code"].max()) + 1
+    dsub = len(pdf["centroid"].iloc[0])
+    books = np.array(pdf["centroid"].tolist(), dtype=np.float64).reshape(
+        m, k_codes, dsub
+    )
+    return codes, centroids, books

@@ -1,0 +1,82 @@
+"""Bench stdout-line contract (VERDICT r8 #2): round 8's official bench
+artifact recorded ``parsed: null`` because the final stdout line — per-
+entry {med,lo,hi} dicts — outgrew the driver's bounded stdout tail
+(~2000 chars). These tests pin the fix: the line is single-line JSON,
+med-only floats, under a conservative size cap, shrinking gracefully as
+the suite grows, with the full dispersion routed to a committed file.
+
+No SparkSession needed — the formatter is pure."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _result(n_entries: int, name_len: int = 24, errors: int = 0) -> dict:
+    qs = {
+        f"q_{'x' * name_len}_{i:03d}": {"med": 1.234, "lo": 1.1, "hi": 9.876}
+        for i in range(n_entries)
+    }
+    r = {
+        "metric": "gecko_spark bench: gen+mutate @1M rows + headline queries",
+        "value": round(1.234 * n_entries, 3),
+        "unit": "sec",
+        "queries": qs,
+        "sf": 0.1,
+        "headline25_total": 20.404,
+        "headline25_n": 25,
+        "env": {
+            "cpus": 32,
+            "platform": "Linux-6.18.5-fc-v20-x86_64-with-glibc2.39",
+            "loadavg_start": 4.43,
+            "mem_available_gb": 101.3,
+            "cpu_busy_pct": 12.5,
+            "cpu_steal_pct": 0.0,
+        },
+    }
+    if errors:
+        r["errors"] = {
+            f"q_fail_{i}": "AnalysisException: " + "x" * 180 for i in range(errors)
+        }
+        r["partial"] = True
+    return r
+
+
+def test_line_parses_and_fits_at_current_suite_size():
+    # 58 entries × ~17-char names ≈ the round-9 suite (52 real entries
+    # measured 1679 chars) — must fit WITHOUT dropping any entry
+    line = bench.compact_stdout_line(_result(58, name_len=11))
+    assert "\n" not in line
+    assert len(line) <= bench.STDOUT_LINE_CAP
+    parsed = json.loads(line)
+    assert "queries_dropped" not in parsed
+    assert len(parsed["queries"]) == 58
+    # driver spec shape: queries maps name -> seconds (float, not dict)
+    assert all(isinstance(v, float) for v in parsed["queries"].values())
+    assert parsed["unit"] == "sec" and isinstance(parsed["value"], float)
+    assert parsed["dispersion_file"] == bench.DISPERSION_FILE
+
+
+def test_oversized_suite_drops_to_headline_but_still_parses():
+    line = bench.compact_stdout_line(_result(400, name_len=40))
+    assert len(line) <= bench.STDOUT_LINE_CAP
+    parsed = json.loads(line)
+    assert parsed["queries_dropped"] == 400  # synthetic names ∉ HEADLINE_25
+    assert parsed["value"] > 0  # totals survive the drop
+
+
+def test_errors_are_summarized_not_dumped():
+    line = bench.compact_stdout_line(_result(40, errors=30))
+    assert len(line) <= bench.STDOUT_LINE_CAP
+    parsed = json.loads(line)
+    assert parsed["errors_n"] == 30 and len(parsed["errors"]) == 5
+    assert parsed["partial"] is True
+
+
+def test_plain_float_entries_pass_through():
+    r = _result(10)
+    r["queries"] = {k: v["med"] for k, v in r["queries"].items()}
+    parsed = json.loads(bench.compact_stdout_line(r))
+    assert all(isinstance(v, float) for v in parsed["queries"].values())

@@ -1473,3 +1473,108 @@ def test_index_roundtrip_recall_bounds(spark, tmp_path):
     rer = S.pq_topk_rerank(codes2, books2, vecs, queries, k=10, shortlist=400).toPandas()
     assert recall_at_k(exact, rer) >= 0.9
     vecs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# IVF×PQ (round 9, VERDICT r8 #4): residual-encoded IVFADC must hold
+# recall at a shortlist ≪ cluster size — the exact regime where raw-
+# vector PQ collapsed (SCALE.md r8 addendum 2: recall 1.000 → 0.172).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    """2 000 unit vectors in 16 tight clusters (dim 32, spread 0.3):
+    the corpus shape where ANN recall is measurable — random vectors
+    noise-rank their true top-k and recall measures nothing."""
+    rng = np.random.default_rng(11)
+    n, dim, n_clusters, spread = 2000, 32, 16, 0.3
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cl = rng.integers(0, n_clusters, n)
+    x = centers[cl] + spread * rng.standard_normal((n, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [list(map(float, v)) for v in x]}
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+def _recall(exact_pdf, approx_pdf) -> float:
+    r, qids = 0.0, exact_pdf["query_id"].unique()
+    for qid in qids:
+        e = set(exact_pdf[exact_pdf["query_id"] == qid]["vec_id"])
+        a = set(approx_pdf[approx_pdf["query_id"] == qid]["vec_id"])
+        r += len(e & a) / len(e)
+    return r / len(qids)
+
+
+def test_ivfpq_recall_at_shortlist_far_below_cluster_size(spark, clustered_vecs):
+    """Cluster size ≈ 125; shortlist 20 ≪ that. Raw-vector PQ at this
+    shortlist noise-ranks inside the query's own cluster; residual
+    IVFADC must not."""
+    queries = clustered_vecs.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = S.cosine_topk_bruteforce(clustered_vecs, queries, k=10).toPandas()
+    codes, cents, books = S.ivfpq_build(
+        clustered_vecs, n_centroids=16, m=8, k_codes=16, seed=5
+    )
+    approx = S.cosine_topk_ivfpq(
+        codes.cache(), cents, books, clustered_vecs, queries,
+        k=10, nprobe=4, shortlist=20,
+    ).toPandas()
+    rec = _recall(exact, approx)
+    assert rec >= 0.9, f"IVFADC recall@10 {rec:.3f} < 0.9 at shortlist=20"
+    # contrast: raw-vector PQ + rerank at the SAME shortlist is the
+    # documented cliff — if this ever passes 0.9 the fixture stopped
+    # exercising the regime and the test above proves nothing
+    raw_books = S.pq_train(clustered_vecs, m=8, k_codes=16, seed=5)
+    raw_codes = S.pq_encode(clustered_vecs, raw_books)
+    raw = S.pq_topk_rerank(
+        raw_codes, raw_books, clustered_vecs, queries, k=10, shortlist=20
+    ).toPandas()
+    raw_rec = _recall(exact, raw)
+    assert raw_rec < rec, (raw_rec, rec)
+
+
+def test_ivfpq_index_roundtrip_partition_pruned(spark, clustered_vecs, tmp_path):
+    import os as _os
+
+    codes, cents, books = S.ivfpq_build(
+        clustered_vecs, n_centroids=16, m=8, k_codes=16, seed=5
+    )
+    path = str(tmp_path / "ivfpq")
+    S.write_ivfpq_index(codes, cents, books, path)
+    # list-partitioned layout on disk → nprobe search is partition-pruned
+    dirs = [d for d in _os.listdir(f"{path}/codes") if d.startswith("__ivf_list__=")]
+    assert len(dirs) == 16
+    codes2, cents2, books2 = S.read_ivfpq_index(spark, path)
+    assert np.allclose(cents2, cents) and np.allclose(books2, books)
+    queries = clustered_vecs.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = S.cosine_topk_ivfpq(
+        codes, cents, books, clustered_vecs, queries, k=5, nprobe=4, shortlist=20
+    ).toPandas()
+    b = S.cosine_topk_ivfpq(
+        codes2, cents2, books2, clustered_vecs, queries, k=5, nprobe=4, shortlist=20
+    ).toPandas()
+    key = ["query_id", "vec_id", "rank"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key, ignore_index=True),
+        b[key].sort_values(key, ignore_index=True),
+    )
+    # the probed scan's plan reaches the source with the list filter
+    pruned = codes2.filter(F.col("__ivf_list__").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "__ivf_list__" in plan
+
+
+def test_pq_encode_carry_cols(spark, clustered_vecs):
+    with_lists, cents = S.ivf_assign(clustered_vecs, n_centroids=8, seed=2)
+    books = S.pq_train(clustered_vecs, m=8, k_codes=16, seed=2)
+    out = S.pq_encode(with_lists, books, carry_cols=["__ivf_list__"])
+    assert set(out.columns) == {"vec_id", "codes", "__ivf_list__"}
+    pdf = out.limit(5).toPandas()
+    assert len(pdf) == 5 and pdf["__ivf_list__"].between(0, 7).all()
