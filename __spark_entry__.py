@@ -3447,6 +3447,136 @@ SELECT query_id, vec_id, CAST(rnk AS INTEGER) AS rank FROM (
 """
 
 
+def _topk_ivfpq(spark, sf):
+    """Residual IVFADC with both quantizers in ``first_k`` mode —
+    deterministic centroids AND codebooks, dsub=2 subspaces so every
+    float reduction in the encode/ADC path is a single two-term sum:
+    the DuckDB oracle replays assignment, residual encoding, the
+    per-(query, list) ADC lookup tables, the shortlist window, and the
+    exact-cosine re-rank bit-for-bit (similarity.py ivfpq_build /
+    cosine_topk_ivfpq; cf. reference gecko's generator determinism
+    contract, gecko/generator.py)."""
+    from gecko_spark.operators.similarity import cosine_topk_ivfpq, ivfpq_build
+
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes, cents, books = ivfpq_build(
+        emb, n_centroids=16, m=32, k_codes=8,
+        init="first_k", pq_init="first_k", ivf_id_col="vec_id",
+    )
+    return cosine_topk_ivfpq(
+        codes, cents, books, emb, qs, k=5, nprobe=4, shortlist=32
+    ).select("query_id", "vec_id", "rank")
+
+
+def _topk_ivfpq_sql(
+    n_centroids: int = 16,
+    m: int = 32,
+    k_codes: int = 8,
+    nprobe: int = 4,
+    shortlist: int = 32,
+    k: int = 5,
+) -> str:
+    """Replays cosine_topk_ivfpq exactly: with dsub=2 the kernel's
+    expanded ||a−b||² form ((Σa² − 2·a·b) + Σb²) is three two-term
+    sums — order-free in IEEE — and the per-vector ADC distance is a
+    strict left fold over subspaces in j order (numpy's `dists += LUT_j`
+    loop ≡ list_reduce over list(lv ORDER BY j))."""
+    assign_dot = _sql_seq_dot("e.embedding", "c.cvec")
+    probe_dot = _sql_seq_dot("q.qv", "c.cvec")
+    d2 = (
+        "(({r1}*{r1} + {r2}*{r2})"
+        " - 2.0*({r1}*{b1} + {r2}*{b2}))"
+        " + ({b1}*{b1} + {b2}*{b2})"
+    )
+    enc_d2 = d2.format(r1="r.r1", r2="r.r2", b1="b.b1", b2="b.b2")
+    lut_d2 = d2.format(r1="q.qr1", r2="q.qr2", b1="b.b1", b2="b.b2")
+    cos = (
+        f"{_sql_seq_dot('b.embedding', 'p.qv')} / "
+        f"({_sql_l2('b.embedding')} * {_sql_l2('p.qv')})"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_centroids}
+), assign AS (
+  SELECT e.vec_id, e.embedding, c.cid, {assign_dot} AS score
+  FROM embeddings e CROSS JOIN cents c
+), best AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+    FROM assign
+  ) WHERE rn = 1
+), resid AS (
+  SELECT b.vec_id, b.cid AS list_id,
+         [CAST(b.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)
+          for i in range(1, len(b.embedding)+1)] AS rvec
+  FROM best b JOIN cents c ON c.cid = b.cid
+), bsub AS (
+  SELECT r.vec_id AS code, t.j,
+         r.rvec[2*t.j+1] AS b1, r.rvec[2*t.j+2] AS b2
+  FROM resid r CROSS JOIN range(0, {m}) t(j)
+  WHERE r.vec_id < {k_codes}
+), rsub AS (
+  SELECT r.vec_id, r.list_id, t.j,
+         r.rvec[2*t.j+1] AS r1, r.rvec[2*t.j+2] AS r2
+  FROM resid r CROSS JOIN range(0, {m}) t(j)
+), enc AS (
+  SELECT vec_id, list_id, j, code FROM (
+    SELECT r.vec_id, r.list_id, r.j, b.code,
+           row_number() OVER (PARTITION BY r.vec_id, r.j
+                              ORDER BY {enc_d2} ASC, b.code ASC) AS rn
+    FROM rsub r JOIN bsub b ON b.j = r.j
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
+), probe AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {probe_dot} DESC, c.cid) AS pr
+    FROM q CROSS JOIN cents c
+  ) WHERE pr <= {nprobe}
+), qrsub AS (
+  SELECT p.qid, p.cid AS list_id, t.j,
+         CAST(p.qv[2*t.j+1] AS DOUBLE) - CAST(c.cvec[2*t.j+1] AS DOUBLE) AS qr1,
+         CAST(p.qv[2*t.j+2] AS DOUBLE) - CAST(c.cvec[2*t.j+2] AS DOUBLE) AS qr2
+  FROM probe p JOIN cents c ON c.cid = p.cid
+  CROSS JOIN range(0, {m}) t(j)
+), lut AS (
+  SELECT q.qid, q.list_id, q.j, b.code, {lut_d2} AS lv
+  FROM qrsub q JOIN bsub b ON b.j = q.j
+), adc AS (
+  SELECT x.qid, x.vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x.lv ORDER BY x.j)),
+                     (a, b) -> a + b) AS dist
+  FROM (
+    SELECT l.qid, e.vec_id, e.j, l.lv
+    FROM enc e
+    JOIN lut l ON l.list_id = e.list_id AND l.j = e.j AND l.code = e.code
+  ) x
+  GROUP BY x.qid, x.vec_id
+), short AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id) AS sr
+    FROM adc
+  ) WHERE sr <= {shortlist}
+), scored AS (
+  SELECT s.qid AS query_id, b.vec_id, {cos} AS cos
+  FROM short s
+  JOIN embeddings b ON b.vec_id = s.vec_id
+  JOIN q p ON p.qid = s.qid
+)
+SELECT query_id, vec_id, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""
+
+
 _STOP_EN = [
     "the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
     "with", "as", "his", "on", "be", "at", "by", "had", "not", "are",
@@ -4506,6 +4636,105 @@ SELECT d.doc_id,
        COALESCE(logit, 0) >= 0 AS passes
 FROM documents d LEFT JOIN scored USING (doc_id)
 """
+
+
+def _text_classifier_trained(spark, sf):
+    """END-TO-END trained classifier contract (VERDICT r8 #5 / r9 #4):
+    train full-batch logistic regression on a planted labeled sample
+    (docs 0..199, label = lang=='en'; classifier.py::
+    train_hashed_classifier), quantize to int64 serving weights
+    (::quantize_weights), and score the WHOLE corpus through the same
+    scan-only path as text_quality_classifier. The oracle replays the
+    entire pipeline — training iterations included — so a green row
+    certifies training reproducibility, not just serving: the trainer's
+    decimal(28,6) sums and round-6 updates are engine-portable by
+    construction."""
+    from gecko_spark.operators.classifier import (
+        hashed_linear_score,
+        quantize_weights,
+        train_hashed_classifier,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    sample = docs.filter(F.col("doc_id") < 200).withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    w = train_hashed_classifier(
+        sample, label_col="y", n_features=64, iters=6, lr=0.5
+    )
+    return hashed_linear_score(
+        docs, quantize_weights(w), id_col="doc_id", text_col="text"
+    )
+
+
+def _text_classifier_trained_sql(
+    n_features: int = 64, iters: int = 6, lr: float = 0.5, scale: int = 1000
+) -> str:
+    """Unrolled-iteration replay of train_hashed_classifier: each GD
+    step is two decimal(28,6) aggregations plus a round-6 weight
+    update, so six iterations are six generated CTE triples. The
+    trainer tokenizes Unicode-aware (text.py::tokens, \\p{L}\\p{N});
+    serving tokenizes ASCII (classifier.py::_TOKEN_RE) — both replayed
+    with their own split regex. np.round (weight update) is binary
+    round-half-even → round_even; F.round (sum terms) → ROUND."""
+    from gecko_spark.functions.portable_hash import P1, sql_horner
+
+    head = f"""
+WITH utoks AS (
+  SELECT doc_id,
+         COALESCE(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                              t -> len(t) > 0), []) AS tk
+  FROM documents WHERE doc_id < 200
+), design AS (
+  SELECT doc_id, {sql_horner('tok', P1)} % {n_features} AS i, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM utoks)
+  GROUP BY doc_id, i
+), labels AS (
+  SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y
+  FROM documents WHERE doc_id < 200
+), nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM labels
+), w0 AS (
+  SELECT CAST(i AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS w
+  FROM range({n_features}) t(i)
+)"""
+    steps = []
+    for k in range(iters):
+        steps.append(f""", m{k} AS (
+  SELECT d.doc_id,
+         CAST(SUM(CAST(ROUND(d.cnt * w.w, 6) AS DECIMAL(28,6))) AS DOUBLE) AS m
+  FROM design d JOIN w{k} w USING (i) GROUP BY d.doc_id
+), e{k} AS (
+  SELECT l.doc_id,
+         ROUND(1.0 / (1.0 + EXP(-COALESCE(m.m, 0.0))) - l.y, 6) AS e
+  FROM labels l LEFT JOIN m{k} m USING (doc_id)
+), g{k} AS (
+  SELECT d.i,
+         CAST(SUM(CAST(ROUND(d.cnt * e.e, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g
+  FROM design d JOIN e{k} e USING (doc_id) GROUP BY d.i
+), w{k + 1} AS (
+  SELECT w.i,
+         round_even(w.w - {lr} * (COALESCE(g.g, 0.0) / (SELECT n FROM nd)), 6) AS w
+  FROM w{k} w LEFT JOIN g{k} g USING (i)
+)""")
+    tail = f""", qw AS (
+  SELECT i,
+         CAST(CASE WHEN w >= 0 THEN FLOOR(w * {scale} + 0.5)
+                   ELSE -FLOOR(-w * {scale} + 0.5) END AS BIGINT) AS wt
+  FROM w{iters}
+), {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+idx AS (SELECT doc_id, {sql_horner('tok', P1)} % {n_features} AS i FROM tok),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(wt) AS BIGINT) AS logit
+  FROM idx JOIN qw USING (i) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_toks, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(logit, 0) AS BIGINT) AS logit,
+       COALESCE(logit, 0) >= 0 AS passes
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+    return head + "".join(steps) + tail
 
 
 def _text_bpe_tokens(spark, sf):
@@ -5687,6 +5916,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     # similarity / embeddings
     ("topk_cosine_bruteforce", _topk_cosine),
     ("topk_cosine_ivf", _topk_ivf),
+    ("topk_cosine_ivfpq", _topk_ivfpq),
     ("emb_quantize_int8", _emb_quantize),
     ("pack_sequences", _pack_sequences),
     # text analysis
@@ -5702,6 +5932,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("text_gopher_repetition", _text_gopher_repetition),
     ("text_c4_clean", _text_c4_clean),
     ("text_quality_classifier", _text_quality_classifier),
+    ("text_classifier_trained", _text_classifier_trained),
     ("text_ppl_buckets", _text_ppl_buckets),
     ("text_chunks", _text_chunks),
     ("text_chunks_tokens", _text_chunks_tokens),
@@ -5829,6 +6060,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_weighted_n": _sample_weighted_sql(),
         "topk_cosine_bruteforce": _TOPK_COSINE_SQL,
         "topk_cosine_ivf": _topk_ivf_sql(),
+        "topk_cosine_ivfpq": _topk_ivfpq_sql(),
         "text_stats": _TEXT_STATS_SQL,
         "doc_normalize_filter": _DOC_NORMALIZE_SQL,
         "doc_fingerprints": _doc_fingerprints_sql(),
@@ -5862,6 +6094,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_repetition": _gopher_rep_sql(),
         "text_c4_clean": _TEXT_C4_CLEAN_SQL,
         "text_quality_classifier": _text_quality_classifier_sql(),
+        "text_classifier_trained": _text_classifier_trained_sql(),
         "text_ppl_buckets": _TEXT_PPL_BUCKETS_SQL,
         "sample_mix_corpus": _sample_mix_corpus_sql(),
         "text_strip_html": _TEXT_STRIP_HTML_SQL,

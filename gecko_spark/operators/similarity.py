@@ -820,14 +820,21 @@ def pq_topk_adc(
             for j in range(m):
                 dists += luts[:, j, :][:, codes[:, j]].T  # B×Q
             kk = min(k, dists.shape[0])
-            top = np.argpartition(dists, kk - 1, axis=0)[:kk]  # kk×Q
+            # tie-inclusive boundary: keep EVERY row at or below the
+            # kk-th distance so the per-batch candidate set never
+            # depends on argpartition's arbitrary order among ties —
+            # the global window then resolves ties by (dist, vec_id)
+            # over a batch-layout-independent candidate set (ADVICE r9)
+            thr = np.partition(dists, kk - 1, axis=0)[kk - 1]  # per-query
             ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_d = [], [], []
+            for q in range(nq):
+                sel = np.nonzero(dists[:, q] <= thr[q])[0]
+                out_q.extend([qids[q]] * len(sel))
+                out_v.extend(ids[sel])
+                out_d.extend(dists[sel, q])
             yield pd.DataFrame(
-                {
-                    "query_id": [qids[q] for q in range(nq) for _ in range(kk)],
-                    "vec_id": [ids[top[i, q]] for q in range(nq) for i in range(kk)],
-                    "adc_dist": [dists[top[i, q], q] for q in range(nq) for i in range(kk)],
-                }
+                {"query_id": out_q, "vec_id": out_v, "adc_dist": out_d}
             )
 
     scored = codes_df.select("vec_id", "codes").mapInPandas(
@@ -957,6 +964,18 @@ def read_pq_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
 # Net: the shortlist needs to cover only ADC noise among true
 # near-neighbors, not the whole cluster — it stops scaling with
 # n/n_lists.
+#
+# Recall decomposes into two independent losses (measured round 10 on
+# the 16-cluster/spread-0.3 test fixture):
+#   probe loss — true neighbors living OUTSIDE the nprobe probed lists.
+#     Set by nprobe alone; no quantizer can recover it (fixture probe
+#     ceiling: 0.825 @ nprobe=4, 0.975 @ nprobe=8, exact distances).
+#   ADC loss  — quantization noise pushing a probed true neighbor out
+#     of the shortlist. Set by (m, k_codes): 0.325 at the toy
+#     k_codes=16, measurably ZERO at m=16/k_codes=256 on dim-32
+#     (IVFADC recall == pure-IVF recall at every nprobe).
+# Hence the real-IVFADC default k_codes=256 (Jégou 2011 §V uses k*=256
+# per subquantizer); tune recall with nprobe, not shortlist.
 # ---------------------------------------------------------------------------
 
 
@@ -966,17 +985,26 @@ def ivfpq_build(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     m: int = 8,
-    k_codes: int = 16,
+    k_codes: int = 256,
     seed: int = 0,
     init: str = "kmeans",
     ivf_id_col: Optional[str] = None,
+    pq_init: str = "kmeans",
 ) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     """Build the IVFADC index: IVF-assign, subtract each vector's list
     centroid JVM-side (``zip_with`` over a broadcast n_lists-row join —
     no Python in the residual path), train PQ codebooks ON THE
     RESIDUALS, and encode. Returns ``(codes_df, centroids, codebooks)``
     where ``codes_df`` is (id, codes, __ivf_list__) — the only
-    data-sized artifact, ~dim·4/m× smaller than the float corpus."""
+    data-sized artifact, ~dim·4/m× smaller than the float corpus.
+
+    ``pq_init="first_k"`` (requires ``ivf_id_col``) skips k-means and
+    takes the RESIDUALS of the ``k_codes`` lowest ids as the codebook
+    entries of every subspace — the same determinism-for-recall trade
+    as ``init="first_k"``: with ``dsub == 2`` every float reduction in
+    the encode/ADC path is a single two-term sum, so an independent
+    engine (the ``topk_cosine_ivfpq`` DuckDB oracle) replays the whole
+    search bit-for-bit."""
     with_lists, centroids = ivf_assign(
         corpus, vec_col, n_centroids, seed=seed, init=init, id_col=ivf_id_col
     )
@@ -992,7 +1020,31 @@ def ivfpq_build(
         "__residual__",
         F.zip_with(F.col(vec_col), F.col("__cent__"), lambda a, b: a - b),
     )
-    books = pq_train(resid, "__residual__", m=m, k_codes=k_codes, seed=seed)
+    if pq_init == "first_k":
+        if ivf_id_col is None:
+            raise ValueError('pq_init="first_k" requires ivf_id_col')
+        rows = (
+            resid.filter(F.col(ivf_id_col) < k_codes)
+            .select(ivf_id_col, "__residual__")
+            .orderBy(ivf_id_col)
+            .collect()
+        )
+        if len(rows) < k_codes:
+            raise ValueError(
+                f"first_k pq_init needs ids 0..{k_codes - 1} present, got {len(rows)}"
+            )
+        rmat = np.array([r["__residual__"] for r in rows], dtype=np.float64)
+        dim = rmat.shape[1]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        dsub = dim // m
+        books = np.stack(
+            [rmat[:, j * dsub : (j + 1) * dsub] for j in range(m)]
+        )
+    elif pq_init == "kmeans":
+        books = pq_train(resid, "__residual__", m=m, k_codes=k_codes, seed=seed)
+    else:
+        raise ValueError(f"unknown pq_init {pq_init!r}")
     codes = pq_encode(
         resid, books, id_col=id_col, vec_col="__residual__",
         carry_cols=["__ivf_list__"],
@@ -1033,6 +1085,9 @@ def cosine_topk_ivfpq(
     qpdf = queries.select(query_id_col, query_vec_col).toPandas()
     if len(qpdf) == 0:
         raise ValueError("queries is empty")
+    lens = {len(v) for v in qpdf[query_vec_col]}
+    if len(lens) != 1:
+        raise ValueError(f"ragged query vectors: lengths {sorted(lens)}")
     qm = np.array(qpdf[query_vec_col].tolist(), dtype=np.float64)
     if qm.shape[1] != m * dsub:
         raise ValueError(f"query dim {qm.shape[1]} != codebook dim {m * dsub}")
@@ -1080,10 +1135,14 @@ def cosine_topk_ivfpq(
                 for j in range(m):
                     dists += luts[:, j, :][:, codes[:, j]].T  # B×Ql
                 kk = min(sl, dists.shape[0])
-                top = np.argpartition(dists, kk - 1, axis=0)[:kk]
+                # tie-inclusive boundary (ADVICE r9): keep all rows at
+                # or below the kk-th distance so the candidate set is
+                # independent of Arrow batch/partition boundaries; the
+                # global window resolves ties by (dist, vec_id)
+                thr = np.partition(dists, kk - 1, axis=0)[kk - 1]
                 ids = grp["vec_id"].to_numpy()
                 for qi in range(len(qidx)):
-                    sel = top[:, qi]
+                    sel = np.nonzero(dists[:, qi] <= thr[qi])[0]
                     out_q.extend([qids[qidx[qi]]] * len(sel))
                     out_v.extend(ids[sel])
                     out_d.extend(dists[sel, qi])
@@ -1109,9 +1168,15 @@ def cosine_topk_ivfpq(
         .filter(F.col("__r__") <= sl)
         .select("query_id", "vec_id")
     )
-    qv = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("__qv__"),
+    # build the rerank join side from the ALREADY-collected qpdf so both
+    # uses of the queries share one materialization — a non-deterministic
+    # query source can't probe one set of lists and rerank against
+    # different vectors (ADVICE r9)
+    qv = queries.sparkSession.createDataFrame(
+        qpdf.rename(
+            columns={query_id_col: "query_id", query_vec_col: "__qv__"}
+        ),
+        schema=f"query_id {qid_type}, __qv__ array<double>",
     )
     scored = (
         cand.join(F.broadcast(qv), "query_id")

@@ -1510,32 +1510,51 @@ def _recall(exact_pdf, approx_pdf) -> float:
 
 
 def test_ivfpq_recall_at_shortlist_far_below_cluster_size(spark, clustered_vecs):
-    """Cluster size ≈ 125; shortlist 20 ≪ that. Raw-vector PQ at this
-    shortlist noise-ranks inside the query's own cluster; residual
-    IVFADC must not."""
+    """Cluster size ≈ 125; shortlist 20 ≪ that. Residual IVFADC at the
+    real-IVFADC config (k_codes=256, Jégou 2011 §V) must hold recall
+    there; coarse raw-vector PQ at the same shortlist is the documented
+    cliff (SCALE.md r8 addendum 2).
+
+    Round-10 note: recall decomposes into probe loss + ADC loss. On
+    this fixture (spread 0.3, renormalized → noise norm ≈ 1.7 × center
+    norm, so true neighbors straddle lists) the nprobe=4 probe CEILING
+    is 0.825 with exact distances — the round-9 version of this test
+    asserted ≥ 0.9 at nprobe=4, which no quantizer can reach. nprobe=8
+    raises the ceiling to 0.975; the quantizer assert below therefore
+    pins the ADC leg against the pure-IVF ceiling at the SAME nprobe,
+    which is the property residual encoding actually claims."""
     queries = clustered_vecs.limit(8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     exact = S.cosine_topk_bruteforce(clustered_vecs, queries, k=10).toPandas()
     codes, cents, books = S.ivfpq_build(
-        clustered_vecs, n_centroids=16, m=8, k_codes=16, seed=5
+        clustered_vecs, n_centroids=16, m=16, k_codes=256, seed=5
     )
     approx = S.cosine_topk_ivfpq(
         codes.cache(), cents, books, clustered_vecs, queries,
-        k=10, nprobe=4, shortlist=20,
+        k=10, nprobe=8, shortlist=20,
     ).toPandas()
     rec = _recall(exact, approx)
     assert rec >= 0.9, f"IVFADC recall@10 {rec:.3f} < 0.9 at shortlist=20"
-    # contrast: raw-vector PQ + rerank at the SAME shortlist is the
-    # documented cliff — if this ever passes 0.9 the fixture stopped
-    # exercising the regime and the test above proves nothing
+    # decomposition assert: ADC loss ≈ 0 — the quantized search matches
+    # exact-distance IVF at the same nprobe (measured equal, 0.975)
+    with_lists, ivf_cents = S.ivf_assign(clustered_vecs, n_centroids=16, seed=5)
+    ivf = S.cosine_topk_ivf(
+        with_lists, ivf_cents, queries, k=10, nprobe=8
+    ).toPandas()
+    ivf_rec = _recall(exact, ivf)
+    assert rec >= ivf_rec - 0.05, (rec, ivf_rec)
+    # contrast: coarse raw-vector PQ at the SAME shortlist is the
+    # documented cliff — if this ever climbs near the IVFADC number the
+    # fixture stopped exercising the regime and the asserts above prove
+    # nothing (measured 0.588)
     raw_books = S.pq_train(clustered_vecs, m=8, k_codes=16, seed=5)
     raw_codes = S.pq_encode(clustered_vecs, raw_books)
     raw = S.pq_topk_rerank(
         raw_codes, raw_books, clustered_vecs, queries, k=10, shortlist=20
     ).toPandas()
     raw_rec = _recall(exact, raw)
-    assert raw_rec < rec, (raw_rec, rec)
+    assert raw_rec < rec - 0.1, (raw_rec, rec)
 
 
 def test_ivfpq_index_roundtrip_partition_pruned(spark, clustered_vecs, tmp_path):

@@ -114,7 +114,17 @@ def main():
                    spark_rows=len(got), oracle_rows=None, err=f"duckdb: {ex}")
             n_fail += 1
             continue
-        g, x = canon(got), canon(exp)
+        try:
+            g, x = canon(got), canon(exp)
+        except TypeError as ex:
+            # a non-scalar contract column is THIS entry's failure —
+            # record it and keep grading the rest (ADVICE r9)
+            print(f"FAIL  {name}: {ex}")
+            record(name, rows_match=None, schema_match=False, hash_match=False,
+                   spark_rows=len(got), oracle_rows=len(exp),
+                   err=f"non-scalar column: {ex}")
+            n_fail += 1
+            continue
         if list(g.columns) != list(x.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} vs {list(x.columns)}")
             record(name, rows_match=len(g) == len(x), schema_match=False,
