@@ -5609,6 +5609,100 @@ FROM events GROUP BY user_id
 """
 
 
+def _stream_interval_join_parity(spark, sf):
+    """Stream-stream STATEFUL-JOIN batch parity (VERDICT r8 #6 / r9
+    #5): clicks and purchases streamed as two independent file sources,
+    each split into two micro-batches by event_id parity with forced
+    mtimes — so a click arriving in left-batch 0 must buffer in the
+    join state store until its matching purchase arrives in
+    right-batch 1 (and vice versa): the correlation is genuinely
+    cross-batch, not a single-batch join. streaming/stream.py::
+    interval_join_streams pairs each click with same-user purchases in
+    [click.ts, click.ts + 60 min]; inner-join rows emit as soon as both
+    sides are buffered, so availableNow flushes every pair. The oracle
+    is the identical interval join as plain batch SQL — hash-exact."""
+    import glob as _glob
+    import shutil
+    import uuid
+
+    from gecko_spark.streaming.stream import interval_join_streams
+
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scratch",
+        f"ijoin_{run_id}",
+    )
+    ckpt = os.path.join(base, "ckpt")
+    events = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    sink = f"stream_ijoin_parity_{run_id}"
+    try:
+        srcs = {}
+        for side, etype in (("left", "click"), ("right", "purchase")):
+            src = os.path.join(base, side)
+            os.makedirs(src, exist_ok=True)
+            for i in (0, 1):
+                tmp = os.path.join(base, f"{side}_half{i}")
+                (
+                    events.filter(
+                        (F.col("event_type") == etype)
+                        & (F.col("event_id") % 2 == i)
+                    )
+                    .coalesce(1)
+                    .write.parquet(tmp)
+                )
+                part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+                p = os.path.join(src, f"batch{i}.parquet")
+                shutil.move(part, p)
+                os.utime(p, (1_700_000_000 + i * 100,) * 2)
+            srcs[side] = src
+        schema = events.schema
+
+        def _read(side):
+            s = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(srcs[side])
+            )
+            return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+        joined = interval_join_streams(
+            _read("left"),
+            _read("right"),
+            key="user_id",
+            lower="0 seconds",
+            upper="60 minutes",
+            watermark="3650 days",
+        )
+        q = (
+            joined.select(
+                "event_id",
+                "r_event_id",
+                "user_id",
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+                F.unix_micros(F.col("r_ts")).alias("r_ts_us"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.table(sink)
+
+
+_STREAM_INTERVAL_JOIN_PARITY_SQL = """
+SELECT l.event_id, r.event_id AS r_event_id, l.user_id,
+       epoch_us(l.ts) AS ts_us, epoch_us(r.ts) AS r_ts_us
+FROM events l JOIN events r
+  ON r.user_id = l.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE
+"""
+
+
 def _stream_warc_parity(spark, sf):
     """Streaming-WARC batch parity (round 8): the committed fixture
     crawl ingested through the REAL streaming path — the custom
@@ -5745,59 +5839,60 @@ FROM read_parquet('{_FIXDIR}/warc_expected.parquet')
 # can never silently diverge from the catalogue (a duplicate key in
 # the old dict literal would have collapsed silently).
 WINDOW_50 = [
-    # --- (a) round-8 new or touched code ---
-    "mm_image_features",
-    "mm_audio_features",
-    "mm_video_frames",
-    "stream_dedupe_parity",
-    "stream_user_stats_parity",
-    "corpus_warc",
-    "stream_warc_parity",
-    "text_main_content",
-    "dedup_incremental_index",
-    "text_quality_classifier",
-    "dedup_simhash_pairs",
-    "dedup_transitive",
-    "dedup_cluster_reps",
-    # --- (b) newest driver grade is r5 — two rounds stale ---
-    "dedup_groups",
-    "doc_fingerprints",
-    "doc_normalize_filter",
-    "sample_mix_corpus",
-    "sample_shuffle",
-    "sample_split_grouped",
-    "sample_stratified",
-    "sample_weighted_n",
-    "sketch_kmv_distinct",
-    "sketch_quantiles",
-    "sketch_quantiles_by_group",
-    "text_chunks",
-    "text_chunks_tokens",
-    "text_line_dedupe",
-    "text_strip_html",
-    "text_unigram_logprob",
-    "text_url_normalize",
-    "text_vocab_divergence",
-    "topk_cosine_ivf",
-    # --- (c) r6-era refresh: TPC-H catalogue + linkage + relational ---
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_order_histogram",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_volume",
-    "q19_branch_revenue",
-    "q21_waiting_supplier",
-    "q_linkage_blocked",
-    "q_linkage_snm",
-    "q_linkage_fs",
-    "q_window_topk_orders",
+    # --- (a) round-10 new or touched code ---
+    "topk_cosine_ivfpq",
+    "text_classifier_trained",
+    "stream_interval_join_parity",
+    "topk_cosine_bruteforce",
+    # --- (b) never driver-graded (carried from r8 task #3) ---
+    "text_bpe_tokens",
+    "text_gopher_quality",
+    "text_gopher_repetition",
+    "text_c4_clean",
+    "text_bigram_logprob",
+    "text_ppl_buckets",
+    # --- (c) newest driver grade is r6 — refresh all 29 ---
+    "decontam_filter_bloom",
+    "mut_categorical",
+    "mut_datetime_offset",
+    "mut_delete",
+    "mut_generator_splice",
+    "mut_lowercase",
+    "mut_missing_strict_p",
+    "mut_missing_value",
+    "mut_permute",
+    "mut_phonetic",
+    "mut_regex",
+    "mut_repeat",
+    "mut_replacement_inline",
+    "mut_replacement_whole",
+    "mut_substitute",
+    "mut_transpose",
+    "mut_uppercase",
+    "q16_supplier_cnt",
+    "q20_qty_threshold",
+    "q22_global_sales_opportunity",
+    "q4_priority_exists",
+    "q_anti_join",
+    "q_events_hourly",
+    "q_events_sessions",
+    "q_range_join",
+    "q_rollup_region_nation",
+    "q_semi_join",
+    "q_set_ops",
+    "text_tfidf_top3",
+    # --- (d) r7 refresh: dedup family + reference core ---
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_embedding_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_pairs",
+    "dedup_fp_overlap",
+    "gen_function",
+    "mut_chain",
+    "mut_cldr_keymap",
+    "mut_group",
+    "decontam_filter",
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
@@ -5810,6 +5905,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("mm_video_frames", _mm_video_frames),
     ("stream_dedupe_parity", _stream_dedupe_parity),
     ("stream_user_stats_parity", _stream_user_stats_parity),
+    ("stream_interval_join_parity", _stream_interval_join_parity),
     ("corpus_warc", _corpus_warc),
     ("stream_warc_parity", _stream_warc_parity),
     ("text_main_content", _text_main_content),
@@ -5976,6 +6072,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_video_frames": _MM_VIDEO_FRAMES_SQL,
         "stream_dedupe_parity": _STREAM_DEDUPE_PARITY_SQL,
         "stream_user_stats_parity": _STREAM_USER_STATS_PARITY_SQL,
+        "stream_interval_join_parity": _STREAM_INTERVAL_JOIN_PARITY_SQL,
         "corpus_warc": _CORPUS_WARC_SQL,
         "stream_warc_parity": _CORPUS_WARC_SQL,
         "text_main_content": _TEXT_MAIN_CONTENT_SQL,

@@ -356,6 +356,57 @@ def bench_queries(spark, sf_dir):
     finally:
         codes.unpersist()
 
+    # residual IVFADC at the same 100-query load (round 10): index
+    # built once outside the timer (persisted at scale); search scans
+    # only the probed lists' codes vs pq_rerank's full-corpus ADC
+    from gecko_spark.operators.similarity import cosine_topk_ivfpq, ivfpq_build
+
+    ivfpq_codes, ivfpq_cents, ivfpq_books = ivfpq_build(
+        emb, n_centroids=16, m=8, seed=0
+    )
+    ivfpq_codes = ivfpq_codes.persist()
+    ivfpq_codes.count()
+    try:
+        timed(
+            "topk_ivfpq_100q",
+            lambda: _run(
+                cosine_topk_ivfpq(
+                    ivfpq_codes, ivfpq_cents, ivfpq_books, emb, pq_queries,
+                    k=10, nprobe=4, shortlist=100,
+                )
+            ),
+        )
+    finally:
+        ivfpq_codes.unpersist()
+
+    # WARC ingestion scan (round 10): the committed fixture crawl
+    # replicated 128× into per-file partitions — times the Python
+    # DataSource parse path (header scan + HTTP split per record),
+    # which is the per-byte cost a 100 TB crawl ingest pays
+    import shutil
+    import tempfile
+
+    from gecko_spark.sources.warc import read_warc, warc_to_corpus
+
+    _warc_fix = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "corpus.warc.gz",
+    )
+    _warc_dir = tempfile.mkdtemp(prefix="bench_warc_")
+    for i in range(128):
+        shutil.copy(_warc_fix, os.path.join(_warc_dir, f"seg-{i:03d}.warc.gz"))
+    try:
+        timed(
+            "warc_scan_128seg",
+            lambda: _run(
+                warc_to_corpus(
+                    read_warc(spark, os.path.join(_warc_dir, "*.warc.gz"))
+                ).select("doc_id", F.length("text").alias("n"), "meta")
+            ),
+        )
+    finally:
+        shutil.rmtree(_warc_dir, ignore_errors=True)
+
     # --- skew datapoint: salted vs plain agg+join under one hot key -----
     # One user owns ~20% of all events; quantifies when the salt pays.
     def _skew_workload(salted):
@@ -501,7 +552,18 @@ def compact_stdout_line(result: dict, cap: int = STDOUT_LINE_CAP) -> str:
         slim["queries"] = {q: slim["queries"][q] for q in keep}
         slim["queries_dropped"] = dropped
         line = json.dumps(slim, separators=(",", ":"))
-    assert "\n" not in line and len(line) <= cap, len(line)
+    if len(line) > cap:
+        # last-resort degradation (ADVICE r9): a truncated-but-parseable
+        # line strictly beats no line at all (a bare assert here — or
+        # any uncaught raise — would lose the whole bench artifact, and
+        # under `python -O` an assert silently vanishes)
+        slim["queries"] = {}
+        slim["queries_dropped"] = len(result["queries"])
+        line = json.dumps(slim, separators=(",", ":"))
+    if "\n" in line or len(line) > cap:
+        raise RuntimeError(
+            f"bench stdout line unprintable even after degradation: {len(line)}"
+        )
     return line
 
 

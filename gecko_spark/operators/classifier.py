@@ -102,6 +102,7 @@ def hashed_linear_score(
     tokens scores ``bias``. One Arrow projection, no shuffle."""
     w_arr = np.ascontiguousarray(np.asarray(weights, dtype=np.int64))
     n_features = len(w_arr)
+    max_abs_w = int(np.abs(w_arr).max()) if n_features else 0
 
     @F.pandas_udf("n_tokens long, logit long")
     def _score(texts: pd.Series) -> pd.DataFrame:
@@ -112,11 +113,24 @@ def hashed_linear_score(
             idx = poly_hash_strings(flat, P1) % n_features
             tok_w = w_arr[idx]
             doc_of = np.repeat(np.arange(len(texts)), counts)
-            # float64 bincount is exact here: every partial sum is an
-            # integer < 2^53 (|w| ≤ scale, tokens/doc « 2^20)
-            logits = np.bincount(
-                doc_of, weights=tok_w.astype(np.float64), minlength=len(texts)
-            ).astype(np.int64)
+            # float64 bincount is exact while every partial sum stays an
+            # integer < 2^53 (|w| ≤ scale, tokens/doc « 2^20); GUARDED
+            # (ADVICE r8): outsized weights or degenerate megadocs fall
+            # back to exact int64 accumulation instead of silently
+            # rounding the logit
+            if int(counts.max()) * max_abs_w < 2**53:
+                logits = np.bincount(
+                    doc_of, weights=tok_w.astype(np.float64),
+                    minlength=len(texts),
+                ).astype(np.int64)
+            else:
+                if int(counts.max()) * max_abs_w >= 2**62:
+                    raise ValueError(
+                        "logit bound exceeds int64: weight span "
+                        f"{max_abs_w} x {int(counts.max())} tokens/doc"
+                    )
+                logits = np.zeros(len(texts), dtype=np.int64)
+                np.add.at(logits, doc_of, tok_w)
         else:
             logits = np.zeros(len(texts), dtype=np.int64)
         return pd.DataFrame({"n_tokens": counts, "logit": logits})

@@ -1030,6 +1030,10 @@ def perplexity_buckets(
 
     NULL scores (docs with no tokens) always land in ``tail`` and are
     excluded from the tercile counts."""
+    if isinstance(group_cols, str):
+        # a bare "lang" would otherwise unpack into partitionBy("l",
+        # "a", "n", "g") — silently wrong buckets (ADVICE r8)
+        group_cols = (group_cols,)
     score = F.col(score_col)
     if thresholds is not None:
         t_head, t_mid = thresholds

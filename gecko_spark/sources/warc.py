@@ -82,6 +82,49 @@ class MalformedWarcError(ValueError):
     Raised in ``strict`` mode; otherwise the record is quarantined."""
 
 
+class _ChainRaw(io.RawIOBase):
+    """Serve a leftover byte buffer, then delegate to the underlying
+    stream — lets the parse loop resume at a resync point without a
+    seekable source (gzip streams aren't)."""
+
+    def __init__(self, head: bytes, fp):
+        self._head = memoryview(head)
+        self._fp = fp
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        if len(self._head):
+            n = min(len(b), len(self._head))
+            b[:n] = self._head[:n]
+            self._head = self._head[n:]
+            return n
+        data = self._fp.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+
+def _resync_to_record(fp) -> Optional[bytes]:
+    """After a framing error, scan forward for the next plausible
+    record boundary — a ``WARC/`` version marker at a line start — and
+    return the stream tail from that marker (``None`` at EOF). A false
+    positive inside a payload just round-trips through one more
+    malformed marker + rescan, so the scan converges; the cost is one
+    pass over the skipped span, which a corrupt record was going to
+    cost anyway."""
+    buf = b""
+    while True:
+        chunk = fp.read(1 << 20)
+        if not chunk:
+            return None
+        buf += chunk
+        i = buf.find(b"\nWARC/")
+        if i != -1:
+            return buf[i + 1 :]
+        buf = buf[-6:]  # marker may straddle the chunk boundary
+
+
 def _readline_capped(fp, cap: int) -> bytes:
     line = fp.readline(cap + 1)
     if len(line) > cap:
@@ -169,8 +212,10 @@ def iter_warc_records(
     blank-line skip rather than a fixed read, so writers that frame
     with a single CRLF — or none at EOF — still parse. In non-strict
     mode a framing error yields one ``{"__malformed__": <reason>}``
-    marker and stops the file (framing is byte-exact: there is no
-    resynchronisation point after a bad Content-Length)."""
+    marker and then RESYNCHRONISES at the next ``WARC/`` version marker
+    at a line start — the skipped span is quarantined, the rest of the
+    file still parses (a bad Content-Length in one member must not
+    cost the remaining ~50k records of a crawl segment)."""
     fp = gzip.GzipFile(fileobj=raw) if gzipped else raw
     fp = io.BufferedReader(fp, 1024 * 1024)
     seq = 0
@@ -197,7 +242,15 @@ def iter_warc_records(
             if strict:
                 raise
             yield {"__malformed__": str(ex), "record_seq": seq}
-            return
+            seq += 1
+            # resynchronise at the next record boundary instead of
+            # abandoning the file: one corrupt member must not cost the
+            # other ~50k records of a 1 GB crawl segment
+            tail = _resync_to_record(fp)
+            if tail is None:
+                return
+            fp = io.BufferedReader(_ChainRaw(tail, fp), 1024 * 1024)
+            continue
         headers["payload"] = payload
         headers["payload_length"] = length
         headers["truncated"] = length > keep

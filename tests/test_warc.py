@@ -115,6 +115,26 @@ def test_malformed_quarantine_and_strict(tmp_path):
     assert "__malformed__" in got[0]
 
 
+def test_malformed_resync_recovers_rest_of_file(tmp_path):
+    """A framing error in the MIDDLE of a file quarantines that record
+    and resynchronises at the next WARC/ version marker — the records
+    after the corruption still parse (module contract: one corrupt
+    member must not cost the rest of the segment)."""
+    import re
+
+    p = str(tmp_path / "t.warc")
+    write_warc(_records(3), p)
+    blob = open(p, "rb").read()
+    occ = [m.start() for m in re.finditer(rb"WARC/", blob)]
+    assert len(occ) == 4  # 3 responses + warcinfo
+    broken = bytearray(blob)
+    broken[occ[1]] = ord("X")  # record 2's version line no longer parses
+    got = list(iter_warc_records(io.BytesIO(bytes(broken))))
+    assert ["__malformed__" in r for r in got] == [False, True, False, False]
+    assert [r["record_seq"] for r in got] == [0, 1, 2, 3]
+    assert got[2]["warc-target-uri"] == "https://example.com/p2"
+
+
 def test_split_http():
     st, ct, body = _split_http(b"HTTP/1.1 301 Moved\r\nLocation: /x\r\ncontent-type: a/b\r\n\r\nBODY")
     assert (st, ct, body) == (301, "a/b", b"BODY")

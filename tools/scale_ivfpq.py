@@ -25,14 +25,18 @@ from pyspark.sql import functions as F
 from gecko_spark import get_spark
 from gecko_spark.operators.similarity import (
     cosine_topk_ivf,
+    cosine_topk_ivfpq,
     cosine_topk_matrix,
     ivf_assign,
+    ivfpq_build,
     pq_encode,
     pq_topk_rerank,
     pq_train,
     read_ivf_index,
+    read_ivfpq_index,
     read_pq_index,
     write_ivf_index,
+    write_ivfpq_index,
     write_pq_index,
 )
 
@@ -155,7 +159,47 @@ def main():
                 flush=True,
             )
         assert r_pq >= 0.9, f"PQ rerank recall@10 {r_pq:.3f} < 0.9 at shortlist={sl_big}"
-        print("RECALL BOUNDS PASS (>=0.9 both paths)", flush=True)
+
+        # ---- IVFADC (round 10, VERDICT r8 #4 / r9 #3): residual
+        # encoding must hold recall at a shortlist ~40x BELOW the
+        # n/n_lists cluster size — the regime where raw-vector PQ
+        # collapsed to 0.172 above — while beating BOTH the pure-IVF
+        # query (float vectors of probed lists) and the big-shortlist
+        # PQ query (full-corpus ADC + cluster-sized rerank).
+        sl_adc = 200
+        t0 = time.time()
+        icodes, icents, ibooks = ivfpq_build(
+            vecs, n_centroids=n_clusters, m=16, seed=1
+        )
+        write_ivfpq_index(icodes, icents, ibooks, f"{workdir}/ivfpq")
+        t_iv_build = time.time() - t0
+        t0 = time.time()
+        icodes2, icents2, ibooks2 = read_ivfpq_index(spark, f"{workdir}/ivfpq")
+        t_iv_read = time.time() - t0
+        t0 = time.time()
+        iv = cosine_topk_ivfpq(
+            icodes2, icents2, ibooks2, vecs, queries,
+            k=k, nprobe=8, shortlist=sl_adc,
+        ).toPandas()
+        t_iv_query = time.time() - t0
+        r_ivfpq = recall_at_k(exact, iv)
+        print(
+            f"IVFADC n={n:,} dim=64 lists={n_clusters} m=16 k_codes=256: "
+            f"build+write {t_iv_build:.2f}s, read {t_iv_read:.2f}s, "
+            f"query k={k} nprobe=8 shortlist={sl_adc} x{n_queries}q "
+            f"{t_iv_query:.2f}s, recall@10={r_ivfpq:.3f} "
+            f"(vs IVF query {t_query:.2f}s, big-shortlist PQ {t_pq_query:.2f}s)",
+            flush=True,
+        )
+        assert r_ivfpq >= 0.9, f"IVFADC recall@10 {r_ivfpq:.3f} < 0.9"
+        assert t_iv_query < t_query, (
+            f"IVFADC query {t_iv_query:.2f}s not below pure-IVF {t_query:.2f}s"
+        )
+        assert t_iv_query < t_pq_query, (
+            f"IVFADC query {t_iv_query:.2f}s not below big-shortlist PQ "
+            f"{t_pq_query:.2f}s"
+        )
+        print("RECALL BOUNDS PASS (>=0.9 all three paths)", flush=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
