@@ -878,15 +878,13 @@ def pq_topk_rerank(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qv__"),
     )
-    # candidates are Q×shortlist rows; the corpus side of the fetch join
-    # is id-keyed (shuffle prunes to candidate ids under AQE; at scale,
-    # bucket the corpus by id so the fetch is shuffle-free)
+    # candidates are Q×shortlist rows — small BY CONSTRUCTION — so the
+    # fetch broadcasts them against the corpus scan: the corpus never
+    # shuffles (round 10; previously Spark was left to pick and could
+    # shuffle the full corpus side on vec_id)
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(
-            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv__")),
-            "vec_id",
-        )
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv__"))
+        .join(F.broadcast(cand.join(F.broadcast(qv), "query_id")), "vec_id")
         .select(
             "query_id",
             "vec_id",
@@ -1178,14 +1176,14 @@ def cosine_topk_ivfpq(
         ),
         schema=f"query_id {qid_type}, __qv__ array<double>",
     )
+    # candidates are Q×shortlist rows — small BY CONSTRUCTION — so the
+    # fetch broadcasts them against the corpus scan: the corpus never
+    # shuffles (round 10)
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(
-            corpus.select(
-                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv__")
-            ),
-            "vec_id",
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv__")
         )
+        .join(F.broadcast(cand.join(F.broadcast(qv), "query_id")), "vec_id")
         .select(
             "query_id",
             "vec_id",
