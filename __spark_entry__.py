@@ -5105,6 +5105,56 @@ SELECT cluster_id, m_id AS rep_id, n_members FROM ranked WHERE rn = 1
 """
 
 
+def _dedup_substring_spans(spark, sf):
+    """Exact substring-span dedup (round 10; Lee et al. 2022
+    ExactSubstr, dedup.py::substring_dup_spans): maximal character
+    spans duplicated ACROSS documents — stride-1 two-prime window
+    hashes, hash-agg cross-doc filter, position flag join, per-doc
+    interval merge. window=40, winnow=1 (exact), audit view
+    (keep="none"). The oracle replays the identical pipeline: the
+    62-bit combined hashes are integer-exact on both engines and the
+    lag-based island merge equals the kernel's running-end merge for
+    fixed-width windows."""
+    from gecko_spark.operators.dedup import substring_dup_spans
+
+    docs = load_table(spark, sf, "documents")
+    return substring_dup_spans(docs, "doc_id", "text", window=40)
+
+
+def _dedup_substring_spans_sql(window: int = 40) -> str:
+    from gecko_spark.functions.portable_hash import sql_window_hashes_combined
+
+    hs = sql_window_hashes_combined("text", window)
+    return f"""
+WITH hs AS (
+  SELECT doc_id, {hs} AS hl FROM documents
+), wh AS (
+  SELECT doc_id, generate_subscripts(hl, 1) - 1 AS pos, unnest(hl) AS h
+  FROM hs
+), dup AS (
+  SELECT h FROM wh GROUP BY h HAVING min(doc_id) <> max(doc_id)
+), flagged AS (
+  SELECT w.doc_id, w.pos FROM wh w JOIN dup USING (h)
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {window} THEN 0 ELSE 1 END AS brk
+  FROM flagged
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+), spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {window} AS raw_end
+  FROM grp GROUP BY doc_id, g
+)
+SELECT s.doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(LEAST(raw_end, length(coalesce(d.text, ''))) AS BIGINT) AS span_end
+FROM spans s JOIN documents d USING (doc_id)
+"""
+
+
 def _dedup_fp_overlap(spark, sf):
     """Winnowing-fingerprint overlap pairs
     (dedup.py::fingerprint_overlap_pairs, MOSS-style): per-doc signature
@@ -5990,6 +6040,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("dedup_groups", _dedup_groups),
     ("dedup_minhash_pairs", _dedup_minhash),
     ("dedup_incremental_index", _dedup_incremental),
+    ("dedup_substring_spans", _dedup_substring_spans),
     ("dedup_simhash_pairs", _dedup_simhash),
     ("dedup_ngram_jaccard", _dedup_jaccard),
     ("dedup_embedding_pairs", _dedup_embedding),
@@ -6141,6 +6192,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": _DEDUP_GROUPS_SQL,
         "dedup_minhash_pairs": _dedup_minhash_sql(),
         "dedup_incremental_index": _dedup_incremental_sql(),
+        "dedup_substring_spans": _dedup_substring_spans_sql(),
         "dedup_simhash_pairs": _dedup_simhash_sql(),
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": _dedup_embedding_sql(),

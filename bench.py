@@ -407,6 +407,18 @@ def bench_queries(spark, sf_dir):
     finally:
         shutil.rmtree(_warc_dir, ignore_errors=True)
 
+    # exact substring-span dedup (round 10, Lee et al. ExactSubstr): the
+    # stride-1 window-hash pipeline over the full documents table —
+    # prices the honest ~1-row-per-char detection cost (winnowing is the
+    # documented scale knob)
+    def _substring_spans():
+        from gecko_spark.operators.dedup import substring_dup_spans
+
+        docs = load_table(spark, sf_dir, "documents")
+        _run(substring_dup_spans(docs, "doc_id", "text", window=40))
+
+    timed("dedup_substring_spans", _substring_spans)
+
     # --- skew datapoint: salted vs plain agg+join under one hot key -----
     # One user owns ~20% of all events; quantifies when the salt pays.
     def _skew_workload(salted):

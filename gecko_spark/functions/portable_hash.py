@@ -42,6 +42,7 @@ __all__ = [
     "window_hashes",
     "sql_horner",
     "sql_window_hashes",
+    "sql_window_hashes_combined",
 ]
 
 P1 = 2_147_483_647  # 2^31 - 1 (Mersenne)
@@ -161,6 +162,33 @@ def sql_horner(expr: str, prime: int = P1) -> str:
         f"list_transform(string_split({expr}, ''), c -> CAST(unicode(c) AS BIGINT))), "
         f"(acc, x) -> (acc * {BASE} + x) % {prime})"
     )
+
+
+def sql_window_hashes_combined(s_expr: str, n: int) -> str:
+    """List of combined two-prime window hashes of ``s_expr`` in DuckDB
+    — same values as ``window_hashes(s, n, P1) * P2 +
+    window_hashes(s, n, P2)`` (the 62-bit form the substring-dedup
+    operators key on). Empty/NULL input yields an empty list."""
+    pw1, pw2 = powers(n, P1), powers(n, P2)
+    t1 = " + ".join(
+        f"CAST(unicode({s_expr}[i+{j}]) AS BIGINT) * {pw1[j]}" for j in range(n)
+    )
+    t2 = " + ".join(
+        f"CAST(unicode({s_expr}[i+{j}]) AS BIGINT) * {pw2[j]}" for j in range(n)
+    )
+    pw1_lst = "[" + ",".join(str(p) for p in pw1) + "]"
+    pw2_lst = "[" + ",".join(str(p) for p in pw2) + "]"
+    return f"""CASE
+      WHEN {s_expr} IS NULL OR length({s_expr}) = 0 THEN CAST([] AS BIGINT[])
+      WHEN length({s_expr}) < {n} THEN
+        [ (list_sum([CAST(unicode({s_expr}[j+1]) AS BIGINT) * {pw1_lst}[{n} - length({s_expr}) + j + 1]
+                     for j in range(0, length({s_expr}))]) % {P1}) * {P2}
+          + list_sum([CAST(unicode({s_expr}[j+1]) AS BIGINT) * {pw2_lst}[{n} - length({s_expr}) + j + 1]
+                      for j in range(0, length({s_expr}))]) % {P2} ]
+      ELSE
+        [ (({t1}) % {P1}) * {P2} + (({t2}) % {P2})
+          for i in range(1, length({s_expr}) - {n - 2}) ]
+    END"""
 
 
 def sql_window_hashes(s_expr: str, n: int, prime: int = P1) -> str:

@@ -49,6 +49,9 @@ __all__ = [
     "semantic_dedupe",
     "write_minhash_index",
     "dedupe_against_index",
+    "substring_window_positions",
+    "substring_dup_spans",
+    "substring_dedupe",
 ]
 
 # 31-bit Mersenne prime: (h % P) * a + b stays well inside int64
@@ -1489,3 +1492,230 @@ def dedupe_against_index(
         .distinct()
     )
     return new_df.join(dupes, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — ExactSubstr): find character
+# spans duplicated ACROSS documents and excise them, the complement of
+# whole-document MinHash dedup (boilerplate, licence blocks, quoted
+# chunks survive document-level near-dup because the containing docs
+# differ).
+#
+# Spark shape instead of Lee's suffix array (single-machine, O(corpus)
+# RAM): hash every length-`window` char window (stride 1, the same
+# portable two-prime polynomial as the winnowing fingerprints, combined
+# to 62 bits so hash collisions are ~absent at corpus scale), one hash
+# aggregation finds windows seen in >1 doc, one join flags their
+# positions, and per-doc interval merge turns runs of flagged windows
+# into maximal spans — a duplicated region of length L >= window yields
+# positions p..p+L-window and merges back to EXACTLY [p, p+L). Three
+# shuffles total (agg, flag join, per-doc merge), never an all-pairs
+# product, and the suffix array's RAM bound becomes shuffle bandwidth.
+#
+# The stride-1 row volume (~1 row per char) is the honest cost of EXACT
+# detection — same asymptotics as the suffix array. `winnow > 1` is the
+# scale knob: content-anchored position sampling (Schleimer et al. 2003
+# winnowing, the same guarantee the fingerprint op uses) keeps ~2/(w+1)
+# of the rows and still detects every duplicated span of length
+# >= window + winnow - 1, at the cost of span edges quantized by up to
+# `winnow` chars.
+# ---------------------------------------------------------------------------
+
+
+def substring_window_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    winnow: int = 1,
+) -> DataFrame:
+    """(id, pos, h): the combined two-prime hash of every length-
+    ``window`` char window of the raw text (one whole-string hash at
+    pos 0 for shorter docs). ``winnow > 1`` keeps only the rightmost-
+    minimum position of each ``winnow`` consecutive hashes — the
+    winnowing selection, identical on identical content regardless of
+    surrounding bytes, so two copies of a span select the same relative
+    positions. One Arrow kernel; the only movement is the parallelism
+    guard's round-robin when the scan is split-starved (a single small
+    parquet file otherwise runs the whole corpus in one task)."""
+    from gecko_spark.functions.portable_hash import P1, P2, window_hashes
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    df = ensure_parallelism(df)
+
+    def _wh(batches):
+        for pdf in batches:
+            out_id, out_pos, out_h = [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                if not t:
+                    continue
+                h = (
+                    window_hashes(t, window, P1) * P2
+                    + window_hashes(t, window, P2)
+                )
+                if winnow > 1 and len(h) > winnow:
+                    win = np.lib.stride_tricks.sliding_window_view(h, winnow)
+                    # rightmost minimum per window (standard winnowing
+                    # tie-break): argmin over the reversed window
+                    idx = (winnow - 1) - win[:, ::-1].argmin(axis=1)
+                    pos = np.unique(np.arange(len(win)) + idx)
+                else:
+                    pos = np.arange(len(h))
+                out_id.extend([did] * len(pos))
+                out_pos.extend(pos)
+                out_h.extend(h[pos])
+            yield pd.DataFrame(
+                {id_col: out_id, "pos": out_pos, "h": out_h}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _wh, f"{id_col} {id_type}, pos long, h long"
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    winnow: int = 1,
+    cross_doc_only: bool = True,
+    keep: str = "none",
+) -> DataFrame:
+    """Maximal duplicated character spans: ``(id, span_start,
+    span_end)``, span_end exclusive and clamped to the doc length.
+
+    ``cross_doc_only=True`` flags only windows appearing in more than
+    one document (within-doc repetition is the Gopher repetition gate's
+    job); ``False`` also flags within-doc repeats. ``keep="first"``
+    exempts each duplicated window's first occurrence (lowest (id,
+    pos)) so one copy survives — the Lee et al. dedup semantics, used
+    by :func:`substring_dedupe`; ``keep="none"`` reports every copy —
+    the audit view.
+
+    Plan: hash-agg over window hashes (min/max doc + first occurrence,
+    map-side partials), broadcast-free equi-join to flag positions, one
+    per-doc merge. The span clamp joins the spans (small) against the
+    doc lengths with the spans BROADCAST — the corpus never shuffles."""
+    if keep not in ("none", "first"):
+        raise ValueError(f'keep must be "none" or "first", got {keep!r}')
+    # the positions frame is referenced twice (hash agg + flag join);
+    # without the persist the Python hash kernel runs once per
+    # reference — measured 1.9× at sf0.1
+    wh = substring_window_positions(df, id_col, text_col, window, winnow).persist()
+    agg = wh.groupBy("h").agg(
+        F.count("*").alias("__n__"),
+        F.min(id_col).alias("__mn__"),
+        F.max(id_col).alias("__mx__"),
+        F.min(F.struct(id_col, "pos")).alias("__first__"),
+    )
+    cond = (
+        (F.col("__mn__") != F.col("__mx__"))
+        if cross_doc_only
+        else (F.col("__n__") > 1)
+    )
+    dup = agg.filter(cond).select("h", "__first__")
+    flagged = wh.join(dup, "h")
+    if keep == "first":
+        flagged = flagged.filter(
+            ~(
+                (F.col(id_col) == F.col(f"__first__.{id_col}"))
+                & (F.col("pos") == F.col("__first__.pos"))
+            )
+        )
+    flagged = flagged.select(id_col, "pos")
+
+    @F.pandas_udf(T.ArrayType(
+        T.StructType([
+            T.StructField("s", T.LongType()),
+            T.StructField("e", T.LongType()),
+        ])
+    ))
+    def _merge(poss: pd.Series) -> pd.Series:
+        out = []
+        for arr in poss:
+            ps = np.sort(np.asarray(arr, dtype=np.int64))
+            spans, start, end = [], int(ps[0]), int(ps[0]) + window
+            for p in ps[1:]:
+                p = int(p)
+                if p <= end:  # overlapping or touching window
+                    end = p + window
+                else:
+                    spans.append({"s": start, "e": end})
+                    start, end = p, p + window
+            spans.append({"s": start, "e": end})
+            out.append(spans)
+        return pd.Series(out)
+
+    merged = (
+        flagged.groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__ps__"))
+        .select(id_col, F.explode(_merge(F.col("__ps__"))).alias("__sp__"))
+        .select(
+            id_col,
+            F.col("__sp__.s").alias("span_start"),
+            F.col("__sp__.e").alias("span_end"),
+        )
+    )
+    lens = df.select(id_col, F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("__len__"))
+    out = (
+        lens.join(F.broadcast(merged), id_col)
+        .select(
+            id_col,
+            "span_start",
+            F.least(F.col("span_end"), F.col("__len__").cast("long")).alias("span_end"),
+        )
+    )
+    return persist_until_released(wh, out)
+
+
+def substring_dedupe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    winnow: int = 1,
+    cross_doc_only: bool = True,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Excise duplicated spans, keeping each duplicated window's FIRST
+    occurrence (lowest (id, pos)) — every other copy is cut from the
+    text. Adds ``out_col``; all input columns ride along. The span
+    removal is pure Column algebra: an ``aggregate`` fold over the
+    per-doc sorted span list stitches the surviving segments — no
+    Python in the reconstruction path."""
+    spans = substring_dup_spans(
+        df, id_col, text_col, window, winnow, cross_doc_only, keep="first"
+    )  # cache owner — adopted onto the returned plan below
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans__")
+    )
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    stitched = F.aggregate(
+        F.col("__spans__"),
+        F.struct(F.lit(0).cast("long").alias("done"), F.lit("").alias("acc")),
+        lambda a, sp: F.struct(
+            sp["span_end"].alias("done"),
+            F.concat(
+                a["acc"],
+                F.substring(
+                    text, (a["done"] + 1).cast("int"),
+                    F.greatest(sp["span_start"] - a["done"], F.lit(0).cast("long")).cast("int"),
+                ),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"], F.substring(text, (a["done"] + 1).cast("int"), F.length(text))
+        ),
+    )
+    out = df.join(per_doc, id_col, "left")
+    return adopt_cache_owner(
+        out.withColumn(
+            out_col,
+            F.when(F.col("__spans__").isNull(), F.col(text_col)).otherwise(stitched),
+        ).drop("__spans__"),
+        spans,
+    )

@@ -1597,3 +1597,117 @@ def test_pq_encode_carry_cols(spark, clustered_vecs):
     assert set(out.columns) == {"vec_id", "codes", "__ivf_list__"}
     pdf = out.limit(5).toPandas()
     assert len(pdf) == 5 and pdf["__ivf_list__"].between(0, 7).all()
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (round 10; Lee et al. 2022 ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+class TestSubstringDedupe:
+    BLOCK = (
+        "The quick brown fox jumps over the lazy dog while the band "
+        "plays exactly this same licence boilerplate text again."
+    )  # 116 chars, no internal repeat at window=40
+
+    def _docs(self, spark):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "XX unique prefix oneoneone/// " + self.BLOCK + " @@tail-one",
+                "a totally different document about fish, chips and the "
+                "weather with nothing shared across the corpus at all....",
+                "YY other prefix 22222&&& " + self.BLOCK + " ##tail-two",
+                "short unique",
+            ],
+        }))
+
+    def test_spans_exact_block_boundaries(self, spark):
+        """winnow=1 detects EXACTLY the maximal shared substring: the
+        planted block with zero shared context chars on either side."""
+        from gecko_spark.operators.dedup import substring_dup_spans
+
+        df = self._docs(spark)
+        spans = (
+            substring_dup_spans(df, window=40)
+            .toPandas().sort_values("doc_id", ignore_index=True)
+        )
+        # only the two docs containing the block are flagged
+        assert spans["doc_id"].tolist() == [1, 3]
+        blk = len(self.BLOCK)
+        # doc 1: block starts at 30 (prefix is 30 chars, " " included in span?
+        # the single space before/after the block differs on both sides
+        # (/// vs &&&, @@ vs ##), but ' ' + BLOCK + ' ' IS shared: expect
+        # the maximal span [29, 30+blk+1)
+        assert spans.loc[0, "span_start"] == 29 and spans.loc[0, "span_end"] == 30 + blk + 1
+        assert spans.loc[1, "span_start"] == 24 and spans.loc[1, "span_end"] == 25 + blk + 1
+
+    def test_unique_corpus_no_spans(self, spark):
+        import pandas as pd
+        from gecko_spark.operators.dedup import substring_dup_spans
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["all original text here, number one of a kind......."
+                     "padding padding padding",
+                     "and a second fully distinct document with its own words"
+                     " entirely, no overlap"],
+        }))
+        assert substring_dup_spans(df, window=40).count() == 0
+
+    def test_within_doc_repeat_gated_by_cross_doc_only(self, spark):
+        import pandas as pd
+        from gecko_spark.operators.dedup import substring_dup_spans
+
+        rep = "this exact sentence repeats inside one single document! "
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": [rep * 3, "unrelated second doc with nothing shared at"
+                     " all, long enough to window over......."],
+        }))
+        assert substring_dup_spans(df, window=40, cross_doc_only=True).count() == 0
+        within = substring_dup_spans(df, window=40, cross_doc_only=False).toPandas()
+        assert within["doc_id"].tolist() == [1]
+
+    def test_dedupe_keeps_first_occurrence(self, spark):
+        """keep-first semantics: the lowest (id, pos) copy of every
+        duplicated window survives — doc 1 keeps the block, doc 3 loses
+        it; untouched docs pass through byte-identical."""
+        from gecko_spark.operators.dedup import substring_dedupe
+
+        df = self._docs(spark)
+        out = {r["doc_id"]: r for r in substring_dedupe(df, window=40).collect()}
+        assert self.BLOCK in out[1]["text_clean"]
+        assert self.BLOCK not in out[3]["text_clean"]
+        # doc 3 keeps its unique prefix and tail around the excised span
+        assert out[3]["text_clean"].startswith("YY other prefix 22222&&&")
+        assert out[3]["text_clean"].endswith("##tail-two")
+        for did in (2, 4):
+            assert out[did]["text_clean"] == out[did]["text"]
+
+    def test_winnow_guarantee_and_volume(self, spark):
+        """winnow=w still detects the shared block (length >= window +
+        w - 1), with span edges quantized by < w; and the position
+        volume drops vs stride-1."""
+        from gecko_spark.operators.dedup import (
+            substring_dup_spans,
+            substring_window_positions,
+        )
+
+        df = self._docs(spark)
+        w = 8
+        spans = (
+            substring_dup_spans(df, window=40, winnow=w)
+            .toPandas().sort_values("doc_id", ignore_index=True)
+        )
+        assert spans["doc_id"].tolist() == [1, 3]
+        blk = len(self.BLOCK)
+        # detected span must cover most of the block and stay within
+        # winnow chars of the exact boundaries
+        s1, e1 = spans.loc[0, "span_start"], spans.loc[0, "span_end"]
+        assert 29 <= s1 <= 29 + w and 30 + blk + 1 - w <= e1 <= 30 + blk + 1
+        n_full = substring_window_positions(df, window=40).count()
+        n_win = substring_window_positions(df, window=40, winnow=w).count()
+        assert n_win < n_full / 2
