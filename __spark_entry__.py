@@ -5155,6 +5155,89 @@ FROM spans s JOIN documents d USING (doc_id)
 """
 
 
+def _dedup_substring_clean(spark, sf):
+    """Keep-first substring excision (dedup.py::substring_dedupe): every
+    duplicated window's lowest-(id, pos) copy survives; all other
+    copies are cut and the survivors stitched by a Column aggregate
+    fold. The oracle replays keeper selection (row_number over (id,
+    pos) per hash), the island merge, and the string reconstruction
+    (list_reduce over the sorted span list) — string-exact, so a hash
+    mismatch catches one wrong substring index on either engine."""
+    from gecko_spark.operators.dedup import substring_dedupe
+
+    docs = load_table(spark, sf, "documents")
+    out = substring_dedupe(docs, "doc_id", "text", window=40)
+    return out.select(
+        "doc_id",
+        F.col("text_clean"),
+        (F.length(F.coalesce(F.col("text"), F.lit("")))
+         - F.length(F.col("text_clean"))).cast("long").alias("n_cut"),
+    )
+
+
+def _dedup_substring_clean_sql(window: int = 40) -> str:
+    from gecko_spark.functions.portable_hash import sql_window_hashes_combined
+
+    hs = sql_window_hashes_combined("text", window)
+    return f"""
+WITH hs AS (
+  SELECT doc_id, {hs} AS hl FROM documents
+), wh AS (
+  SELECT doc_id, generate_subscripts(hl, 1) - 1 AS pos, unnest(hl) AS h
+  FROM hs
+), dup AS (
+  SELECT h FROM wh GROUP BY h HAVING min(doc_id) <> max(doc_id)
+), ranked AS (
+  SELECT w.doc_id, w.pos,
+         row_number() OVER (PARTITION BY w.h ORDER BY w.doc_id, w.pos) AS rn
+  FROM wh w JOIN dup USING (h)
+), flagged AS (
+  SELECT doc_id, pos FROM ranked WHERE rn > 1
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {window} THEN 0 ELSE 1 END AS brk
+  FROM flagged
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {window} AS e
+  FROM grp GROUP BY doc_id, g
+), segs AS (
+  -- complement intervals: [prev span end, this span start) per doc,
+  -- plus the tail [last span end, len) with t = NULL meaning to-end
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS b,
+         s AS t
+  FROM spans
+  UNION ALL
+  SELECT doc_id, MAX(e) AS b, NULL AS t FROM spans GROUP BY doc_id
+), rebuilt AS (
+  SELECT sg.doc_id,
+         string_agg(
+           CASE WHEN sg.t IS NULL
+                THEN substr(coalesce(d.text, ''), CAST(sg.b + 1 AS INT))
+                ELSE substr(coalesce(d.text, ''), CAST(sg.b + 1 AS INT),
+                            CAST(greatest(sg.t - sg.b, 0) AS INT)) END,
+           '' ORDER BY sg.b) AS text_clean
+  FROM segs sg JOIN documents d USING (doc_id)
+  GROUP BY sg.doc_id
+), cleaned AS (
+  SELECT doc_id, coalesce(text_clean, '') AS text_clean FROM rebuilt
+  UNION ALL
+  SELECT d.doc_id, d.text AS text_clean
+  FROM documents d ANTI JOIN rebuilt USING (doc_id)
+)
+SELECT c.doc_id, c.text_clean,
+       CAST(length(coalesce(d.text, '')) - length(coalesce(c.text_clean, ''))
+            AS BIGINT) AS n_cut
+FROM cleaned c JOIN documents d USING (doc_id)
+"""
+
+
 def _dedup_fp_overlap(spark, sf):
     """Winnowing-fingerprint overlap pairs
     (dedup.py::fingerprint_overlap_pairs, MOSS-style): per-doc signature
@@ -5894,6 +5977,8 @@ WINDOW_50 = [
     "text_classifier_trained",
     "stream_interval_join_parity",
     "topk_cosine_bruteforce",
+    "dedup_substring_spans",
+    "dedup_substring_clean",
     # --- (b) never driver-graded (carried from r8 task #3) ---
     "text_bpe_tokens",
     "text_gopher_quality",
@@ -5934,7 +6019,6 @@ WINDOW_50 = [
     # --- (d) r7 refresh: dedup family + reference core ---
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_embedding_pairs",
     "dedup_ngram_jaccard",
     "dedup_semantic_pairs",
     "dedup_fp_overlap",
@@ -5942,7 +6026,6 @@ WINDOW_50 = [
     "mut_chain",
     "mut_cldr_keymap",
     "mut_group",
-    "decontam_filter",
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
@@ -6041,6 +6124,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("dedup_minhash_pairs", _dedup_minhash),
     ("dedup_incremental_index", _dedup_incremental),
     ("dedup_substring_spans", _dedup_substring_spans),
+    ("dedup_substring_clean", _dedup_substring_clean),
     ("dedup_simhash_pairs", _dedup_simhash),
     ("dedup_ngram_jaccard", _dedup_jaccard),
     ("dedup_embedding_pairs", _dedup_embedding),
@@ -6193,6 +6277,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": _dedup_minhash_sql(),
         "dedup_incremental_index": _dedup_incremental_sql(),
         "dedup_substring_spans": _dedup_substring_spans_sql(),
+        "dedup_substring_clean": _dedup_substring_clean_sql(),
         "dedup_simhash_pairs": _dedup_simhash_sql(),
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": _dedup_embedding_sql(),
