@@ -136,7 +136,8 @@ def window_hashes(s: str, n: int, prime: int = P1) -> np.ndarray:
     if n > _CHUNK:
         raise ValueError(
             f"window size {n} exceeds the int64-exact dot-product bound "
-            f"({_CHUNK}); current operators use n ≤ 16"
+            f"({_CHUNK}); current operators use n ≤ 64 (winnowing 8/16, "
+            f"substring dedup 40)"
         )
     cp = code_points(s)
     if len(cp) == 0:
