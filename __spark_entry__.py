@@ -5155,6 +5155,69 @@ FROM spans s JOIN documents d USING (doc_id)
 """
 
 
+def _dedup_substring_winnowed(spark, sf):
+    """The WINNOWED substring-span path (dedup.py::substring_dup_spans
+    winnow=8 — the 100 TB scale mode, ~2/(w+1) of the stride-1 rows):
+    the oracle replays the Schleimer-2003 rightmost-minimum selection
+    itself as a windowed arg_min over a HUGEINT composite key
+    (h·2^32 + (2^32−1−pos): min hash dominates, ties go to the
+    RIGHTMOST position), so the sampled position set — not just the
+    spans — is engine-checked."""
+    from gecko_spark.operators.dedup import substring_dup_spans
+
+    docs = load_table(spark, sf, "documents")
+    return substring_dup_spans(docs, "doc_id", "text", window=40, winnow=8)
+
+
+def _dedup_substring_winnowed_sql(window: int = 40, winnow: int = 8) -> str:
+    from gecko_spark.functions.portable_hash import sql_window_hashes_combined
+
+    hs = sql_window_hashes_combined("text", window)
+    return f"""
+WITH hs AS (
+  SELECT doc_id, {hs} AS hl FROM documents
+), wh0 AS (
+  SELECT doc_id, generate_subscripts(hl, 1) - 1 AS pos, unnest(hl) AS h,
+         len(hl) AS nh
+  FROM hs
+), sel AS (
+  SELECT doc_id, pos,
+         arg_min(pos, CAST(h AS HUGEINT) * 4294967296
+                      + (4294967295 - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN {winnow - 1} PRECEDING AND CURRENT ROW) AS spos
+  FROM wh0 WHERE nh > {winnow}
+), wpos AS (
+  SELECT DISTINCT doc_id, spos AS pos FROM sel WHERE pos >= {winnow - 1}
+  UNION ALL
+  SELECT doc_id, pos FROM wh0 WHERE nh <= {winnow}
+), wh AS (
+  SELECT w.doc_id, w.pos, o.h
+  FROM wpos w JOIN wh0 o USING (doc_id, pos)
+), dup AS (
+  SELECT h FROM wh GROUP BY h HAVING min(doc_id) <> max(doc_id)
+), flagged AS (
+  SELECT w.doc_id, w.pos FROM wh w JOIN dup USING (h)
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {window} THEN 0 ELSE 1 END AS brk
+  FROM flagged
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+), spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {window} AS raw_end
+  FROM grp GROUP BY doc_id, g
+)
+SELECT s.doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(LEAST(raw_end, length(coalesce(d.text, ''))) AS BIGINT) AS span_end
+FROM spans s JOIN documents d USING (doc_id)
+"""
+
+
 def _dedup_substring_clean(spark, sf):
     """Keep-first substring excision (dedup.py::substring_dedupe): every
     duplicated window's lowest-(id, pos) copy survives; all other
@@ -5979,6 +6042,7 @@ WINDOW_50 = [
     "topk_cosine_bruteforce",
     "dedup_substring_spans",
     "dedup_substring_clean",
+    "dedup_substring_winnowed",
     # --- (b) never driver-graded (carried from r8 task #3) ---
     "text_bpe_tokens",
     "text_gopher_quality",
@@ -6019,7 +6083,6 @@ WINDOW_50 = [
     # --- (d) r7 refresh: dedup family + reference core ---
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
     "dedup_semantic_pairs",
     "dedup_fp_overlap",
     "gen_function",
@@ -6125,6 +6188,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("dedup_incremental_index", _dedup_incremental),
     ("dedup_substring_spans", _dedup_substring_spans),
     ("dedup_substring_clean", _dedup_substring_clean),
+    ("dedup_substring_winnowed", _dedup_substring_winnowed),
     ("dedup_simhash_pairs", _dedup_simhash),
     ("dedup_ngram_jaccard", _dedup_jaccard),
     ("dedup_embedding_pairs", _dedup_embedding),
@@ -6278,6 +6342,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_index": _dedup_incremental_sql(),
         "dedup_substring_spans": _dedup_substring_spans_sql(),
         "dedup_substring_clean": _dedup_substring_clean_sql(),
+        "dedup_substring_winnowed": _dedup_substring_winnowed_sql(),
         "dedup_simhash_pairs": _dedup_simhash_sql(),
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": _dedup_embedding_sql(),
