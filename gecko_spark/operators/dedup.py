@@ -52,6 +52,8 @@ __all__ = [
     "substring_window_positions",
     "substring_dup_spans",
     "substring_dedupe",
+    "write_substring_index",
+    "substring_spans_against_index",
 ]
 
 # 31-bit Mersenne prime: (h % P) * a + b stays well inside int64
@@ -1626,48 +1628,17 @@ def substring_dup_spans(
         )
     flagged = flagged.select(id_col, "pos")
 
-    @F.pandas_udf(T.ArrayType(
-        T.StructType([
-            T.StructField("s", T.LongType()),
-            T.StructField("e", T.LongType()),
-        ])
-    ))
-    def _merge(poss: pd.Series) -> pd.Series:
-        out = []
-        for arr in poss:
-            ps = np.sort(np.asarray(arr, dtype=np.int64))
-            spans, start, end = [], int(ps[0]), int(ps[0]) + window
-            for p in ps[1:]:
-                p = int(p)
-                if p <= end:  # overlapping or touching window
-                    end = p + window
-                else:
-                    spans.append({"s": start, "e": end})
-                    start, end = p, p + window
-            spans.append({"s": start, "e": end})
-            out.append(spans)
-        return pd.Series(out)
-
     merged = (
         flagged.groupBy(id_col)
         .agg(F.collect_list("pos").alias("__ps__"))
-        .select(id_col, F.explode(_merge(F.col("__ps__"))).alias("__sp__"))
+        .select(id_col, F.explode(_span_merge_udf(window)(F.col("__ps__"))).alias("__sp__"))
         .select(
             id_col,
             F.col("__sp__.s").alias("span_start"),
             F.col("__sp__.e").alias("span_end"),
         )
     )
-    lens = df.select(id_col, F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("__len__"))
-    out = (
-        lens.join(F.broadcast(merged), id_col)
-        .select(
-            id_col,
-            "span_start",
-            F.least(F.col("span_end"), F.col("__len__").cast("long")).alias("span_end"),
-        )
-    )
-    return persist_until_released(wh, out)
+    return persist_until_released(wh, _clamped_spans(df, merged, id_col, text_col))
 
 
 def substring_dedupe(
@@ -1719,3 +1690,114 @@ def substring_dedupe(
         ).drop("__spans__"),
         spans,
     )
+
+
+def _span_merge_udf(window: int):
+    """Arrow kernel: sorted flagged positions -> merged [s, e) interval
+    structs (overlapping or touching length-``window`` windows join).
+    Shared by the batch and the against-index span operators."""
+
+    @F.pandas_udf(T.ArrayType(
+        T.StructType([
+            T.StructField("s", T.LongType()),
+            T.StructField("e", T.LongType()),
+        ])
+    ))
+    def _merge(poss: pd.Series) -> pd.Series:
+        out = []
+        for arr in poss:
+            ps = np.sort(np.asarray(arr, dtype=np.int64))
+            spans, start, end = [], int(ps[0]), int(ps[0]) + window
+            for p in ps[1:]:
+                p = int(p)
+                if p <= end:  # overlapping or touching window
+                    end = p + window
+                else:
+                    spans.append({"s": start, "e": end})
+                    start, end = p, p + window
+            spans.append({"s": start, "e": end})
+            out.append(spans)
+        return pd.Series(out)
+
+    return _merge
+
+
+def _clamped_spans(
+    src_df, merged, id_col: str, text_col: str
+):
+    """Join merged spans (small, broadcast) against the doc lengths and
+    clamp span_end — the corpus side never shuffles."""
+    lens = src_df.select(
+        id_col, F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("__len__")
+    )
+    return (
+        lens.join(F.broadcast(merged), id_col)
+        .select(
+            id_col,
+            "span_start",
+            F.least(F.col("span_end"), F.col("__len__").cast("long")).alias(
+                "span_end"
+            ),
+        )
+    )
+
+
+def write_substring_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    window: int = 40,
+    winnow: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's duplicated-window hash set as a parquet
+    index ``(h)`` — the continuous-ingestion companion to
+    :func:`substring_dup_spans`, mirroring :func:`write_minhash_index`:
+    window hashes are computed ONCE per corpus lifetime, and each new
+    batch finds its against-history duplicated spans without re-hashing
+    (or even re-reading) the historical text. The index stores every
+    DISTINCT window hash of the corpus (8 bytes per distinct window —
+    at winnow=8 roughly corpus_chars/4.5 rows before dictionary
+    compression). ``mode="append"`` grows it with accepted batches;
+    duplicate hash rows across appends are harmless (the probe is a
+    semi-join)."""
+    pos = substring_window_positions(df, id_col, text_col, window, winnow)
+    pos.select("h").distinct().write.mode(mode).parquet(path)
+
+
+def substring_spans_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    winnow: int = 1,
+) -> DataFrame:
+    """Duplicated spans of the NEW batch against a persisted corpus
+    index (``index`` = ``(h)`` from :func:`write_substring_index` —
+    pass the same window/winnow): ``(id, span_start, span_end)`` for
+    every new-batch region whose windows already exist in the corpus.
+
+    Scale shape: window hashes are computed for the new batch only; the
+    probe is ONE semi-join of the batch's (id, pos, h) rows against the
+    index hash set — the historical corpus is never re-read or
+    re-hashed. Intra-batch duplicates are NOT flagged here — run
+    :func:`substring_dup_spans` on the accepted batch before appending
+    its hashes to the index (same split as ``dedupe_against_index``)."""
+    pos = substring_window_positions(new_df, id_col, text_col, window, winnow)
+    flagged = pos.join(index.select("h").distinct(), "h", "left_semi").select(
+        id_col, "pos"
+    )
+
+    merged = (
+        flagged.groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__ps__"))
+        .select(id_col, F.explode(_span_merge_udf(window)(F.col("__ps__"))).alias("__sp__"))
+        .select(
+            id_col,
+            F.col("__sp__.s").alias("span_start"),
+            F.col("__sp__.e").alias("span_end"),
+        )
+    )
+    return _clamped_spans(new_df, merged, id_col, text_col)

@@ -1711,3 +1711,40 @@ class TestSubstringDedupe:
         n_full = substring_window_positions(df, window=40).count()
         n_win = substring_window_positions(df, window=40, winnow=w).count()
         assert n_win < n_full / 2
+
+    def test_incremental_index_probe(self, spark, tmp_path):
+        """Against-index semantics: a new-batch span duplicating the
+        INDEXED history is flagged; a span duplicated only WITHIN the
+        new batch is not (that's the batch op's job before appending);
+        history is probed via the persisted hash set only."""
+        import pandas as pd
+        from gecko_spark.operators.dedup import (
+            substring_spans_against_index,
+            write_substring_index,
+        )
+
+        newblock = "an entirely new-batch-only repeated chunk of text!! " * 2
+        hist = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["historic doc. " + self.BLOCK + " done.",
+                     "another old doc with its own words only, long enough"
+                     " to produce windows........."],
+        }))
+        new = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [10, 11, 12],
+            "text": ["fresh A " + self.BLOCK + " trailing",
+                     "fresh B " + newblock + " x",
+                     "fresh C " + newblock + " y"],
+        }))
+        path = str(tmp_path / "substr_idx")
+        write_substring_index(hist, "doc_id", "text", path, window=40)
+        idx = spark.read.parquet(path)
+        spans = (
+            substring_spans_against_index(new, idx, window=40)
+            .toPandas().sort_values("doc_id", ignore_index=True)
+        )
+        # only doc 10 (history dup) flagged; 11/12 share only intra-batch
+        assert spans["doc_id"].tolist() == [10]
+        blk = len(self.BLOCK)
+        assert spans.loc[0, "span_start"] == 7  # ' ' before BLOCK shared
+        assert spans.loc[0, "span_end"] == 8 + blk + 1  # ' ' after shared
