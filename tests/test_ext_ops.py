@@ -1748,3 +1748,25 @@ class TestSubstringDedupe:
         blk = len(self.BLOCK)
         assert spans.loc[0, "span_start"] == 7  # ' ' before BLOCK shared
         assert spans.loc[0, "span_end"] == 8 + blk + 1  # ' ' after shared
+
+    def test_plan_shape_no_corpus_shuffle_join(self, spark):
+        """Plan regression guard for the two round-10 perf findings: the
+        flag and clamp joins must broadcast (never sort-merge the
+        position/corpus side), and the hash kernel must not run
+        split-starved — a single-partition input fans out to the
+        session's parallelism before the mapInPandas."""
+        from gecko_spark.operators.dedup import (
+            substring_dup_spans,
+            substring_window_positions,
+        )
+
+        df = self._docs(spark).coalesce(1)
+        res = substring_dup_spans(df, window=40)
+        res.count()  # materialize so the AQE-final plan is inspectable
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        pos = substring_window_positions(df, window=40)
+        assert pos.rdd.getNumPartitions() >= min(
+            8, spark.sparkContext.defaultParallelism
+        )
