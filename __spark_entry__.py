@@ -2789,16 +2789,14 @@ def _dedup_simhash(spark, sf):
     )
 
 
-def _dedup_simhash_sql(bits: int = 64, chunks: int = 4, max_hamming: int = 8) -> str:
-    """Exact DuckDB oracle for SimHash + pigeonhole blocking.
-
-    Replays dedup.py::simhash exactly: portable polynomial token hash,
-    64 universal-hash majority-vote bits, 16-bit chunk blocking, true
-    Hamming verify. Bit weights ride the perms VALUES table as HUGEINT
-    (2^63 overflows BIGINT); the signed simhash is recovered by an
-    explicit two's-complement wrap, while chunk keys divide the
-    unsigned value — the same bits Spark's arithmetic shiftright+mask
-    extracts."""
+def _simhash_sh_cte(bits: int = 64) -> str:
+    """Shared DuckDB CTE chain computing each document's UNSIGNED
+    simhash sum ``s`` (table ``sh(doc, s)``) — replays
+    dedup.py::simhash exactly: portable polynomial token hash, 64
+    universal-hash majority-vote bits. Bit weights ride the perms
+    VALUES table as HUGEINT (2^63 overflows BIGINT). Used by both the
+    batch pair-mining oracle and the streaming near-dup parity
+    oracle so the two necessarily agree on the fingerprint."""
     from gecko_spark.functions.portable_hash import P1, sql_horner
     from gecko_spark.operators.dedup import _perm_params
 
@@ -2806,12 +2804,9 @@ def _dedup_simhash_sql(bits: int = 64, chunks: int = 4, max_hamming: int = 8) ->
     perm_rows = ", ".join(
         f"({p}, {a}, {b}, {1 << p})" for p, (a, b) in enumerate(params)
     )
-    w = bits // chunks
-    chunk_rows = ", ".join(f"({c}, {1 << (c * w)})" for c in range(chunks))
     half = P1 // 2
     horner_tok = sql_horner("t", P1)
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id AS doc,
     COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                          t -> len(t) > 0), []) AS tk
@@ -2827,7 +2822,21 @@ WITH toks AS (
   FROM us CROSS JOIN perms
 ), sh AS (
   SELECT doc, SUM(contrib) AS s FROM bits GROUP BY doc
-), chunk_dividers(c, d) AS (
+)"""
+
+
+def _dedup_simhash_sql(bits: int = 64, chunks: int = 4, max_hamming: int = 8) -> str:
+    """Exact DuckDB oracle for SimHash + pigeonhole blocking.
+
+    Shared fingerprint CTEs from :func:`_simhash_sh_cte`; the signed
+    simhash is recovered by an explicit two's-complement wrap, while
+    chunk keys divide the unsigned value — the same bits Spark's
+    arithmetic shiftright+mask extracts — then 16-bit chunk blocking
+    and a true Hamming verify."""
+    w = bits // chunks
+    chunk_rows = ", ".join(f"({c}, {1 << (c * w)})" for c in range(chunks))
+    return f"""
+WITH {_simhash_sh_cte(bits)}, chunk_dividers(c, d) AS (
   VALUES {chunk_rows}
 ), blocked AS (
   SELECT doc,
@@ -5307,7 +5316,11 @@ def _dedup_substring_clean(spark, sf):
         "doc_id",
         F.col("text_clean"),
         (F.length(F.coalesce(F.col("text"), F.lit("")))
-         - F.length(F.col("text_clean"))).cast("long").alias("n_cut"),
+         # coalesce text_clean too (ADVICE r10): a NULL-text doc keeps
+         # text_clean NULL, and NULL arithmetic would yield n_cut NULL
+         # where the oracle's coalesce yields 0
+         - F.length(F.coalesce(F.col("text_clean"), F.lit("")))
+         ).cast("long").alias("n_cut"),
     )
 
 
@@ -5972,6 +5985,100 @@ FROM events l JOIN events r
 """
 
 
+def _stream_neardup_parity(spark, sf):
+    """Streaming near-dup suppression batch parity (VERDICT r10 #3 —
+    the last contract-less streaming op): the documents table, with a
+    deterministic synthetic event time, streamed TWICE (the full
+    duplicate copy arrives in a LATER micro-batch via
+    maxFilesPerTrigger=1 + forced mtimes), through streaming/
+    stream.py::neardup_dedupe_stream. Every SimHash fingerprint
+    therefore appears in both micro-batches, so the suppression is
+    genuinely cross-batch state in dropDuplicatesWithinWatermark — a
+    broken state store would re-emit every document and double every
+    group count. WHICH row of a fingerprint group survives is
+    arbitrary (dropDuplicates keeps the first row encountered), so the
+    contract is over the fingerprints themselves: recompute the
+    64-bit SimHash of each surviving row batch-side and return one
+    (fp, n_rows) group per fingerprint — n_rows must be exactly 1.
+    The oracle replays the fingerprint with the same shared CTE chain
+    as the batch SimHash oracle (:func:`_simhash_sh_cte`) — hash-exact."""
+    import shutil
+    import uuid
+
+    from gecko_spark.operators.dedup import simhash
+    from gecko_spark.streaming.stream import neardup_dedupe_stream
+
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scratch",
+        f"neardup_{run_id}",
+    )
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src, exist_ok=True)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    sink = f"stream_neardup_parity_{run_id}"
+    try:
+        import glob as _glob
+
+        # one source file written by Spark (synthetic deterministic
+        # event time rides along), duplicated as a second micro-batch
+        tmp = os.path.join(base, "half")
+        (
+            docs.withColumn(
+                "ts",
+                F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+            )
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        for i in (0, 1):
+            p = os.path.join(src, f"batch{i}.parquet")
+            shutil.copy(part, p)
+            os.utime(p, (1_700_000_000 + i * 100,) * 2)
+        schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # watermark needs TIMESTAMP; parquet round-trips NTZ and the
+        # session tz is pinned UTC, so the cast is value-preserving
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        survivors = neardup_dedupe_stream(
+            stream, text_col="text", ts_col="ts", watermark="3650 days"
+        )
+        q = (
+            survivors.select("doc_id")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    emitted = spark.table(sink)
+    return (
+        docs.join(emitted, "doc_id")
+        .select(simhash(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def _stream_neardup_parity_sql() -> str:
+    return f"""
+WITH {_simhash_sh_cte(64)}
+SELECT DISTINCT
+  CAST(CASE WHEN s >= {1 << 63} THEN s - {1 << 64} ELSE s END AS BIGINT) AS fp,
+  CAST(1 AS BIGINT) AS n_rows
+FROM sh
+"""
+
+
 def _stream_warc_parity(spark, sf):
     """Streaming-WARC batch parity (round 8): the committed fixture
     crawl ingested through the REAL streaming path — the custom
@@ -6102,66 +6209,73 @@ FROM read_parquet('{_FIXDIR}/warc_expected.parquet')
 # q_window_topk_orders; q_set_ops, q_events_hourly, q_events_sessions,
 # q16_supplier_cnt, q20_qty_threshold and q22_global_sales_opportunity
 # yielded their slots to the round-8 additions and re-grade in r9).
-# After this round no query's newest driver grade is older than r6.
+# Round 10 rotated in the r6-stale mutator/relational surface plus the
+# round-10 additions (substring dedup, IVFADC, trained classifier,
+# interval-join parity). Round 11 rotates in the 39 remaining r7-graded
+# entries + the round-11-touched code (stream_neardup_parity NEW,
+# similarity rerank restructure, warc resync, substring hardening) +
+# q3/q5 headliners — after this round no query's newest driver grade
+# is older than r9.
 # queries() is BUILT
 # from this list + the catalogue, with overlap asserts, so the window
 # can never silently diverge from the catalogue (a duplicate key in
 # the old dict literal would have collapsed silently).
 WINDOW_50 = [
-    # --- (a) round-10 new or touched code ---
-    "topk_cosine_ivfpq",
-    "text_classifier_trained",
-    "stream_interval_join_parity",
-    "topk_cosine_bruteforce",
-    "dedup_substring_spans",
-    "dedup_substring_clean",
+    # --- (a) round-11 new or touched code ---
+    "stream_neardup_parity",      # NEW this round (VERDICT r10 #3)
+    "topk_cosine_ivfpq",          # rerank two-step broadcast (ADVICE r10)
+    "topk_cosine_ivf",            # similarity family re-grade (r9)
+    "dedup_substring_clean",      # n_cut NULL-coalesce fix (ADVICE r10)
+    "dedup_substring_spans",      # pathological-doc hardening (r11 #6)
     "dedup_substring_winnowed",
     "dedup_substring_incr",
-    # --- (b) never driver-graded (carried from r8 task #3) ---
-    "text_bpe_tokens",
-    "text_gopher_quality",
-    "text_gopher_repetition",
-    "text_c4_clean",
-    "text_bigram_logprob",
-    "text_ppl_buckets",
-    # --- (c) newest driver grade is r6 — refresh all 29 ---
-    "decontam_filter_bloom",
-    "mut_categorical",
-    "mut_datetime_offset",
-    "mut_delete",
-    "mut_generator_splice",
-    "mut_lowercase",
-    "mut_missing_strict_p",
-    "mut_missing_value",
-    "mut_permute",
-    "mut_phonetic",
-    "mut_regex",
-    "mut_repeat",
-    "mut_replacement_inline",
-    "mut_replacement_whole",
-    "mut_substitute",
-    "mut_transpose",
-    "mut_uppercase",
-    "q16_supplier_cnt",
-    "q20_qty_threshold",
-    "q22_global_sales_opportunity",
-    "q4_priority_exists",
-    "q_anti_join",
-    "q_events_hourly",
-    "q_events_sessions",
-    "q_range_join",
-    "q_rollup_region_nation",
-    "q_semi_join",
-    "q_set_ops",
-    "text_tfidf_top3",
-    # --- (d) r7 refresh: dedup family + reference core ---
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_semantic_pairs",
-    "gen_function",
-    "mut_chain",
-    "mut_cldr_keymap",
-    "mut_group",
+    "corpus_warc",                # resync boundary fix (ADVICE r10)
+    "stream_warc_parity",
+    # --- (b) newest driver grade is r7 — refresh all 39 (VERDICT r10
+    # #2: after this round nothing in the grade history is older than
+    # r9) ---
+    "decontam_filter",
+    "decontam_overlap",
+    "dedup_embedding_pairs",
+    "dedup_fp_overlap",
+    "dedup_ngram_jaccard",
+    "emb_quantize_int8",
+    "gen_datasource",
+    "gen_datetime",
+    "gen_freq_multi",
+    "gen_freq_single",
+    "gen_group",
+    "gen_group_exact",
+    "gen_normal",
+    "gen_uniform",
+    "mut_function",
+    "mut_insert",
+    "pack_sequences",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q6_revenue_filter",
+    "q7_nation_volume",
+    "q_asof_join",
+    "q_cube_flag_status",
+    "q_distinct_counts",
+    "q_json_props",
+    "q_linkage_jw",
+    "q_linkage_soundex",
+    "q_percentile_price",
+    "q_skew_join",
+    "sample_reservoir_n",
+    "sample_split",
+    "sketch_cm_counts",
+    "sketch_cm_estimate",
+    "sketch_heavy_hitters",
+    "sketch_kmv_by_group",
+    "sketch_topk_counts",
+    "text_pii_redact",
+    "text_repetition",
+    "text_stats",
+    # --- (c) r9 headliner refresh ---
+    "q3_shipping_priority",
+    "q5_region_revenue",
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
@@ -6175,6 +6289,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("stream_dedupe_parity", _stream_dedupe_parity),
     ("stream_user_stats_parity", _stream_user_stats_parity),
     ("stream_interval_join_parity", _stream_interval_join_parity),
+    ("stream_neardup_parity", _stream_neardup_parity),
     ("corpus_warc", _corpus_warc),
     ("stream_warc_parity", _stream_warc_parity),
     ("text_main_content", _text_main_content),
@@ -6346,6 +6461,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedupe_parity": _STREAM_DEDUPE_PARITY_SQL,
         "stream_user_stats_parity": _STREAM_USER_STATS_PARITY_SQL,
         "stream_interval_join_parity": _STREAM_INTERVAL_JOIN_PARITY_SQL,
+        "stream_neardup_parity": _stream_neardup_parity_sql(),
         "corpus_warc": _CORPUS_WARC_SQL,
         "stream_warc_parity": _CORPUS_WARC_SQL,
         "text_main_content": _TEXT_MAIN_CONTENT_SQL,

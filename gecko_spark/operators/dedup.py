@@ -1627,17 +1627,7 @@ def substring_dup_spans(
             )
         )
     flagged = flagged.select(id_col, "pos")
-
-    merged = (
-        flagged.groupBy(id_col)
-        .agg(F.collect_list("pos").alias("__ps__"))
-        .select(id_col, F.explode(_span_merge_udf(window)(F.col("__ps__"))).alias("__sp__"))
-        .select(
-            id_col,
-            F.col("__sp__.s").alias("span_start"),
-            F.col("__sp__.e").alias("span_end"),
-        )
-    )
+    merged = _merged_spans(flagged, id_col, window)
     return persist_until_released(wh, _clamped_spans(df, merged, id_col, text_col))
 
 
@@ -1690,6 +1680,83 @@ def substring_dedupe(
         ).drop("__spans__"),
         spans,
     )
+
+
+# Per-(doc, chunk) group ceiling for the position merge. At stride-1
+# one flagged position per char, so 1<<22 positions ≈ 32 MB of int64
+# per aggregation group worst-case — safely inside an executor task,
+# and far above any ordinary document (a chunk boundary only matters
+# past ~4M flagged positions in ONE doc). The level-2 merge then sees
+# SPANS, not positions: a pathological 1 GB fully-duplicated document
+# costs ~256 level-1 rows instead of one 8 GB collect_list row
+# (VERDICT r10 #6 — this was the suffix-array-parity memory hole).
+_MERGE_CHUNK_POSITIONS = 1 << 22
+
+
+def _merged_spans(
+    flagged: DataFrame,
+    id_col: str,
+    window: int,
+    chunk: int = _MERGE_CHUNK_POSITIONS,
+) -> DataFrame:
+    """Flagged (id, pos) rows → merged maximal [span_start, span_end)
+    rows, via a TWO-LEVEL merge so no aggregation row is ever
+    O(doc length): level 1 merges positions within (id, pos÷chunk)
+    groups (bounded by ``chunk`` int64s), level 2 merges the resulting
+    span structs per doc — the second shuffle carries only merged
+    spans, orders of magnitude fewer rows than positions. Chunking is
+    semantics-free: a position merges into the previous span iff
+    ``pos <= prev_end``, and that exact condition is re-applied to the
+    level-1 span boundaries (``s <= prev_e``), so spans split by a
+    chunk boundary re-join identically to the single-level merge."""
+    lvl1 = (
+        flagged.withColumn("__ck__", (F.col("pos") - F.col("pos") % chunk))
+        .groupBy(id_col, "__ck__")
+        .agg(F.collect_list("pos").alias("__ps__"))
+        .select(
+            id_col, F.explode(_span_merge_udf(window)(F.col("__ps__"))).alias("__sp__")
+        )
+    )
+    return (
+        lvl1.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__sp__")).alias("__sps__"))
+        .select(
+            id_col, F.explode(_span_list_merge_udf()(F.col("__sps__"))).alias("__sp__")
+        )
+        .select(
+            id_col,
+            F.col("__sp__.s").alias("span_start"),
+            F.col("__sp__.e").alias("span_end"),
+        )
+    )
+
+
+def _span_list_merge_udf():
+    """Arrow kernel for the level-2 merge: SORTED [s, e) span structs →
+    merged spans (overlapping or touching join, ``s <= prev_e`` — the
+    same touching condition the position-level merge applies)."""
+
+    @F.pandas_udf(T.ArrayType(
+        T.StructType([
+            T.StructField("s", T.LongType()),
+            T.StructField("e", T.LongType()),
+        ])
+    ))
+    def _merge(spans: pd.Series) -> pd.Series:
+        out = []
+        for arr in spans:
+            merged = []
+            for sp in arr:
+                s, e = int(sp["s"]), int(sp["e"])
+                if merged and s <= merged[-1]["e"]:
+                    if e > merged[-1]["e"]:
+                        merged[-1]["e"] = e
+                else:
+                    merged.append({"s": s, "e": e})
+            out.append(merged)
+        return pd.Series(out)
+
+    return _merge
 
 
 def _span_merge_udf(window: int):
@@ -1789,15 +1856,5 @@ def substring_spans_against_index(
     flagged = pos.join(index.select("h").distinct(), "h", "left_semi").select(
         id_col, "pos"
     )
-
-    merged = (
-        flagged.groupBy(id_col)
-        .agg(F.collect_list("pos").alias("__ps__"))
-        .select(id_col, F.explode(_span_merge_udf(window)(F.col("__ps__"))).alias("__sp__"))
-        .select(
-            id_col,
-            F.col("__sp__.s").alias("span_start"),
-            F.col("__sp__.e").alias("span_end"),
-        )
-    )
+    merged = _merged_spans(flagged, id_col, window)
     return _clamped_spans(new_df, merged, id_col, text_col)

@@ -881,10 +881,17 @@ def pq_topk_rerank(
     # candidates are Q×shortlist rows — small BY CONSTRUCTION — so the
     # fetch broadcasts them against the corpus scan: the corpus never
     # shuffles (round 10; previously Spark was left to pick and could
-    # shuffle the full corpus side on vec_id)
+    # shuffle the full corpus side on vec_id). Broadcast ONLY the
+    # (query_id, vec_id) id pairs here and attach the query vectors in
+    # a SECOND broadcast join afterwards (ADVICE r10): joining qv into
+    # cand before the broadcast duplicates the full query vector onto
+    # every one of the Q×shortlist rows (10k queries × 1000 shortlist ×
+    # 768-dim doubles ≈ 60 GB), blowing Spark's broadcast limit; split,
+    # the payloads are Q×shortlist id pairs + Q vectors — both tiny.
     scored = (
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv__"))
-        .join(F.broadcast(cand.join(F.broadcast(qv), "query_id")), "vec_id")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "vec_id",
@@ -1178,12 +1185,19 @@ def cosine_topk_ivfpq(
     )
     # candidates are Q×shortlist rows — small BY CONSTRUCTION — so the
     # fetch broadcasts them against the corpus scan: the corpus never
-    # shuffles (round 10)
+    # shuffles (round 10). Two-step broadcast (ADVICE r10): the corpus
+    # fetch broadcasts only the (query_id, vec_id) id pairs, then the
+    # Q-row qv frame joins on afterwards — also broadcast. Pre-joining
+    # qv into cand would copy each full query vector onto all of its
+    # shortlist rows inside the broadcast payload (≈60 GB at 10k
+    # queries × 1000 shortlist × 768-dim), exceeding the broadcast /
+    # driver-memory limits the old single-join plan was sized by.
     scored = (
         corpus.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv__")
         )
-        .join(F.broadcast(cand.join(F.broadcast(qv), "query_id")), "vec_id")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "vec_id",

@@ -112,8 +112,16 @@ def _resync_to_record(fp) -> Optional[bytes]:
     positive inside a payload just round-trips through one more
     malformed marker + rescan, so the scan converges; the cost is one
     pass over the skipped span, which a corrupt record was going to
-    cost anyway."""
-    buf = b""
+    cost anyway.
+
+    The buffer is seeded with a synthetic ``\\n`` (ADVICE r10): if the
+    failed parse left the stream positioned exactly at a record
+    boundary — preceding newline already consumed, next bytes are
+    ``WARC/...`` — an empty seed would never match ``\\nWARC/`` and
+    that good record would be silently skipped. The seed byte is
+    stripped by the ``i + 1`` slice, so the returned tail starts at the
+    marker either way."""
+    buf = b"\n"
     while True:
         chunk = fp.read(1 << 20)
         if not chunk:

@@ -80,3 +80,39 @@ def test_plain_float_entries_pass_through():
     r["queries"] = {k: v["med"] for k, v in r["queries"].items()}
     parsed = json.loads(bench.compact_stdout_line(r))
     assert all(isinstance(v, float) for v in parsed["queries"].values())
+
+
+def test_detect_regressions_band_vs_band():
+    """VERDICT r10 #8: an entry regresses iff its new dispersion band
+    sits ENTIRELY above the prior band (lo > prior hi) — overlap is
+    drift, disjoint is a shift; med-only priors and error-string
+    entries are skipped, not crashed on."""
+    prior = {
+        "q_disjoint": {"med": 0.50, "lo": 0.45, "hi": 0.58},
+        "q_overlap": {"med": 0.50, "lo": 0.45, "hi": 0.58},
+        "q_faster": {"med": 0.50, "lo": 0.45, "hi": 0.58},
+        "q_medonly": 0.50,
+    }
+    new = {
+        "q_disjoint": {"med": 1.10, "lo": 0.99, "hi": 1.30},  # lo > 0.58
+        "q_overlap": {"med": 0.60, "lo": 0.55, "hi": 0.80},   # 0.55 <= 0.58
+        "q_faster": {"med": 0.30, "lo": 0.28, "hi": 0.35},
+        "q_medonly": {"med": 9.9, "lo": 9.8, "hi": 9.95},     # prior med-only
+        "q_new_entry": {"med": 1.0, "lo": 0.9, "hi": 1.1},    # no prior
+    }
+    reg = bench.detect_regressions(new, prior)
+    assert set(reg) == {"q_disjoint"}
+    assert reg["q_disjoint"] == {"lo": 0.99, "prior_hi": 0.58, "ratio": 2.2}
+    assert bench.detect_regressions(new, {}) == {}
+
+
+def test_regressions_summarized_on_line():
+    r = _result(40)
+    r["regressions"] = {
+        f"q_reg_{i}": {"lo": 2.0, "prior_hi": 1.0, "ratio": 2.0} for i in range(9)
+    }
+    line = bench.compact_stdout_line(r)
+    assert len(line) <= bench.STDOUT_LINE_CAP
+    parsed = json.loads(line)
+    assert parsed["regressions_n"] == 9 and len(parsed["regressions"]) == 5
+    assert all(isinstance(x, str) for x in parsed["regressions"])

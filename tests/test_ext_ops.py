@@ -1192,6 +1192,24 @@ def test_pq_adc_recall_against_bruteforce(spark, embeddings):
         S.pq_topk_rerank(codes, books, embeddings, queries, k=50, shortlist=10)
 
 
+def test_pq_rerank_two_step_broadcast_plan(spark, embeddings):
+    """ADVICE r10 plan guard: the rerank fetch must broadcast the
+    (query_id, vec_id) candidate pairs and the Q-row query-vector frame
+    as SEPARATE broadcasts — two BroadcastHashJoins, no SortMergeJoin —
+    so the broadcast payload is ids + Q vectors, not Q×shortlist copies
+    of the full query vector, and the corpus side never shuffles."""
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    books = S.pq_train(embeddings, m=8, k_codes=16, seed=3)
+    codes = S.pq_encode(embeddings, books)
+    rer = S.pq_topk_rerank(codes, books, embeddings, queries, k=3, shortlist=20)
+    rer.count()  # materialize for the AQE-final plan
+    plan = rer._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 def test_pq_validates_inputs(spark, embeddings):
     with pytest.raises(ValueError):
         S.pq_train(embeddings, m=7)  # dim not divisible
@@ -1711,6 +1729,135 @@ class TestSubstringDedupe:
         n_full = substring_window_positions(df, window=40).count()
         n_win = substring_window_positions(df, window=40, winnow=w).count()
         assert n_win < n_full / 2
+
+    def test_chunked_merge_matches_single_level(self, spark):
+        """VERDICT r10 #6: the two-level merge (positions chunked by
+        pos÷chunk, then span structs merged per doc) must produce
+        byte-identical spans to an effectively single-level merge —
+        including spans that STRADDLE a chunk boundary (pos 62..70 with
+        chunk=64) and spans that merely TOUCH across one (prev end ==
+        next start)."""
+        import pandas as pd
+        from gecko_spark.operators.dedup import _merged_spans
+
+        window = 5
+        # doc 1: runs [0..10], [60..72] (straddles 64), isolated 100,
+        # touching pair (120, 125: 120+5 == 125 -> one span)
+        pos1 = list(range(0, 11)) + list(range(60, 73)) + [100, 120, 125]
+        flagged = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1] * len(pos1) + [2, 2],
+            "pos": pos1 + [63, 64],
+        }))
+        small = (
+            _merged_spans(flagged, "doc_id", window, chunk=64)
+            .toPandas().sort_values(["doc_id", "span_start"], ignore_index=True)
+        )
+        big = (
+            _merged_spans(flagged, "doc_id", window, chunk=1 << 40)
+            .toPandas().sort_values(["doc_id", "span_start"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(small, big)
+        assert [tuple(r) for r in small.itertuples(index=False)] == [
+            (1, 0, 15), (1, 60, 77), (1, 100, 105), (1, 120, 130),
+            (2, 63, 69),
+        ]
+
+    def test_doc_is_one_repeated_window(self, spark):
+        """A doc consisting ENTIRELY of one repeated window (VERDICT
+        r10 #6 adversarial case): every window hash is identical, the
+        merged span must cover the whole doc, and keep-first excision
+        leaves exactly the un-flagged prefix of the first copy."""
+        import pandas as pd
+        from gecko_spark.operators.dedup import substring_dedupe, substring_dup_spans
+
+        unit = "0123456789" * 4  # exactly window chars
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": [unit * 6, unit * 6],
+        }))
+        spans = (
+            substring_dup_spans(df, window=40)
+            .toPandas().sort_values("doc_id", ignore_index=True)
+        )
+        L = 240
+        # doc 2 is duplicate end-to-end; doc 1's pos 0 window is ALSO
+        # cross-doc duplicated (keep="none" audit view flags every copy)
+        assert [tuple(r) for r in spans.itertuples(index=False)] == [
+            (1, 0, L), (2, 0, L),
+        ]
+        out = {
+            r["doc_id"]: r["text_clean"]
+            for r in substring_dedupe(df, window=40).collect()
+        }
+        # the text is periodic with period 10 ("0123456789"), so there
+        # are exactly 10 DISTINCT windows, first occurrences at doc 1
+        # pos 0..9; keep-first exempts those, the flagged run [10, L)
+        # is excised, and doc 2 is excised to empty
+        assert out[1] == "0123456789"
+        assert out[2] == ""
+
+    def test_multibyte_span_edges(self, spark):
+        """Span indices and excision are CHARACTER-based on both
+        engines: multibyte text (2- and 3-byte UTF-8 code points)
+        surrounding and inside the shared block must yield exact char
+        boundaries, and the stitched text_clean must equal the Python
+        str-slice reconstruction."""
+        import pandas as pd
+        from gecko_spark.operators.dedup import substring_dedupe, substring_dup_spans
+
+        block = "héllo wörld 漢字テキスト shared licence €§µ boilerplate run!!"
+        assert len(block) >= 40
+        # boundaries fully distinct on BOTH sides (no shared space) so
+        # the maximal shared substring is exactly the block
+        pre1, suf1 = "Ωpfx¹·", "-ταιλ-Α"
+        pre2, suf2 = "漢prefix²→", "~suffix-Бэ"
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": [pre1 + block + suf1, pre2 + block + suf2],
+        }))
+        spans = (
+            substring_dup_spans(df, window=40)
+            .toPandas().sort_values("doc_id", ignore_index=True)
+        )
+        assert [tuple(r) for r in spans.itertuples(index=False)] == [
+            (1, len(pre1), len(pre1) + len(block)),
+            (2, len(pre2), len(pre2) + len(block)),
+        ]
+        out = {
+            r["doc_id"]: r["text_clean"]
+            for r in substring_dedupe(df, window=40).collect()
+        }
+        assert out[1] == pre1 + block + suf1  # first copy survives
+        assert out[2] == pre2 + suf2          # char-exact excision
+
+    def test_multi_mb_single_doc(self, spark):
+        """Smoke the stride-1 path on a multi-MB single document with a
+        large shared region: completes, flags exactly the planted span,
+        and the chunked merge keeps every aggregation row bounded (the
+        2M-char doc exceeds nothing but would have been one 2M-element
+        collect_list row before VERDICT r10 #6)."""
+        import pandas as pd
+        from gecko_spark.operators.dedup import substring_dup_spans
+
+        rng = np.random.default_rng(7)
+        alpha = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+        big = "".join(rng.choice(alpha, size=2_000_000))
+        shared = "".join(rng.choice(alpha, size=100_000))
+        doc1 = big[:1_000_000] + shared + big[1_000_000:]
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": [doc1, "other doc shell " + shared + " trailing bit"],
+        }))
+        spans = (
+            substring_dup_spans(df, window=40)
+            .toPandas().sort_values("doc_id", ignore_index=True)
+        )
+        # random 27-ary text of this size has no accidental 40-char
+        # repeat; the planted region is the only cross-doc span
+        assert len(spans) == 2
+        s1 = spans[spans["doc_id"] == 1].iloc[0]
+        assert s1["span_start"] == 1_000_000
+        assert s1["span_end"] == 1_000_000 + 100_000
 
     def test_incremental_index_probe(self, spark, tmp_path):
         """Against-index semantics: a new-batch span duplicating the

@@ -135,6 +135,29 @@ def test_malformed_resync_recovers_rest_of_file(tmp_path):
     assert got[2]["warc-target-uri"] == "https://example.com/p2"
 
 
+def test_resync_marker_at_stream_start():
+    """ADVICE r10 boundary case: when the failed parse leaves the
+    stream positioned EXACTLY at a record boundary (the preceding
+    newline already consumed, next bytes are ``WARC/...``), the resync
+    scan must still find that record — the synthetic ``\\n`` seed in
+    _resync_to_record covers the marker-at-offset-0 case that an empty
+    seed buffer would silently skip past."""
+    from gecko_spark.sources.warc import _resync_to_record
+
+    rec = b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 2\r\n\r\nhi"
+    tail = _resync_to_record(io.BytesIO(rec))
+    assert tail is not None and tail.startswith(b"WARC/1.0")
+    # and the end-to-end shape: a corrupt record whose quarantine scan
+    # stops right before the next record's version line
+    blob = (
+        b"GARBAGE NOT A RECORD\n"  # malformed head, newline-terminated
+        + rec
+    )
+    got = list(iter_warc_records(io.BytesIO(blob)))
+    assert "__malformed__" in got[0]
+    assert got[-1]["payload"] == b"hi"
+
+
 def test_split_http():
     st, ct, body = _split_http(b"HTTP/1.1 301 Moved\r\nLocation: /x\r\ncontent-type: a/b\r\n\r\nBODY")
     assert (st, ct, body) == (301, "a/b", b"BODY")
