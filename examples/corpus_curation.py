@@ -12,6 +12,12 @@ way a 100 TB pretraining-data job would chain them:
   3b. semantic dedup    (dedup.semantic_dedupe — SemDeDup-style: cluster
                          the doc embeddings, drop higher-id docs whose
                          in-cluster cosine clears the threshold)
+  3c. substring excision (dedup.substring_dedupe — Lee et al. 2022 run
+                         BOTH doc-level AND substring-level dedup:
+                         duplicated ≥window-char spans are cut from
+                         every copy but the first, the survivors
+                         stitched by a pure-Column fold; docs excised
+                         below the window length drop out)
   4. decontamination    (decontam.decontaminate — drop train docs that
                          share word n-grams with a held-out eval split)
   5. repetition gate    (text.repetition_profile — drop docs whose top
@@ -53,6 +59,7 @@ from gecko_spark.operators.dedup import (
     dedupe_exact,
     minhash_dedupe_transitive,
     semantic_dedupe,
+    substring_dedupe,
 )
 from gecko_spark.operators.classifier import hashed_linear_score, seeded_weights
 from gecko_spark.operators.joins import asof_join
@@ -91,6 +98,18 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         has_vec, "doc_id", "embedding", threshold=0.995, n_clusters=8, seed=11
     ).drop("embedding")
     neardup = sem.unionByName(no_vec)
+
+    # substring-span excision AFTER doc-level dedup (the Lee et al.
+    # order: whole-doc copies are gone, so the span pass only pays for
+    # partial overlaps): every duplicated ≥40-char span keeps its
+    # lowest-(id, pos) copy, the rest are cut and the text stitched;
+    # docs excised below one window of content carry no signal and drop
+    excised = substring_dedupe(neardup, "doc_id", "text", window=40)
+    neardup = (
+        excised.withColumn("text", F.col("text_clean"))
+        .drop("text_clean")
+        .filter(F.length("text") >= 40)
+    )
 
     # decontaminate against a held-out split (stand-in for a real eval
     # set): any train doc sharing a 6-gram with it is dropped
@@ -144,8 +163,27 @@ def main() -> None:
     try:
         result = curate(spark, sf_dir)
         write_partitioned(result, f"{out_dir}/curated", ["lang"])
-        n = spark.read.parquet(f"{out_dir}/curated").count()
+        curated = spark.read.parquet(f"{out_dir}/curated")
+        n = curated.count()
         print(f"curated corpus: {n} docs -> {out_dir}/curated (one file per lang)")
+
+        # row/byte audit: the dedup+gate gauntlet (incl. the substring
+        # excision) must have REMOVED content — a pipeline bug that
+        # turns a gate into a no-op fails loudly here
+        raw = load_table(spark, sf_dir, "documents")
+        in_rows = raw.count()
+        in_chars = raw.agg(
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("c")
+        ).first()["c"]
+        out_chars = curated.agg(F.sum(F.length("text")).alias("c")).first()["c"]
+        assert 0 < n < in_rows, (n, in_rows)
+        assert 0 < out_chars < in_chars, (out_chars, in_chars)
+        print(
+            f"  delta: rows {in_rows} -> {n} "
+            f"({100 * (in_rows - n) / in_rows:.1f}% dropped), "
+            f"chars {in_chars} -> {out_chars} "
+            f"({100 * (in_chars - out_chars) / in_chars:.1f}% removed)"
+        )
 
         # corpus report: length percentiles from a mergeable bottom-k
         # sample — no full sort of the corpus, k rows of driver traffic

@@ -102,6 +102,9 @@ def test_corpus_curation_example_end_to_end(tmp_path):
 
     out_dir, stdout = _run_example("corpus_curation.py", tmp_path)
     assert "curated corpus:" in stdout
+    # row/byte deltas asserted by the example itself (r11: the
+    # substring-excision stage joined the chain — content must shrink)
+    assert "% dropped)" in stdout and "% removed)" in stdout
     assert "n_chars p50" in stdout
     assert "split train:" in stdout
     # partitioned-by-lang layout materialized
