@@ -5300,6 +5300,114 @@ FROM spans s JOIN documents d USING (doc_id)
 """
 
 
+def _dedup_substring_incr_clean(spark, sf):
+    """Incremental ExactSubstr EXCISION (r11,
+    dedup.py::substring_dedupe_against_index): docs 0..249 are the
+    indexed history, docs 250+ the new batch; every new-batch span
+    whose windows exist in the index is cut UNCONDITIONALLY (history
+    holds the surviving copy by construction) and the survivors are
+    stitched by the shared pure-Column fold. The oracle replays the
+    semi-join flag, the interval merge, and the string reconstruction
+    — string-exact."""
+    import shutil
+    import uuid
+
+    from gecko_spark.operators.dedup import (
+        substring_dedupe_against_index,
+        write_substring_index,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scratch",
+        f"substr_idxc_{uuid.uuid4().hex[:12]}",
+    )
+    try:
+        write_substring_index(
+            docs.filter(F.col("doc_id") < 250), "doc_id", "text", base, window=40
+        )
+        index = spark.read.parquet(base)
+        out = substring_dedupe_against_index(
+            docs.filter(F.col("doc_id") >= 250), index, "doc_id", "text",
+            window=40,
+        ).select(
+            "doc_id",
+            "text_clean",
+            (F.length(F.coalesce(F.col("text"), F.lit("")))
+             - F.length(F.coalesce(F.col("text_clean"), F.lit("")))
+             ).cast("long").alias("n_cut"),
+        )
+        # materialize before the temp index dir is removed
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    schema = "doc_id long, text_clean string, n_cut long"
+    return (
+        spark.createDataFrame(pdf, schema)
+        if len(pdf)
+        else spark.createDataFrame([], schema)
+    )
+
+
+def _dedup_substring_incr_clean_sql(window: int = 40, split: int = 250) -> str:
+    from gecko_spark.functions.portable_hash import sql_window_hashes_combined
+
+    hs = sql_window_hashes_combined("text", window)
+    return f"""
+WITH hs AS (
+  SELECT doc_id, {hs} AS hl FROM documents
+), wh0 AS (
+  SELECT doc_id, generate_subscripts(hl, 1) - 1 AS pos, unnest(hl) AS h
+  FROM hs
+), idx AS (
+  SELECT DISTINCT h FROM wh0 WHERE doc_id < {split}
+), flagged AS (
+  SELECT w.doc_id, w.pos FROM wh0 w
+  WHERE w.doc_id >= {split} AND w.h IN (SELECT h FROM idx)
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {window} THEN 0 ELSE 1 END AS brk
+  FROM flagged
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {window} AS e
+  FROM grp GROUP BY doc_id, g
+), segs AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS b,
+         s AS t
+  FROM spans
+  UNION ALL
+  SELECT doc_id, MAX(e) AS b, NULL AS t FROM spans GROUP BY doc_id
+), rebuilt AS (
+  SELECT sg.doc_id,
+         string_agg(
+           CASE WHEN sg.t IS NULL
+                THEN substr(coalesce(d.text, ''), CAST(sg.b + 1 AS INT))
+                ELSE substr(coalesce(d.text, ''), CAST(sg.b + 1 AS INT),
+                            CAST(greatest(sg.t - sg.b, 0) AS INT)) END,
+           '' ORDER BY sg.b) AS text_clean
+  FROM segs sg JOIN documents d USING (doc_id)
+  GROUP BY sg.doc_id
+), cleaned AS (
+  SELECT doc_id, coalesce(text_clean, '') AS text_clean FROM rebuilt
+  UNION ALL
+  SELECT d.doc_id, d.text AS text_clean
+  FROM documents d ANTI JOIN rebuilt USING (doc_id)
+  WHERE d.doc_id >= {split}
+)
+SELECT c.doc_id, c.text_clean,
+       CAST(length(coalesce(d.text, '')) - length(coalesce(c.text_clean, ''))
+            AS BIGINT) AS n_cut
+FROM cleaned c JOIN documents d USING (doc_id)
+"""
+
+
 def _dedup_substring_clean(spark, sf):
     """Keep-first substring excision (dedup.py::substring_dedupe): every
     duplicated window's lowest-(id, pos) copy survives; all other
@@ -6378,6 +6486,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("dedup_substring_clean", _dedup_substring_clean),
     ("dedup_substring_winnowed", _dedup_substring_winnowed),
     ("dedup_substring_incr", _dedup_substring_incr),
+    ("dedup_substring_incr_clean", _dedup_substring_incr_clean),
     ("dedup_simhash_pairs", _dedup_simhash),
     ("dedup_ngram_jaccard", _dedup_jaccard),
     ("dedup_embedding_pairs", _dedup_embedding),
@@ -6534,6 +6643,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_clean": _dedup_substring_clean_sql(),
         "dedup_substring_winnowed": _dedup_substring_winnowed_sql(),
         "dedup_substring_incr": _dedup_substring_incr_sql(),
+        "dedup_substring_incr_clean": _dedup_substring_incr_clean_sql(),
         "dedup_simhash_pairs": _dedup_simhash_sql(),
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": _dedup_embedding_sql(),

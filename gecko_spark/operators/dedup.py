@@ -1649,6 +1649,25 @@ def substring_dedupe(
     spans = substring_dup_spans(
         df, id_col, text_col, window, winnow, cross_doc_only, keep="first"
     )  # cache owner — adopted onto the returned plan below
+    return adopt_cache_owner(
+        _excise_spans(df, spans, id_col, text_col, out_col), spans
+    )
+
+
+def _excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Cut ``(id, span_start, span_end)`` spans out of each doc's text
+    into ``out_col`` — pure Column algebra: an ``aggregate`` fold over
+    the per-doc sorted span list stitches the surviving segments, no
+    Python in the reconstruction path. Docs with no spans pass through
+    byte-identical (NULL text included). Shared by the batch excision
+    (:func:`substring_dedupe`) and the incremental
+    (:func:`substring_dedupe_against_index`)."""
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))
@@ -1673,13 +1692,10 @@ def substring_dedupe(
         ),
     )
     out = df.join(per_doc, id_col, "left")
-    return adopt_cache_owner(
-        out.withColumn(
-            out_col,
-            F.when(F.col("__spans__").isNull(), F.col(text_col)).otherwise(stitched),
-        ).drop("__spans__"),
-        spans,
-    )
+    return out.withColumn(
+        out_col,
+        F.when(F.col("__spans__").isNull(), F.col(text_col)).otherwise(stitched),
+    ).drop("__spans__")
 
 
 # Per-(doc, chunk) group ceiling for the position merge. At stride-1
@@ -1858,3 +1874,33 @@ def substring_spans_against_index(
     )
     merged = _merged_spans(flagged, id_col, window)
     return _clamped_spans(new_df, merged, id_col, text_col)
+
+
+def substring_dedupe_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    winnow: int = 1,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Incremental EXCISION: cut every new-batch span whose windows
+    already exist in the persisted corpus index — the continuous-
+    ingestion completion of :func:`substring_dedupe`, pairing with
+    :func:`substring_spans_against_index` the way
+    ``dedupe_against_index`` pairs with ``minhash_candidate_pairs``.
+    The history holds every surviving copy by construction (it is the
+    index), so against-history spans are cut UNCONDITIONALLY — there is
+    no keep-first exemption here; first-occurrence survival within the
+    new batch itself is :func:`substring_dedupe`'s job before the
+    accepted batch's hashes are appended to the index.
+
+    Scale shape: one semi-join probe of the batch's window hashes
+    against the index (history never re-read or re-hashed), the
+    two-level bounded merge, and the pure-Column stitch — the new
+    batch's text never shuffles (the spans side broadcasts)."""
+    spans = substring_spans_against_index(
+        new_df, index, id_col, text_col, window, winnow
+    )
+    return _excise_spans(new_df, spans, id_col, text_col, out_col)

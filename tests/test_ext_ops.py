@@ -1896,6 +1896,45 @@ class TestSubstringDedupe:
         assert spans.loc[0, "span_start"] == 7  # ' ' before BLOCK shared
         assert spans.loc[0, "span_end"] == 8 + blk + 1  # ' ' after shared
 
+    def test_incremental_excision(self, spark, tmp_path):
+        """r11: substring_dedupe_against_index cuts against-history
+        spans UNCONDITIONALLY (no keep-first — the index IS the
+        surviving copy) and passes intra-batch-only duplicates through
+        untouched; the stitch is the same shared Column fold as the
+        batch excision, so the reconstruction is char-exact."""
+        import pandas as pd
+        from gecko_spark.operators.dedup import (
+            substring_dedupe_against_index,
+            write_substring_index,
+        )
+
+        newblock = "an entirely new-batch-only repeated chunk of text!! " * 2
+        hist = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1],
+            "text": ["historic doc. " + self.BLOCK + " done."],
+        }))
+        new = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [10, 11, 12],
+            "text": ["fresh A " + self.BLOCK + " trailing",
+                     "fresh B " + newblock + " x",
+                     "fresh C " + newblock + " y"],
+        }))
+        path = str(tmp_path / "substr_idx2")
+        write_substring_index(hist, "doc_id", "text", path, window=40)
+        idx = spark.read.parquet(path)
+        out = {
+            r["doc_id"]: r["text_clean"]
+            for r in substring_dedupe_against_index(new, idx, window=40).collect()
+        }
+        # doc 10: span [7, 8+len(BLOCK)+1) cut (shared ' ' on both
+        # sides of the block) — python-slice reconstruction
+        t10 = "fresh A " + self.BLOCK + " trailing"
+        assert out[10] == t10[:7] + t10[8 + len(self.BLOCK) + 1:]
+        assert self.BLOCK not in out[10]
+        # intra-batch-only duplicates untouched
+        assert out[11] == "fresh B " + newblock + " x"
+        assert out[12] == "fresh C " + newblock + " y"
+
     def test_plan_shape_no_corpus_shuffle_join(self, spark):
         """Plan regression guard for the two round-10 perf findings: the
         flag and clamp joins must broadcast (never sort-merge the
