@@ -6337,6 +6337,7 @@ WINDOW_50 = [
     "dedup_substring_spans",      # pathological-doc hardening (r11 #6)
     "dedup_substring_winnowed",
     "dedup_substring_incr",
+    "dedup_substring_incr_clean", # NEW this round: incremental excision
     "corpus_warc",                # resync boundary fix (ADVICE r10)
     "stream_warc_parity",
     # --- (b) newest driver grade is r7 — refresh all 39 (VERDICT r10
@@ -6383,7 +6384,6 @@ WINDOW_50 = [
     "text_stats",
     # --- (c) r9 headliner refresh ---
     "q3_shipping_priority",
-    "q5_region_revenue",
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
