@@ -1548,7 +1548,11 @@ def substring_window_positions(
 
     def _wh(batches):
         for pdf in batches:
-            out_id, out_pos, out_h = [], [], []
+            # numpy column assembly, never element-wise Python lists:
+            # a single multi-MB document yields millions of positions
+            # and boxing them through list.extend dominated the kernel
+            # (r11 pathological profiling — ~3× on giant docs)
+            per_doc: list = []
             for did, t in zip(pdf[id_col], pdf[text_col]):
                 if not t:
                     continue
@@ -1564,12 +1568,20 @@ def substring_window_positions(
                     pos = np.unique(np.arange(len(win)) + idx)
                 else:
                     pos = np.arange(len(h))
-                out_id.extend([did] * len(pos))
-                out_pos.extend(pos)
-                out_h.extend(h[pos])
-            yield pd.DataFrame(
-                {id_col: out_id, "pos": out_pos, "h": out_h}
-            )
+                per_doc.append((did, pos, h[pos]))
+            if per_doc:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(
+                            np.array([d for d, _, _ in per_doc], dtype=object),
+                            [len(p) for _, p, _ in per_doc],
+                        ),
+                        "pos": np.concatenate([p for _, p, _ in per_doc]),
+                        "h": np.concatenate([hh for _, _, hh in per_doc]),
+                    }
+                )
+            else:
+                yield pd.DataFrame({id_col: [], "pos": [], "h": []})
 
     return df.select(id_col, text_col).mapInPandas(
         _wh, f"{id_col} {id_type}, pos long, h long"
@@ -1790,16 +1802,17 @@ def _span_merge_udf(window: int):
         out = []
         for arr in poss:
             ps = np.sort(np.asarray(arr, dtype=np.int64))
-            spans, start, end = [], int(ps[0]), int(ps[0]) + window
-            for p in ps[1:]:
-                p = int(p)
-                if p <= end:  # overlapping or touching window
-                    end = p + window
-                else:
-                    spans.append({"s": start, "e": end})
-                    start, end = p, p + window
-            spans.append({"s": start, "e": end})
-            out.append(spans)
+            # vectorized run detection: after processing sorted pos
+            # p_{i-1} the open span's end is exactly p_{i-1} + window,
+            # so p_i starts a NEW span iff p_i > p_{i-1} + window —
+            # the per-position Python loop this replaces was the merge
+            # cost on multi-MB single docs (r11 pathological profiling)
+            brk = np.nonzero(ps[1:] > ps[:-1] + window)[0]
+            starts = ps[np.concatenate(([0], brk + 1))]
+            ends = ps[np.concatenate((brk, [len(ps) - 1]))] + window
+            out.append(
+                [{"s": int(s), "e": int(e)} for s, e in zip(starts, ends)]
+            )
         return pd.Series(out)
 
     return _merge

@@ -336,3 +336,119 @@ def test_partition_count_invariance(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
     assert hashes[1] == hashes[8] == hashes[64], hashes
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup vs a brute-force content model (round 11)
+# ---------------------------------------------------------------------------
+# The Spark pipeline detects duplicated windows by a two-prime rolling
+# HASH, merges flagged positions in a chunked two-level aggregation,
+# and stitches excised text with a Column fold. The model below shares
+# NONE of that: it enumerates window SUBSTRINGS directly (content
+# equality — hash collisions are absent by construction at 62 bits on
+# these corpora), merges intervals in plain Python, and slices strings.
+# Tiny alphabets make duplicated windows, self-overlapping periodic
+# runs, and doc-spanning repeats the COMMON case, not the planted one.
+
+
+def _model_window_keys(t: str, window: int):
+    """(pos, content-key) pairs mirroring window_hashes' domain: one
+    whole-string key at pos 0 for docs shorter than window. A short
+    doc's key can never equal a full window's key (different lengths),
+    matching the hash function's string domain."""
+    if not t:
+        return []
+    if len(t) < window:
+        return [(0, t)]
+    return [(p, t[p : p + window]) for p in range(len(t) - window + 1)]
+
+
+def _model_spans(docs, window, cross_doc_only=True, keep="none"):
+    occ = {}
+    for did, t in docs.items():
+        for p, key in _model_window_keys(t or "", window):
+            occ.setdefault(key, []).append((did, p))
+    flagged = {}
+    for key, hits in occ.items():
+        ids = {d for d, _ in hits}
+        dup = (len(ids) > 1) if cross_doc_only else (len(hits) > 1)
+        if not dup:
+            continue
+        first = min(hits)
+        for hit in hits:
+            if keep == "first" and hit == first:
+                continue
+            flagged.setdefault(hit[0], []).append(hit[1])
+    out = []
+    for did, ps in flagged.items():
+        ps.sort()
+        start, end = ps[0], ps[0] + window
+        for p in ps[1:]:
+            if p <= end:
+                end = p + window
+            else:
+                out.append((did, start, min(end, len(docs[did] or ""))))
+                start, end = p, p + window
+        out.append((did, start, min(end, len(docs[did] or ""))))
+    return sorted(out)
+
+
+def _model_excise(docs, window):
+    spans = _model_spans(docs, window, cross_doc_only=True, keep="first")
+    by_doc = {}
+    for did, s, e in spans:
+        by_doc.setdefault(did, []).append((s, e))
+    out = {}
+    for did, t in docs.items():
+        cut = by_doc.get(did)
+        if not cut:
+            out[did] = t
+            continue
+        acc, done = [], 0
+        for s, e in sorted(cut):
+            acc.append((t or "")[done:s])
+            done = e
+        acc.append((t or "")[done:])
+        out[did] = "".join(acc)
+    return out
+
+
+SUBSTR_TEXT = st.text(alphabet=st.sampled_from(list("abäc ")), max_size=30)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(SUBSTR_TEXT, min_size=2, max_size=6),
+    window=st.sampled_from([3, 4, 7]),
+    data=st.data(),
+)
+def test_substring_dedup_matches_bruteforce_model(spark, texts, window, data):
+    import pandas as pd
+
+    from gecko_spark.operators.dedup import substring_dedupe, substring_dup_spans
+
+    cross = data.draw(st.booleans())
+    docs = dict(enumerate(texts))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dup_spans(
+            df, window=window, cross_doc_only=cross
+        ).collect()
+    )
+    want = _model_spans(docs, window, cross_doc_only=cross)
+    assert got == want, f"spans window={window} cross={cross} docs={docs!r}"
+
+    clean = {
+        r["doc_id"]: r["text_clean"]
+        for r in substring_dedupe(df, window=window).collect()
+    }
+    assert clean == _model_excise(docs, window), (
+        f"excision window={window} docs={docs!r}"
+    )
