@@ -827,14 +827,17 @@ def pq_topk_adc(
             # over a batch-layout-independent candidate set (ADVICE r9)
             thr = np.partition(dists, kk - 1, axis=0)[kk - 1]  # per-query
             ids = pdf["vec_id"].to_numpy()
-            out_q, out_v, out_d = [], [], []
-            for q in range(nq):
-                sel = np.nonzero(dists[:, q] <= thr[q])[0]
-                out_q.extend([qids[q]] * len(sel))
-                out_v.extend(ids[sel])
-                out_d.extend(dists[sel, q])
+            # one vectorized candidate gather over the B×Q threshold
+            # mask — no per-query Python loop or list boxing (r11);
+            # row order within the batch is irrelevant, the global
+            # window re-sorts
+            rid, qix = np.nonzero(dists <= thr[None, :])
             yield pd.DataFrame(
-                {"query_id": out_q, "vec_id": out_v, "adc_dist": out_d}
+                {
+                    "query_id": np.array(qids, dtype=object)[qix],
+                    "vec_id": ids[rid],
+                    "adc_dist": dists[rid, qix],
+                }
             )
 
     scored = codes_df.select("vec_id", "codes").mapInPandas(
@@ -1125,11 +1128,14 @@ def cosine_topk_ivfpq(
     probed = sorted(lut_by_list)
     sl = shortlist
 
+    qid_arr = np.empty(nq, dtype=object)
+    qid_arr[:] = qids
+
     def _score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out_q, out_v, out_d = [], [], []
+            parts = []
             for l, grp in pdf.groupby("__ivf_list__", sort=False):
                 ent = lut_by_list.get(int(l))
                 if ent is None:
@@ -1146,14 +1152,19 @@ def cosine_topk_ivfpq(
                 # global window resolves ties by (dist, vec_id)
                 thr = np.partition(dists, kk - 1, axis=0)[kk - 1]
                 ids = grp["vec_id"].to_numpy()
-                for qi in range(len(qidx)):
-                    sel = np.nonzero(dists[:, qi] <= thr[qi])[0]
-                    out_q.extend([qids[qidx[qi]]] * len(sel))
-                    out_v.extend(ids[sel])
-                    out_d.extend(dists[sel, qi])
-            if out_q:
+                # vectorized candidate gather (r11): one nonzero over
+                # the B×Ql mask instead of a per-query boxing loop
+                rid, qi = np.nonzero(dists <= thr[None, :])
+                parts.append(
+                    (qid_arr[qidx[qi]], ids[rid], dists[rid, qi])
+                )
+            if parts:
                 yield pd.DataFrame(
-                    {"query_id": out_q, "vec_id": out_v, "adc_dist": out_d}
+                    {
+                        "query_id": np.concatenate([p[0] for p in parts]),
+                        "vec_id": np.concatenate([p[1] for p in parts]),
+                        "adc_dist": np.concatenate([p[2] for p in parts]),
+                    }
                 )
 
     # the isin filter is what partition-prunes the probed read when the
