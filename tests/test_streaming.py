@@ -283,6 +283,66 @@ def test_checkpoint_restart_dedup_exactly_once(spark, tmp_path):
     assert got.select("event_id").distinct().count() == n_total
 
 
+def test_checkpoint_restart_neardup_fingerprint_state(spark, tmp_path):
+    """r11: the SimHash-fingerprint suppression state must survive a
+    query restart — a post-restart file whose docs duplicate
+    pre-restart CONTENT (different doc_ids, same text, hence same
+    fingerprint) is only droppable if the dropDuplicates state store
+    was restored from the checkpoint; a fresh query would re-emit one
+    survivor per fingerprint AGAIN."""
+    import pathlib
+
+    import pandas as pd
+
+    from gecko_spark.streaming import neardup_dedupe_stream
+
+    src = pathlib.Path(tmp_path) / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    texts = [
+        "the first boilerplate licence paragraph repeated across the crawl",
+        "a second distinct document with its very own words entirely",
+        "third piece of content never duplicated anywhere in the corpus",
+    ]
+    b1 = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": texts,
+        "ts": pd.to_datetime(["2024-01-01 00:00:0%d" % i for i in range(3)]),
+    })
+    # after the restart: same CONTENT under new ids + one new doc
+    b2 = pd.DataFrame({
+        "doc_id": [11, 12, 14],
+        "text": [texts[0], texts[1], "a genuinely new fourth document arriving later"],
+        "ts": pd.to_datetime(["2024-01-01 00:01:0%d" % i for i in range(3)]),
+    })
+    schema = "doc_id long, text string, ts timestamp"
+
+    def run_until_drained():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*/")
+        q = (
+            neardup_dedupe_stream(stream, watermark="3650 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    run_until_drained()
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    run_until_drained()  # resume from the same checkpoint
+
+    got = spark.read.parquet(out).toPandas()
+    # docs 11/12 collide with pre-restart fingerprints -> suppressed;
+    # survivors are exactly the four distinct contents, original ids
+    assert sorted(got["doc_id"]) == [1, 2, 3, 14]
+
+
 def test_checkpoint_restart_pack_stream_offsets(spark, tmp_path):
     """pack_stream's per-shard running offset must survive a query
     restart: kill after batch 1, resume for batch 2, and compare the
