@@ -292,6 +292,44 @@ def main():
         "reducer.",
     )
 
+    cap(
+        "exact substring-span dedup: broadcast flag/clamp joins, bounded merge (round 10/11)",
+        qs["dedup_substring_spans"](spark, sf),
+        "The ExactSubstr pipeline: mapInPandas window-hash kernel (persisted, "
+        "referenced by both the hash agg and the flag join), map-side partial "
+        "hash aggregate, BROADCAST flag join back onto the positions (never a "
+        "sort-merge of the position side), the r11 TWO-LEVEL merge (positions "
+        "chunked by pos÷2²² then span structs per doc — no aggregation row is "
+        "O(doc length)), and a broadcast span-clamp join so the corpus scan "
+        "never shuffles.",
+    )
+
+    def _ivfpq_plan():
+        from gecko_spark.operators.similarity import cosine_topk_ivfpq, ivfpq_build
+        from gecko_spark.sources.testdata import load_table
+
+        emb = load_table(spark, sf, "embeddings")
+        q = emb.filter("vec_id < 5").selectExpr(
+            "vec_id AS query_id", "embedding AS query_vec"
+        )
+        codes, cents, books = ivfpq_build(emb, n_centroids=8, m=8, seed=0)
+        return cosine_topk_ivfpq(
+            codes, cents, books, emb, q, k=5, nprobe=2, shortlist=20
+        )
+
+    cap(
+        "IVFADC search: pruned probe + two-step broadcast re-rank (round 10/11)",
+        _ivfpq_plan(),
+        "The probed codes scan carries the __ivf_list__ isin filter (a "
+        "partition-pruned read against read_ivfpq_index's layout); ADC "
+        "scoring is one mapInPandas over the pruned codes; the re-rank "
+        "fetch broadcasts the Q×shortlist (query_id, vec_id) pairs against "
+        "the corpus scan and then broadcasts the Q-row query-vector frame "
+        "SEPARATELY (r11 — pre-joining vectors onto candidates would put "
+        "Q×shortlist vector copies in one broadcast), so the float corpus "
+        "never shuffles.",
+    )
+
     # bucketed warehouse: write once, join forever without exchanges
     import tempfile
 
