@@ -3144,8 +3144,9 @@ def _sketch_kmv(spark, sf):
     """KMV distinct-count sketch (operators/sketches.py): one-pass
     mergeable estimator whose ESTIMATE is bit-reproducible — the
     portable hash makes even the order statistics engine-independent,
-    so the oracle matches the approximate answer exactly (impossible
-    for HLL/theta sketches across engines)."""
+    so the oracle matches the approximate answer exactly (the HLL
+    entries pull off the same trick for register sketches by carrying
+    the register sum in integer space — see _sketch_hll)."""
     from gecko_spark.operators.sketches import kmv_distinct_estimate
 
     li = load_table(spark, sf, "lineitem").select(
@@ -4216,6 +4217,164 @@ SELECT l_returnflag,
             ELSE {float(k - 1)!r} * CAST({_M} AS DOUBLE) / CAST(MAX(h) AS DOUBLE)
        END AS estimate
 FROM topk GROUP BY l_returnflag
+"""
+
+
+def _sketch_hll(spark, sf):
+    """HyperLogLog distinct count (sketches.py::hll_estimate, Flajolet
+    et al. 2007), m=256 registers over lineitem part keys. Cross-engine
+    HLL parity is normally impossible (engine-private hashes, float
+    register sums); here the bucket/rank split rides the portable
+    polynomial hash through a splitmix64 avalanche (exact in DuckDB via
+    32-bit half-products, portable_hash.py::sql_mix64_ctes) and the
+    register sum Σ2^-M_j is carried as the integer Σ2^(Q-M_j) — so
+    n_zero, the packed sum, and the raw estimate hash-match exactly.
+    The libm-dependent linear-counting correction is excluded here and
+    error-bounded in tests instead."""
+    from gecko_spark.operators.sketches import hll_estimate
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("v")
+    )
+    return hll_estimate(li, "v", m=256).select("n_zero", "s_int", "estimate_raw")
+
+
+def _hll_sql_parts(m: int):
+    """(p, q, factor, packed-hash SQL, bitlen SQL) shared by the two
+    HLL oracles."""
+    from gecko_spark.functions.portable_hash import P1, P2, sql_horner
+    from gecko_spark.operators.sketches import (
+        _A1,
+        _A2,
+        _B1,
+        _B2,
+        _hll_geometry,
+        sql_hll_bitlen,
+    )
+
+    p, q, factor = _hll_geometry(m)
+    h1 = f"(({sql_horner('v', P1)}) * {_A1} + {_B1}) % {P1}"
+    h2 = f"(({sql_horner('v', P2)}) * {_A2} + {_B2}) % {P2}"
+    packed = f"({h1}) * {P2} + ({h2})"
+    return p, q, factor, packed, sql_hll_bitlen("r", q - 1)
+
+
+def _sketch_hll_sql(m: int = 256) -> str:
+    from gecko_spark.functions.portable_hash import sql_mix64_ctes
+
+    p, q, factor, packed, bitlen = _hll_sql_parts(m)
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+), hashes AS (
+  SELECT {packed} AS h FROM vals
+),{sql_mix64_ctes('hashes', 'h', 'z')},
+quot AS (
+  SELECT CAST(z % {m} AS BIGINT) AS reg,
+         CAST((z >> {p}) % {1 << (q - 1)} AS BIGINT) AS r
+  FROM __mix6
+), regs AS (
+  SELECT reg, MAX({q} - {bitlen}) AS rho FROM quot GROUP BY reg
+), agg AS (
+  SELECT COUNT(*) AS nz,
+         SUM(CAST(1 AS BIGINT) << ({q} - rho)) AS s_nz
+  FROM regs
+)
+SELECT CAST({m} - nz AS BIGINT) AS n_zero,
+       CAST(s_nz + ({m} - nz) * (CAST(1 AS BIGINT) << {q}) AS BIGINT) AS s_int,
+       {factor!r} / CAST(s_nz + ({m} - nz) * (CAST(1 AS BIGINT) << {q}) AS DOUBLE)
+         AS estimate_raw
+FROM agg
+"""
+
+
+def _sketch_hll_by_group(spark, sf):
+    """Per-group HLL (sketches.py::hll_group_estimate): distinct parts
+    per return flag at m=64 — the fixed-memory per-group
+    COUNT(DISTINCT) whose shuffle is (groups × m) rows regardless of
+    data size. Deterministic columns only (see _sketch_hll)."""
+    from gecko_spark.operators.sketches import hll_group_estimate
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", F.col("l_partkey").cast("string").alias("v")
+    )
+    return hll_group_estimate(li, "l_returnflag", "v", m=64).select(
+        "l_returnflag", "n_zero", "s_int", "estimate_raw"
+    )
+
+
+def _sketch_hll_by_group_sql(m: int = 64) -> str:
+    from gecko_spark.functions.portable_hash import sql_mix64_ctes
+
+    p, q, factor, packed, bitlen = _hll_sql_parts(m)
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT l_returnflag, CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+), hashes AS (
+  SELECT l_returnflag, {packed} AS h FROM vals
+),{sql_mix64_ctes('hashes', 'h', 'z')},
+quot AS (
+  SELECT l_returnflag, CAST(z % {m} AS BIGINT) AS reg,
+         CAST((z >> {p}) % {1 << (q - 1)} AS BIGINT) AS r
+  FROM __mix6
+), regs AS (
+  SELECT l_returnflag, reg, MAX({q} - {bitlen}) AS rho
+  FROM quot GROUP BY l_returnflag, reg
+), agg AS (
+  SELECT l_returnflag, COUNT(*) AS nz,
+         SUM(CAST(1 AS BIGINT) << ({q} - rho)) AS s_nz
+  FROM regs GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST({m} - nz AS BIGINT) AS n_zero,
+       CAST(s_nz + ({m} - nz) * (CAST(1 AS BIGINT) << {q}) AS BIGINT) AS s_int,
+       {factor!r} / CAST(s_nz + ({m} - nz) * (CAST(1 AS BIGINT) << {q}) AS DOUBLE)
+         AS estimate_raw
+FROM agg
+"""
+
+
+def _layout_zorder(spark, sf):
+    """Z-order (Morton) clustering key (operators/layout.py): the
+    multi-column min/max file-skipping layout — interleave 16-bit
+    min-max-scaled (user_id, event-time-µs) so a filter on EITHER
+    column prunes ~sqrt of the chunks (locality asserted in
+    tests/test_layout.py; a b-only filter touched 4/16 z-ordered
+    partitions vs 16/16 single-column-sorted). Key construction is
+    pure integer Column algebra (scale via DIV, interleave via
+    shift/mask), so the oracle replays every bit."""
+    from gecko_spark.operators.layout import minmax_scale_int, zorder_key
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("tus")
+    )
+    scaled = minmax_scale_int(ev, ["user_id", "tus"], bits=16)
+    return scaled.select(
+        "event_id", zorder_key(["__z0__", "__z1__"], bits=16).alias("zkey")
+    )
+
+
+def _layout_zorder_sql(bits: int = 16) -> str:
+    scale = 1 << bits
+    terms = []
+    for b in range(bits):
+        terms.append(f"((z0 // {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"((z1 // {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    interleave = " + ".join(terms)
+    return f"""
+WITH src AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+), mm AS (
+  SELECT MIN(user_id) AS lo0, MAX(user_id) AS hi0,
+         MIN(tus) AS lo1, MAX(tus) AS hi1
+  FROM src
+), scaled AS (
+  SELECT event_id,
+         (user_id - lo0) * {scale} // (hi0 - lo0 + 1) AS z0,
+         (tus - lo1) * {scale} // (hi1 - lo1 + 1) AS z1
+  FROM src, mm
+)
+SELECT event_id, CAST({interleave} AS BIGINT) AS zkey FROM scaled
 """
 
 
@@ -6539,6 +6698,9 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("sketch_cm_estimate", _sketch_cm_estimate),
     ("sketch_kmv_distinct", _sketch_kmv),
     ("sketch_kmv_by_group", _sketch_kmv_by_group),
+    ("sketch_hll_estimate", _sketch_hll),
+    ("sketch_hll_by_group", _sketch_hll_by_group),
+    ("layout_zorder_key", _layout_zorder),
     ("sketch_quantiles", _sketch_quantiles),
     ("sketch_quantiles_by_group", _sketch_quantiles_by_group),
     ("sketch_heavy_hitters", _sketch_heavy_hitters),
@@ -6685,6 +6847,9 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cm_counts": _sketch_cm_counts_sql(),
         "sketch_cm_estimate": _sketch_cm_estimate_sql(),
         "sketch_kmv_by_group": _sketch_kmv_by_group_sql(),
+        "sketch_hll_estimate": _sketch_hll_sql(),
+        "sketch_hll_by_group": _sketch_hll_by_group_sql(),
+        "layout_zorder_key": _layout_zorder_sql(),
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,
         "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,

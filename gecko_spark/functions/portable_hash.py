@@ -43,6 +43,8 @@ __all__ = [
     "sql_horner",
     "sql_window_hashes",
     "sql_window_hashes_combined",
+    "mix64",
+    "sql_mix64_ctes",
 ]
 
 P1 = 2_147_483_647  # 2^31 - 1 (Mersenne)
@@ -209,3 +211,58 @@ def sql_window_hashes(s_expr: str, n: int, prime: int = P1) -> str:
       ELSE
         [ ({win_terms}) % {prime} for i in range(1, length({s_expr}) - {n - 2}) ]
     END"""
+
+
+# --- 64-bit avalanche finalizer (splitmix64, Steele et al. 2014; the
+# public-domain mixing constants from Vigna's reference xoroshiro
+# implementation). The polynomial/affine pipeline above is ideal for
+# EQUALITY-based operators (MinHash bands, KMV order statistics,
+# winnowing) but its outputs are affine images of the input value, and
+# affine maps of structured keys (consecutive numeric strings) have
+# lattice structure — fatal for HyperLogLog, whose register statistic
+# reads *bit positions*. mix64 destroys that structure with two
+# multiply-xorshift rounds; it is exactly replayable in SQL because
+# the mod-2^64 multiply splits into 32-bit halves (sql_mix64). ---
+
+_MIX_K1 = 0xBF58476D1CE4E5B9
+_MIX_K2 = 0x94D049BB133111EB
+
+
+def mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a non-negative int64/uint64 array →
+    uint64, bit-identical to the DuckDB expression from
+    :func:`sql_mix64`."""
+    z = np.asarray(h).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_MIX_K1)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_MIX_K2)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def sql_mix64_ctes(src_cte: str, in_col: str, out_col: str = "z") -> str:
+    """CTE chain replaying :func:`mix64` in DuckDB over column
+    ``in_col`` of CTE ``src_cte`` (carrying every other column along).
+    Returns text to splice after the source CTE; the final stage is
+    named ``__mix6`` with the mixed value in ``out_col``. UBIGINT
+    xor/shift are native; the wrap-around multiply is exact via 32-bit
+    half-products in HUGEINT (x·K mod 2^64 =
+    (x_lo·K + ((x_hi·K) mod 2^32)·2^32) mod 2^64)."""
+    two32, two64 = 1 << 32, 1 << 64
+
+    def mul(z: str, k: int) -> str:
+        return (
+            f"CAST(((CAST(({z}) % {two32} AS HUGEINT) * {k}) + "
+            f"(((CAST(({z}) // {two32} AS HUGEINT) * {k}) % {two32}) * {two32}))"
+            f" % {two64} AS UBIGINT)"
+        )
+
+    return f"""
+__mix1 AS (SELECT *, CAST({in_col} AS UBIGINT) AS __z1 FROM {src_cte}),
+__mix2 AS (SELECT *, xor(__z1, __z1 >> 30) AS __z2 FROM __mix1),
+__mix3 AS (SELECT *, {mul('__z2', _MIX_K1)} AS __z3 FROM __mix2),
+__mix4 AS (SELECT *, xor(__z3, __z3 >> 27) AS __z4 FROM __mix3),
+__mix5 AS (SELECT *, {mul('__z4', _MIX_K2)} AS __z5 FROM __mix4),
+__mix6 AS (SELECT * EXCLUDE (__z1, __z2, __z3, __z4, __z5),
+                  xor(__z5, __z5 >> 31) AS {out_col}
+           FROM __mix5)"""

@@ -48,6 +48,11 @@ __all__ = [
     "kmv_distinct_estimate",
     "kmv_merge_estimate",
     "kmv_group_estimate",
+    "hll_registers",
+    "hll_estimate",
+    "hll_merge_estimate",
+    "hll_group_estimate",
+    "sql_hll_bitlen",
     "cm_params",
     "cm_sketch",
     "cm_estimate",
@@ -761,3 +766,210 @@ def top_k_by_count(
     # certificate already forced the computation; re-materializing k
     # rows beats re-running both scans on the next action)
     return _local([(r["value"], r["cnt"], r["rank"]) for r in rows])
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: fixed-memory (m registers) distinct-count estimation
+# (Flajolet et al. 2007), max-mergeable, and — unusually — EXACTLY
+# replayable by a SQL oracle. Cross-engine HLL parity normally fails on
+# two fronts: engine-private hashes and floating-point register sums.
+# Here both are closed: the bucket/rank split reuses the portable
+# polynomial hash (bucket = h mod m, rank from the integer quotient),
+# and the register sum Σ 2^-M_j is carried as the INTEGER
+# Σ 2^(Q - M_j) (Q = rank ceiling), which fits int64 for every
+# non-empty sketch — so n_zero, the packed sum, and the raw estimate
+# (one double division at the end) are bit-identical in Spark, DuckDB,
+# or NumPy. The bias-corrected estimate additionally uses ln() for the
+# small-range (linear counting) branch, which is libm-dependent; the
+# oracle contracts therefore pin (n_zero, s_int, estimate_raw) and the
+# tests bound the corrected estimate's error instead.
+# ---------------------------------------------------------------------------
+
+
+def _hll_geometry(m: int) -> tuple[int, int, float]:
+    """(p, Q, factor) for ``m`` registers: p = log2(m), ranks live in
+    [1, Q] with Q = 62 - p + 1 (the packed hash is < P1·P2 < 2^62, so
+    the quotient h // m has at most 62 - p bits), and
+    factor = alpha_m · m² · 2^Q so estimate_raw = factor / s_int."""
+    if m < 16 or m > 65536 or m & (m - 1):
+        raise ValueError("m must be a power of two in [16, 65536]")
+    p = m.bit_length() - 1
+    q = 62 - p + 1
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    return p, q, alpha * m * m * float(1 << q)
+
+
+def _hll_reg_rho_np(vals, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """NumPy core: (register, rank) per value. The packed polynomial
+    hash goes through the splitmix64 avalanche first — affine hashes of
+    structured keys (consecutive numeric strings) have lattice
+    structure that biases HLL's bit-position statistic by 3x+ (measured
+    -67% on 0..7918 without the mix; within ±1σ with it). Register =
+    low p bits of the mixed value, rank source r = the next
+    W = q - 1 bits; rank = q - bit_length(r) — an exact integer binary
+    clz, NOT float log2 (r exceeds 2^53, where float rounding at a
+    power-of-two boundary would shift the exponent)."""
+    from gecko_spark.functions.portable_hash import mix64
+
+    p, q, _ = _hll_geometry(m)
+    z = mix64(_kmv_hash_np(vals))
+    reg = (z & np.uint64(m - 1)).astype(np.int32)
+    r = ((z >> np.uint64(p)) & np.uint64((1 << (q - 1)) - 1)).astype(np.int64)
+    bl = np.zeros_like(r)
+    v = r.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.int64(1) << shift)
+        bl[big] += shift
+        v[big] >>= shift
+    bl += (v > 0).astype(np.int64)
+    rho = (q - bl).astype(np.int32)
+    return reg, rho
+
+
+def hll_registers(df: DataFrame, col: Union[str, Column], m: int = 256) -> DataFrame:
+    """The sketch itself: one row per NON-EMPTY register,
+    ``(reg int, rho int)`` — at most m rows. Map-side combine inside
+    the Arrow kernel (per-batch max per register, ≤ m rows emitted per
+    batch), then one tiny m-row groupBy: the shuffle is sketch-sized,
+    never data-sized, at any corpus size."""
+    _hll_geometry(m)  # validate m
+    c = F.col(col) if isinstance(col, str) else col
+    src = df.select(c.cast("string").alias("__v__"))
+
+    def _partial_iter(batches):
+        for pdf in batches:
+            reg, rho = _hll_reg_rho_np(pdf["__v__"].tolist(), m)
+            part = (
+                pd.DataFrame({"reg": reg, "rho": rho})
+                .groupby("reg", as_index=False)["rho"]
+                .max()
+            )
+            yield part
+
+    partials = src.mapInPandas(_partial_iter, "reg int, rho int")
+    return partials.groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+def _hll_estimate_from_registers(regs: DataFrame, m: int) -> DataFrame:
+    """(n_zero, s_int, estimate_raw, estimate) from a register frame.
+    s_int = Σ 2^(Q - M_j) over ALL m registers (empty ⇒ 2^Q); kept in
+    int64 — the all-empty case would be exactly 2^63, so it is guarded
+    to (m·2^Q as-if, estimate 0). estimate = linear counting
+    m·ln(m/V) when estimate_raw ≤ 2.5m and V > 0, else estimate_raw
+    (Flajolet's small-range correction; large-range skipped — the
+    62-bit hash keeps collision bias negligible below ~2^40 distinct)."""
+    _, q, factor = _hll_geometry(m)
+    agg = regs.agg(
+        F.count("*").cast("long").alias("__nz__"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - rho)")),
+            F.lit(0).cast("long"),
+        ).alias("__s_nz__"),
+    )
+    n_zero = (F.lit(int(m)) - F.col("__nz__")).cast("long")
+    s_int = (F.col("__s_nz__") + n_zero * F.lit(1 << q)).cast("long")
+    raw = F.lit(float(factor)) / s_int.cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double"))
+    return agg.select(
+        n_zero.alias("n_zero"),
+        F.when(F.col("__nz__") == 0, F.lit(0).cast("long"))
+        .otherwise(s_int)
+        .alias("s_int"),
+        F.when(F.col("__nz__") == 0, F.lit(0.0)).otherwise(raw).alias("estimate_raw"),
+        F.when(F.col("__nz__") == 0, F.lit(0.0))
+        .when((n_zero > 0) & (raw <= F.lit(2.5 * m)), lc)
+        .otherwise(raw)
+        .alias("estimate"),
+    )
+
+
+def hll_estimate(df: DataFrame, col: Union[str, Column], m: int = 256) -> DataFrame:
+    """One-row ``(n_zero, s_int, estimate_raw, estimate)`` HLL distinct
+    count. ``n_zero``/``s_int``/``estimate_raw`` are engine-exact
+    (oracle-pinned); ``estimate`` adds the libm-dependent linear-counting
+    correction. σ ≈ 1.04/√m ⇒ ~6.5% at the default m=256."""
+    return _hll_estimate_from_registers(hll_registers(df, col, m), m)
+
+
+def hll_merge_estimate(regs_a: DataFrame, regs_b: DataFrame, m: int = 256) -> DataFrame:
+    """Union estimate from two register frames WITHOUT the raw data:
+    per-register max, then the same estimator — HLL's lossless
+    mergeability (sketch(A ∪ B) ≡ merge(sketch(A), sketch(B)),
+    asserted exactly in tests)."""
+    merged = (
+        regs_a.unionByName(regs_b)
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return _hll_estimate_from_registers(merged, m)
+
+
+def hll_group_estimate(
+    df: DataFrame,
+    key_cols,
+    col: Union[str, Column],
+    m: int = 64,
+) -> DataFrame:
+    """Per-group HLL: one row per key with
+    ``(n_zero, s_int, estimate_raw, estimate)``. The Arrow kernel
+    combines map-side per (key, register) — ≤ m rows per key per batch
+    — so the shuffle is (groups × m) rows regardless of data size: the
+    fixed-memory companion to per-group COUNT(DISTINCT) when groups are
+    many or huge. Key is carried as a string column (grouping on the
+    original column after the kernel)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if len(key_cols) != 1:
+        raise ValueError("hll_group_estimate supports exactly one key column")
+    key = key_cols[0]
+    _, q, factor = _hll_geometry(m)
+    src = df.select(
+        F.col(key).alias("__k__"),
+        (F.col(col) if isinstance(col, str) else col).cast("string").alias("__v__"),
+    )
+
+    def _partial_iter(batches):
+        for pdf in batches:
+            reg, rho = _hll_reg_rho_np(pdf["__v__"].tolist(), m)
+            part = pd.DataFrame({"k": pdf["__k__"], "reg": reg, "rho": rho})
+            yield (
+                part.groupby(["k", "reg"], as_index=False, dropna=False)["rho"].max()
+            )
+
+    ktype = dict(df.dtypes)[key]
+    partials = src.mapInPandas(_partial_iter, f"k {ktype}, reg int, rho int")
+    regs = partials.groupBy("k", "reg").agg(F.max("rho").alias("rho"))
+    agg = regs.groupBy("k").agg(
+        F.count("*").cast("long").alias("__nz__"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - rho)")).alias("__s_nz__"),
+    )
+    n_zero = (F.lit(int(m)) - F.col("__nz__")).cast("long")
+    s_int = (F.col("__s_nz__") + n_zero * F.lit(1 << q)).cast("long")
+    raw = F.lit(float(factor)) / s_int.cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double"))
+    return agg.select(
+        F.col("k").alias(key),
+        n_zero.alias("n_zero"),
+        s_int.alias("s_int"),
+        raw.alias("estimate_raw"),
+        F.when((n_zero > 0) & (raw <= F.lit(2.5 * m)), lc)
+        .otherwise(raw)
+        .alias("estimate"),
+    )
+
+
+def sql_hll_bitlen(expr: str, max_bits: int = 54) -> str:
+    """Unrolled integer bit_length CASE for the oracle SQL — exact for
+    0 ≤ x < 2^max_bits, no float log anywhere."""
+    whens = " ".join(
+        f"WHEN ({expr}) >= {1 << (k - 1)} THEN {k}"
+        for k in range(max_bits, 0, -1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"

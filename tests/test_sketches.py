@@ -334,3 +334,122 @@ def test_top_k_by_count_uncertifiable_raises(spark):
     # recount certificate), even though counts are uniform
     got = top_k_by_count(df, "x", 3, capacity=200).collect()
     assert [(r["value"], r["cnt"]) for r in got] == [("0", 5), ("1", 5), ("10", 5)]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_mix64_pinned_values():
+    """splitmix64 finalizer stability pin — these exact values are also
+    asserted by the DuckDB oracle replay (sql_mix64_ctes), so a change
+    here breaks every HLL oracle."""
+    import numpy as np
+
+    from gecko_spark.functions.portable_hash import mix64
+
+    got = mix64(np.array([0, 12345, 2147483646, 4611686018427387903]))
+    assert got.tolist() == [
+        0,
+        17540659726606785873,
+        14064607685697484962,
+        12480624099278909278,
+    ]
+
+
+def test_hll_estimate_within_tolerance(spark):
+    from gecko_spark.operators.sketches import hll_estimate
+
+    df = _ids(spark, 0, 30000, dupes=3)  # 10k distinct
+    row = hll_estimate(df, "v", m=256).collect()[0]
+    # sigma ~= 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(row["estimate"] / 10000 - 1) < 0.2
+    assert abs(row["estimate_raw"] / 10000 - 1) < 0.2
+    assert 0 <= row["n_zero"] < 256 and row["s_int"] > 0
+
+
+def test_hll_structured_keys_unbiased(spark):
+    """Consecutive numeric strings — the lattice-structured input that
+    biased the unmixed affine hash by -67% — stay within 3 sigma."""
+    from gecko_spark.operators.sketches import hll_estimate
+
+    df = spark.range(7919).select(F.col("id").cast("string").alias("v"))
+    row = hll_estimate(df, "v", m=256).collect()[0]
+    assert abs(row["estimate"] / 7919 - 1) < 0.2
+
+
+def test_hll_merge_equals_whole(spark):
+    from gecko_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge_estimate,
+        hll_registers,
+    )
+
+    df = _ids(spark, 0, 12000, dupes=2)
+    a = df.limit(8000)
+    b = df.subtract(a.limit(2000))  # overlapping halves
+    whole = hll_estimate(a.unionByName(b), "v", m=64).collect()[0]
+    merged = hll_merge_estimate(
+        hll_registers(a, "v", m=64), hll_registers(b, "v", m=64), m=64
+    ).collect()[0]
+    assert whole == merged  # mergeability is EXACT, not approximate
+
+
+def test_hll_partitioning_independent(spark):
+    from gecko_spark.operators.sketches import hll_estimate
+
+    df = _ids(spark, 0, 9000, dupes=3)
+    one = hll_estimate(df.repartition(1), "v", m=128).collect()[0]
+    many = hll_estimate(df.repartition(13), "v", m=128).collect()[0]
+    assert one == many
+
+
+def test_hll_nulls_hash_like_empty_string(spark):
+    from gecko_spark.operators.sketches import hll_registers
+
+    withnull = spark.createDataFrame([("a",), (None,), ("b",)], "v string")
+    withempty = spark.createDataFrame([("a",), ("",), ("b",)], "v string")
+    rn = sorted(map(tuple, hll_registers(withnull, "v", m=64).collect()))
+    re_ = sorted(map(tuple, hll_registers(withempty, "v", m=64).collect()))
+    assert rn == re_
+
+
+def test_hll_empty_input(spark):
+    from gecko_spark.operators.sketches import hll_estimate
+
+    df = spark.createDataFrame([], "v string")
+    row = hll_estimate(df, "v", m=64).collect()[0]
+    assert row["n_zero"] == 64 and row["s_int"] == 0
+    assert row["estimate_raw"] == 0.0 and row["estimate"] == 0.0
+
+
+def test_hll_group_matches_per_group_single(spark):
+    from gecko_spark.operators.sketches import hll_estimate, hll_group_estimate
+
+    df = spark.range(6000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 700).cast("string").alias("v"),
+    )
+    grouped = {
+        r["g"]: (r["n_zero"], r["s_int"], r["estimate_raw"])
+        for r in hll_group_estimate(df, "g", "v", m=64).collect()
+    }
+    assert set(grouped) == {"0", "1", "2"}
+    for g in ("0", "1", "2"):
+        single = hll_estimate(df.filter(F.col("g") == g), "v", m=64).collect()[0]
+        assert grouped[g] == (
+            single["n_zero"],
+            single["s_int"],
+            single["estimate_raw"],
+        )
+
+
+def test_hll_validates_m():
+    import pytest
+
+    from gecko_spark.operators.sketches import _hll_geometry
+
+    for bad in (0, 8, 100, 131072):
+        with pytest.raises(ValueError):
+            _hll_geometry(bad)
