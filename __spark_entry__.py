@@ -4378,6 +4378,93 @@ SELECT event_id, CAST({interleave} AS BIGINT) AS zkey FROM scaled
 """
 
 
+# Whitespace normalization shared by the BPE-train contract: Python's
+# str.split() splits on Unicode whitespace (incl. \x1c-\x1f, NBSP, the
+# U+2000 block) while RE2's \s is ASCII-only — mapping the exotic ones
+# to ' ' on BOTH engines makes the two tokenizations provably equal.
+# \x{..} escape syntax parses identically in Java regex and RE2.
+_BPE_WS_CLASS = (
+    "[\\x{00}-\\x{1f}\\x{7f}\\x{85}\\x{a0}\\x{1680}\\x{2000}-\\x{200a}"
+    "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]"
+)
+
+
+def _text_bpe_train(spark, sf):
+    """BPE merge TRAINING, oracle-replayed (text.py::bpe_train,
+    Sennrich et al. 2016): like round 10's trained-classifier entry,
+    the green row certifies the full training loop — word histogram,
+    per-iteration pair counts, (count, pair)-max tie-break, ≥2-count
+    stop rule, and left-to-right non-overlapping merge application —
+    not just the serving path (text_bpe_tokens covers that). The
+    DuckDB side replays 8 unrolled merge iterations over
+    chr(31)/chr(30)-bracketed symbol strings, where plain string
+    replace() reproduces BPE's within-word merge scan exactly.
+    sample_rows=None trains on the identical full corpus in both
+    engines (no sampling pass — the engine-private xxhash64 ordering
+    never runs, so nothing unportable touches the result)."""
+    from gecko_spark.operators.text import bpe_train
+
+    docs = load_table(spark, sf, "documents").select(
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), _BPE_WS_CLASS, " "
+        ).alias("text")
+    )
+    merges = bpe_train(docs, "text", n_merges=8, sample_rows=None)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+def _text_bpe_train_sql(n_merges: int = 8) -> str:
+    tok = "\\x{1f}([^\\x{1e}]*)\\x{1e}"
+    parts = [f"""
+WITH sanitized AS MATERIALIZED (
+  SELECT regexp_replace(coalesce(text, ''), '{_BPE_WS_CLASS}', ' ', 'g') AS t
+  FROM documents
+), words AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT UNNEST(regexp_split_to_array(t, '\\s+')) AS w FROM sanitized
+  ) WHERE w <> '' GROUP BY w
+), vocab_0 AS MATERIALIZED (
+  SELECT chr(31) || array_to_string(regexp_extract_all(w, '.'), chr(30) || chr(31))
+         || '</w>' || chr(30) AS w,
+         cnt
+  FROM words
+)"""]
+    for i in range(n_merges):
+        parts.append(f""",
+toks_{i} AS MATERIALIZED (
+  SELECT w, cnt, regexp_extract_all(w, '{tok}', 1) AS toks FROM vocab_{i}
+),
+pairs_{i} AS MATERIALIZED (
+  SELECT toks[CAST(j AS BIGINT)] AS a, toks[CAST(j AS BIGINT) + 1] AS b,
+         SUM(cnt) AS s
+  FROM toks_{i}, UNNEST(range(1, len(toks))) AS u(j)
+  GROUP BY 1, 2
+),
+best_{i} AS MATERIALIZED (
+  SELECT a, b, s FROM pairs_{i} ORDER BY s DESC, a DESC, b DESC LIMIT 1
+),
+vocab_{i + 1} AS MATERIALIZED (
+  SELECT CASE WHEN coalesce((SELECT s FROM best_{i}), 0) >= 2
+              THEN replace(w,
+                chr(31) || (SELECT a FROM best_{i}) || chr(30) ||
+                chr(31) || (SELECT b FROM best_{i}) || chr(30),
+                chr(31) || (SELECT a FROM best_{i}) ||
+                (SELECT b FROM best_{i}) || chr(30))
+              ELSE w END AS w,
+         cnt
+  FROM vocab_{i}
+)""")
+    selects = [
+        f"SELECT CAST({i} AS INTEGER) AS rank, a AS left, b AS right "
+        f"FROM best_{i} WHERE s >= 2"
+        for i in range(n_merges)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6701,6 +6788,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("sketch_hll_estimate", _sketch_hll),
     ("sketch_hll_by_group", _sketch_hll_by_group),
     ("layout_zorder_key", _layout_zorder),
+    ("text_bpe_train", _text_bpe_train),
     ("sketch_quantiles", _sketch_quantiles),
     ("sketch_quantiles_by_group", _sketch_quantiles_by_group),
     ("sketch_heavy_hitters", _sketch_heavy_hitters),
@@ -6850,6 +6938,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_estimate": _sketch_hll_sql(),
         "sketch_hll_by_group": _sketch_hll_by_group_sql(),
         "layout_zorder_key": _layout_zorder_sql(),
+        "text_bpe_train": _text_bpe_train_sql(),
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,
         "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,

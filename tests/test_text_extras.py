@@ -1116,3 +1116,26 @@ class TestPerplexityBuckets:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_bpe_train_full_corpus_mode(spark):
+    """sample_rows=None trains on every row with no sampling pass, and
+    the result equals hand-computed BPE on the word histogram."""
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab"), (1, "abc")], "doc_id long, text string"
+    )
+    # words: ab x3, abc x1 -> pairs (a,b</w>)=3, (a,b)=1, (b,c</w>)=1;
+    # only (a,b</w>) reaches the >=2 gate, then nothing repeats
+    assert bpe_train(docs, n_merges=5, sample_rows=None) == [("a", "b</w>")]
+    # None mode equals a sampled run that covers all rows
+    big = spark.createDataFrame(
+        [(i, "the cat then that") for i in range(20)], "doc_id long, text string"
+    )
+    assert bpe_train(big, n_merges=6, sample_rows=None) == bpe_train(
+        big, n_merges=6, sample_rows=20
+    )
+    # null/empty texts contribute no words
+    nulls = spark.createDataFrame(
+        [(0, "ab ab"), (1, None), (2, "")], "doc_id long, text string"
+    )
+    assert bpe_train(nulls, n_merges=3, sample_rows=None) == [("a", "b</w>")]
