@@ -6568,8 +6568,16 @@ FROM read_parquet('{_FIXDIR}/warc_expected.parquet')
 # interval-join parity). Round 11 rotates in the 39 remaining r7-graded
 # entries + the round-11-touched code (stream_neardup_parity NEW,
 # similarity rerank restructure, warc resync, substring hardening) +
-# q3/q5 headliners — after this round no query's newest driver grade
-# is older than r9.
+# the four round-11 additions (HLL ×2, Z-order key, BPE training) —
+# after this round no query's newest driver grade is older than r9.
+# Four slots that held entries ALREADY graded r9/r10 whose round-11
+# code-touch is covered by a remaining sibling yielded to the new
+# entries: topk_cosine_ivf (r9; the r11 similarity diffs touch only
+# the pq/ivfpq paths, graded via topk_cosine_ivfpq),
+# dedup_substring_winnowed (r10; the hardened shared kernel is graded
+# via spans/clean/incr/incr_clean), stream_warc_parity (r9; the
+# resync fix is graded via corpus_warc), q3_shipping_priority (r9,
+# untouched).
 # queries() is BUILT
 # from this list + the catalogue, with overlap asserts, so the window
 # can never silently diverge from the catalogue (a duplicate key in
@@ -6578,14 +6586,14 @@ WINDOW_50 = [
     # --- (a) round-11 new or touched code ---
     "stream_neardup_parity",      # NEW this round (VERDICT r10 #3)
     "topk_cosine_ivfpq",          # rerank two-step broadcast (ADVICE r10)
-    "topk_cosine_ivf",            # similarity family re-grade (r9)
+    "sketch_hll_estimate",        # NEW: oracle-exact HLL (splitmix64 replay)
     "dedup_substring_clean",      # n_cut NULL-coalesce fix (ADVICE r10)
     "dedup_substring_spans",      # pathological-doc hardening (r11 #6)
-    "dedup_substring_winnowed",
+    "sketch_hll_by_group",        # NEW: per-group HLL
     "dedup_substring_incr",
     "dedup_substring_incr_clean", # NEW this round: incremental excision
     "corpus_warc",                # resync boundary fix (ADVICE r10)
-    "stream_warc_parity",
+    "layout_zorder_key",          # NEW: Morton layout clustering key
     # --- (b) newest driver grade is r7 — refresh all 39 (VERDICT r10
     # #2: after this round nothing in the grade history is older than
     # r9) ---
@@ -6628,8 +6636,8 @@ WINDOW_50 = [
     "text_pii_redact",
     "text_repetition",
     "text_stats",
-    # --- (c) r9 headliner refresh ---
-    "q3_shipping_priority",
+    # --- (c) round-11 trained-loop certification ---
+    "text_bpe_train",             # NEW: oracle replays the merge loop
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
