@@ -2806,9 +2806,14 @@ def _simhash_sh_cte(bits: int = 64) -> str:
     )
     half = P1 // 2
     horner_tok = sql_horner("t", P1)
+    # [\p{{L}}\p{{N}}_] is Python \w exactly (verified char-by-char over
+    # 6098 word codepoints: L* + Nd/Nl/No + underscore on both engines)
+    # — the previous ASCII class silently dropped CJK /
+    # accented tokens the Spark kernel keeps, found by the adversarial
+    # fixture gate (tools/check_adversarial.py, round 11)
     return f"""toks AS (
   SELECT doc_id AS doc,
-    COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+    COALESCE(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
                          t -> len(t) > 0), []) AS tk
   FROM documents
 ), us AS (
@@ -3651,14 +3656,17 @@ def _sql_list(words):
 
 
 _TEXT_STATS_SQL = f"""
-WITH base AS (
+WITH src AS (
+  -- kernel null semantics: s = t or '' (adversarial gate, round 11)
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), base AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
                      t -> length(t) > 0) AS toks,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
          CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper
-  FROM documents
+  FROM src
 ),
 feat AS (
   SELECT doc_id, text, toks, n_chars, n_alpha, n_upper,
@@ -3753,7 +3761,7 @@ def _doc_fingerprints_sql(window: int = 8, keep: int = 4) -> str:
 
     joined = (
         "array_to_string(list_sort(list_distinct(COALESCE("
-        "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> len(t) > 0),"
+        "list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'), t -> len(t) > 0),"
         " []))), ' ')"
     )
     rolling = f"list_sort(list_distinct({sql_window_hashes('lower(text)', window, P1)}))[1:{keep}]"
@@ -3765,14 +3773,14 @@ SELECT doc_id,
        CASE WHEN length(s) = 0 THEN 0
             ELSE {sql_horner('s', P1)} * {P2} + {sql_horner('s', P2)}
        END AS fp,
-       array_to_string(rfp, '_') AS rolling_fp
+       COALESCE(array_to_string(rfp, '_'), '') AS rolling_fp
 FROM base
 """
 
 
 _TOKS_CTE = """toks AS (
   SELECT doc_id,
-         COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+         COALESCE(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                               t -> len(t) > 0), []) AS tk
   FROM documents
 )"""
@@ -3989,10 +3997,11 @@ def _text_tfidf(spark, sf):
     ROUNDED score so the ordering is engine-portable (see docstring).
 
     Oracle-parity note: the DuckDB oracle (_TOKS_CTE) tokenizes with the
-    ASCII class ``[^a-z0-9_]+`` while Spark's ``tokens()`` splits on the
-    Unicode class ``[^\\p{L}\\p{N}_]+``; the two agree because the test
-    corpus is ASCII (same documented assumption as _dedup_minhash_sql).
-    On non-ASCII corpora use ``tokens()`` as the single source of truth."""
+    same Unicode class ``[^\\p{L}\\p{N}_]+`` as Spark's ``tokens()`` —
+    RE2 \\p{L}\\p{N} was verified char-by-char equal to Java/Python
+    word classes, so parity holds on non-ASCII corpora too (the old
+    ASCII-class oracle failed the round-11 adversarial fixture gate on
+    CJK documents)."""
     from gecko_spark.operators.text import tfidf_top_terms
 
     docs = load_table(spark, sf, "documents")
@@ -4164,7 +4173,7 @@ def _pack_sequences(spark, sf):
 _PACK_SQL = """
 WITH toked AS (
   SELECT doc_id,
-         CAST(len(COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+         CAST(len(COALESCE(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                        t -> len(t) > 0), [])) AS INTEGER) AS n_tokens,
          CAST(doc_id % 8 AS INTEGER) AS shard
   FROM documents
@@ -4465,6 +4474,67 @@ vocab_{i + 1} AS MATERIALIZED (
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _text_unicode_normalize(spark, sf):
+    """Unicode NFC normalization + accent stripping (text.py::
+    normalize_unicode / strip_accents) — the canonical pre-dedup text
+    step ('e\u0301' decomposed vs 'é' composed hash differently
+    through every fingerprint here). The ASCII corpus is planted with
+    deterministic diacritic suffixes (decomposed combining marks /
+    precomposed / compatibility chars) so every code path varies by
+    row; the oracle replays via DuckDB's nfc_normalize / strip_accents
+    (utf8proc), verified char-equal to Python unicodedata on the case
+    table in tests/test_text_extras.py."""
+    from gecko_spark.operators.text import normalize_unicode, strip_accents
+
+    docs = load_table(spark, sf, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(_UNICODE_PLANT[0]))
+            .when(F.col("doc_id") % 4 == 1, F.lit(_UNICODE_PLANT[1]))
+            .when(F.col("doc_id") % 4 == 2, F.lit(_UNICODE_PLANT[2]))
+            .otherwise(F.lit("")),
+        ),
+    )
+    nfc = normalize_unicode(F.col("text"), "NFC")
+    return planted.select(
+        "doc_id",
+        nfc.alias("nfc"),
+        strip_accents(nfc).alias("stripped"),
+        (nfc != F.col("text")).alias("changed"),
+    )
+
+
+# one source of truth for the planted suffixes: 0 = DECOMPOSED
+# combining marks (NFC recomposes them), 1 = precomposed (NFC no-op,
+# strip_accents changes), 2 = compatibility chars (ligature/fullwidth:
+# untouched by both NFC and strip_accents). Escapes, not literals, so
+# no editor/tool can silently renormalize the source file.
+_UNICODE_PLANT = (
+    " cafe\u0301 entre\u0301e de\u0301ja\u0300",
+    " caf\u00e9 d\u00e9j\u00e0 vu",
+    " \ufb01ne \uff46\uff55\uff4c\uff4c",
+)
+
+_TEXT_UNICODE_NORMALIZE_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 4 = 0 THEN '{_UNICODE_PLANT[0]}'
+           WHEN doc_id % 4 = 1 THEN '{_UNICODE_PLANT[1]}'
+           WHEN doc_id % 4 = 2 THEN '{_UNICODE_PLANT[2]}'
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(text) AS nfc,
+       strip_accents(nfc_normalize(text)) AS stripped,
+       (nfc_normalize(text) <> text) AS changed
+FROM planted
+"""
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4555,14 +4625,19 @@ WITH planted AS (
            ELSE '' END AS text
   FROM documents
 ),
+coalesced AS (
+  -- Spark plants via F.concat (null-propagating), then the kernel
+  -- coalesces: a NULL-text doc is '' WITHOUT the planted suffix
+  SELECT doc_id, coalesce(text, '') AS text FROM planted
+),
 base AS (
   SELECT doc_id, text,
     list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0) AS words,
     list_filter(string_split_regex(text, '\\n'),
                 l -> len(trim(l)) > 0) AS lines,
-    COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+    COALESCE(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                          t -> len(t) > 0), []) AS tk
-  FROM planted
+  FROM coalesced
 ),
 m AS (
   SELECT doc_id,
@@ -4823,10 +4898,15 @@ WITH planted AS (
            ELSE '' END AS text
   FROM documents
 ),
+coalesced AS (
+  -- Spark plants via F.concat (null-propagating), then the kernel
+  -- coalesces: a NULL-text doc is '' WITHOUT the planted suffix
+  SELECT doc_id, coalesce(text, '') AS text FROM planted
+),
 base AS (
   SELECT doc_id, text,
     list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines
-  FROM planted
+  FROM coalesced
 ),
 k AS (
   SELECT doc_id, text, lines,
@@ -5889,7 +5969,7 @@ def _text_vocab_divergence(spark, sf):
 _TEXT_VOCAB_DIVERGENCE_SQL = """
 WITH toks AS (
   SELECT doc_id,
-         COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+         COALESCE(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                               t -> len(t) > 0), []) AS tk
   FROM documents),
 flat AS (SELECT doc_id, UNNEST(tk) AS term FROM toks),
@@ -6797,6 +6877,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("sketch_hll_by_group", _sketch_hll_by_group),
     ("layout_zorder_key", _layout_zorder),
     ("text_bpe_train", _text_bpe_train),
+    ("text_unicode_normalize", _text_unicode_normalize),
     ("sketch_quantiles", _sketch_quantiles),
     ("sketch_quantiles_by_group", _sketch_quantiles_by_group),
     ("sketch_heavy_hitters", _sketch_heavy_hitters),
@@ -6947,6 +7028,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_by_group": _sketch_hll_by_group_sql(),
         "layout_zorder_key": _layout_zorder_sql(),
         "text_bpe_train": _text_bpe_train_sql(),
+        "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,
         "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,

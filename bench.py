@@ -564,6 +564,42 @@ def bench_queries(spark, sf_dir):
     timed("skew_hotjoin_salted", lambda: _hotjoin_workload(True))
     timed("skew_hotjoin_plain", lambda: _hotjoin_workload(False))
 
+    # --- round-11 additions (appended LAST: the r10 bench-shift
+    # attribution showed new entries pressure the shared session, so
+    # they run after every pre-existing dispersion-tracked entry) -----
+    def _hll(m=256):
+        from gecko_spark.operators.sketches import hll_estimate
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").cast("string").alias("v")
+        )
+        _run(hll_estimate(li, "v", m=m))
+
+    timed("sketch_hll_600k", _hll)
+
+    def _zorder():
+        from gecko_spark.operators.layout import cluster_by_zorder
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.unix_micros("ts").alias("tus")
+        )
+        _run(
+            cluster_by_zorder(
+                ev, ["user_id", "tus"], bits=16, num_partitions=32
+            )
+        )
+
+    timed("layout_zorder_cluster", _zorder)
+
+    def _bpe():
+        from gecko_spark.operators.text import bpe_train
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges = bpe_train(docs, "text", n_merges=32, sample_rows=None)
+        assert len(merges) > 0
+
+    timed("text_bpe_train32", _bpe)
+
     return out, errors
 
 
@@ -724,13 +760,22 @@ def main():
     disp = os.path.join(os.path.dirname(os.path.abspath(__file__)), DISPERSION_FILE)
     try:
         with open(disp) as f:
-            prior = json.load(f).get("queries", {})
+            prior_doc = json.load(f)
+        # bands are only comparable at the SAME scale factor: a quick
+        # sf0.01 iteration run must not flag (or silently rebase) the
+        # sf0.1 round artifact's bands
+        prior = prior_doc.get("queries", {}) if prior_doc.get("sf") == sf else {}
     except (OSError, ValueError):
         prior = {}
     reg = detect_regressions(queries, prior)
     if reg:
         result["regressions"] = reg
-    # full {med,lo,hi} dispersion → committed artifact, compact line → stdout
+    # full {med,lo,hi} dispersion → committed artifact, compact line →
+    # stdout. Off-default scale factors write a SUFFIXED file: a quick
+    # sf0.01 iteration run must never clobber the committed sf0.1 round
+    # artifact (that exact accident cost a git-restore in round 11).
+    if sf is not None and sf != 0.1:
+        disp = disp.replace(".json", f".sf{sf}.json")
     with open(disp, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(compact_stdout_line(result))

@@ -31,6 +31,8 @@ __all__ = [
     "fingerprint",
     "rolling_hash_fingerprint",
     "normalize_text",
+    "normalize_unicode",
+    "strip_accents",
     "filter_documents",
     "text_stats",
     "repetition_profile",
@@ -63,9 +65,15 @@ def tokens(text: Column) -> Column:
     """Lowercased word tokens (array<string>), split on runs of
     non-letter/digit chars. Unicode-aware (``\\p{L}\\p{N}``): a plain
     ``\\W`` is ASCII-only in Java regex and would split 'für'/'più'
-    apart — making this module's own non-ASCII stopwords unmatchable."""
+    apart — making this module's own non-ASCII stopwords unmatchable.
+
+    Null-safe: NULL text tokenizes like '' (empty array), matching the
+    Arrow kernels' ``t or ''`` convention — NULL propagation here gave
+    a NULL-text doc a NULL token COUNT, which minted a phantom NULL
+    pack in pack_sequences (adversarial fixture gate, round 11)."""
     return F.filter(
-        F.split(F.lower(text), r"[^\p{L}\p{N}_]+"), lambda t: F.length(t) > 0
+        F.split(F.lower(F.coalesce(text, F.lit(""))), r"[^\p{L}\p{N}_]+"),
+        lambda t: F.length(t) > 0,
     )
 
 
@@ -1804,3 +1812,51 @@ def compression_ratio(text: Column, level: int = 6) -> Column:
         return pd.Series(out, dtype="float64")
 
     return _ratio(text)
+
+
+def normalize_unicode(text: Column, form: str = "NFC") -> Column:
+    """Unicode-normalize a text column (NFC/NFD/NFKC/NFKD) — the
+    canonical pre-dedup step: 'é' as one codepoint and 'e'+combining
+    acute hash differently through EVERY fingerprint in this engine
+    (polynomial hashes see codepoints), so near-dup pipelines normalize
+    first. Arrow kernel (Python unicodedata), one projection, no
+    shuffle; NFC output is bit-identical to DuckDB's nfc_normalize
+    (oracle text_unicode_normalize). NULL passes through as NULL."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError("form must be one of NFC/NFD/NFKC/NFKD")
+
+    @F.pandas_udf(T.StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return _norm(text)
+
+
+def strip_accents(text: Column) -> Column:
+    """Remove combining marks: NFD-decompose, drop category Mn,
+    NFC-recompose — 'café' → 'cafe' while precomposed-only letters
+    (ø, ﬁ) pass through, matching DuckDB's strip_accents exactly on
+    the verified case table (tests). Arrow kernel, NULL-safe."""
+    import unicodedata
+
+    @F.pandas_udf(T.StringType())
+    def _strip(s: pd.Series) -> pd.Series:
+        def go(t):
+            if t is None:
+                return None
+            return unicodedata.normalize(
+                "NFC",
+                "".join(
+                    c
+                    for c in unicodedata.normalize("NFD", t)
+                    if unicodedata.category(c) != "Mn"
+                ),
+            )
+
+        return s.map(go)
+
+    return _strip(text)

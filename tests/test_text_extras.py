@@ -1139,3 +1139,73 @@ def test_bpe_train_full_corpus_mode(spark):
         [(0, "ab ab"), (1, None), (2, "")], "doc_id long, text string"
     )
     assert bpe_train(nulls, n_merges=3, sample_rows=None) == [("a", "b</w>")]
+
+
+# --- Unicode normalization ---------------------------------------------------
+
+
+def test_normalize_unicode_and_strip_accents(spark):
+    """Kernel output equals Python unicodedata AND DuckDB utf8proc on a
+    case table spanning decomposed/precomposed/compat/multibyte/NULL —
+    the cross-engine contract the text_unicode_normalize oracle rides."""
+    import duckdb
+    import unicodedata
+
+    from gecko_spark.operators.text import normalize_unicode, strip_accents
+
+    cases = [
+        "café entrée",   # decomposed
+        "café déjà",  # precomposed
+        "ﬁne ｆｕｌｌ",  # ligature + fullwidth
+        "Å and Å",        # ring above, composed + decomposed
+        "汉字 plain ascii",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = (
+        df.select(
+            "t",
+            normalize_unicode(F.col("t"), "NFC").alias("nfc"),
+            strip_accents(F.col("t")).alias("sa"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in got:
+        t = r["t"]
+        if t is None:
+            assert r["nfc"] is None and r["sa"] is None
+            continue
+        assert r["nfc"] == unicodedata.normalize("NFC", t)
+        assert r["nfc"] == con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        assert r["sa"] == con.execute("SELECT strip_accents(?)", [t]).fetchone()[0]
+
+
+def test_normalize_unicode_forms_and_validation(spark):
+    import unicodedata
+
+    import pytest
+
+    from gecko_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame([("ﬁ café",)], "t string")
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        out = df.select(normalize_unicode(F.col("t"), form).alias("o")).collect()
+        assert out[0]["o"] == unicodedata.normalize(form, "ﬁ café")
+    with pytest.raises(ValueError):
+        normalize_unicode(F.col("t"), "NFX")
+
+
+def test_tokens_null_safe(spark):
+    """tokens(NULL) == tokens('') == [] — the phantom-NULL-pack fix
+    (adversarial gate, round 11)."""
+    from gecko_spark.operators.text import tokens, word_token_count
+
+    df = spark.createDataFrame([(None,), ("",), ("one two",)], "t string")
+    rows = df.select(
+        tokens(F.col("t")).alias("tk"),
+        word_token_count(F.col("t")).alias("n"),
+    ).collect()
+    assert [r["tk"] for r in rows] == [[], [], ["one", "two"]]
+    assert [r["n"] for r in rows] == [0, 0, 2]

@@ -44,8 +44,11 @@ ADVERSARIAL_DOCS = [
     # whose edges are all multibyte code points
     (100006, "prefix one " + _CJK_BLOCK + " suffix one", "zh", "srcB"),
     (100007, "a different head " + _CJK_BLOCK + " and tail", "zh", "srcB"),
-    (100008, ("the quick brown fox jumps over the lazy dog. " * 2223)[:100000],
-     "en", "srcC"),                                    # 100k-char doc
+    # 20k chars: big enough to stress per-doc merge memory and chunked
+    # span logic, small enough that the DuckDB window-hash oracle
+    # (O(len·window) unrolled SQL per char) finishes in CI time
+    (100008, ("the quick brown fox jumps over the lazy dog. " * 445)[:20000],
+     "en", "srcC"),
     (100009, "an ordinary document with a null language tag", None, "srcC"),
     (100010, "he said \\\"hi\\\" & 'bye' \\ <b>bold</b> http://ex.com/a?b=c%20d"
              " -- ; DROP TABLE x; 100% $5.00", "en", None),
