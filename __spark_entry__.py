@@ -5008,9 +5008,10 @@ def _text_classifier_trained_sql(
     """Unrolled-iteration replay of train_hashed_classifier: each GD
     step is two decimal(28,6) aggregations plus a round-6 weight
     update, so six iterations are six generated CTE triples. The
-    trainer tokenizes Unicode-aware (text.py::tokens, \\p{L}\\p{N});
-    serving tokenizes ASCII (classifier.py::_TOKEN_RE) — both replayed
-    with their own split regex. np.round (weight update) is binary
+    trainer AND serving both tokenize Unicode-aware (text.py::tokens /
+    classifier.py::_TOKEN_RE \\w+ — unified by the round-11 adversarial
+    gate, which caught the train/serve feature mismatch the old ASCII
+    serving class created on non-ASCII docs). np.round (weight update) is binary
     round-half-even → round_even; F.round (sum terms) → ROUND."""
     from gecko_spark.functions.portable_hash import P1, sql_horner
 

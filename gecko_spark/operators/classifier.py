@@ -13,8 +13,8 @@ Design, in the order a 100 TB deployment cares:
 * **Hashing trick.** Feature index = ``polyhash(token, P1) % D`` using
   the engine-portable polynomial hash
   (:mod:`gecko_spark.functions.portable_hash`), so a DuckDB oracle
-  reproduces every index bit-for-bit (ASCII-token assumption as in
-  ``doc_fingerprints``: tokens are ``[a-z0-9_]+`` runs of the lowered
+  reproduces every index bit-for-bit (Unicode word tokens — ``\\w+``
+  runs of the lowered
   text).
 * **Integer serving.** Served weights are int64
   (:func:`quantize_weights` / :func:`seeded_weights`); a document's
@@ -60,7 +60,10 @@ __all__ = [
     "train_hashed_classifier",
 ]
 
-_TOKEN_RE = re.compile(r"[a-z0-9_]+")
+# \w (Unicode) == the trainer's text.py::tokens class — serving on
+# an ASCII class while training on Unicode tokens gave non-ASCII
+# docs a train/serve FEATURE MISMATCH (adversarial gate, round 11)
+_TOKEN_RE = re.compile(r"\w+")
 
 
 def seeded_weights(n_features: int, span: int = 1000) -> np.ndarray:

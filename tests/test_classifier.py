@@ -24,7 +24,7 @@ D = 64
 
 
 def _py_score(text: str, w: np.ndarray) -> tuple[int, int]:
-    toks = re.findall(r"[a-z0-9_]+", (text or "").lower())
+    toks = re.findall(r"\w+", (text or "").lower())
     logit = 0
     for t in toks:
         logit += int(w[int(poly_hash_strings([t], P1)[0]) % len(w)])

@@ -57,12 +57,37 @@ ADVERSARIAL_DOCS = [
 ]
 
 
+def _adversarial_vectors(dim: int) -> list:
+    """(vec_id, embedding, label) rows stressing the similarity family:
+    zero vector (undefined cosine), all-ones, extreme magnitudes (1e30,
+    1e-30 — float32 range edges), an exact duplicate of vec 0, a
+    near-duplicate of vec 0 (one component nudged by its own float32
+    ulp), and an axis vector."""
+    import pyarrow.parquet as papq
+
+    base = papq.read_table(f"{BASE_SF}/embeddings.parquet").to_pydict()
+    v0 = list(base["embedding"][0])
+    near = list(v0)
+    near[0] = float(near[0]) * (1 + 1e-6)
+    axis = [0.0] * dim
+    axis[dim // 2] = 1.0
+    return [
+        (100001, [0.0] * dim, 0),
+        (100002, [1.0] * dim, 1),
+        (100003, [1e30] * dim, 2),
+        (100004, [1e-30] * dim, 3),
+        (100005, v0, 4),
+        (100006, near, 5),
+        (100007, axis, 6),
+    ]
+
+
 def build_fixture() -> str:
     if FIX_DIR.exists():
         shutil.rmtree(FIX_DIR)
     FIX_DIR.mkdir(parents=True)
     for p in Path(BASE_SF).glob("*.parquet"):
-        if p.stem != "documents":
+        if p.stem not in ("documents", "embeddings"):
             shutil.copy(p, FIX_DIR / p.name)
     con = duckdb.connect()
     con.execute(
@@ -80,6 +105,20 @@ def build_fixture() -> str:
           ORDER BY doc_id
         ) TO '{FIX_DIR}/documents.parquet' (FORMAT PARQUET)
     """)
+    dim = con.execute(
+        f"SELECT len(embedding) FROM read_parquet("
+        f"'{BASE_SF}/embeddings.parquet') LIMIT 1"
+    ).fetchone()[0]
+    con.execute("CREATE TABLE adv_emb (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    con.executemany(
+        "INSERT INTO adv_emb VALUES (?, ?, ?)", _adversarial_vectors(dim)
+    )
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{BASE_SF}/embeddings.parquet')
+          UNION ALL SELECT * FROM adv_emb ORDER BY vec_id
+        ) TO '{FIX_DIR}/embeddings.parquet' (FORMAT PARQUET)
+    """)
     con.close()
     return str(FIX_DIR)
 
@@ -93,7 +132,7 @@ def documents_entries() -> list[str]:
     oracles = e.oracle_sql()
     for name in e.queries():
         sql = oracles.get(name, "")
-        if "documents" in sql or name.startswith("stream_"):
+        if "documents" in sql or "embeddings" in sql or name.startswith("stream_"):
             names.append(name)
     return names
 
