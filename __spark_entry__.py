@@ -2928,7 +2928,11 @@ _TOPK_COSINE_SQL = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
 scored AS (
   SELECT q.qid AS query_id, e.vec_id,
-         list_cosine_similarity(e.embedding, q.qv) AS cos
+         -- zero-norm convention: 0.0 (DuckDB's builtin returns -1.0 for
+         -- a zero side; the Spark kernels score 0.0)
+         CASE WHEN list_dot_product(e.embedding, e.embedding) = 0
+                OR list_dot_product(q.qv, q.qv) = 0 THEN 0.0
+              ELSE list_cosine_similarity(e.embedding, q.qv) END AS cos
   FROM embeddings e CROSS JOIN q
 )
 SELECT query_id, vec_id, CAST(rnk AS INTEGER) AS rank
@@ -3429,7 +3433,7 @@ def _sql_l2(a: str) -> str:
 def _topk_ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
     assign_dot = _sql_seq_dot("e.embedding", "c.cvec")
     probe_dot = _sql_seq_dot("q.qv", "c.cvec")
-    cos = f"{_sql_seq_dot('b.embedding', 'p.qv')} / ({_sql_l2('b.embedding')} * {_sql_l2('p.qv')})"
+    cos = (f"CASE WHEN ({_sql_l2('b.embedding')}) * ({_sql_l2('b.embedding')}) = 0 OR ({_sql_l2('p.qv')}) * ({_sql_l2('p.qv')}) = 0 THEN 0.0 ELSE {_sql_seq_dot('b.embedding', 'p.qv')} / ({_sql_l2('b.embedding')} * {_sql_l2('p.qv')}) END")
     return f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_centroids}
@@ -3509,8 +3513,9 @@ def _topk_ivfpq_sql(
     enc_d2 = d2.format(r1="r.r1", r2="r.r2", b1="b.b1", b2="b.b2")
     lut_d2 = d2.format(r1="q.qr1", r2="q.qr2", b1="b.b1", b2="b.b2")
     cos = (
-        f"{_sql_seq_dot('b.embedding', 'p.qv')} / "
-        f"({_sql_l2('b.embedding')} * {_sql_l2('p.qv')})"
+        f"CASE WHEN ({_sql_l2('b.embedding')}) = 0 OR ({_sql_l2('p.qv')}) = 0 "
+        f"THEN 0.0 ELSE {_sql_seq_dot('b.embedding', 'p.qv')} / "
+        f"({_sql_l2('b.embedding')} * {_sql_l2('p.qv')}) END"
     )
     return f"""
 WITH cents AS (

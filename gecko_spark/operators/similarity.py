@@ -65,7 +65,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; a zero-norm side scores 0.0 — the convention
+    the matrix/BLAS path always used (its kernels clamp zero norms to
+    1, giving dot 0 / 1 = 0). ANSI mode made the unguarded division
+    a JOB-KILLER on the first all-zeros embedding in the corpus
+    (adversarial fixture gate, round 11); one dead row must not take
+    down a 100 TB scan. Note 0.0 outranks negative-cosine candidates —
+    filter zero vectors upstream when that matters."""
+    d = l2_norm(a) * l2_norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
 def cosine_fold_udf():
@@ -92,7 +100,11 @@ def cosine_fold_udf():
             dot_ += a[:, d] * b[:, d]
             na += a[:, d] * a[:, d]
             nb += b[:, d] * b[:, d]
-        return pd.Series(dot_ / (np.sqrt(na) * np.sqrt(nb)))
+        # zero-norm convention matches cosine_sim: score 0.0, not NaN
+        denom = np.sqrt(na) * np.sqrt(nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom > 0, dot_ / denom, 0.0)
+        return pd.Series(out)
 
     return _cos_fold
 
