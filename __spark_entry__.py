@@ -3165,18 +3165,28 @@ def _sketch_kmv(spark, sf):
 
 
 def _sketch_kmv_sql(k: int = 256) -> str:
-    from gecko_spark.functions.portable_hash import P1, P2, sql_horner
+    from gecko_spark.functions.portable_hash import (
+        P1,
+        P2,
+        sql_horner,
+        sql_mix64_ctes,
+    )
     from gecko_spark.operators.sketches import _A1, _A2, _B1, _B2, _M
 
     h1 = f"(({sql_horner('v', P1)}) * {_A1} + {_B1}) % {P1}"
     h2 = f"(({sql_horner('v', P2)}) * {_A2} + {_B2}) % {P2}"
+    # splitmix64 over the packed hash, top 62 bits — replays kmv_hash
+    # (order statistics need the avalanche; see sketches._kmv_hash_np)
     return f"""
 WITH vals AS (
   SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS v FROM lineitem
 ), hashes AS (
-  SELECT ({h1}) * {P2} + ({h2}) AS h FROM vals
+  SELECT ({h1}) * {P2} + ({h2}) AS h0 FROM vals
+),{sql_mix64_ctes('hashes', 'h0', 'z')},
+mixed AS (
+  SELECT CAST(z >> 2 AS BIGINT) AS h FROM __mix6
 ), topk AS (
-  SELECT h FROM hashes ORDER BY h LIMIT {k}
+  SELECT h FROM mixed ORDER BY h LIMIT {k}
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
        CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
@@ -3320,7 +3330,12 @@ def _sketch_quantiles(spark, sf):
 
 
 def _sketch_quantiles_sql(k: int = 256) -> str:
-    from gecko_spark.functions.portable_hash import P1, P2, sql_horner
+    from gecko_spark.functions.portable_hash import (
+        P1,
+        P2,
+        sql_horner,
+        sql_mix64_ctes,
+    )
     from gecko_spark.operators.sketches import _A1, _A2, _B1, _B2
 
     h1 = f"(({sql_horner('id', P1)}) * {_A1} + {_B1}) % {P1}"
@@ -3331,9 +3346,12 @@ WITH rows_ AS (
          CAST(l_extendedprice AS DOUBLE) AS v
   FROM lineitem
 ), hashes AS (
-  SELECT ({h1}) * {P2} + ({h2}) AS h, v FROM rows_
+  SELECT ({h1}) * {P2} + ({h2}) AS h0, v FROM rows_
+),{sql_mix64_ctes('hashes', 'h0', 'z')},
+mixed AS (
+  SELECT CAST(z >> 2 AS BIGINT) AS h, v FROM __mix6
 ), topk AS (
-  SELECT h, v FROM hashes ORDER BY h, v LIMIT {k}
+  SELECT h, v FROM mixed ORDER BY h, v LIMIT {k}
 ), ranked AS (
   SELECT v, row_number() OVER (ORDER BY v) AS rn,
          (SELECT COUNT(*) FROM topk) AS m
@@ -3366,7 +3384,12 @@ def _sketch_quantiles_by_group(spark, sf):
 
 
 def _sketch_quantiles_by_group_sql(k: int = 128) -> str:
-    from gecko_spark.functions.portable_hash import P1, P2, sql_horner
+    from gecko_spark.functions.portable_hash import (
+        P1,
+        P2,
+        sql_horner,
+        sql_mix64_ctes,
+    )
     from gecko_spark.operators.sketches import _A1, _A2, _B1, _B2
 
     h1 = f"(({sql_horner('id', P1)}) * {_A1} + {_B1}) % {P1}"
@@ -3378,11 +3401,14 @@ WITH rows_ AS (
          CAST(l_extendedprice AS DOUBLE) AS v
   FROM lineitem
 ), hashes AS (
-  SELECT g, ({h1}) * {P2} + ({h2}) AS h, v FROM rows_
+  SELECT g, ({h1}) * {P2} + ({h2}) AS h0, v FROM rows_
+),{sql_mix64_ctes('hashes', 'h0', 'z')},
+mixed AS (
+  SELECT g, CAST(z >> 2 AS BIGINT) AS h, v FROM __mix6
 ), topk AS (
   SELECT g, v FROM (
     SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
-    FROM hashes
+    FROM mixed
   ) WHERE rn <= {k}
 ), ranked AS (
   SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
@@ -4210,7 +4236,12 @@ def _sketch_kmv_by_group(spark, sf):
 
 
 def _sketch_kmv_by_group_sql(k: int = 128) -> str:
-    from gecko_spark.functions.portable_hash import P1, P2, sql_horner
+    from gecko_spark.functions.portable_hash import (
+        P1,
+        P2,
+        sql_horner,
+        sql_mix64_ctes,
+    )
     from gecko_spark.operators.sketches import _A1, _A2, _B1, _B2, _M
 
     h1 = f"(({sql_horner('v', P1)}) * {_A1} + {_B1}) % {P1}"
@@ -4219,11 +4250,14 @@ def _sketch_kmv_by_group_sql(k: int = 128) -> str:
 WITH vals AS (
   SELECT DISTINCT l_returnflag, CAST(l_partkey AS VARCHAR) AS v FROM lineitem
 ), hashes AS (
-  SELECT l_returnflag, ({h1}) * {P2} + ({h2}) AS h FROM vals
+  SELECT l_returnflag, ({h1}) * {P2} + ({h2}) AS h0 FROM vals
+),{sql_mix64_ctes('hashes', 'h0', 'z')},
+mixed AS (
+  SELECT l_returnflag, CAST(z >> 2 AS BIGINT) AS h FROM __mix6
 ), ranked AS (
   SELECT l_returnflag, h,
          row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
-  FROM hashes
+  FROM mixed
 ), topk AS (SELECT l_returnflag, h FROM ranked WHERE rn <= {k})
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_seen,
@@ -4492,10 +4526,14 @@ def _text_unicode_normalize(spark, sf):
     from gecko_spark.operators.text import normalize_unicode, strip_accents
 
     docs = load_table(spark, sf, "documents")
+    # strip NUL bytes first, BOTH sides: DuckDB's nfc_normalize is a
+    # utf8proc C-string call that TRUNCATES at the first NUL (found by
+    # the adversarial fixture's embedded-NUL doc), so the contract pins
+    # NFC behavior on everything an oracle CAN represent
     planted = docs.withColumn(
         "text",
         F.concat(
-            F.col("text"),
+            F.regexp_replace(F.col("text"), "\x00", ""),
             F.when(F.col("doc_id") % 4 == 0, F.lit(_UNICODE_PLANT[0]))
             .when(F.col("doc_id") % 4 == 1, F.lit(_UNICODE_PLANT[1]))
             .when(F.col("doc_id") % 4 == 2, F.lit(_UNICODE_PLANT[2]))
@@ -4525,7 +4563,7 @@ _UNICODE_PLANT = (
 _TEXT_UNICODE_NORMALIZE_SQL = f"""
 WITH planted AS (
   SELECT doc_id,
-         text || CASE
+         replace(text, chr(0), '') || CASE
            WHEN doc_id % 4 = 0 THEN '{_UNICODE_PLANT[0]}'
            WHEN doc_id % 4 = 1 THEN '{_UNICODE_PLANT[1]}'
            WHEN doc_id % 4 = 2 THEN '{_UNICODE_PLANT[2]}'

@@ -64,6 +64,7 @@ from gecko_spark.operators.dedup import (
 from gecko_spark.operators.classifier import hashed_linear_score, seeded_weights
 from gecko_spark.operators.joins import asof_join
 from gecko_spark.operators.text import (
+    normalize_unicode,
     compression_ratio,
     filter_documents,
     repetition_profile,
@@ -75,8 +76,11 @@ from gecko_spark.sources.testdata import load_table
 
 
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NFC-normalize BEFORE any hashing: composed and decomposed forms of
+    # the same text would otherwise fingerprint differently through
+    # every dedup stage below (round 11)
     docs = load_table(spark, sf_dir, "documents").withColumn(
-        "text", strip_html(F.col("text"))
+        "text", normalize_unicode(strip_html(F.col("text")), "NFC")
     )
 
     gated = filter_documents(docs, min_chars=40, min_quality=0.3)

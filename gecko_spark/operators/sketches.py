@@ -7,8 +7,9 @@ the k smallest distinct hashes, estimate
 hash and ``M`` the hash range. Because the hash is portable integer
 arithmetic — not an engine builtin — the *estimate itself* is
 bit-reproducible by an independent engine: the ``sketch_kmv_distinct``
-contract query hash-matches a DuckDB oracle exactly, something no
-HLL/theta implementation can do across engines.
+contract query hash-matches a DuckDB oracle exactly — and the HLL
+implementation below extends the same property to register sketches
+(splitmix64 replayed in SQL, integer-space register sums).
 
 Scale shape: one pass, partial per input partition (each Arrow batch
 keeps only its k smallest), one tiny final reduction over
@@ -66,8 +67,9 @@ __all__ = [
     "top_k_by_count",
 ]
 
-# hash range: s1 ∈ [0, P1), s2 ∈ [0, P2) packed as s1·P2 + s2 < P1·P2
-_M = P1 * P2
+# KMV hash range: the mixed hash keeps the top 62 bits of splitmix64,
+# so order statistics live uniformly in [0, 2^62)
+_M = 1 << 62
 # affine scramble constants (distinct multipliers decorrelate the two
 # residues: short strings have small polynomial values, so the raw
 # (h1, h2) pair is far from uniform over the packed range)
@@ -75,9 +77,13 @@ _A1, _B1 = 1103515245, 12345
 _A2, _B2 = 69069, 362437
 
 
-def _kmv_hash_np(vals) -> np.ndarray:
-    """NumPy core of :func:`kmv_hash` — shared by the column UDF and the
-    fused sketch kernels so every path produces identical hashes."""
+def _packed_hash_np(vals) -> np.ndarray:
+    """Raw 62-bit affine pack ``s1·P2 + s2`` — adequate entropy for
+    EQUALITY and register statistics (HLL mixes it itself), but its
+    affine lattice biases ORDER statistics on structured key spaces:
+    measured +15.8% (5σ) KMV error at k=1024 over 5M consecutive
+    numeric-suffix keys, a gap artifact exactly at that order
+    statistic."""
     s = ["" if v is None else str(v) for v in vals]
     h1, h2 = poly_hash_strings_multi(s, (P1, P2))
     s1 = (h1 * _A1 + _B1) % P1
@@ -85,12 +91,26 @@ def _kmv_hash_np(vals) -> np.ndarray:
     return s1 * P2 + s2
 
 
+def _kmv_hash_np(vals) -> np.ndarray:
+    """NumPy core of :func:`kmv_hash` — shared by the column UDF and the
+    fused sketch kernels so every path produces identical hashes.
+    splitmix64 over the packed hash, top 62 bits (``>> 2`` keeps the
+    value positive in int64): order statistics need uniformity the
+    affine pack alone cannot give (see :func:`_packed_hash_np`); with
+    the mix the same 5M-key test reads −5.5% (1.8σ, in-band)."""
+    from gecko_spark.functions.portable_hash import mix64
+
+    return (mix64(_packed_hash_np(vals)) >> np.uint64(2)).astype(np.int64)
+
+
 def kmv_hash(col: Union[str, Column]) -> Column:
     """62-bit portable hash of a string column: two-prime polynomial
-    residues, each passed through its own affine scramble, packed as
-    ``s1·P2 + s2``. The scrambles are what make the packed value
-    uniform enough for order statistics — raw residues of short
-    strings cluster near zero. Nulls hash like the empty string."""
+    residues, affine-scrambled, packed as ``s1·P2 + s2``, then pushed
+    through the splitmix64 avalanche (top 62 bits) — order statistics
+    need full-bit uniformity, and the affine pack's lattice measurably
+    biases them on structured keys (round-11 scale_hll datapoint).
+    Replayed exactly by DuckDB via portable_hash.sql_mix64_ctes.
+    Nulls hash like the empty string."""
 
     @F.pandas_udf(T.LongType())
     def _h(vals: pd.Series) -> pd.Series:
@@ -819,7 +839,7 @@ def _hll_reg_rho_np(vals, m: int) -> tuple[np.ndarray, np.ndarray]:
     from gecko_spark.functions.portable_hash import mix64
 
     p, q, _ = _hll_geometry(m)
-    z = mix64(_kmv_hash_np(vals))
+    z = mix64(_packed_hash_np(vals))
     reg = (z & np.uint64(m - 1)).astype(np.int32)
     r = ((z >> np.uint64(p)) & np.uint64((1 << (q - 1)) - 1)).astype(np.int64)
     bl = np.zeros_like(r)

@@ -231,6 +231,27 @@ def main():
     )
 
     cap(
+        "HLL sketch: map-side register combine, m-row shuffle",
+        qs["sketch_hll_estimate"](spark, sf),
+        "The Arrow kernel emits at most m=256 (register, rank) rows per "
+        "batch (per-batch max inside the kernel), so the groupBy "
+        "aggregates partitions x m rows and the final agg reads at most "
+        "m - shuffle volume is CONSTANT in input size, the defining "
+        "property of a register sketch. Identical structure per-key in "
+        "hll_group_estimate (groups x m).",
+    )
+
+    cap(
+        "Z-order clustering key: scan + 1-row min/max broadcast, no UDF",
+        qs["layout_zorder_key"](spark, sf),
+        "Key construction is pure integer Column algebra (DIV scaling, "
+        "shift/mask interleave): zero Python nodes; the only exchange "
+        "feeds the 1-row global min/max aggregate back as a broadcast - "
+        "the data side never shuffles until the final "
+        "repartitionByRange a writer asks for (cluster_by_zorder).",
+    )
+
+    cap(
         "web cleanup (strip_html / normalize_url / split): one codegen Project",
         qs["text_strip_html"](spark, sf),
         "The whole HTML-strip chain (comments, script/style bodies, tags, "
