@@ -6463,6 +6463,107 @@ FROM events l JOIN events r
 """
 
 
+def _stream_hll_parity(spark, sf):
+    """Streaming HLL batch parity (round 11): the events table streamed
+    TWICE (the duplicate copy lands in a later micro-batch via
+    maxFilesPerTrigger=1) through streaming/stream.py::
+    hll_registers_stream — register max is idempotent, so the replayed
+    data must leave every register untouched and the finalized estimate
+    must equal the batch sketch bit-for-bit. The oracle replays the
+    register table in SQL (same splitmix64/bitlen chain as
+    sketch_hll_estimate, over events.user_id), so this is a hash-exact
+    streaming contract, not rows-only."""
+    import shutil
+    import uuid
+
+    from gecko_spark.streaming.stream import (
+        hll_estimate_from_shards,
+        hll_registers_stream,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scratch")
+    root = os.path.join(base, f"stream_hll_{run_id}")
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src, exist_ok=True)
+    src_file = os.path.join(sf, "events.parquet")
+    shutil.copy(src_file, os.path.join(src, "batch1.parquet"))
+    shutil.copy(src_file, os.path.join(src, "batch2.parquet"))
+    sink = f"stream_hll_parity_{run_id}"
+    try:
+        schema = spark.read.parquet(src_file).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        regs = hll_registers_stream(
+            stream, "user_id", m=64, n_shards=4, watermark="3650 days"
+        )
+        q = (
+            regs.writeStream.format("memory")
+            .outputMode("update")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        last = (
+            spark.sql(f"SELECT * FROM {sink}")
+            .toPandas()
+            .groupby("shard")
+            .last()
+            .reset_index()
+        )
+        out = hll_estimate_from_shards(spark.createDataFrame(last), m=64).select(
+            "n_zero", "s_int", "estimate_raw"
+        )
+        # materialize before scratch cleanup
+        pdf = out.toPandas()
+    finally:
+        spark.catalog.dropTempView(sink) if spark.catalog.tableExists(sink) else None
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, "n_zero long, s_int long, estimate_raw double")
+
+
+def _stream_hll_parity_sql(m: int = 64) -> str:
+    from gecko_spark.functions.portable_hash import sql_mix64_ctes
+
+    p, q, factor, _, bitlen = _hll_sql_parts(m)
+    # same register chain as _sketch_hll_sql, over events.user_id
+    from gecko_spark.functions.portable_hash import P1, P2, sql_horner
+    from gecko_spark.operators.sketches import _A1, _A2, _B1, _B2
+
+    h1 = f"(({sql_horner('v', P1)}) * {_A1} + {_B1}) % {P1}"
+    h2 = f"(({sql_horner('v', P2)}) * {_A2} + {_B2}) % {P2}"
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+), hashes AS (
+  SELECT ({h1}) * {P2} + ({h2}) AS h FROM vals
+),{sql_mix64_ctes('hashes', 'h', 'z')},
+quot AS (
+  SELECT CAST(z % {m} AS BIGINT) AS reg,
+         CAST((z >> {p}) % {1 << (q - 1)} AS BIGINT) AS r
+  FROM __mix6
+), regs AS (
+  SELECT reg, MAX({q} - {bitlen}) AS rho FROM quot GROUP BY reg
+), agg AS (
+  SELECT COUNT(*) AS nz,
+         SUM(CAST(1 AS BIGINT) << ({q} - rho)) AS s_nz
+  FROM regs
+)
+SELECT CAST({m} - nz AS BIGINT) AS n_zero,
+       CAST(s_nz + ({m} - nz) * (CAST(1 AS BIGINT) << {q}) AS BIGINT) AS s_int,
+       {factor!r} / CAST(s_nz + ({m} - nz) * (CAST(1 AS BIGINT) << {q}) AS DOUBLE)
+         AS estimate_raw
+FROM agg
+"""
+
+
 def _stream_neardup_parity(spark, sf):
     """Streaming near-dup suppression batch parity (VERDICT r10 #3 —
     the last contract-less streaming op): the documents table, with a
@@ -6776,6 +6877,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("stream_user_stats_parity", _stream_user_stats_parity),
     ("stream_interval_join_parity", _stream_interval_join_parity),
     ("stream_neardup_parity", _stream_neardup_parity),
+    ("stream_hll_parity", _stream_hll_parity),
     ("corpus_warc", _corpus_warc),
     ("stream_warc_parity", _stream_warc_parity),
     ("text_main_content", _text_main_content),
@@ -6954,6 +7056,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_user_stats_parity": _STREAM_USER_STATS_PARITY_SQL,
         "stream_interval_join_parity": _STREAM_INTERVAL_JOIN_PARITY_SQL,
         "stream_neardup_parity": _stream_neardup_parity_sql(),
+        "stream_hll_parity": _stream_hll_parity_sql(),
         "corpus_warc": _CORPUS_WARC_SQL,
         "stream_warc_parity": _CORPUS_WARC_SQL,
         "text_main_content": _TEXT_MAIN_CONTENT_SQL,

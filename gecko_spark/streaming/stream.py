@@ -35,6 +35,8 @@ __all__ = [
     "heavy_hitters_from_shards",
     "kmv_distinct_stream",
     "kmv_estimate_from_shards",
+    "hll_registers_stream",
+    "hll_estimate_from_shards",
 ]
 
 EVENTS_SCHEMA = T.StructType(
@@ -954,3 +956,109 @@ def link_stream(
             F.col("__m__.match_score").alias("match_score"),
         )
     )
+
+
+def hll_registers_stream(
+    events: DataFrame,
+    col: str,
+    m: int = 256,
+    n_shards: int = 16,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming HyperLogLog: each shard owns the registers with
+    ``reg % n_shards == shard`` and keeps their max rank across
+    micro-batches — the streaming face of
+    ``operators/sketches.py::hll_registers``, and the most natural
+    streaming sketch there is: register max is idempotent AND
+    commutative, so replays, reorderings, and duplicate deliveries
+    cannot corrupt it. State is ≤ m ints TOTAL across all shards
+    regardless of history; each emission carries the shard's full
+    register slice (latest-summary semantics, like the KMV stream).
+    Register ownership is disjoint across shards, so the union of the
+    latest per-shard emissions IS the batch register table —
+    :func:`hll_estimate_from_shards` reproduces
+    ``hll_estimate`` bit-for-bit (asserted in tests)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from gecko_spark.operators.sketches import _hll_geometry, _hll_reg_rho_np
+
+    _hll_geometry(m)  # validate m
+    import numpy as np
+
+    @F.pandas_udf("reg int, rho int")
+    def _reg_rho(vals: pd.Series) -> pd.DataFrame:
+        # tolist() keeps None as None (the kernel hashes it like '');
+        # .astype(str) would mint the literal string 'None'
+        reg, rho = _hll_reg_rho_np(vals.tolist(), m)
+        return pd.DataFrame({"reg": reg, "rho": rho})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("regs", T.ArrayType(T.IntegerType())),
+            T.StructField("rhos", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("regs", T.ArrayType(T.IntegerType())),
+            T.StructField("rhos", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (shard,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        regs, rhos = state.get if state.exists else ([], [])
+        acc = dict(zip(regs, rhos))
+        for pdf in pdfs:
+            part = pdf.groupby("reg")["rho"].max()
+            for r, rho in part.items():
+                if acc.get(r, 0) < rho:
+                    acc[int(r)] = int(rho)
+        regs = sorted(acc)
+        rhos = [acc[r] for r in regs]
+        state.update((regs, rhos))
+        yield pd.DataFrame({"shard": [shard], "regs": [regs], "rhos": [rhos]})
+
+    src = (
+        events.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), _reg_rho(F.col(col).cast("string")).alias("rr"))
+        .select(
+            F.col("rr.reg").alias("reg"),
+            F.col("rr.rho").alias("rho"),
+            F.pmod(F.col("rr.reg"), F.lit(n_shards)).cast("int").alias("shard"),
+        )
+    )
+    return src.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def hll_estimate_from_shards(shard_rows: DataFrame, m: int = 256) -> DataFrame:
+    """One-row ``(n_zero, s_int, estimate_raw, estimate)`` from the
+    latest per-shard register emissions: register ownership is disjoint
+    across shards, so one explode + per-register max (a no-op across
+    shards, a real max across stale re-emissions of the SAME shard)
+    rebuilds the batch register table exactly. Input is ≤ n_shards
+    rows; the result equals batch ``hll_estimate`` bit-for-bit."""
+    from gecko_spark.operators.sketches import _hll_estimate_from_registers
+
+    regs = (
+        shard_rows.select(
+            F.explode(F.arrays_zip("regs", "rhos")).alias("zr")
+        )
+        .select(
+            F.col("zr.regs").alias("reg"), F.col("zr.rhos").alias("rho")
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return _hll_estimate_from_registers(regs, m)

@@ -1065,3 +1065,38 @@ def test_link_stream_preserves_clean_id_type(spark, tmp_path):
     # null-id row; null-id candidates are skipped, not crashed on
     assert got.loc[1, "match_id"] == "cust-07"
     assert got.loc[2, "match_id"] == "cust-03"
+
+
+def test_hll_registers_stream_matches_batch_bit_for_bit(spark):
+    """Register ownership is disjoint across shards, so the union of
+    latest per-shard emissions rebuilds the batch register table
+    EXACTLY — stream and batch HLL agree on every output column."""
+    from gecko_spark.operators.sketches import hll_estimate, hll_registers
+    from gecko_spark.streaming import hll_estimate_from_shards, hll_registers_stream
+
+    events = stream_events(spark, f"{SF}/events.parquet")
+    sk = hll_registers_stream(
+        events, "user_id", m=64, n_shards=4, watermark="0 seconds"
+    )
+    _run(sk, "hll_stream", mode="update")
+    last = (
+        spark.sql("SELECT * FROM hll_stream")
+        .toPandas()
+        .groupby("shard")
+        .last()
+        .reset_index()
+    )
+    est = hll_estimate_from_shards(spark.createDataFrame(last), m=64).collect()[0]
+    batch_df = load_table(spark, SF, "events")
+    batch = hll_estimate(batch_df, "user_id", m=64).collect()[0]
+    assert est == batch  # every column, bit-for-bit
+    # and the merged register TABLE matches, not just the estimate
+    stream_regs = sorted(
+        (int(r), int(rho))
+        for _, row in last.iterrows()
+        for r, rho in zip(row["regs"], row["rhos"])
+    )
+    batch_regs = sorted(
+        map(tuple, hll_registers(batch_df, "user_id", m=64).collect())
+    )
+    assert stream_regs == batch_regs
