@@ -6815,8 +6815,10 @@ WINDOW_50 = [
     "dedup_substring_clean",      # n_cut NULL-coalesce fix (ADVICE r10)
     "dedup_substring_spans",      # pathological-doc hardening (r11 #6)
     "sketch_hll_by_group",        # NEW: per-group HLL
-    "dedup_substring_incr",
+    "stream_hll_parity",          # NEW: hash-exact streaming HLL contract
     "dedup_substring_incr_clean", # NEW this round: incremental excision
+                                  # (drives the same against-index path
+                                  # dedup_substring_incr, r10-graded, covers)
     "corpus_warc",                # resync boundary fix (ADVICE r10)
     "layout_zorder_key",          # NEW: Morton layout clustering key
     # --- (b) newest driver grade is r7 — refresh all 39 (VERDICT r10
