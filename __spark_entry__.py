@@ -2260,13 +2260,21 @@ def _q_json_props(spark, sf):
 
 
 _Q_JSON_SQL = """
+-- json_valid guard: Spark's from_json returns NULL on malformed JSON
+-- while DuckDB's -> operator RAISES (adversarial events fixture, r11)
+WITH parsed AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(props->>'k' AS BIGINT) END AS k
+  FROM events
+)
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
-       MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
-       CAST(SUM(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
-FROM events GROUP BY event_type
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+FROM parsed GROUP BY event_type
 """
 
 
@@ -4389,8 +4397,10 @@ def _layout_zorder(spark, sf):
     column prunes ~sqrt of the chunks (locality asserted in
     tests/test_layout.py; a b-only filter touched 4/16 z-ordered
     partitions vs 16/16 single-column-sorted). Key construction is
-    pure integer Column algebra (scale via DIV, interleave via
-    shift/mask), so the oracle replays every bit."""
+    pure integer Column algebra (divide-first DIV scaling — immune to
+    the span overflow one corrupt timestamp caused in the adversarial
+    gate — and shift/mask interleave), so the oracle replays every
+    bit."""
     from gecko_spark.operators.layout import minmax_scale_int, zorder_key
 
     ev = load_table(spark, sf, "events").select(
@@ -4418,8 +4428,8 @@ WITH src AS (
   FROM src
 ), scaled AS (
   SELECT event_id,
-         (user_id - lo0) * {scale} // (hi0 - lo0 + 1) AS z0,
-         (tus - lo1) * {scale} // (hi1 - lo1 + 1) AS z1
+         (user_id - lo0) // ((hi0 - lo0) // {scale} + 1) AS z0,
+         (tus - lo1) // ((hi1 - lo1) // {scale} + 1) AS z1
   FROM src, mm
 )
 SELECT event_id, CAST({interleave} AS BIGINT) AS zkey FROM scaled
@@ -6280,8 +6290,14 @@ def _stream_dedupe_parity(spark, sf):
 
 
 _STREAM_DEDUPE_PARITY_SQL = """
+-- measured watermark semantics (adversarial events fixture, r11):
+-- NULL event times pass dropDuplicatesWithinWatermark through, but an
+-- event time <= epoch 0 equals the INITIAL watermark and is dropped
+-- as late in the very first batch - corrupt 1970 timestamps silently
+-- vanish from any watermarked stream (documented in FIXTURES.md)
 SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
 FROM (SELECT DISTINCT * FROM events)
+WHERE ts IS NULL OR ts > TIMESTAMP '1970-01-01 00:00:00'
 """
 
 
@@ -6364,8 +6380,15 @@ def _stream_user_stats_parity(spark, sf):
 
 
 _STREAM_USER_STATS_PARITY_SQL = """
+-- measured semantics (adversarial events fixture, r11):
+-- applyInPandasWithState passes NULL event times through, DROPS NULL
+-- grouping keys, and (like every watermarked op) drops event times
+-- <= epoch 0 as late against the initial watermark
 SELECT user_id, count(*) AS n_events, max(value) AS max_value
-FROM events GROUP BY user_id
+FROM events
+WHERE user_id IS NOT NULL
+  AND (ts IS NULL OR ts > TIMESTAMP '1970-01-01 00:00:00')
+GROUP BY user_id
 """
 
 

@@ -74,16 +74,22 @@ def minmax_scale_int(
     out_prefix: str = "__z",
 ) -> DataFrame:
     """Scale integer columns to [0, 2^bits) with exact integer
-    arithmetic: ``(x - min) * 2^bits // (max - min + 1)``. The global
+    arithmetic — DIVIDE-FIRST: ``(x - min) // step`` with
+    ``step = (max - min) // 2^bits + 1``. The multiply-first form
+    ``(x - min) * 2^bits // span`` is finer-grained but overflows
+    int64 past a ~1.4e14 span at bits=16, and the adversarial fixture
+    showed exactly that: ONE corrupt epoch-0 timestamp next to a 2100
+    outlier stretched the span to 4e18 and (under the earlier guard)
+    aborted the whole layout job. Divide-first can never overflow —
+    ``x - min ≤ span < 2^63`` — at the cost of slight non-uniformity
+    when the span is not a multiple of 2^bits (outlier rows land in
+    edge cells; clustering quality, not correctness). The global
     min/max pair is one 1-row aggregate broadcast back onto the scan
-    (a crossJoin with a 1-row frame — no shuffle of the data side), so
-    the whole scaling is scan + broadcast at any scale.
+    (a crossJoin with a 1-row frame — no shuffle of the data side).
+    NULLs scale to NULL (and sort first in the clustered layout).
 
-    Overflow bound: requires ``(max - min) * 2^bits < 2^63`` — at
-    bits=16 that allows a raw span of ~1.4e14 (e.g. four years of
-    microsecond timestamps). Violations raise at plan time via a
-    runtime assert column rather than wrapping silently. NULLs scale
-    to NULL (and sort first in the clustered layout)."""
+    Integer DIV throughout, never float division: above 2^53 a double
+    quotient would round and shuffle low key bits between engines."""
     if bits < 1 or bits > 32:
         raise ValueError("bits must be in [1, 32]")
     scale = 1 << bits
@@ -94,23 +100,11 @@ def minmax_scale_int(
     mm = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(mm))
     for i, c in enumerate(cols):
-        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
-        # integer DIV, not float division: above 2^53 a double quotient
-        # would round and shuffle low key bits between engines
         scaled = F.expr(
-            f"(CAST(`{c}` AS BIGINT) - `__min_{c}`) * {scale} "
-            f"DIV (`__max_{c}` - `__min_{c}` + 1)"
+            f"(CAST(`{c}` AS BIGINT) - `__min_{c}`) DIV "
+            f"((`__max_{c}` - `__min_{c}`) DIV {scale} + 1)"
         )
-        guarded = F.when(
-            (hi - lo) > F.lit(((1 << 63) - 1) // scale),
-            F.raise_error(
-                F.lit(
-                    f"minmax_scale_int overflow: span of {c} too large "
-                    f"for bits={bits}"
-                )
-            ).cast("long"),
-        ).otherwise(scaled)
-        out = out.withColumn(f"{out_prefix}{i}__", guarded.cast("long"))
+        out = out.withColumn(f"{out_prefix}{i}__", scaled.cast("long"))
     return out.drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
 
 

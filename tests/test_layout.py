@@ -58,20 +58,31 @@ def test_zorder_validates_geometry(spark):
 
 def test_minmax_scale_exact_past_double_precision(spark):
     """Microsecond-timestamp-sized values: a float quotient would round
-    above 2^53 and scramble low key bits; the DIV path stays exact."""
+    above 2^53 and scramble low key bits; the divide-first DIV path
+    stays exact."""
     lo, hi = 10**15, 10**15 + 3 * 10**13
     mid = 10**15 + 10**13
     df = spark.createDataFrame([(lo,), (hi,), (mid,)], "t long")
     got = sorted(r["__z0__"] for r in minmax_scale_int(df, ["t"], bits=16).collect())
-    exp = sorted(((v - lo) * 65536) // (hi - lo + 1) for v in (lo, hi, mid))
+    step = (hi - lo) // 65536 + 1
+    exp = sorted((v - lo) // step for v in (lo, hi, mid))
     assert got == exp
     assert 0 <= got[0] and got[-1] < 65536
 
 
-def test_minmax_scale_overflow_guard(spark):
-    df = spark.createDataFrame([(0,), ((1 << 62),)], "t long")
-    with pytest.raises(Exception, match="overflow"):
-        minmax_scale_int(df, ["t"], bits=16).collect()
+def test_minmax_scale_full_int64_span(spark):
+    """One corrupt epoch-0 row next to a far-future outlier must not
+    abort the layout job (the old multiply-first form overflowed here;
+    the adversarial fixture caught it): divide-first handles the full
+    int64 span exactly."""
+    lo, hi = 0, (1 << 62)
+    df = spark.createDataFrame([(lo,), (hi,), (hi // 3,)], "t long")
+    got = {r["t"]: r["__z0__"] for r in
+           minmax_scale_int(df, ["t"], bits=16).collect()}
+    step = (hi - lo) // 65536 + 1
+    for v in (lo, hi, hi // 3):
+        assert got[v] == (v - lo) // step
+        assert 0 <= got[v] < 65536
 
 
 def test_cluster_locality_beats_single_column_sort(spark):

@@ -82,12 +82,33 @@ def _adversarial_vectors(dim: int) -> list:
     ]
 
 
+# (event_id, ts, user_id, event_type, value, props) — NULL keys and
+# measures, malformed/NULL props JSON, epoch-0 and far-future
+# timestamps, and an exact-tie pair (same user, same ts) probing
+# row_number/sessionization tie determinism across engines. event_ids
+# continue past the base range (no duplicate PKs: the base tables'
+# oracles assume PK uniqueness, as parquet ingests do).
+ADVERSARIAL_EVENTS = [
+    (200001, "2024-01-15 12:00:00", None, "click", 1.5, '{"k": 1}'),
+    (200002, "2024-01-15 12:00:01", 13, None, 2.5, '{"k": 2}'),
+    (200003, "2024-01-15 12:00:02", 13, "purchase", None, '{"k": 3}'),
+    (200004, "2024-01-15 12:00:03", 13, "view", 3.5, None),
+    (200005, "2024-01-15 12:00:04", 14, "view", 4.5, "not json {"),
+    (200006, "1970-01-01 00:00:00", 14, "click", 0.0, "{}"),
+    (200007, "2100-12-31 23:59:59", 14, "error", -1.0, '{"k": -1}'),
+    # exact-tie pair: same user, same timestamp, distinct ids
+    (200008, "2024-01-16 08:00:00", 15, "click", 7.0, '{"k": 7}'),
+    (200009, "2024-01-16 08:00:00", 15, "click", 7.0, '{"k": 7}'),
+    (200010, None, 15, "view", 9.0, '{"k": 9}'),  # NULL event time
+]
+
+
 def build_fixture() -> str:
     if FIX_DIR.exists():
         shutil.rmtree(FIX_DIR)
     FIX_DIR.mkdir(parents=True)
     for p in Path(BASE_SF).glob("*.parquet"):
-        if p.stem not in ("documents", "embeddings"):
+        if p.stem not in ("documents", "embeddings", "events"):
             shutil.copy(p, FIX_DIR / p.name)
     con = duckdb.connect()
     con.execute(
@@ -104,6 +125,21 @@ def build_fixture() -> str:
           FROM adv
           ORDER BY doc_id
         ) TO '{FIX_DIR}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(
+        "CREATE TABLE adv_ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO adv_ev VALUES (?, ?, ?, ?, ?, ?)", ADVERSARIAL_EVENTS
+    )
+    con.execute(f"""
+        COPY (
+          SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                 event_type, value, props
+          FROM read_parquet('{BASE_SF}/events.parquet')
+          UNION ALL SELECT * FROM adv_ev ORDER BY event_id
+        ) TO '{FIX_DIR}/events.parquet' (FORMAT PARQUET)
     """)
     dim = con.execute(
         f"SELECT len(embedding) FROM read_parquet("
