@@ -29,6 +29,11 @@ FAST_ENTRIES = [
     "dedup_exact",
     "topk_cosine_bruteforce",
     "text_unicode_normalize",
+    # events side: NULL keys/times, epoch-0 + far-future outliers,
+    # exact-tie rows, malformed JSON
+    "q_events_sessions",
+    "q_json_props",
+    "layout_zorder_key",
 ]
 
 
