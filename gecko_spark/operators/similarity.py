@@ -881,40 +881,90 @@ def pq_topk_rerank(
     instead of scan cost ``Q·N``."""
     if shortlist < k:
         raise ValueError(f"shortlist {shortlist} must be ≥ k {k}")
+    # ONE materialization of the query set shared by probe and rerank
+    # (ADVICE r9: a non-deterministic source must not probe one set of
+    # codes and rerank against different vectors)
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    qlocal = codes_df.sparkSession.createDataFrame(
+        qpdf, schema=f"{query_id_col} {qid_type}, {query_vec_col} array<double>"
+    )
     cand = pq_topk_adc(
         codes_df,
         codebooks,
-        queries,
+        qlocal,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
         k=shortlist,
     ).select("query_id", "vec_id")
-    qv = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("__qv__"),
-    )
-    # candidates are Q×shortlist rows — small BY CONSTRUCTION — so the
-    # fetch broadcasts them against the corpus scan: the corpus never
-    # shuffles (round 10; previously Spark was left to pick and could
-    # shuffle the full corpus side on vec_id). Broadcast ONLY the
-    # (query_id, vec_id) id pairs here and attach the query vectors in
-    # a SECOND broadcast join afterwards (ADVICE r10): joining qv into
-    # cand before the broadcast duplicates the full query vector onto
-    # every one of the Q×shortlist rows (10k queries × 1000 shortlist ×
-    # 768-dim doubles ≈ 60 GB), blowing Spark's broadcast limit; split,
-    # the payloads are Q×shortlist id pairs + Q vectors — both tiny.
-    scored = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv__"))
-        .join(F.broadcast(cand), "vec_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_sim(F.col("__cv__"), F.col("__qv__")).alias("cosine"),
-        )
-    )
+    scored = _rerank_fused(corpus, cand, qpdf, id_col, vec_col,
+                           query_id_col, query_vec_col, qid_type)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _rerank_fused(
+    corpus: DataFrame,
+    cand: DataFrame,
+    qpdf,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    qid_type: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of (query_id, vec_id) candidates: the fetch
+    broadcasts ONLY the id pairs against the corpus scan (the corpus
+    never shuffles — round 10), and the query VECTORS ride the Arrow
+    kernel's closure (Q×dim — queries are small by definition), so no
+    second join exists at all. History: round 10 pre-joined the
+    vectors into the broadcast (≈60 GB payload at 10k×1000×768 — the
+    ADVICE r10 finding); the first fix joined a Q-row vector frame as
+    a second broadcast, which re-ranked correctly but paid a per-row
+    hash join + interpreted HOF cosine (a measured 1.2× band-edge
+    regression, BENCH r11); the closure kernel removes both. The
+    accumulation is the strict left-fold d-loop (bit-identical to
+    cosine_sim / cosine_fold_udf and the SQL oracles), with the shared
+    zero-norm-scores-0.0 convention."""
+    qmap = {
+        q: np.asarray(v, dtype=np.float64)
+        for q, v in zip(qpdf[query_id_col], qpdf[query_vec_col])
+    }
+
+    def _score_iter(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["__cv__"].to_numpy()).astype(np.float64)
+            b = np.stack([qmap[q] for q in pdf["query_id"]])
+            n = len(a)
+            dot_ = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for d in range(a.shape[1]):
+                dot_ += a[:, d] * b[:, d]
+                na += a[:, d] * a[:, d]
+                nb += b[:, d] * b[:, d]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dot_ / denom, 0.0)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "cosine": cos,
+                }
+            )
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    fetched = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv__")
+    ).join(F.broadcast(cand), "vec_id")
+    return fetched.mapInPandas(
+        _score_iter, f"query_id {qid_type}, vec_id {id_type}, cosine double"
+    )
 
 
 def write_pq_index(
@@ -1196,36 +1246,14 @@ def cosine_topk_ivfpq(
         .filter(F.col("__r__") <= sl)
         .select("query_id", "vec_id")
     )
-    # build the rerank join side from the ALREADY-collected qpdf so both
-    # uses of the queries share one materialization — a non-deterministic
-    # query source can't probe one set of lists and rerank against
-    # different vectors (ADVICE r9)
-    qv = queries.sparkSession.createDataFrame(
-        qpdf.rename(
-            columns={query_id_col: "query_id", query_vec_col: "__qv__"}
-        ),
-        schema=f"query_id {qid_type}, __qv__ array<double>",
-    )
-    # candidates are Q×shortlist rows — small BY CONSTRUCTION — so the
-    # fetch broadcasts them against the corpus scan: the corpus never
-    # shuffles (round 10). Two-step broadcast (ADVICE r10): the corpus
-    # fetch broadcasts only the (query_id, vec_id) id pairs, then the
-    # Q-row qv frame joins on afterwards — also broadcast. Pre-joining
-    # qv into cand would copy each full query vector onto all of its
-    # shortlist rows inside the broadcast payload (≈60 GB at 10k
-    # queries × 1000 shortlist × 768-dim), exceeding the broadcast /
-    # driver-memory limits the old single-join plan was sized by.
-    scored = (
-        corpus.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv__")
-        )
-        .join(F.broadcast(cand), "vec_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_sim(F.col("__cv__"), F.col("__qv__")).alias("cosine"),
-        )
+    # rerank from the ALREADY-collected qpdf so both uses of the
+    # queries share one materialization — a non-deterministic query
+    # source can't probe one set of lists and rerank against different
+    # vectors (ADVICE r9). The fetch broadcasts only the id pairs and
+    # the query vectors ride the kernel closure (see _rerank_fused).
+    scored = _rerank_fused(
+        corpus, cand, qpdf, id_col, vec_col, query_id_col, query_vec_col,
+        qid_type,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
