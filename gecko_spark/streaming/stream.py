@@ -965,6 +965,7 @@ def hll_registers_stream(
     n_shards: int = 16,
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    output_mode: str = "update",
 ) -> DataFrame:
     """Streaming HyperLogLog: each shard owns the registers with
     ``reg % n_shards == shard`` and keeps their max rank across
@@ -1033,11 +1034,14 @@ def hll_registers_stream(
             F.pmod(F.col("rr.reg"), F.lit(n_shards)).cast("int").alias("shard"),
         )
     )
+    # output_mode="append" lets the emissions land in fault-tolerant
+    # append-only sinks (parquet) for restart tests / audit trails;
+    # register maxima only grow, so merging ALL emissions is safe
     return src.groupBy("shard").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

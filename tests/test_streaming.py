@@ -1100,3 +1100,60 @@ def test_hll_registers_stream_matches_batch_bit_for_bit(spark):
         map(tuple, hll_registers(batch_df, "user_id", m=64).collect())
     )
     assert stream_regs == batch_regs
+
+
+def test_checkpoint_restart_hll_register_state(spark, tmp_path):
+    """The sharded HLL register maxima must survive a query restart:
+    drain half the corpus, kill the query, drain the rest from the same
+    checkpoint — the merged registers must equal the batch sketch over
+    the WHOLE corpus bit-for-bit. A fresh (state-lost) query would
+    rebuild registers from only the second half; max-idempotency makes
+    any duplicate deliveries across the restart harmless."""
+    import pathlib
+
+    from gecko_spark.operators.sketches import hll_estimate
+    from gecko_spark.streaming import hll_estimate_from_shards, hll_registers_stream
+
+    src = pathlib.Path(tmp_path) / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    batch = load_table(spark, SF, "events")
+    schema = batch.schema
+
+    def run_until_drained():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*/")
+        q = (
+            hll_registers_stream(
+                stream, "user_id", m=64, n_shards=4, watermark="3650 days",
+                output_mode="append",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # first half: users 0..7 only — several registers will NOT be
+    # touched by the second half, so losing state would lose them
+    batch.filter(F.col("user_id") < 8).coalesce(1).write.parquet(str(src / "b1"))
+    run_until_drained()
+    batch.filter(F.col("user_id") >= 8).coalesce(1).write.parquet(str(src / "b2"))
+    run_until_drained()
+
+    import pandas as pd
+
+    emitted = spark.read.parquet(out).toPandas()
+    # latest emission per shard across both runs: every emission carries
+    # the shard's FULL register slice, so take the one with most regs
+    # broken by recency is unnecessary — register maxima only grow;
+    # merge ALL emissions (max per register is idempotent)
+    est = hll_estimate_from_shards(
+        spark.createDataFrame(emitted), m=64
+    ).collect()[0]
+    whole = hll_estimate(batch, "user_id", m=64).collect()[0]
+    assert est == whole
