@@ -942,31 +942,35 @@ def hll_group_estimate(
     combines map-side per (key, register) — ≤ m rows per key per batch
     — so the shuffle is (groups × m) rows regardless of data size: the
     fixed-memory companion to per-group COUNT(DISTINCT) when groups are
-    many or huge. Key is carried as a string column (grouping on the
-    original column after the kernel)."""
+    many or huge. Accepts one or more key columns; keys pass through
+    the kernel unchanged and come back under their original names."""
     if isinstance(key_cols, str):
         key_cols = [key_cols]
-    if len(key_cols) != 1:
-        raise ValueError("hll_group_estimate supports exactly one key column")
-    key = key_cols[0]
+    if not key_cols:
+        raise ValueError("hll_group_estimate needs at least one key column")
     _, q, factor = _hll_geometry(m)
     src = df.select(
-        F.col(key).alias("__k__"),
+        *key_cols,
         (F.col(col) if isinstance(col, str) else col).cast("string").alias("__v__"),
     )
 
     def _partial_iter(batches):
         for pdf in batches:
             reg, rho = _hll_reg_rho_np(pdf["__v__"].tolist(), m)
-            part = pd.DataFrame({"k": pdf["__k__"], "reg": reg, "rho": rho})
+            part = pdf[list(key_cols)].copy()
+            part["reg"] = reg
+            part["rho"] = rho
             yield (
-                part.groupby(["k", "reg"], as_index=False, dropna=False)["rho"].max()
+                part.groupby(list(key_cols) + ["reg"], as_index=False, dropna=False)[
+                    "rho"
+                ].max()
             )
 
-    ktype = dict(df.dtypes)[key]
-    partials = src.mapInPandas(_partial_iter, f"k {ktype}, reg int, rho int")
-    regs = partials.groupBy("k", "reg").agg(F.max("rho").alias("rho"))
-    agg = regs.groupBy("k").agg(
+    dtypes = dict(df.dtypes)
+    key_schema = ", ".join(f"`{k}` {dtypes[k]}" for k in key_cols)
+    partials = src.mapInPandas(_partial_iter, f"{key_schema}, reg int, rho int")
+    regs = partials.groupBy(*key_cols, "reg").agg(F.max("rho").alias("rho"))
+    agg = regs.groupBy(*key_cols).agg(
         F.count("*").cast("long").alias("__nz__"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - rho)")).alias("__s_nz__"),
     )
@@ -975,7 +979,7 @@ def hll_group_estimate(
     raw = F.lit(float(factor)) / s_int.cast("double")
     lc = F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double"))
     return agg.select(
-        F.col("k").alias(key),
+        *key_cols,
         n_zero.alias("n_zero"),
         s_int.alias("s_int"),
         raw.alias("estimate_raw"),

@@ -453,3 +453,25 @@ def test_hll_validates_m():
     for bad in (0, 8, 100, 131072):
         with pytest.raises(ValueError):
             _hll_geometry(bad)
+
+
+def test_hll_group_multi_key(spark):
+    from gecko_spark.operators.sketches import hll_estimate, hll_group_estimate
+
+    df = spark.range(4000).select(
+        (F.col("id") % 2).cast("string").alias("g1"),
+        (F.col("id") % 3).alias("g2"),
+        (F.col("id") % 250).cast("string").alias("v"),
+    )
+    out = hll_group_estimate(df, ["g1", "g2"], "v", m=64)
+    rows = {(r["g1"], r["g2"]): r for r in out.collect()}
+    assert len(rows) == 6
+    for (g1, g2), r in rows.items():
+        single = hll_estimate(
+            df.filter((F.col("g1") == g1) & (F.col("g2") == g2)), "v", m=64
+        ).collect()[0]
+        assert (r["n_zero"], r["s_int"], r["estimate_raw"]) == (
+            single["n_zero"],
+            single["s_int"],
+            single["estimate_raw"],
+        )
