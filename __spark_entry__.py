@@ -6796,6 +6796,130 @@ FROM read_parquet('{_FIXDIR}/warc_expected.parquet')
 """
 
 
+# --- DSIR importance resampling (operators/selection.py) ------------------
+
+_DSIR_B = 1024  # hashed-feature buckets for the contract (collisions exercised)
+_DSIR_SEED = 11
+
+
+def _dsir_fit(spark, sf):
+    from gecko_spark.operators.selection import (
+        fit_log_ratio_micro,
+        hashed_ngram_bucket_counts,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return docs, fit_log_ratio_micro(
+        hashed_ngram_bucket_counts(target, n_buckets=_DSIR_B),
+        hashed_ngram_bucket_counts(docs, n_buckets=_DSIR_B),
+        _DSIR_B,
+    )
+
+
+def _dsir_log_weights(spark, sf):
+    """DSIR importance log-weights (Xie et al. 2023, selection.py):
+    target = docs with doc_id % 7 == 0, raw = full corpus; hashed
+    unigram+bigram multinomials (B=1024, portable polyhash buckets),
+    Laplace α=1; per-doc weight is the exact int64 sum of micro-log-
+    ratios (half-away-from-zero ×10^6 — associative, partition-proof).
+    The oracle replays the ENTIRE fit+serve chain: tokenize, gram,
+    bucket, smoothed log-ratio, micro-quantize, int sum."""
+    from gecko_spark.operators.selection import dsir_log_weights
+
+    docs, lr = _dsir_fit(spark, sf)
+    return dsir_log_weights(docs, lr)
+
+
+def _dsir_select(spark, sf):
+    """DSIR selection: Gumbel top-k over the fitted log-weights —
+    sampling without replacement ∝ exp(log_weight), key =
+    log_weight − ln(−ln(u)) with the portable LCG uniform, rounded to
+    6 decimals, doc_id tiebreak; planned as TakeOrderedAndProject
+    (per-partition top-n), never a single-partition window."""
+    from gecko_spark.operators.selection import dsir_log_weights, gumbel_topk
+
+    docs, lr = _dsir_fit(spark, sf)
+    lw = dsir_log_weights(docs, lr)
+    picked = gumbel_topk(
+        lw, 100, LcgRandom("doc_id", seed=_DSIR_SEED), weight_col="log_weight"
+    )
+    return picked.select("doc_id", "lw_micro", "gumbel_key")
+
+
+def _dsir_weights_cte() -> str:
+    """Shared DuckDB CTE chain ending in ``doc_w(doc_id, n_grams, lw)``
+    — replays selection.py's fit+serve exactly: the Unicode-word
+    tokenizer, unigram+bigram grams, polyhash buckets, smoothed
+    micro-log-ratio fit (LN on identical doubles, ROUND half-away as
+    in fit_log_ratio_micro), exact integer doc sums."""
+    from gecko_spark.functions.portable_hash import P1, sql_horner
+
+    horner = sql_horner("gram", P1)
+    return f"""toks AS (
+  SELECT doc_id,
+         COALESCE(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                              t -> len(t) > 0), []) AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_concat(tk,
+    list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                   i -> array_to_string(tk[i:i+1], ' ')))) AS gram
+  FROM toks
+), buckets AS (
+  SELECT doc_id, ({horner}) % {_DSIR_B} AS b FROM grams
+), raw_c AS (
+  SELECT b, COUNT(*) AS cr FROM buckets GROUP BY b
+), tgt_c AS (
+  SELECT b, COUNT(*) AS ct FROM buckets WHERE doc_id % 7 = 0 GROUP BY b
+), tots AS (
+  SELECT CAST((SELECT COUNT(*) FROM buckets) AS DOUBLE) AS tr,
+         CAST((SELECT COUNT(*) FROM buckets WHERE doc_id % 7 = 0) AS DOUBLE) AS tt
+), lrm AS (
+  -- lr[b] = ln((ct+1)/(Tt+B)) - ln((cr+1)/(Tr+B)), micro-quantized
+  -- half-away-from-zero: DuckDB ROUND(DOUBLE) == np.floor(abs+0.5)·sign
+  SELECT r.b,
+         CAST(ROUND((LN((COALESCE(t.ct, 0) + 1.0) / (tots.tt + {_DSIR_B}.0))
+                   - LN((r.cr + 1.0) / (tots.tr + {_DSIR_B}.0))) * 1000000.0)
+              AS BIGINT) AS lrm
+  FROM raw_c r LEFT JOIN tgt_c t USING (b) CROSS JOIN tots
+), doc_w AS (
+  -- every gram's bucket exists in raw_c (raw = full corpus), so the
+  -- join drops nothing; SUM is integer-exact (HUGEINT -> BIGINT)
+  SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(lrm) AS BIGINT) AS lw
+  FROM buckets JOIN lrm USING (b) GROUP BY doc_id
+)"""
+
+
+def _dsir_log_weights_sql() -> str:
+    return f"""
+WITH {_dsir_weights_cte()}
+SELECT d.doc_id,
+       CAST(COALESCE(w.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(w.lw, 0) AS BIGINT) AS lw_micro,
+       CAST(COALESCE(w.lw, 0) AS DOUBLE) / 1000000.0 AS log_weight
+FROM documents d LEFT JOIN doc_w w USING (doc_id)
+"""
+
+
+def _dsir_select_sql() -> str:
+    # clamp literal = 2.0**-31, the LCG's smallest nonzero draw
+    u = lcg_uniform_sql("doc_id", _DSIR_SEED, 17)
+    return f"""
+WITH {_dsir_weights_cte()}, weights AS (
+  SELECT d.doc_id, CAST(COALESCE(w.lw, 0) AS BIGINT) AS lw_micro
+  FROM documents d LEFT JOIN doc_w w USING (doc_id)
+), keyed AS (
+  SELECT doc_id, lw_micro,
+         ROUND(CAST(lw_micro AS DOUBLE) / 1000000.0
+               - LN(-LN(GREATEST({u}, 4.656612873077393e-10))), 6) AS gumbel_key
+  FROM weights
+)
+SELECT doc_id, lw_micro, gumbel_key
+FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
+"""
+
+
 # The driver-graded window: the driver evaluates the FIRST 50 dict
 # entries of queries(). Rotation history: r02 graded the §2 operator
 # surface, r04 the relational/LLM-ops surface, r05 the round-5
@@ -6826,6 +6950,13 @@ FROM read_parquet('{_FIXDIR}/warc_expected.parquet')
 # via spans/clean/incr/incr_clean), stream_warc_parity (r9; the
 # resync fix is graded via corpus_warc), q3_shipping_priority (r9,
 # untouched).
+# Round-11 extension: the two NEW DSIR entries (dsir_log_weights,
+# dsir_select — operators/selection.py) take the q7_nation_volume and
+# q10_returned_items slots: those two are plain-DataFrame TPC-H shapes
+# that exercise Spark's own relational engine, not package code (no
+# gecko_spark import in either), and they stay in the 149-entry local
+# gate at all three SFs; new-operator hard signals outrank a re-grade
+# of untouched built-in SQL.
 # queries() is BUILT
 # from this list + the catalogue, with overlap asserts, so the window
 # can never silently diverge from the catalogue (a duplicate key in
@@ -6864,10 +6995,8 @@ WINDOW_50 = [
     "mut_function",
     "mut_insert",
     "pack_sequences",
-    "q10_returned_items",
     "q1_pricing_summary",
     "q6_revenue_filter",
-    "q7_nation_volume",
     "q_asof_join",
     "q_cube_flag_status",
     "q_distinct_counts",
@@ -6888,6 +7017,9 @@ WINDOW_50 = [
     "text_stats",
     # --- (c) round-11 trained-loop certification ---
     "text_bpe_train",             # NEW: oracle replays the merge loop
+    # --- (d) round-11 extension: DSIR data selection (NEW) ---
+    "dsir_log_weights",           # fit+serve chain replayed in DuckDB
+    "dsir_select",                # Gumbel top-k, portable LCG keys
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
@@ -7053,6 +7185,8 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("sketch_quantiles_by_group", _sketch_quantiles_by_group),
     ("sketch_heavy_hitters", _sketch_heavy_hitters),
     ("sketch_topk_counts", _sketch_topk_counts),
+    ("dsir_log_weights", _dsir_log_weights),
+    ("dsir_select", _dsir_select),
 ]
 
 
@@ -7200,6 +7334,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_by_group": _sketch_hll_by_group_sql(),
         "layout_zorder_key": _layout_zorder_sql(),
         "text_bpe_train": _text_bpe_train_sql(),
+        "dsir_log_weights": _dsir_log_weights_sql(),
+        "dsir_select": _dsir_select_sql(),
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,

@@ -1,0 +1,288 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Implements the selection method of Xie et al. 2023 ("Data Selection for
+Language Models via Importance Resampling", NeurIPS 2023): score every
+raw document by how much more likely its hashed n-gram bag is under a
+*target* distribution (e.g. a curated reference corpus) than under the
+*raw* distribution, then sample the training subset with probability
+proportional to that importance weight (Gumbel top-k — equivalent to
+sampling without replacement proportional to ``exp(log_weight)``).
+The reference (ul-mds/gecko) has no selection surface; this module is
+part of the beyond-reference LLM-data-pipeline layer, alongside the
+quality classifier (:mod:`gecko_spark.operators.classifier`) and the
+rule gates in :mod:`gecko_spark.operators.text`.
+
+Design, in the order a 100 TB deployment cares:
+
+* **Hashing trick, engine-portable.** Feature index =
+  ``polyhash(gram, P1) % n_buckets`` over lowered Unicode word tokens
+  (unigrams + space-joined bigrams by default — the DSIR paper's
+  feature set), using the same portable polynomial hash as the
+  classifier, so a DuckDB oracle reproduces every bucket bit-for-bit.
+* **Fitting is two bounded aggregations.** Each distribution fit is a
+  map-side pre-aggregated scan (each Arrow batch emits at most
+  ``n_buckets`` partial rows — ``np.bincount`` inside the kernel) plus
+  one small groupBy; the fitted model is a length-``n_buckets`` int64
+  vector of micro-log-ratios, collected on the driver (bounded by
+  construction: 10^4–10^5 buckets, KBs–MBs).
+* **Integer scoring.** The served log-ratio is quantized to int64
+  micro-units (×10^6, half-away-from-zero — the same device as
+  :func:`gecko_spark.operators.classifier.quantize_weights`); a
+  document's log-weight is the exact int64 sum of its grams'
+  micro-ratios. Integer addition is associative, so the score is
+  independent of partition/batch order and value-hash-identical on any
+  engine. Scoring is ONE narrow Arrow projection — zero shuffles,
+  zero joins, grams never explode; the model vector rides in the
+  kernel closure (8 MB at 2^20 buckets).
+* **Selection is top-n, not a global sort.** Gumbel top-k keys
+  (``log_weight − ln(−ln(u))`` with a portable per-row uniform) go
+  through ``orderBy(...).limit(n)`` — Spark plans that as
+  TakeOrderedAndProject (per-partition top-n, driver merge of
+  ``n × partitions`` candidates), never a single-partition window.
+  For selection targets beyond driver memory, use the documented
+  two-pass threshold variant (count-above-threshold, then filter).
+
+Determinism contract: every step is a pure function of (row key, seed,
+fitted counts); the ``dsir_log_weights`` / ``dsir_select`` contract
+queries replay the full chain — tokenize, gram, bucket, smoothed
+log-ratio, micro-quantize, Gumbel key — in DuckDB.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Iterator, Sequence, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gecko_spark.core import RandomSource
+from gecko_spark.functions.portable_hash import P1, poly_hash_strings
+
+__all__ = [
+    "hashed_ngram_bucket_counts",
+    "fit_log_ratio_micro",
+    "dsir_log_weights",
+    "gumbel_topk",
+]
+
+# Unicode word class — identical to classifier serving and
+# text.py::tokens (the round-11 adversarial gate unified all three)
+_TOKEN_RE = re.compile(r"\w+")
+
+_SALT_GUMBEL = 17
+
+
+def _grams(text: str, ns: Sequence[int]) -> list[str]:
+    """Lowered word n-grams of one document (space-joined for n > 1).
+    NULL/empty text → no grams, matching the tokenize-empty convention
+    everywhere else in the package."""
+    toks = _TOKEN_RE.findall((text or "").lower())
+    out: list[str] = []
+    for n in ns:
+        if n == 1:
+            out.extend(toks)
+        else:
+            out.extend(
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            )
+    return out
+
+
+def _validate_ns(ns: Sequence[int]) -> tuple[int, ...]:
+    ns = tuple(int(n) for n in ns)
+    if not ns or any(n < 1 for n in ns) or len(set(ns)) != len(ns):
+        raise ValueError(f"ns must be distinct integers >= 1, got {ns!r}")
+    return ns
+
+
+def hashed_ngram_bucket_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    ns: Sequence[int] = (1, 2),
+) -> DataFrame:
+    """Corpus-level hashed n-gram bucket counts: ``(bucket, cnt)`` with
+    ``bucket = polyhash(gram, P1) % n_buckets`` over every document's
+    unigrams/bigrams (``ns`` selects the gram orders).
+
+    Plan shape: one Arrow scan where each batch pre-aggregates its
+    grams into at most ``n_buckets`` partial rows (map-side combine by
+    construction), then a single small groupBy — the shuffle moves
+    ``partitions × nonzero-buckets`` rows, never gram-sized data.
+    Only nonzero buckets appear (smoothing handles the rest).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    ns = _validate_ns(ns)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flat: list[str] = []
+            for t in pdf[text_col]:
+                flat.extend(_grams(t, ns))
+            if not flat:
+                continue
+            idx = poly_hash_strings(flat, P1) % n_buckets
+            c = np.bincount(idx, minlength=n_buckets)
+            nz = np.nonzero(c)[0]
+            yield pd.DataFrame(
+                {"bucket": nz.astype(np.int64), "cnt": c[nz].astype(np.int64)}
+            )
+
+    return (
+        df.select(text_col)
+        .mapInPandas(gen, "bucket long, cnt long")
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def fit_log_ratio_micro(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int,
+    alpha: float = 1.0,
+) -> np.ndarray:
+    """Fitted DSIR model: per-bucket importance log-ratio in int64
+    micro-units (×10^6, half-away-from-zero).
+
+    ``lr[b] = ln((ct_b + α) / (Tt + α·B)) − ln((cr_b + α) / (Tr + α·B))``
+
+    with Laplace smoothing ``α`` over ``B = n_buckets`` buckets —
+    the hashed-multinomial estimate of the DSIR paper. Both inputs are
+    outputs of :func:`hashed_ngram_bucket_counts`; the collects are
+    bounded at ``n_buckets`` rows each.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+
+    def dense(cdf: DataFrame) -> np.ndarray:
+        arr = np.zeros(n_buckets, dtype=np.int64)
+        for row in cdf.collect():
+            b = int(row["bucket"])
+            if not (0 <= b < n_buckets):
+                raise ValueError(f"bucket {b} outside [0, {n_buckets})")
+            arr[b] = int(row["cnt"])
+        return arr
+
+    ct = dense(target_counts)
+    cr = dense(raw_counts)
+    lt = np.log((ct + alpha) / (ct.sum() + alpha * n_buckets))
+    lr = np.log((cr + alpha) / (cr.sum() + alpha * n_buckets))
+    d = (lt - lr) * 1e6
+    # half-away-from-zero, matching SQL ROUND (np.round's half-even
+    # would diverge from the oracle exactly on .5-micro boundaries)
+    return (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(np.int64)
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    log_ratio_micro: np.ndarray,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: Sequence[int] = (1, 2),
+) -> DataFrame:
+    """Per-document importance log-weight under a fitted model.
+
+    Returns ``(id_col, n_grams, lw_micro, log_weight)`` where
+    ``lw_micro = Σ_grams log_ratio_micro[bucket(gram)]`` (exact int64 —
+    associative, partition-order-proof) and
+    ``log_weight = lw_micro / 10^6`` as a double. A document with no
+    grams scores 0. One Arrow projection, no shuffle, no explode.
+    """
+    ns = _validate_ns(ns)
+    lr = np.ascontiguousarray(np.asarray(log_ratio_micro, dtype=np.int64))
+    n_buckets = len(lr)
+    if n_buckets < 2:
+        raise ValueError("log_ratio_micro must have >= 2 buckets")
+    max_abs = int(np.abs(lr).max()) if n_buckets else 0
+
+    @F.pandas_udf("n_grams long, lw_micro long")
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        grams_per = [_grams(t, ns) for t in texts]
+        counts = np.array([len(g) for g in grams_per], dtype=np.int64)
+        flat = [g for gs in grams_per for g in gs]
+        if flat:
+            idx = poly_hash_strings(flat, P1) % n_buckets
+            gram_w = lr[idx]
+            doc_of = np.repeat(np.arange(len(texts)), counts)
+            # same exactness device as the classifier: float64 bincount
+            # is integer-exact while every partial sum < 2^53; guarded
+            # fallback to int64 accumulation beyond that
+            if int(counts.max()) * max_abs < 2**53:
+                lw = np.bincount(
+                    doc_of, weights=gram_w.astype(np.float64),
+                    minlength=len(texts),
+                ).astype(np.int64)
+            else:
+                if int(counts.max()) * max_abs >= 2**62:
+                    raise ValueError(
+                        "log-weight bound exceeds int64: "
+                        f"|ratio| {max_abs} x {int(counts.max())} grams/doc"
+                    )
+                lw = np.zeros(len(texts), dtype=np.int64)
+                np.add.at(lw, doc_of, gram_w)
+        else:
+            lw = np.zeros(len(texts), dtype=np.int64)
+        return pd.DataFrame({"n_grams": counts, "lw_micro": lw})
+
+    s = _score(F.col(text_col)).alias("__dsir__")
+    out = df.select(F.col(id_col), s)
+    lw_micro = out["__dsir__.lw_micro"]
+    return out.select(
+        id_col,
+        out["__dsir__.n_grams"].alias("n_grams"),
+        lw_micro.alias("lw_micro"),
+        (lw_micro.cast("double") / F.lit(1e6)).alias("log_weight"),
+    )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    n: int,
+    rand: RandomSource,
+    *,
+    weight_col: Union[str, Column] = "log_weight",
+    tiebreak: Union[str, Column] = "doc_id",
+    key_col: str = "gumbel_key",
+) -> DataFrame:
+    """Sample ``n`` rows without replacement with probability
+    proportional to ``exp(weight_col)`` — the Gumbel top-k trick: each
+    row's key is ``weight + Gumbel(0,1)`` with the Gumbel drawn as
+    ``−ln(−ln(u))`` from the row's portable uniform, and the n largest
+    keys win. Working in the log domain sidesteps the overflow/underflow
+    an ``exp(log_weight)`` weight column would hit under
+    :func:`~gecko_spark.operators.sampling.weighted_sample_n`.
+
+    The key is rounded to 6 decimals (engine-parity for the ``ln``
+    calls, as everywhere else in the package) with ``tiebreak``
+    breaking rounded-key ties, so selection is a pure function of
+    (row key, seed) and a DuckDB oracle replays it exactly.
+
+    Plan shape: ``orderBy(key desc, tiebreak).limit(n)`` —
+    TakeOrderedAndProject (per-partition top-n + driver merge), NOT a
+    single-partition window; scale-safe for any ``n`` that fits on the
+    driver. For larger selection targets, run the two-pass threshold
+    form: histogram the keys, pick the n-th-largest bucket boundary,
+    then filter — the keys are deterministic, so both passes agree.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    tb = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+    u = rand.uniform(_SALT_GUMBEL)
+    # u ∈ [0, 1) in LCG granularity k/2^31: clamp the zero draw to the
+    # generator's own smallest nonzero (same device as weighted_sample_n);
+    # u never reaches 1 so the outer ln(-ln(u)) stays finite
+    safe_u = F.greatest(u, F.lit(2.0 ** -31))
+    key = F.round(w.cast("double") - F.log(-F.log(safe_u)), 6)
+    return (
+        df.withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), tb.asc())
+        .limit(n)
+    )
