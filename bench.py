@@ -600,6 +600,31 @@ def bench_queries(spark, sf_dir):
 
     timed("text_bpe_train32", _bpe)
 
+    def _dsir():
+        from gecko_spark.core import LcgRandom
+        from gecko_spark.operators.selection import (
+            dsir_log_weights,
+            fit_log_ratio_micro,
+            gumbel_topk,
+            hashed_ngram_bucket_counts,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        target = docs.filter(F.col("doc_id") % 7 == 0)
+        lr = fit_log_ratio_micro(
+            hashed_ngram_bucket_counts(target, n_buckets=4096),
+            hashed_ngram_bucket_counts(docs, n_buckets=4096),
+            4096,
+        )
+        _run(
+            gumbel_topk(
+                dsir_log_weights(docs, lr), 500, LcgRandom("doc_id", seed=11)
+            )
+        )
+
+    # full DSIR chain: two fit scans + integer serve + Gumbel top-k
+    timed("dsir_select_e2e", _dsir)
+
     return out, errors
 
 

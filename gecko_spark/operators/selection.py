@@ -66,6 +66,7 @@ __all__ = [
     "fit_log_ratio_micro",
     "dsir_log_weights",
     "gumbel_topk",
+    "gumbel_select_frac",
 ]
 
 # Unicode word class — identical to classifier serving and
@@ -275,14 +276,56 @@ def gumbel_topk(
         raise ValueError(f"n must be >= 1, got {n}")
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     tb = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
-    u = rand.uniform(_SALT_GUMBEL)
-    # u ∈ [0, 1) in LCG granularity k/2^31: clamp the zero draw to the
-    # generator's own smallest nonzero (same device as weighted_sample_n);
-    # u never reaches 1 so the outer ln(-ln(u)) stays finite
-    safe_u = F.greatest(u, F.lit(2.0 ** -31))
-    key = F.round(w.cast("double") - F.log(-F.log(safe_u)), 6)
+    key = _gumbel_key(w, rand)
     return (
         df.withColumn(key_col, key)
         .orderBy(F.col(key_col).desc(), tb.asc())
         .limit(n)
     )
+
+
+def _gumbel_key(w: Column, rand: RandomSource) -> Column:
+    # u ∈ [0, 1) in LCG granularity k/2^31: clamp the zero draw to the
+    # generator's own smallest nonzero (same device as weighted_sample_n);
+    # u never reaches 1 so the outer ln(-ln(u)) stays finite
+    u = rand.uniform(_SALT_GUMBEL)
+    safe_u = F.greatest(u, F.lit(2.0 ** -31))
+    return F.round(w.cast("double") - F.log(-F.log(safe_u)), 6)
+
+
+def gumbel_select_frac(
+    df: DataFrame,
+    frac: float,
+    rand: RandomSource,
+    *,
+    weight_col: Union[str, Column] = "log_weight",
+    key_col: str = "gumbel_key",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The at-scale form of :func:`gumbel_topk` for selection targets
+    too large for a driver merge (``n`` in the billions): keep
+    approximately ``frac`` of the rows, chosen with probability
+    proportional to ``exp(weight_col)``.
+
+    Two passes over deterministic keys: (1) one aggregation estimates
+    the ``(1 − frac)`` key quantile (``percentile_approx``, mergeable
+    sketch — error ≤ 1/accuracy in RANK space, so the selected count is
+    within ``±N/accuracy`` of the target); (2) a scan keeps rows whose
+    key clears the threshold. No global sort, no driver-sized collect,
+    no single-partition stage — both passes are embarrassingly
+    parallel. The keys are a pure function of (row key, seed), so the
+    same call on the same data selects the same rows; exact-``n``
+    contracts should use :func:`gumbel_topk`.
+    """
+    if not (0.0 < frac < 1.0):
+        raise ValueError(f"frac must be in (0, 1), got {frac}")
+    if accuracy < 100:
+        raise ValueError(f"accuracy must be >= 100, got {accuracy}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    keyed = df.withColumn(key_col, _gumbel_key(w, rand))
+    thresh = keyed.agg(
+        F.percentile_approx(key_col, 1.0 - frac, accuracy).alias("t")
+    ).collect()[0]["t"]
+    if thresh is None:  # empty input
+        return keyed.filter(F.lit(False))
+    return keyed.filter(F.col(key_col) >= F.lit(float(thresh)))

@@ -15,6 +15,7 @@ from gecko_spark.functions.portable_hash import P1, poly_hash_strings
 from gecko_spark.operators.selection import (
     dsir_log_weights,
     fit_log_ratio_micro,
+    gumbel_select_frac,
     gumbel_topk,
     hashed_ngram_bucket_counts,
 )
@@ -194,6 +195,37 @@ def test_gumbel_topk_matches_weighted_intuition_uniform(spark):
     s2 = set(r["doc_id"] for r in gumbel_topk(df, 10, LcgRandom("doc_id", 2)).collect())
     assert len(s1) == len(s2) == 10
     assert s1 != s2  # different seeds pick different sets
+
+
+def test_gumbel_select_frac_scale_path(spark):
+    n_rows = 2000
+    df = spark.createDataFrame(
+        [(i, 2.0 if i % 5 == 0 else 0.0) for i in range(n_rows)],
+        "doc_id long, log_weight double",
+    ).repartition(4)
+    rand = LcgRandom("doc_id", seed=9)
+    out = gumbel_select_frac(df, 0.2, rand)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in gumbel_select_frac(df, 0.2, rand).collect())
+    assert a == b  # deterministic: same data + seed -> same rows
+    # approx sizing: rank-space error <= N/accuracy plus key ties
+    assert abs(len(a) - 400) <= 25, len(a)
+    # exp(2) ~ 7.4x preference: heavy rows overrepresented vs 20% base
+    heavy = sum(1 for d in a if d % 5 == 0)
+    assert heavy / len(a) > 0.4, heavy
+    # no single-partition exchange: the filter pass is scan-parallel
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_gumbel_select_frac_validation_and_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, log_weight double")
+    rand = LcgRandom("doc_id", seed=1)
+    with pytest.raises(ValueError, match="frac"):
+        gumbel_select_frac(df, 1.0, rand)
+    with pytest.raises(ValueError, match="accuracy"):
+        gumbel_select_frac(df, 0.5, rand, accuracy=10)
+    assert gumbel_select_frac(df, 0.5, rand).count() == 0
 
 
 def test_gumbel_topk_plan_is_take_ordered(spark):
