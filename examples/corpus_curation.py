@@ -37,6 +37,13 @@ way a 100 TB pretraining-data job would chain them:
  10. train/val/test     (sampling.split_dataset — append-stable bucket
                          assignment; near-dups were already collapsed
                          upstream, so the row-key split cannot leak)
+ 11. DSIR selection     (selection.dsir_log_weights + gumbel_select_frac
+                         — fit target-vs-raw hashed n-gram multinomials
+                         against the held-out reference split, score
+                         every train doc in one shuffle-free projection,
+                         keep a weighted fraction ∝ exp(log_weight):
+                         the data-SELECTION stage after cleaning, as in
+                         Xie et al. 2023)
 
 Every stage is a lazy DataFrame transform; nothing collects to the
 driver. Run: python examples/corpus_curation.py [sf_dir] [out_dir]
@@ -217,6 +224,38 @@ def main() -> None:
         )
         for r in split.groupBy("split").count().orderBy("split").collect():
             print(f"  split {r['split']}: {r['count']} docs")
+
+        # data selection LAST (Xie et al. 2023 run DSIR over the cleaned
+        # pool): fit target (the held-out reference split) vs raw
+        # (the cleaned train split) hashed-n-gram multinomials, score
+        # in one shuffle-free projection, keep the best-weighted ~60%
+        from gecko_spark.operators.selection import (
+            dsir_log_weights,
+            fit_log_ratio_micro,
+            gumbel_select_frac,
+            hashed_ngram_bucket_counts,
+        )
+
+        train_docs = split.filter("split = 'train'").select("doc_id", "text")
+        reference = raw.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+        lr = fit_log_ratio_micro(
+            hashed_ngram_bucket_counts(reference, n_buckets=4096),
+            hashed_ngram_bucket_counts(train_docs, n_buckets=4096),
+            4096,
+        )
+        weighted = train_docs.join(
+            dsir_log_weights(train_docs, lr).select("doc_id", "log_weight"),
+            "doc_id",
+        )
+        selected = gumbel_select_frac(weighted, 0.6, LcgRandom("doc_id", 29))
+        n_sel = selected.count()
+        n_train = train_docs.count()
+        assert 0 < n_sel < n_train, (n_sel, n_train)
+        print(
+            f"  DSIR-selected: {n_sel}/{n_train} train docs "
+            f"({100 * n_sel / n_train:.1f}% kept, weighted toward the "
+            "reference style)"
+        )
     finally:
         spark.stop()
 
