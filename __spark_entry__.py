@@ -6920,6 +6920,46 @@ FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
 """
 
 
+def _ann_hard_negatives(spark, sf):
+    """Hard-negative mining (similarity.py::hard_negative_pairs —
+    the DPR/SimCSE contrastive data-prep step): for each of 4 anchors,
+    the 5 most-cosine-similar vectors with a DIFFERENT label
+    (IS DISTINCT FROM semantics), label-filtered BEFORE the top-k
+    window so every anchor gets true negatives. Broadcast anchors,
+    one corpus scan, JVM fold cosine."""
+    from gecko_spark.operators.similarity import hard_negative_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 4)
+    return hard_negative_pairs(
+        emb, anchors, k=5, corpus_rows=None, anchor_rows=4,
+        max_scored_rows=None,
+    ).select("anchor_id", "vec_id", "rank")
+
+
+_ANN_HARD_NEGATIVES_SQL = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS av, label AS a_label
+  FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id,
+         CASE WHEN list_dot_product(e.embedding, e.embedding) = 0
+                OR list_dot_product(a.av, a.av) = 0 THEN 0.0
+              ELSE list_cosine_similarity(e.embedding, a.av) END AS cos
+  FROM embeddings e CROSS JOIN a
+  WHERE e.label IS DISTINCT FROM a.a_label
+)
+SELECT anchor_id, vec_id, CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT anchor_id, vec_id,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+"""
+
+
 # The driver-graded window: the driver evaluates the FIRST 50 dict
 # entries of queries(). Rotation history: r02 graded the §2 operator
 # surface, r04 the relational/LLM-ops surface, r05 the round-5
@@ -6998,7 +7038,6 @@ WINDOW_50 = [
     "q1_pricing_summary",
     "q6_revenue_filter",
     "q_asof_join",
-    "q_cube_flag_status",
     "q_distinct_counts",
     "q_json_props",
     "q_linkage_jw",
@@ -7017,9 +7056,12 @@ WINDOW_50 = [
     "text_stats",
     # --- (c) round-11 trained-loop certification ---
     "text_bpe_train",             # NEW: oracle replays the merge loop
-    # --- (d) round-11 extension: DSIR data selection (NEW) ---
+    # --- (d) round-11 extension: DSIR data selection + contrastive
+    # mining (NEW; ann_hard_negatives takes the q_cube_flag_status
+    # slot under the same plain-Spark-relational rationale) ---
     "dsir_log_weights",           # fit+serve chain replayed in DuckDB
     "dsir_select",                # Gumbel top-k, portable LCG keys
+    "ann_hard_negatives",         # label-excluded cosine top-k
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
@@ -7187,6 +7229,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("sketch_topk_counts", _sketch_topk_counts),
     ("dsir_log_weights", _dsir_log_weights),
     ("dsir_select", _dsir_select),
+    ("ann_hard_negatives", _ann_hard_negatives),
 ]
 
 
@@ -7336,6 +7379,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_train": _text_bpe_train_sql(),
         "dsir_log_weights": _dsir_log_weights_sql(),
         "dsir_select": _dsir_select_sql(),
+        "ann_hard_negatives": _ANN_HARD_NEGATIVES_SQL,
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,

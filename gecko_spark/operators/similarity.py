@@ -44,6 +44,7 @@ __all__ = [
     "cosine_topk_ivfpq",
     "write_ivfpq_index",
     "read_ivfpq_index",
+    "hard_negative_pairs",
 ]
 
 
@@ -654,6 +655,88 @@ def cosine_topk_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hard_negative_pairs(
+    corpus: DataFrame,
+    anchors: Optional[DataFrame] = None,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    max_scored_rows: int | None = 10_000_000,
+    corpus_rows: int | None = None,
+    anchor_rows: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    DPR / SimCSE data-prep step): for each anchor, the ``k``
+    most-similar corpus vectors carrying a DIFFERENT label — the
+    negatives that are actually hard, not random.
+
+    Returns ``(anchor_id, vec_id, cosine, rank)``. ``anchors``
+    defaults to the corpus itself (mine negatives for every row);
+    pass a sample for the usual regime. Both frames must carry
+    ``(id_col, vec_col, label_col)``. Label exclusion uses
+    ``IS DISTINCT FROM`` semantics: an unlabeled (NULL) anchor treats
+    every LABELED row as a valid negative and other NULL rows as
+    same-group (the anchor row itself is always excluded this way).
+
+    Plan shape: broadcast the anchor set against ONE corpus scan,
+    JVM-side fold cosine (no Python), the label filter BEFORE the
+    per-anchor top-k window — so every anchor is guaranteed k true
+    negatives when they exist. The same ``max_scored_rows`` guard as
+    :func:`cosine_topk_bruteforce` (here it always raises — there is
+    no label-aware matrix path): at corpus scale, batch the anchor set
+    (the window partitions by anchor, so batches are embarrassingly
+    independent), or pre-shortlist with :func:`cosine_topk_ivf` at
+    ``k' ≫ k`` and anti-join same-label pairs out of the shortlist —
+    approximate, but scan-pruned.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if anchors is None:
+        anchors = corpus
+        if anchor_rows is None:
+            anchor_rows = corpus_rows
+    if max_scored_rows is not None:
+        cr = corpus_rows if corpus_rows is not None else corpus.count()
+        ar = anchor_rows if anchor_rows is not None else anchors.count()
+        if cr * ar > max_scored_rows:
+            raise ValueError(
+                f"hard_negative_pairs would score {cr * ar} pairs "
+                f"(> max_scored_rows={max_scored_rows}); batch the "
+                "anchor set, or shortlist via cosine_topk_ivf and "
+                "filter same-label pairs from the shortlist"
+            )
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("av"),
+            F.col(label_col).alias("a_label"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("c_label"),
+        )
+        .crossJoin(a)
+        .filter(~F.col("c_label").eqNullSafe(F.col("a_label")))
+        .select(
+            "anchor_id",
+            "vec_id",
+            cosine_sim(F.col("cv"), F.col("av")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -188,6 +188,60 @@ def test_bruteforce_topk_self_is_rank_one(spark, embeddings):
     assert (topk.groupby("query_id").size() == 5).all()
 
 
+def test_hard_negative_pairs_excludes_same_label(spark, embeddings):
+    anchors = embeddings.filter(F.col("vec_id") < 4)
+    out = S.hard_negative_pairs(embeddings, anchors, k=5).toPandas()
+    # exactly 5 per anchor, ranks 1..5, every negative a different label
+    assert (out.groupby("anchor_id").size() == 5).all()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in embeddings.select("vec_id", "label").collect()
+    }
+    for _, r in out.iterrows():
+        assert labels[r["anchor_id"]] != labels[r["vec_id"]]
+    # brute-force model: the rank-1 negative really is the nearest
+    # other-label vector
+    pdf = embeddings.toPandas()
+    vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    labs = pdf["label"].to_numpy()
+    for aid in range(4):
+        av = vecs[ids == aid][0]
+        mask = labs != labs[ids == aid][0]
+        sims = vecs[mask] @ av
+        cand = ids[mask]
+        order = np.lexsort((cand, -sims))
+        want = cand[order][0]
+        got = out[(out.anchor_id == aid) & (out["rank"] == 1)]["vec_id"].iloc[0]
+        assert got == want, (aid, got, want)
+
+
+def test_hard_negative_pairs_null_label_and_guard(spark):
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),
+        (2, [0.8, 0.2], "b"),
+        (3, [0.0, 1.0], None),
+        (4, [0.1, 1.0], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = S.hard_negative_pairs(df, k=10, corpus_rows=5, anchor_rows=5).toPandas()
+    # NULL anchor: labeled rows are negatives, the other NULL row is not
+    neg3 = set(out[out.anchor_id == 3]["vec_id"])
+    assert neg3 == {0, 1, 2}
+    # labeled anchor: NULL rows count as different-label negatives
+    neg0 = set(out[out.anchor_id == 0]["vec_id"])
+    assert neg0 == {2, 3, 4}
+    # guard raises instead of scoring a quadratic blowup
+    with pytest.raises(ValueError, match="batch the"):
+        S.hard_negative_pairs(df, k=2, max_scored_rows=10)
+    with pytest.raises(ValueError, match="k must be"):
+        S.hard_negative_pairs(df, k=0)
+
+
 def test_ivf_topk_recall_against_bruteforce(spark, embeddings):
     corpus = embeddings
     queries = embeddings.limit(5).select(
