@@ -6960,6 +6960,85 @@ WHERE rnk <= 5
 """
 
 
+def _sketch_kmv_overlap(spark, sf):
+    """KMV set-operation estimates (sketches.py::kmv_overlap_estimate,
+    Beyer et al. 2007): Jaccard / union / intersection of the R-flag vs
+    A-flag partkey sets from two k=256 sketches — the corpus-overlap
+    audit through 2k rows of state, no shuffle of either side. The
+    portable mixed hash makes even the merged order statistics
+    engine-exact, so the oracle replays the APPROXIMATE answer
+    bit-for-bit."""
+    from gecko_spark.operators.sketches import kmv_overlap_estimate, kmv_sketch
+
+    li = load_table(spark, sf, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").cast("string").alias("v")
+    )
+    b = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_partkey").cast("string").alias("v")
+    )
+    return kmv_overlap_estimate(
+        kmv_sketch(a, "v", 256), kmv_sketch(b, "v", 256), 256
+    )
+
+
+def _sketch_kmv_overlap_sql(k: int = 256) -> str:
+    from gecko_spark.functions.portable_hash import (
+        P1,
+        P2,
+        sql_horner,
+        sql_mix64_ctes,
+    )
+    from gecko_spark.operators.sketches import _A1, _A2, _B1, _B2, _M
+
+    h1 = f"(({sql_horner('v', P1)}) * {_A1} + {_B1}) % {P1}"
+    h2 = f"(({sql_horner('v', P2)}) * {_A2} + {_B2}) % {P2}"
+    # one tagged hash chain (the mix CTE names are fixed, so both
+    # sides share it and split afterwards by the tag)
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT 'R' AS s, CAST(l_partkey AS VARCHAR) AS v
+  FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT DISTINCT 'A' AS s, CAST(l_partkey AS VARCHAR) AS v
+  FROM lineitem WHERE l_returnflag = 'A'
+), hashes AS (
+  SELECT s, ({h1}) * {P2} + ({h2}) AS h0 FROM vals
+),{sql_mix64_ctes('hashes', 'h0', 'z')},
+mixed AS (
+  SELECT s, CAST(z >> 2 AS BIGINT) AS h FROM __mix6
+), ska AS (
+  SELECT DISTINCT h FROM mixed WHERE s = 'R' ORDER BY h LIMIT {k}
+), skb AS (
+  SELECT DISTINCT h FROM mixed WHERE s = 'A' ORDER BY h LIMIT {k}
+), merged AS (
+  SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+  ORDER BY h LIMIT {k}
+), stats AS (
+  SELECT COUNT(*) AS n_seen, MAX(h) AS h_k,
+         (SELECT COUNT(*) FROM merged
+          WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb))
+         AS n_common
+  FROM merged
+)
+SELECT CAST(n_seen AS BIGINT) AS n_seen,
+       CAST(n_common AS BIGINT) AS n_common,
+       CASE WHEN n_seen > 0
+            THEN CAST(n_common AS DOUBLE) / CAST(n_seen AS DOUBLE)
+            ELSE 0.0 END AS jaccard,
+       CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE)
+            ELSE {float(k - 1)!r} * CAST({_M} AS DOUBLE) / CAST(h_k AS DOUBLE)
+       END AS union_est,
+       (CASE WHEN n_seen > 0
+             THEN CAST(n_common AS DOUBLE) / CAST(n_seen AS DOUBLE)
+             ELSE 0.0 END)
+       * (CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE)
+               ELSE {float(k - 1)!r} * CAST({_M} AS DOUBLE) / CAST(h_k AS DOUBLE)
+          END) AS intersect_est
+FROM stats
+"""
+
+
 # The driver-graded window: the driver evaluates the FIRST 50 dict
 # entries of queries(). Rotation history: r02 graded the §2 operator
 # surface, r04 the relational/LLM-ops surface, r05 the round-5
@@ -7039,7 +7118,6 @@ WINDOW_50 = [
     "q6_revenue_filter",
     "q_asof_join",
     "q_distinct_counts",
-    "q_json_props",
     "q_linkage_jw",
     "q_linkage_soundex",
     "q_percentile_price",
@@ -7062,6 +7140,10 @@ WINDOW_50 = [
     "dsir_log_weights",           # fit+serve chain replayed in DuckDB
     "dsir_select",                # Gumbel top-k, portable LCG keys
     "ann_hard_negatives",         # label-excluded cosine top-k
+    "sketch_kmv_overlap",         # Jaccard/∩/∪ from two KMV sketches
+                                  # (takes the q_json_props slot —
+                                  # plain-Spark JSON builtins, same
+                                  # rationale as the TPC-H yields)
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
@@ -7230,6 +7312,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("dsir_log_weights", _dsir_log_weights),
     ("dsir_select", _dsir_select),
     ("ann_hard_negatives", _ann_hard_negatives),
+    ("sketch_kmv_overlap", _sketch_kmv_overlap),
 ]
 
 
@@ -7380,6 +7463,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_log_weights": _dsir_log_weights_sql(),
         "dsir_select": _dsir_select_sql(),
         "ann_hard_negatives": _ANN_HARD_NEGATIVES_SQL,
+        "sketch_kmv_overlap": _sketch_kmv_overlap_sql(),
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,

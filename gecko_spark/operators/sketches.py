@@ -58,6 +58,7 @@ __all__ = [
     "cm_sketch",
     "cm_estimate",
     "cm_merge",
+    "kmv_overlap_estimate",
     "quantile_sketch",
     "quantile_estimate",
     "quantile_merge",
@@ -174,6 +175,51 @@ def kmv_merge_estimate(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> Data
         F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
         .otherwise(F.lit(float(k - 1)) * F.lit(float(_M)) / F.col("h_k").cast("double"))
         .alias("estimate"),
+    )
+
+
+def kmv_overlap_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int
+) -> DataFrame:
+    """Set-OPERATION estimates from two KMV sketches — the corpus
+    overlap audit without shuffling either corpus (Beyer et al. 2007
+    / the theta-sketch recipe): on the merged k smallest distinct
+    hashes ``M`` of ``A ∪ B``, the fraction present in BOTH input
+    sketches is an unbiased Jaccard estimate (every h ∈ M is a
+    uniform sample of A ∪ B, and h ∈ SA ∩ SB ⇔ its value ∈ A ∩ B
+    because h < θ means both sketches kept it).
+
+    Returns one row ``(n_seen, n_common, jaccard, union_est,
+    intersect_est)`` where ``union_est`` is the standard KMV estimator
+    on M and ``intersect_est = jaccard · union_est``. Everything after
+    the input sketches touches only ≤ 3k rows — two corpora of any
+    size compare through 2k driver-sized rows of state. Deterministic
+    given the hashes, so a DuckDB oracle replays it exactly
+    (``sketch_kmv_overlap``).
+    """
+    if k < 2:
+        raise ValueError("k must be ≥ 2")
+    sa = sketch_a.select("h").distinct()
+    sb = sketch_b.select("h").distinct()
+    merged = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    in_both = merged.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
+    m = merged.agg(F.count("*").alias("n_seen"), F.max("h").alias("h_k"))
+    c = in_both.agg(F.count("*").alias("n_common"))
+    union_est = (
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(float(_M)) / F.col("h_k").cast("double")
+        )
+    )
+    jaccard = F.when(F.col("n_seen") > 0,
+                     F.col("n_common").cast("double") / F.col("n_seen").cast("double")
+                     ).otherwise(F.lit(0.0))
+    return m.crossJoin(c).select(
+        F.col("n_seen").cast("long").alias("n_seen"),
+        F.col("n_common").cast("long").alias("n_common"),
+        jaccard.alias("jaccard"),
+        union_est.alias("union_est"),
+        (jaccard * union_est).alias("intersect_est"),
     )
 
 

@@ -5,9 +5,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from gecko_spark.operators.sketches import (
     kmv_distinct_estimate,
     kmv_merge_estimate,
+    kmv_overlap_estimate,
     kmv_sketch,
 )
 
@@ -56,6 +59,49 @@ def test_kmv_merge_equals_union_sketch(spark):
     assert merged["estimate"] == direct["estimate"]
     # true union distinct = 15_000
     assert abs(merged["estimate"] - 15_000) / 15_000 < 0.25
+
+
+def test_kmv_overlap_estimates_jaccard_and_intersection(spark):
+    # |A| = 10k, |B| = 10k, |A∩B| = 5k -> union 15k, Jaccard 1/3
+    k = 1024
+    left = spark.range(0, 10_000).select(F.concat(F.lit("m"), "id").alias("v"))
+    right = spark.range(5_000, 15_000).select(F.concat(F.lit("m"), "id").alias("v"))
+    row = kmv_overlap_estimate(
+        kmv_sketch(left, "v", k), kmv_sketch(right, "v", k), k
+    ).first()
+    assert row["n_seen"] == k
+    # sigma(jaccard) ~ sqrt(J(1-J)/k) ≈ 0.015; allow ~4 sigma
+    assert abs(row["jaccard"] - 1 / 3) < 0.06, row["jaccard"]
+    assert abs(row["union_est"] - 15_000) / 15_000 < 0.15
+    assert abs(row["intersect_est"] - 5_000) / 5_000 < 0.25
+    # identity is invariant: intersect_est == jaccard * union_est exactly
+    assert row["intersect_est"] == row["jaccard"] * row["union_est"]
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    k = 256
+    a = spark.range(0, 3_000).select(F.concat(F.lit("a"), "id").alias("v"))
+    b = spark.range(0, 3_000).select(F.concat(F.lit("b"), "id").alias("v"))
+    row = kmv_overlap_estimate(kmv_sketch(a, "v", k), kmv_sketch(b, "v", k), k).first()
+    assert row["n_common"] == 0 and row["jaccard"] == 0.0
+    assert row["intersect_est"] == 0.0
+    same = kmv_overlap_estimate(kmv_sketch(a, "v", k), kmv_sketch(a, "v", k), k).first()
+    assert same["jaccard"] == 1.0
+    # below-k regime is EXACT: 3000 distinct but only k merged hashes
+    assert same["n_seen"] == k
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_overlap_estimate(kmv_sketch(a, "v", k), kmv_sketch(a, "v", k), 1)
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    k = 1024
+    a = spark.range(0, 300).select(F.concat(F.lit("e"), "id").alias("v"))
+    b = spark.range(150, 450).select(F.concat(F.lit("e"), "id").alias("v"))
+    row = kmv_overlap_estimate(kmv_sketch(a, "v", k), kmv_sketch(b, "v", k), k).first()
+    # union 450 < k: everything is exact
+    assert row["n_seen"] == 450 and row["union_est"] == 450.0
+    assert row["n_common"] == 150
+    assert row["intersect_est"] == pytest.approx(150.0)
 
 
 # -- count-min sketch --------------------------------------------------------
