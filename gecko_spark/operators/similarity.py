@@ -45,6 +45,7 @@ __all__ = [
     "write_ivfpq_index",
     "read_ivfpq_index",
     "hard_negative_pairs",
+    "hard_negative_pairs_ivf",
 ]
 
 
@@ -728,6 +729,76 @@ def hard_negative_pairs(
             "anchor_id",
             "vec_id",
             cosine_sim(F.col("cv"), F.col("av")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hard_negative_pairs_ivf(
+    corpus_with_lists: DataFrame,
+    centroids: np.ndarray,
+    anchors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """The corpus-scale form of :func:`hard_negative_pairs`: each
+    anchor only scores vectors in its ``nprobe`` nearest IVF lists
+    (same pruning contract as :func:`cosine_topk_ivf` — the scan reads
+    ``nprobe/n_centroids`` of the corpus, partition-pruned when the
+    corpus is written partitioned by ``__ivf_list__``), with the
+    same-label exclusion applied before the per-anchor top-k window.
+
+    Approximate: a hard negative living outside the probed lists is
+    missed — the identical recall trade every IVF query makes, and the
+    mining use-case is tolerant by construction (any sufficiently-hard
+    negative trains; rank-exactness doesn't matter). ``anchors``
+    carries ``(id_col, vec_col, label_col)`` and is driver-collected
+    (anchor sets are samples by definition).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    apdf = anchors.select(id_col, vec_col, label_col).toPandas()
+    avecs = np.array(apdf[vec_col].tolist(), dtype=np.float64)
+    # sequential-fold dots, as in cosine_topk_ivf: probe selection must
+    # be reproducible, and the loop is anchors × centroids (tiny)
+    sims = np.array([[_seq_dot(a, c) for c in centroids] for a in avecs])
+    probe_lists = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+
+    rows = []
+    for aid, avec, albl, probes in zip(
+        apdf[id_col], apdf[vec_col], apdf[label_col], probe_lists
+    ):
+        for p in probes:
+            rows.append((aid, [float(x) for x in avec], albl, int(p)))
+    spark = corpus_with_lists.sparkSession
+    aid_type = anchors.schema[id_col].dataType.simpleString()
+    albl_type = anchors.schema[label_col].dataType.simpleString()
+    a = F.broadcast(
+        spark.createDataFrame(
+            rows,
+            f"anchor_id {aid_type}, av array<double>, "
+            f"a_label {albl_type}, probe int",
+        )
+    )
+    scored = (
+        corpus_with_lists.join(
+            a, corpus_with_lists["__ivf_list__"] == a["probe"]
+        )
+        .filter(~F.col(label_col).eqNullSafe(F.col("a_label")))
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("vec_id"),
+            cosine_sim(F.col(vec_col), F.col("av")).alias("cosine"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(

@@ -217,6 +217,31 @@ def test_hard_negative_pairs_excludes_same_label(spark, embeddings):
         assert got == want, (aid, got, want)
 
 
+def test_hard_negative_pairs_ivf_recall(spark, embeddings):
+    anchors = embeddings.filter(F.col("vec_id") < 6)
+    exact = S.hard_negative_pairs(embeddings, anchors, k=5).toPandas()
+    with_lists, cents = S.ivf_assign(embeddings, n_centroids=8, seed=1)
+    with_lists = with_lists.cache()
+    # full probe == exact: every list is scanned, same ranking contract
+    full = S.hard_negative_pairs_ivf(
+        with_lists, cents, anchors, k=5, nprobe=8
+    ).toPandas()
+    key = lambda d: set(zip(d.anchor_id, d.vec_id, d["rank"]))
+    assert key(full) == key(exact)
+    # pruned probe: recall against exact must stay high on this corpus
+    part = S.hard_negative_pairs_ivf(
+        with_lists, cents, anchors, k=5, nprobe=4
+    ).toPandas()
+    pairs = lambda d: set(zip(d.anchor_id, d.vec_id))
+    recall = len(pairs(part) & pairs(exact)) / len(pairs(exact))
+    # this fixture's embeddings are near-isotropic, the IVF worst case:
+    # the unrestricted topk test above bounds half-probe recall at 0.6
+    # and the label exclusion can only shrink the candidate pool —
+    # measured 0.60 here; the contract is the FULL-probe exactness
+    assert recall >= 0.5, recall
+    with_lists.unpersist()
+
+
 def test_hard_negative_pairs_null_label_and_guard(spark):
     rows = [
         (0, [1.0, 0.0], "a"),
