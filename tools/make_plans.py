@@ -351,6 +351,31 @@ def main():
         "never shuffles.",
     )
 
+    cap(
+        "DSIR log-weight serving: one Arrow projection, zero exchanges (r11 ext)",
+        qs["dsir_log_weights"](spark, sf),
+        "The fitted micro-log-ratio vector rides in the kernel closure; "
+        "scoring is scan → ArrowEvalPython → project — no join, no "
+        "shuffle, no explode. The fit itself (not shown) is two map-side "
+        "pre-aggregated scans shuffling ≤ n_buckets rows per partition.",
+    )
+    cap(
+        "DSIR Gumbel selection: TakeOrderedAndProject, never a global sort (r11 ext)",
+        qs["dsir_select"](spark, sf),
+        "Top-n by the Gumbel key runs as per-partition top-n with a "
+        "driver merge of n×partitions candidates; the "
+        "cluster-sized-target variant (gumbel_select_frac) replaces even "
+        "that with a percentile_approx threshold + filter.",
+    )
+    cap(
+        "hard-negative mining: broadcast anchors, label filter before the rank window (r11 ext)",
+        qs["ann_hard_negatives"](spark, sf),
+        "One corpus scan against broadcast anchors; the IS-DISTINCT-FROM "
+        "label exclusion sits under the window, so the per-anchor top-k "
+        "ranks only true negatives. The corpus-scale variant "
+        "(hard_negative_pairs_ivf) prunes the scan to nprobe IVF lists.",
+    )
+
     # bucketed warehouse: write once, join forever without exchanges
     import tempfile
 
