@@ -7018,25 +7018,49 @@ mixed AS (
   SELECT COUNT(*) AS n_seen, MAX(h) AS h_k,
          (SELECT COUNT(*) FROM merged
           WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb))
-         AS n_common
+         AS n_common,
+         (SELECT COUNT(*) FROM ska) AS n_a,
+         (SELECT MAX(h) FROM ska) AS h_ka,
+         (SELECT COUNT(*) FROM skb) AS n_b,
+         (SELECT MAX(h) FROM skb) AS h_kb
   FROM merged
 )
 SELECT CAST(n_seen AS BIGINT) AS n_seen,
        CAST(n_common AS BIGINT) AS n_common,
-       CASE WHEN n_seen > 0
-            THEN CAST(n_common AS DOUBLE) / CAST(n_seen AS DOUBLE)
-            ELSE 0.0 END AS jaccard,
-       CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE)
-            ELSE {float(k - 1)!r} * CAST({_M} AS DOUBLE) / CAST(h_k AS DOUBLE)
-       END AS union_est,
-       (CASE WHEN n_seen > 0
-             THEN CAST(n_common AS DOUBLE) / CAST(n_seen AS DOUBLE)
-             ELSE 0.0 END)
-       * (CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE)
-               ELSE {float(k - 1)!r} * CAST({_M} AS DOUBLE) / CAST(h_k AS DOUBLE)
-          END) AS intersect_est
+       {_kmv_jacc_sql()} AS jaccard,
+       {_kmv_est_sql('n_seen', 'h_k', k)} AS union_est,
+       {_kmv_int_sql(k)} AS intersect_est,
+       {_kmv_est_sql('n_a', 'h_ka', k)} AS est_a,
+       {_kmv_est_sql('n_b', 'h_kb', k)} AS est_b,
+       CASE WHEN {_kmv_est_sql('n_a', 'h_ka', k)} > 0
+            THEN {_kmv_int_sql(k)} / {_kmv_est_sql('n_a', 'h_ka', k)}
+            ELSE 0.0 END AS containment_a,
+       CASE WHEN {_kmv_est_sql('n_b', 'h_kb', k)} > 0
+            THEN {_kmv_int_sql(k)} / {_kmv_est_sql('n_b', 'h_kb', k)}
+            ELSE 0.0 END AS containment_b
 FROM stats
 """
+
+
+def _kmv_est_sql(n: str, hk: str, k: int) -> str:
+    from gecko_spark.operators.sketches import _M
+
+    return (
+        f"(CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE) "
+        f"ELSE {float(k - 1)!r} * CAST({_M} AS DOUBLE) / CAST({hk} AS DOUBLE) END)"
+    )
+
+
+def _kmv_jacc_sql() -> str:
+    return (
+        "(CASE WHEN n_seen > 0 "
+        "THEN CAST(n_common AS DOUBLE) / CAST(n_seen AS DOUBLE) "
+        "ELSE 0.0 END)"
+    )
+
+
+def _kmv_int_sql(k: int) -> str:
+    return f"({_kmv_jacc_sql()} * {_kmv_est_sql('n_seen', 'h_k', k)})"
 
 
 # The driver-graded window: the driver evaluates the FIRST 50 dict

@@ -190,12 +190,15 @@ def kmv_overlap_estimate(
     because h < θ means both sketches kept it).
 
     Returns one row ``(n_seen, n_common, jaccard, union_est,
-    intersect_est)`` where ``union_est`` is the standard KMV estimator
-    on M and ``intersect_est = jaccard · union_est``. Everything after
-    the input sketches touches only ≤ 3k rows — two corpora of any
-    size compare through 2k driver-sized rows of state. Deterministic
-    given the hashes, so a DuckDB oracle replays it exactly
-    (``sketch_kmv_overlap``).
+    intersect_est, est_a, est_b, containment_a, containment_b)`` where
+    ``union_est`` is the standard KMV estimator on M,
+    ``intersect_est = jaccard · union_est``, ``est_a``/``est_b`` are
+    each side's own distinct estimate, and ``containment_a =
+    intersect_est / est_a`` — the decontamination audit number ("what
+    fraction of A is inside B"). Everything after the input sketches
+    touches only ≤ 3k rows — two corpora of any size compare through
+    2k driver-sized rows of state. Deterministic given the hashes, so
+    a DuckDB oracle replays it exactly (``sketch_kmv_overlap``).
     """
     if k < 2:
         raise ValueError("k must be ≥ 2")
@@ -205,21 +208,43 @@ def kmv_overlap_estimate(
     in_both = merged.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
     m = merged.agg(F.count("*").alias("n_seen"), F.max("h").alias("h_k"))
     c = in_both.agg(F.count("*").alias("n_common"))
-    union_est = (
-        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
-        .otherwise(
-            F.lit(float(k - 1)) * F.lit(float(_M)) / F.col("h_k").cast("double")
+
+    def side_est(s: DataFrame, n: str, hk: str):
+        return s.orderBy("h").limit(k).agg(
+            F.count("*").alias(n), F.max("h").alias(hk)
         )
-    )
+
+    def kmv_est(n: str, hk: str) -> Column:
+        return (
+            F.when(F.col(n) < k, F.col(n).cast("double"))
+            .otherwise(
+                F.lit(float(k - 1)) * F.lit(float(_M)) / F.col(hk).cast("double")
+            )
+        )
+
+    union_est = kmv_est("n_seen", "h_k")
     jaccard = F.when(F.col("n_seen") > 0,
                      F.col("n_common").cast("double") / F.col("n_seen").cast("double")
                      ).otherwise(F.lit(0.0))
-    return m.crossJoin(c).select(
-        F.col("n_seen").cast("long").alias("n_seen"),
-        F.col("n_common").cast("long").alias("n_common"),
-        jaccard.alias("jaccard"),
-        union_est.alias("union_est"),
-        (jaccard * union_est).alias("intersect_est"),
+    intersect_est = jaccard * union_est
+    est_a = kmv_est("n_a", "h_ka")
+    est_b = kmv_est("n_b", "h_kb")
+    contain = lambda est: F.when(est > 0, intersect_est / est).otherwise(F.lit(0.0))
+    return (
+        m.crossJoin(c)
+        .crossJoin(side_est(sa, "n_a", "h_ka"))
+        .crossJoin(side_est(sb, "n_b", "h_kb"))
+        .select(
+            F.col("n_seen").cast("long").alias("n_seen"),
+            F.col("n_common").cast("long").alias("n_common"),
+            jaccard.alias("jaccard"),
+            union_est.alias("union_est"),
+            intersect_est.alias("intersect_est"),
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            contain(est_a).alias("containment_a"),
+            contain(est_b).alias("containment_b"),
+        )
     )
 
 

@@ -76,6 +76,11 @@ def test_kmv_overlap_estimates_jaccard_and_intersection(spark):
     assert abs(row["intersect_est"] - 5_000) / 5_000 < 0.25
     # identity is invariant: intersect_est == jaccard * union_est exactly
     assert row["intersect_est"] == row["jaccard"] * row["union_est"]
+    # per-side estimates and containment (|A∩B|/|A| = 0.5 truth)
+    assert abs(row["est_a"] - 10_000) / 10_000 < 0.15
+    assert abs(row["est_b"] - 10_000) / 10_000 < 0.15
+    assert abs(row["containment_a"] - 0.5) < 0.15, row["containment_a"]
+    assert row["containment_a"] == row["intersect_est"] / row["est_a"]
 
 
 def test_kmv_overlap_disjoint_and_identical(spark):
@@ -102,6 +107,9 @@ def test_kmv_overlap_exact_below_k(spark):
     assert row["n_seen"] == 450 and row["union_est"] == 450.0
     assert row["n_common"] == 150
     assert row["intersect_est"] == pytest.approx(150.0)
+    assert row["est_a"] == 300.0 and row["est_b"] == 300.0
+    assert row["containment_a"] == pytest.approx(0.5)
+    assert row["containment_b"] == pytest.approx(0.5)
 
 
 # -- count-min sketch --------------------------------------------------------
