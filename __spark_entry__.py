@@ -7063,6 +7063,48 @@ def _kmv_int_sql(k: int) -> str:
     return f"({_kmv_jacc_sql()} * {_kmv_est_sql('n_seen', 'h_k', k)})"
 
 
+def _pack_global_shards(spark, sf):
+    """Globally-contiguous token-budget shards
+    (packing.py::global_token_shards): the distributed two-phase prefix
+    sum (per-bucket windows + broadcast offsets, no single-partition
+    stage) whose assignment the oracle replays with ONE sequential
+    global window — the green row certifies two-phase == sequential."""
+    from gecko_spark.operators.packing import global_token_shards
+    from gecko_spark.operators.text import word_token_count
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", word_token_count(F.col("text")).alias("n_tokens")
+    )
+    return global_token_shards(
+        docs, "doc_id", "n_tokens", budget=2048,
+        rand=LcgRandom("doc_id", seed=31), buckets=16,
+    )
+
+
+def _pack_global_shards_sql(budget: int = 2048) -> str:
+    from gecko_spark.operators.packing import _SALT_GSHARD
+
+    u = lcg_uniform_sql("doc_id", 31, _SALT_GSHARD)
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         CAST(len(COALESCE(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                                       t -> len(t) > 0), [])) AS INTEGER) AS n_tokens,
+         {u} AS u
+  FROM documents
+), seq AS (
+  SELECT doc_id, n_tokens,
+         SUM(CAST(n_tokens AS BIGINT)) OVER w - n_tokens AS gstart
+  FROM toked
+  WINDOW w AS (ORDER BY u, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, n_tokens, CAST(gstart AS BIGINT) AS gstart,
+       CAST(FLOOR(CAST(gstart AS DOUBLE) / {float(budget)!r}) AS INTEGER) AS gshard
+FROM seq
+"""
+
+
 # The driver-graded window: the driver evaluates the FIRST 50 dict
 # entries of queries(). Rotation history: r02 graded the §2 operator
 # surface, r04 the relational/LLM-ops surface, r05 the round-5
@@ -7144,7 +7186,6 @@ WINDOW_50 = [
     "q_distinct_counts",
     "q_linkage_jw",
     "q_linkage_soundex",
-    "q_percentile_price",
     "q_skew_join",
     "sample_reservoir_n",
     "sample_split",
@@ -7168,6 +7209,9 @@ WINDOW_50 = [
                                   # (takes the q_json_props slot —
                                   # plain-Spark JSON builtins, same
                                   # rationale as the TPC-H yields)
+    "pack_global_shards",         # distributed prefix-sum sharding
+                                  # (takes the q_percentile_price slot
+                                  # — plain-Spark window arithmetic)
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
@@ -7337,6 +7381,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("dsir_select", _dsir_select),
     ("ann_hard_negatives", _ann_hard_negatives),
     ("sketch_kmv_overlap", _sketch_kmv_overlap),
+    ("pack_global_shards", _pack_global_shards),
 ]
 
 
@@ -7488,6 +7533,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_select_sql(),
         "ann_hard_negatives": _ANN_HARD_NEGATIVES_SQL,
         "sketch_kmv_overlap": _sketch_kmv_overlap_sql(),
+        "pack_global_shards": _pack_global_shards_sql(),
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,

@@ -30,7 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "pack_manifest"]
+__all__ = ["pack_sequences", "pack_manifest", "global_token_shards"]
+
+_SALT_GSHARD = 19
 
 
 def pack_sequences(
@@ -70,6 +72,87 @@ def pack_sequences(
     # start/budget is exact in double up to 2^53 tokens per shard —
     # far beyond any real shard; truncation == floor since start >= 0
     return out.withColumn("pack", (start / F.lit(budget)).cast("int"))
+
+
+def global_token_shards(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    rand,
+    buckets: int = 256,
+    shard_col: str = "gshard",
+    start_col: str = "gstart",
+) -> DataFrame:
+    """GLOBALLY-contiguous token-budget shards over a deterministic
+    random order — the "write N training files of ~budget tokens each,
+    in one seeded global shuffle order" step. Unlike
+    :func:`pack_sequences` (independent per-shard packing — pack ids
+    are only meaningful within a shard), here shard boundaries cut ONE
+    global document sequence, so shard ``i`` is exactly the documents
+    whose first token falls in ``[i·budget, (i+1)·budget)`` of the
+    concatenated stream.
+
+    The global running total is a DISTRIBUTED PREFIX SUM — no
+    single-partition window anywhere:
+
+    1. each row draws a portable uniform ``u`` (its global sort key)
+       and lands in bucket ``⌊u·buckets⌋`` — bucket order IS u-order,
+       so bucket-major + u-minor equals the global order;
+    2. a per-bucket window (``buckets`` parallel sorts) computes the
+       local running total;
+    3. bucket token totals (≤ ``buckets`` rows) come to the driver
+       once, turn into prefix offsets, and broadcast-join back;
+    4. ``gstart = offset[bucket] + local_before``,
+       ``gshard = ⌊gstart / budget⌋``.
+
+    Every step is integer arithmetic over a deterministic order (ties
+    in ``u`` break by ``id_col``), so a DuckDB oracle replays the
+    assignment with one global window — which also certifies that the
+    two-phase sum equals the sequential one. A doc longer than
+    ``budget`` still gets the shard its first token falls in (split
+    oversized docs upstream, as with :func:`pack_sequences`).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, is {budget}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, is {buckets}")
+    u = rand.uniform(_SALT_GSHARD)
+    keyed = df.withColumn("__u__", u).withColumn(
+        "__b__", F.floor(F.col("__u__") * buckets).cast("long")
+    )
+    w = (
+        Window.partitionBy("__b__")
+        .orderBy(F.col("__u__").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col(n_tokens_col).cast("long")
+    local_before = F.sum(n).over(w) - n
+    keyed = keyed.withColumn("__lb__", local_before)
+
+    totals = {
+        r["__b__"]: r["t"]
+        for r in keyed.groupBy("__b__").agg(F.sum(n).alias("t")).collect()
+    }
+    acc = 0
+    offs = []
+    for b in sorted(totals):
+        offs.append((int(b), int(acc)))
+        acc += int(totals[b])
+    spark = df.sparkSession
+    odf = F.broadcast(
+        spark.createDataFrame(offs or [(0, 0)], "__b__ long, __off__ long")
+    )
+    out = keyed.join(odf, "__b__", "left")
+    gstart = F.coalesce(F.col("__off__"), F.lit(0)) + F.col("__lb__")
+    return (
+        out.withColumn(start_col, gstart.cast("long"))
+        .withColumn(
+            shard_col,
+            F.floor(F.col(start_col).cast("double") / F.lit(float(budget))).cast("int"),
+        )
+        .drop("__u__", "__b__", "__lb__", "__off__")
+    )
 
 
 def pack_manifest(

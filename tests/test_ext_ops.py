@@ -999,6 +999,62 @@ def test_pack_sequences_invariants(spark):
         assert g["pack"].max() <= (bounds[shard] - 1) // 100
 
 
+def test_global_token_shards_equals_sequential_model(spark):
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.packing import global_token_shards
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int").repartition(7)
+    rand = LcgRandom("doc_id", seed=31)
+    out = global_token_shards(
+        df, "doc_id", "n_tokens", budget=1000, rand=rand, buckets=16
+    ).toPandas()
+    assert len(out) == 500
+    # gstart is a bijection onto the concatenated stream, so sorting by
+    # gstart IS the global order; verify the prefix-sum invariants
+    # against the sequential model in that order
+    s = out.sort_values("gstart")
+    n = s["n_tokens"].to_numpy()
+    starts = n.cumsum() - n
+    assert (s["gstart"].to_numpy() == starts).all()  # contiguous, gap-free
+    assert (s["gshard"].to_numpy() == starts // 1000).all()
+    # shard totals: every shard except the last holds >= budget - max_doc
+    totals = s.groupby("gshard")["n_tokens"].sum()
+    assert totals.iloc[:-1].min() >= 1000 - 99
+    # determinism + partitioning invariance
+    out2 = global_token_shards(
+        df.repartition(2), "doc_id", "n_tokens", budget=1000, rand=rand, buckets=16
+    ).toPandas()
+    merged = out.merge(out2, on="doc_id", suffixes=("", "_2"))
+    assert (merged["gstart"] == merged["gstart_2"]).all()
+    assert (merged["gshard"] == merged["gshard_2"]).all()
+    # a different seed produces a different order
+    out3 = global_token_shards(
+        df, "doc_id", "n_tokens", budget=1000, rand=LcgRandom("doc_id", 32),
+        buckets=16,
+    ).toPandas()
+    m3 = out.merge(out3, on="doc_id", suffixes=("", "_3"))
+    assert (m3["gstart"] != m3["gstart_3"]).any()
+
+
+def test_global_token_shards_validation(spark):
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.packing import global_token_shards
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens int")
+    with pytest.raises(ValueError, match="budget"):
+        global_token_shards(df, "doc_id", "n_tokens", 0, LcgRandom("doc_id", 1))
+    with pytest.raises(ValueError, match="buckets"):
+        global_token_shards(
+            df, "doc_id", "n_tokens", 10, LcgRandom("doc_id", 1), buckets=0
+        )
+    # single row: shard 0, start 0
+    row = global_token_shards(
+        df, "doc_id", "n_tokens", 10, LcgRandom("doc_id", 1)
+    ).first()
+    assert row["gshard"] == 0 and row["gstart"] == 0
+
+
 def test_pack_sequences_custom_shard_portable(spark):
     from gecko_spark.operators.packing import pack_sequences
 
