@@ -31,6 +31,40 @@ def _run(stream_df, name, mode="append"):
     q.stop()
 
 
+def test_dsir_serving_on_stream_matches_batch(spark, tmp_path):
+    """The DSIR log-weight model is a stateless Arrow projection, so it
+    serves unchanged under Structured Streaming — score a document
+    stream and require bit-identical lw_micro to the batch path (the
+    continuous-ingestion selection shape: fit once, score forever)."""
+    from gecko_spark.operators.selection import (
+        dsir_log_weights,
+        fit_log_ratio_micro,
+        hashed_ngram_bucket_counts,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    lr = fit_log_ratio_micro(
+        hashed_ngram_bucket_counts(docs.filter("doc_id % 7 = 0"), n_buckets=512),
+        hashed_ngram_bucket_counts(docs, n_buckets=512),
+        512,
+    )
+    batch = {
+        r["doc_id"]: r["lw_micro"]
+        for r in dsir_log_weights(docs, lr).collect()
+    }
+    import shutil
+
+    land = tmp_path / "docs_land"
+    land.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", land / "part-0.parquet")
+    stream = spark.readStream.schema(docs.schema).parquet(str(land))
+    _run(dsir_log_weights(stream, lr), "dsir_stream")
+    out = spark.sql("SELECT doc_id, lw_micro FROM dsir_stream").toPandas()
+    assert len(out) == len(batch)
+    for _, r in out.iterrows():
+        assert batch[r["doc_id"]] == r["lw_micro"]
+
+
 def test_windowed_event_counts(spark):
     events = stream_events(spark, f"{SF}/events.parquet")
     agg = windowed_event_counts(events, "1 hour", watermark="2 hours")
