@@ -7100,7 +7100,7 @@ WITH toked AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT doc_id, n_tokens, CAST(gstart AS BIGINT) AS gstart,
-       CAST(FLOOR(CAST(gstart AS DOUBLE) / {float(budget)!r}) AS INTEGER) AS gshard
+       CAST(gstart // {budget} AS BIGINT) AS gshard
 FROM seq
 """
 
@@ -7139,9 +7139,11 @@ FROM seq
 # dsir_select — operators/selection.py) take the q7_nation_volume and
 # q10_returned_items slots: those two are plain-DataFrame TPC-H shapes
 # that exercise Spark's own relational engine, not package code (no
-# gecko_spark import in either), and they stay in the 149-entry local
+# gecko_spark import in either), and they stay in the 152-entry local
 # gate at all three SFs; new-operator hard signals outrank a re-grade
-# of untouched built-in SQL.
+# of untouched built-in SQL. (q_cube_flag_status, q_json_props and
+# q_percentile_price later yielded their slots to ann_hard_negatives,
+# sketch_kmv_overlap and pack_global_shards under the same rationale.)
 # queries() is BUILT
 # from this list + the catalogue, with overlap asserts, so the window
 # can never silently diverge from the catalogue (a duplicate key in

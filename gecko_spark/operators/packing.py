@@ -126,7 +126,10 @@ def global_token_shards(
         .orderBy(F.col("__u__").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n = F.col(n_tokens_col).cast("long")
+    # NULL token counts stream as 0-length docs (the tokens()-empty
+    # convention; a NULL here once minted a phantom NULL pack in
+    # pack_sequences — adversarial gate, round 11)
+    n = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
     local_before = F.sum(n).over(w) - n
     keyed = keyed.withColumn("__lb__", local_before)
 
@@ -145,11 +148,15 @@ def global_token_shards(
     )
     out = keyed.join(odf, "__b__", "left")
     gstart = F.coalesce(F.col("__off__"), F.lit(0)) + F.col("__lb__")
+    # long integer division, not a double floor + int cast: a 32-bit
+    # shard id overflows at 2^31 shards (~16 TB of text at budget 2048)
+    # and a double quotient loses exactness past 2^53 tokens — both
+    # inside the intended operating range
     return (
         out.withColumn(start_col, gstart.cast("long"))
         .withColumn(
             shard_col,
-            F.floor(F.col(start_col).cast("double") / F.lit(float(budget))).cast("int"),
+            F.expr(f"{start_col} div {int(budget)}").cast("long"),
         )
         .drop("__u__", "__b__", "__lb__", "__off__")
     )

@@ -175,9 +175,15 @@ def fit_log_ratio_micro(
     lt = np.log((ct + alpha) / (ct.sum() + alpha * n_buckets))
     lr = np.log((cr + alpha) / (cr.sum() + alpha * n_buckets))
     d = (lt - lr) * 1e6
-    # half-away-from-zero, matching SQL ROUND (np.round's half-even
-    # would diverge from the oracle exactly on .5-micro boundaries)
-    return (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(np.int64)
+    # half-away-from-zero matching SQL/std::round EXACTLY: compare the
+    # fractional part, never add 0.5 — floor(|x| + 0.5) rounds UP on
+    # doubles just below a half boundary (0.49999999999999994 + 0.5
+    # == 1.0 in IEEE), where DuckDB ROUND correctly returns 0. |x|−
+    # floor(|x|) is exact for |x| < 2^52, so the comparison is safe.
+    a = np.abs(d)
+    fl = np.floor(a)
+    out = fl + (a - fl >= 0.5)
+    return (np.sign(d) * out).astype(np.int64)
 
 
 def dsir_log_weights(

@@ -607,6 +607,19 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     return lists, centroids
 
 
+def _probe_lists_for(
+    vecs: np.ndarray, centroids: np.ndarray, nprobe: int
+) -> np.ndarray:
+    """Driver-side probe selection, ONE convention for every IVF
+    consumer (query top-k AND hard-negative mining): sequential-fold
+    dots — not a matmul, numpy's pairwise summation associates
+    differently from a SQL left fold and probe selection must be
+    reproducible by the oracle bit-for-bit — then a stable argsort.
+    The loop is rows × centroids, driver-side tiny by definition."""
+    sims = np.array([[_seq_dot(v, c) for c in centroids] for v in vecs])
+    return np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+
+
 def cosine_topk_ivf(
     corpus_with_lists: DataFrame,
     centroids: np.ndarray,
@@ -628,12 +641,7 @@ def cosine_topk_ivf(
     driver (queries are small by definition)."""
     qpdf = queries.select(query_id_col, query_vec_col).toPandas()
     qvecs = np.array(qpdf[query_vec_col].tolist(), dtype=np.float64)
-    # sequential-fold dots (not a matmul): numpy's pairwise summation
-    # associates differently from a SQL left fold, and probe selection
-    # must be reproducible by the oracle bit-for-bit. The loop is over
-    # queries × centroids — driver-side tiny by definition.
-    sims = np.array([[_seq_dot(q, c) for c in centroids] for q in qvecs])
-    probe_lists = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    probe_lists = _probe_lists_for(qvecs, centroids, nprobe)
 
     rows = []
     for qid, qvec, probes in zip(qpdf[query_id_col], qpdf[query_vec_col], probe_lists):
@@ -696,13 +704,20 @@ def hard_negative_pairs(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if anchors is None:
+    self_mining = anchors is None
+    if self_mining:
         anchors = corpus
         if anchor_rows is None:
             anchor_rows = corpus_rows
     if max_scored_rows is not None:
         cr = corpus_rows if corpus_rows is not None else corpus.count()
-        ar = anchor_rows if anchor_rows is not None else anchors.count()
+        # anchors IS the corpus in self-mining: one count job, not two
+        if anchor_rows is not None:
+            ar = anchor_rows
+        elif self_mining:
+            ar = cr
+        else:
+            ar = anchors.count()
         if cr * ar > max_scored_rows:
             raise ValueError(
                 f"hard_negative_pairs would score {cr * ar} pairs "
@@ -769,17 +784,27 @@ def hard_negative_pairs_ivf(
         raise ValueError(f"k must be >= 1, got {k}")
     apdf = anchors.select(id_col, vec_col, label_col).toPandas()
     avecs = np.array(apdf[vec_col].tolist(), dtype=np.float64)
-    # sequential-fold dots, as in cosine_topk_ivf: probe selection must
-    # be reproducible, and the loop is anchors × centroids (tiny)
-    sims = np.array([[_seq_dot(a, c) for c in centroids] for a in avecs])
-    probe_lists = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    probe_lists = _probe_lists_for(avecs, centroids, nprobe)
+
+    # NULL-tolerant label round-trip: toPandas coerces an int column
+    # with NULLs to float64 (NaN), which createDataFrame would reject
+    # against the integral schema — restore None / python ints so the
+    # IS-DISTINCT-FROM semantics match the exact miner's
+    lbl_is_integral = anchors.schema[label_col].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+
+    def _lbl(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        return int(v) if lbl_is_integral else v
 
     rows = []
     for aid, avec, albl, probes in zip(
         apdf[id_col], apdf[vec_col], apdf[label_col], probe_lists
     ):
         for p in probes:
-            rows.append((aid, [float(x) for x in avec], albl, int(p)))
+            rows.append((aid, [float(x) for x in avec], _lbl(albl), int(p)))
     spark = corpus_with_lists.sparkSession
     aid_type = anchors.schema[id_col].dataType.simpleString()
     albl_type = anchors.schema[label_col].dataType.simpleString()

@@ -141,6 +141,19 @@ def kmv_sketch(df: DataFrame, col: Union[str, Column], k: int = 1024) -> DataFra
     return partials.select("h").distinct().orderBy("h").limit(k)
 
 
+def _kmv_estimate_col(n_col: str, hk_col: str, k: int) -> Column:
+    """THE estimator, in one place (used by the distinct / merge /
+    overlap entries — a convention change like k-1 vs k must not be
+    able to diverge between them): exact count below k, else
+    ``(k-1)·M / h_k``."""
+    return (
+        F.when(F.col(n_col) < k, F.col(n_col).cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(float(_M)) / F.col(hk_col).cast("double")
+        )
+    )
+
+
 def kmv_distinct_estimate(df: DataFrame, col: Union[str, Column], k: int = 1024) -> DataFrame:
     """One-row DataFrame ``(n_seen, estimate)``: the KMV distinct-count
     estimate, or the exact distinct count when fewer than k distinct
@@ -151,9 +164,7 @@ def kmv_distinct_estimate(df: DataFrame, col: Union[str, Column], k: int = 1024)
         F.max("h").alias("h_k"),
     ).select(
         F.col("n_seen").cast("long").alias("n_seen"),
-        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
-        .otherwise(F.lit(float(k - 1)) * F.lit(float(_M)) / F.col("h_k").cast("double"))
-        .alias("estimate"),
+        _kmv_estimate_col("n_seen", "h_k", k).alias("estimate"),
     )
 
 
@@ -172,9 +183,7 @@ def kmv_merge_estimate(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> Data
         F.count("*").alias("n_seen"), F.max("h").alias("h_k")
     ).select(
         F.col("n_seen").cast("long").alias("n_seen"),
-        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
-        .otherwise(F.lit(float(k - 1)) * F.lit(float(_M)) / F.col("h_k").cast("double"))
-        .alias("estimate"),
+        _kmv_estimate_col("n_seen", "h_k", k).alias("estimate"),
     )
 
 
@@ -210,25 +219,20 @@ def kmv_overlap_estimate(
     c = in_both.agg(F.count("*").alias("n_common"))
 
     def side_est(s: DataFrame, n: str, hk: str):
+        # input sketches are ≤ k rows by construction, but re-truncate
+        # defensively so an oversized caller sketch can't skew the side
+        # estimate relative to the merged threshold
         return s.orderBy("h").limit(k).agg(
             F.count("*").alias(n), F.max("h").alias(hk)
         )
 
-    def kmv_est(n: str, hk: str) -> Column:
-        return (
-            F.when(F.col(n) < k, F.col(n).cast("double"))
-            .otherwise(
-                F.lit(float(k - 1)) * F.lit(float(_M)) / F.col(hk).cast("double")
-            )
-        )
-
-    union_est = kmv_est("n_seen", "h_k")
+    union_est = _kmv_estimate_col("n_seen", "h_k", k)
     jaccard = F.when(F.col("n_seen") > 0,
                      F.col("n_common").cast("double") / F.col("n_seen").cast("double")
                      ).otherwise(F.lit(0.0))
     intersect_est = jaccard * union_est
-    est_a = kmv_est("n_a", "h_ka")
-    est_b = kmv_est("n_b", "h_kb")
+    est_a = _kmv_estimate_col("n_a", "h_ka", k)
+    est_b = _kmv_estimate_col("n_b", "h_kb", k)
     contain = lambda est: F.when(est > 0, intersect_est / est).otherwise(F.lit(0.0))
     return (
         m.crossJoin(c)

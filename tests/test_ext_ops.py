@@ -242,6 +242,26 @@ def test_hard_negative_pairs_ivf_recall(spark, embeddings):
     with_lists.unpersist()
 
 
+def test_hard_negative_pairs_ivf_nullable_int_labels(spark):
+    # int label column WITH NULLs: toPandas coerces to float64/NaN —
+    # the round-trip must restore None/int, matching the exact miner
+    rows = [(i, [float(i % 7), 1.0], None if i % 5 == 0 else i % 3)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with_lists, cents = S.ivf_assign(df, n_centroids=2, seed=3)
+    anchors = df.filter("vec_id < 6")
+    full = S.hard_negative_pairs_ivf(
+        with_lists, cents, anchors, k=4, nprobe=2
+    ).toPandas()
+    exact = S.hard_negative_pairs(
+        df, anchors, k=4, corpus_rows=40, anchor_rows=6
+    ).toPandas()
+    key = lambda d: set(zip(d.anchor_id, d.vec_id, d["rank"]))
+    assert key(full) == key(exact)  # full probe == exact, NULLs included
+
+
 def test_hard_negative_pairs_null_label_and_guard(spark):
     rows = [
         (0, [1.0, 0.0], "a"),

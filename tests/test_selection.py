@@ -88,7 +88,9 @@ def test_fit_log_ratio_matches_formula(spark, docs_df):
         np.log((ct + 1.0) / (ct.sum() + B))
         - np.log((cr + 1.0) / (cr.sum() + B))
     ) * 1e6
-    want = (np.sign(want) * np.floor(np.abs(want) + 0.5)).astype(np.int64)
+    aw = np.abs(want)
+    flw = np.floor(aw)
+    want = (np.sign(want) * (flw + (aw - flw >= 0.5))).astype(np.int64)
     assert lr.dtype == np.int64
     np.testing.assert_array_equal(lr, want)
 

@@ -40,7 +40,10 @@ def main():
         # centers. Twin construction: consecutive ids (2m, 2m+1) share
         # a label AND a cluster, so every even anchor's near-twin is in
         # the probed list and MUST be excluded by the label filter.
-        # Labels (16 of them, by id) are independent of clusters.
+        # Labels must be DECORRELATED from clusters (m % 16 would make
+        # label a function of cid = m % 64 and exclude whole home
+        # clusters): (m // 64) % 16 varies within every cluster while
+        # twins still share it.
         centers = make_vectors(spark, 64, seed=99).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
         )
@@ -55,7 +58,8 @@ def main():
         vecs = blended.select(
             "vec_id",
             F.transform("raw", lambda x: x / norm).alias("embedding"),
-            (F.floor(F.col("vec_id") / 2) % 16).cast("int").alias("label"),
+            (F.floor(F.floor(F.col("vec_id") / 2) / 64) % 16)
+            .cast("int").alias("label"),
         ).persist()
         n_rows = vecs.count()
         anchors = vecs.filter(
