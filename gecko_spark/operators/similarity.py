@@ -35,6 +35,8 @@ __all__ = [
     "quantize_int8",
     "dequantize_int8",
     "pq_train",
+    "opq_train",
+    "rotate_vectors",
     "pq_encode",
     "pq_topk_adc",
     "pq_topk_rerank",
@@ -889,6 +891,16 @@ def pq_train(
     if len(sample) < k_codes:
         raise ValueError("not enough rows to train codebooks")
     rng = np.random.default_rng(seed)
+    return _pq_fit_sample(sample, m, k_codes, iters, rng)
+
+
+def _pq_fit_sample(
+    sample: np.ndarray, m: int, k_codes: int, iters: int, rng
+) -> np.ndarray:
+    """Per-subspace L2 k-means on an in-memory sample — the shared
+    training core of :func:`pq_train` and :func:`opq_train` (extracted
+    verbatim so pq_train's codebooks stay bit-identical)."""
+    dsub = sample.shape[1] // m
     books = np.empty((m, k_codes, dsub), dtype=np.float64)
     for j in range(m):
         sub = sample[:, j * dsub : (j + 1) * dsub]
@@ -907,6 +919,125 @@ def pq_train(
                     cents[c] = members.mean(axis=0)
         books[j] = cents
     return books
+
+
+def _pq_reconstruct_sample(
+    sample: np.ndarray, books: np.ndarray
+) -> np.ndarray:
+    """Decode each sample row to its nearest-code reconstruction —
+    driver-side, used only inside OPQ training."""
+    m, k_codes, dsub = books.shape
+    out = np.empty_like(sample)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cents = books[j]
+        d2 = (
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * (sub @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        out[:, j * dsub : (j + 1) * dsub] = cents[d2.argmin(axis=1)]
+    return out
+
+
+def opq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 0,
+    opq_iters: int = 10,
+    pq_iters: int = 10,
+    sample_per_code: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (Ge et al. 2013, OPQ-NP): learn
+    an ORTHOGONAL rotation ``R`` that redistributes variance across the
+    m subspaces before PQ carves them up, then codebooks in the rotated
+    space. Returns ``(R, codebooks)`` with ``R`` of shape (dim, dim).
+
+    Plain PQ quantizes axis-aligned blocks of the raw dimension order;
+    when energy is concentrated in a few dimensions (every real
+    embedding model), some subspaces carry all the signal and others
+    noise — rotation equalizes them, cutting quantization error at the
+    SAME code budget. The alternating optimization is the paper's
+    non-parametric recipe: fix R → train PQ on ``X·R``; fix codebooks →
+    decode to X̂ and solve the Procrustes problem
+    ``min_R ‖X·R − X̂‖`` via SVD of ``Xᵀ·X̂`` (R = U·Vᵀ).
+
+    Training runs on the SAME deterministic driver sample device as
+    :func:`pq_train` (content-hash TakeOrdered), so retraining on
+    re-ingested data is byte-identical. Serving: rotate vectors with
+    :func:`rotate_vectors` (one Arrow matmul per batch, no shuffle),
+    then every existing PQ/ADC path works unchanged in rotated space —
+    and because R is orthogonal, cosine is invariant, so exact rerank
+    against ORIGINAL vectors stays valid.
+    """
+    dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if not 2 <= k_codes <= 256:
+        raise ValueError(f"k_codes must be in [2, 256], got {k_codes}")
+    want = k_codes * sample_per_code
+    sample = np.array(
+        corpus.select(
+            F.col(vec_col).alias("__v"),
+            F.xxhash64(F.col(vec_col), F.lit(int(seed))).alias("__h"),
+        )
+        .orderBy("__h", "__v")
+        .limit(want)
+        .toPandas()["__v"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    if len(sample) < k_codes:
+        raise ValueError("not enough rows to train codebooks")
+    R = np.eye(dim)
+    books = None
+    for it in range(opq_iters):
+        rot = sample @ R
+        rng = np.random.default_rng(seed)  # same init each round: the
+        # alternation converges on (R, books) jointly, and a fixed rng
+        # makes the whole trajectory a pure function of (data, seed)
+        books = _pq_fit_sample(rot, m, k_codes, pq_iters, rng)
+        recon = _pq_reconstruct_sample(rot, books)
+        u, _, vt = np.linalg.svd(sample.T @ recon)
+        R = u @ vt
+    # final codebooks for the final R (the loop's books belong to the
+    # PREVIOUS rotation)
+    rng = np.random.default_rng(seed)
+    books = _pq_fit_sample(sample @ R, m, k_codes, pq_iters, rng)
+    return R, books
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Apply an orthogonal rotation to a vector column: ONE Arrow
+    matmul per batch (the rotation rides in the closure — dim² doubles,
+    32 KB at 64-dim), no shuffle, embarrassingly parallel. The OPQ
+    serving prelude: rotate, then encode/search with the existing PQ
+    kernels."""
+    R = np.ascontiguousarray(np.asarray(rotation, dtype=np.float64))
+    if R.ndim != 2 or R.shape[0] != R.shape[1]:
+        raise ValueError(f"rotation must be square, got {R.shape}")
+    out = out_col or vec_col
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _rot(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(vs.tolist(), dtype=np.float64)
+        if x.shape[1] != R.shape[0]:
+            raise ValueError(
+                f"vector dim {x.shape[1]} != rotation dim {R.shape[0]}"
+            )
+        y = x @ R
+        return pd.Series(list(y))
+
+    return df.withColumn(out, _rot(F.col(vec_col)))
 
 
 def pq_encode(

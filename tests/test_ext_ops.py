@@ -188,6 +188,65 @@ def test_bruteforce_topk_self_is_rank_one(spark, embeddings):
     assert (topk.groupby("query_id").size() == 5).all()
 
 
+def test_opq_beats_pq_on_anisotropic_data(spark):
+    from gecko_spark.operators.similarity import (
+        _pq_reconstruct_sample,
+        opq_train,
+        pq_train,
+        rotate_vectors,
+    )
+
+    # anisotropic corpus: all the energy sits in dims 0..3, the rest is
+    # small noise — axis-aligned PQ gives 4 subspaces nothing to encode
+    rng = np.random.default_rng(5)
+    n, dim = 2048, 16
+    x = rng.normal(size=(n, dim)) * 0.05
+    x[:, :4] += rng.normal(size=(n, 4)) * 2.0
+    # mix so the heavy directions STRADDLE subspace boundaries
+    q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    x = x @ q
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    books_pq = pq_train(df, m=8, k_codes=16, seed=0)
+    R, books_opq = opq_train(df, m=8, k_codes=16, seed=0, opq_iters=5)
+    # R is orthogonal
+    np.testing.assert_allclose(R @ R.T, np.eye(dim), atol=1e-9)
+    # quantization error: OPQ in rotated space must beat PQ materially
+    err_pq = ((x - _pq_reconstruct_sample(x, books_pq)) ** 2).mean()
+    xr = x @ R
+    err_opq = ((xr - _pq_reconstruct_sample(xr, books_opq)) ** 2).mean()
+    assert err_opq < 0.8 * err_pq, (err_opq, err_pq)
+    # the serving kernel rotates exactly like numpy
+    got = (
+        rotate_vectors(df.limit(50), R)
+        .orderBy("vec_id")
+        .toPandas()["embedding"]
+        .tolist()
+    )
+    np.testing.assert_allclose(np.array(got), x[:50] @ R, atol=1e-12)
+    # determinism: retraining reproduces (R, books) bit-identically
+    R2, books2 = opq_train(df, m=8, k_codes=16, seed=0, opq_iters=5)
+    np.testing.assert_array_equal(R, R2)
+    np.testing.assert_array_equal(books_opq, books2)
+
+
+def test_opq_validation_and_identity_regime(spark):
+    from gecko_spark.operators.similarity import opq_train, rotate_vectors
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        opq_train(df, m=3)
+    with pytest.raises(ValueError, match="rotation must be square"):
+        rotate_vectors(df, np.zeros((4, 3)))
+    with pytest.raises(Exception, match="dim"):
+        rotate_vectors(df, np.eye(5)).collect()
+
+
 def test_hard_negative_pairs_excludes_same_label(spark, embeddings):
     anchors = embeddings.filter(F.col("vec_id") < 4)
     out = S.hard_negative_pairs(embeddings, anchors, k=5).toPandas()
