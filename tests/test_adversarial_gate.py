@@ -34,6 +34,11 @@ FAST_ENTRIES = [
     "q_events_sessions",
     "q_json_props",
     "layout_zorder_key",
+    # round-11 extension: DSIR tokenize/hash/quantize chain over
+    # NULL/NUL/multibyte docs; label-excluded cosine over zero/extreme
+    # vectors (the full 5-entry extension set passes the tool gate)
+    "dsir_log_weights",
+    "ann_hard_negatives",
 ]
 
 
