@@ -625,6 +625,27 @@ def bench_queries(spark, sf_dir):
     # full DSIR chain: two fit scans + integer serve + Gumbel top-k
     timed("dsir_select_e2e", _dsir)
 
+    def _opq():
+        from gecko_spark.operators.similarity import (
+            opq_train,
+            pq_encode,
+            pq_topk_adc,
+            rotate_vectors,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        R, books = opq_train(emb, m=8, k_codes=16, seed=0, opq_iters=3)
+        rotated = rotate_vectors(emb, R)
+        codes = pq_encode(rotated, books)
+        qs = rotated.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        _run(pq_topk_adc(codes, books, qs, k=10))
+
+    # OPQ end-to-end: rotation train + rotate + encode + 100-query ADC
+    timed("opq_train_encode_adc", _opq)
+
     return out, errors
 
 
