@@ -7105,6 +7105,104 @@ FROM seq
 """
 
 
+def _pack_texts(spark, sf):
+    """Materialized training sequences (packing.py::pack_texts): the
+    (shard, pack) assignment turned into the actual concatenated text
+    a trainer reads — members stitched in id order via
+    array_sort(collect_list(struct)) with NULL text as '', one shuffle.
+    Compared by md5 + length so the contract stays scalar."""
+    from gecko_spark.operators.packing import pack_sequences, pack_texts
+    from gecko_spark.operators.text import word_token_count
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", word_token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "n_tokens", budget=512, n_shards=8,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(8)).cast("int"),
+    )
+    seqs = pack_texts(packed, "doc_id", "text", sep="\n")
+    return seqs.select(
+        "shard", "pack",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.length("text").cast("long").alias("text_len"),
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+    )
+
+
+_PACK_TEXTS_SQL = """
+WITH toked AS (
+  SELECT doc_id, text,
+         CAST(len(COALESCE(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
+                                       t -> len(t) > 0), [])) AS INTEGER) AS n_tokens,
+         CAST(doc_id % 8 AS INTEGER) AS shard
+  FROM documents
+), packed AS (
+  SELECT shard,
+         CAST((SUM(CAST(n_tokens AS BIGINT)) OVER w - n_tokens) // 512 AS INTEGER)
+           AS pack,
+         doc_id, text
+  FROM toked
+  WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), seqs AS (
+  SELECT shard, pack, COUNT(*) AS n_docs,
+         string_agg(COALESCE(text, ''), chr(10) ORDER BY doc_id) AS text
+  FROM packed GROUP BY shard, pack
+)
+SELECT shard, pack, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(length(text) AS BIGINT) AS text_len,
+       md5(text) AS text_md5
+FROM seqs
+"""
+
+
+def _sample_mix_tokens(spark, sf):
+    """TOKEN-weighted corpus mixing (sampling.py::mix_corpus_tokens):
+    a 2:1:1 en/de/es TOKEN mixture — what pretraining mixes actually
+    specify; row-weighted mix_corpus would skew it whenever domains
+    have different document lengths. Integer-exact token caps, greedy
+    seeded-hash-order prefix per stratum, membership replayed exactly."""
+    from gecko_spark.operators.sampling import mix_corpus_tokens
+    from gecko_spark.operators.text import word_token_count
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang",
+        word_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return mix_corpus_tokens(
+        docs, "lang", "n_tokens", {"en": 2, "de": 1, "es": 1},
+        rand=LcgRandom("doc_id", 271), tiebreak="doc_id",
+    )
+
+
+def _sample_mix_tokens_sql() -> str:
+    u = lcg_uniform_sql("doc_id", 271, 11, stream=0)
+    return f"""
+WITH toked AS (
+  SELECT doc_id, lang,
+         CAST(len(COALESCE(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                                       t -> len(t) > 0), [])) AS BIGINT) AS n_tokens
+  FROM documents WHERE lang IN ('en', 'de', 'es')
+), sums AS (
+  SELECT lang AS g, SUM(n_tokens) AS s FROM toked GROUP BY lang
+),
+wts(g, w) AS (VALUES ('en', 2), ('de', 1), ('es', 1)),
+t AS (SELECT MIN(s * 4 // w) AS t FROM sums JOIN wts USING (g)),
+caps AS (SELECT g, (SELECT t FROM t) * w // 4 AS cap FROM wts),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY {u}, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS cb
+  FROM toked
+)
+SELECT doc_id, lang, n_tokens
+FROM cum JOIN caps ON cum.lang = caps.g
+WHERE cb < cap
+"""
+
+
 # The driver-graded window: the driver evaluates the FIRST 50 dict
 # entries of queries(). Rotation history: r02 graded the §2 operator
 # surface, r04 the relational/LLM-ops surface, r05 the round-5
@@ -7185,14 +7283,15 @@ WINDOW_50 = [
     "q1_pricing_summary",
     "q6_revenue_filter",
     "q_asof_join",
-    "q_distinct_counts",
     "q_linkage_jw",
     "q_linkage_soundex",
     "q_skew_join",
     "sample_reservoir_n",
     "sample_split",
-    "sketch_cm_counts",
-    "sketch_cm_estimate",
+    "sketch_cm_estimate",     # cm_counts yielded its slot: estimate
+                              # drives the identical sketch kernel +
+                              # the query path on top; counts stays in
+                              # the 154-entry local + adversarial gates
     "sketch_heavy_hitters",
     "sketch_kmv_by_group",
     "sketch_topk_counts",
@@ -7214,6 +7313,10 @@ WINDOW_50 = [
     "pack_global_shards",         # distributed prefix-sum sharding
                                   # (takes the q_percentile_price slot
                                   # — plain-Spark window arithmetic)
+    "pack_texts",                 # materialized training sequences
+                                  # (takes the q_distinct_counts slot)
+    "sample_mix_tokens",          # token-weighted domain mixing
+                                  # (takes the sketch_cm_counts slot)
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
@@ -7384,6 +7487,8 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("ann_hard_negatives", _ann_hard_negatives),
     ("sketch_kmv_overlap", _sketch_kmv_overlap),
     ("pack_global_shards", _pack_global_shards),
+    ("pack_texts", _pack_texts),
+    ("sample_mix_tokens", _sample_mix_tokens),
 ]
 
 
@@ -7536,6 +7641,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_hard_negatives": _ANN_HARD_NEGATIVES_SQL,
         "sketch_kmv_overlap": _sketch_kmv_overlap_sql(),
         "pack_global_shards": _pack_global_shards_sql(),
+        "pack_texts": _PACK_TEXTS_SQL,
+        "sample_mix_tokens": _sample_mix_tokens_sql(),
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,

@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "pack_manifest", "global_token_shards"]
+__all__ = [
+    "pack_sequences",
+    "pack_manifest",
+    "pack_texts",
+    "global_token_shards",
+]
 
 _SALT_GSHARD = 19
 
@@ -159,6 +164,52 @@ def global_token_shards(
             F.expr(f"{start_col} div {int(budget)}").cast("long"),
         )
         .drop("__u__", "__b__", "__lb__", "__off__")
+    )
+
+
+def pack_texts(
+    packed: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    shard_col: str = "shard",
+    pack_col: str = "pack",
+) -> DataFrame:
+    """MATERIALIZE packed training sequences: one row per
+    ``(shard, pack)`` with the member documents concatenated in id
+    order — the step that turns :func:`pack_sequences` /
+    :func:`global_token_shards` assignments into the text a trainer
+    actually reads. Returns ``(shard, pack, n_docs, text)``.
+
+    Pure DataFrame algebra, one shuffle (the groupBy):
+    ``array_sort(collect_list(struct(id, text)))`` orders each pack's
+    members deterministically (struct comparison is field-by-field, id
+    first), then a transform+array_join stitches them — no Python, no
+    window. Safe by construction: a pack holds ~budget tokens, so the
+    collected list is budget-bounded regardless of corpus size. NULL
+    text concatenates as the empty string (the tokenize-empty
+    convention)."""
+    sid = F.col(shard_col)
+    pid = F.col(pack_col)
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("__id__"),
+                F.coalesce(F.col(text_col), F.lit("")).alias("__t__"),
+            )
+        )
+    )
+    return (
+        packed.groupBy(sid, pid)
+        .agg(members.alias("__m__"))
+        .select(
+            shard_col,
+            pack_col,
+            F.size("__m__").alias("n_docs"),
+            F.array_join(
+                F.transform("__m__", lambda s: s["__t__"]), sep
+            ).alias("text"),
+        )
     )
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "hash_sample_n",
     "weighted_sample_n",
     "mix_corpus",
+    "mix_corpus_tokens",
     "split_dataset",
     "shuffle_ranked",
 ]
@@ -168,6 +169,91 @@ def mix_corpus(
         kept.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= cap)
         .drop("__rn__")
+    )
+
+
+def mix_corpus_tokens(
+    df: DataFrame,
+    stratum_col: str,
+    n_tokens_col: str,
+    weights: Mapping[str, int],
+    rand: RandomSource,
+    tiebreak: Union[str, Column, None] = None,
+    method: str = "exact",
+) -> DataFrame:
+    """TOKEN-weighted corpus mixing — what pretraining mixtures
+    actually specify ("50% of the TOKENS from web, 30% from books"):
+    :func:`mix_corpus` balances row counts, which skews the realized
+    token mixture whenever domains have different document lengths
+    (web docs are short, books are long). Same integer-exact cap
+    algebra, over token sums instead of row counts: target total
+    ``T = min_g floor(S_g·W/w_g)`` and per-stratum token cap
+    ``C_g = floor(T·w_g/W)`` from the exact per-stratum token totals.
+
+    ``method="exact"`` keeps each stratum's greedy prefix in seeded
+    hash order — rows whose cumulative token offset (exclusive) is
+    below the cap; the realized stratum total lands within one
+    document of ``C_g``, and membership is a pure function of
+    (row key, seed, corpus), replayed exactly by the DuckDB oracle
+    (one window per stratum — bounded-strata shape, as in
+    mix_corpus). ``method="bernoulli"`` keeps each row with
+    probability ``C_g / S_g`` — zero shuffles beyond the one token
+    aggregation, the 100 TB path; the token mixture is exact in
+    expectation with ±√n-documents wobble. NULL token counts weigh 0
+    (such rows are token-free and survive while their stratum prefix
+    is under cap)."""
+    if method not in ("exact", "bernoulli"):
+        raise ValueError(f"method must be 'exact' or 'bernoulli', got {method!r}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, wt in weights.items():
+        if int(wt) != wt or wt <= 0:
+            raise ValueError(f"weight for stratum {s!r} must be a positive int: {wt}")
+    total_w = sum(int(w) for w in weights.values())
+    n = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    sums = {
+        r["__g__"]: int(r["__s__"])
+        for r in df.groupBy(F.col(stratum_col).alias("__g__"))
+        .agg(F.sum(n).alias("__s__"))
+        .collect()
+    }
+    missing = sorted(
+        set(weights) - {g for g, s in sums.items() if s > 0}
+    )
+    if missing:
+        raise ValueError(
+            f"strata {missing} in weights but token-empty in the corpus — "
+            f"a token mixture containing them is unsatisfiable"
+        )
+    t_total = min(sums[g] * total_w // int(w) for g, w in weights.items())
+    caps = {g: t_total * int(w) // total_w for g, w in weights.items()}
+    stratum = F.col(stratum_col)
+    kept = df.filter(stratum.isin(*weights.keys()))
+    if method == "bernoulli":
+        frac = F.lit(0.0)
+        for g in sorted(weights):
+            frac = F.when(
+                stratum == F.lit(g), F.lit(caps[g] / max(sums[g], 1))
+            ).otherwise(frac)
+        return kept.filter(rand.uniform(_SALT_SAMPLE) < frac)
+    order = [rand.uniform(_SALT_SAMPLE).asc()]
+    if tiebreak is not None:
+        order.append(
+            (F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).asc()
+        )
+    cap = F.lit(0)
+    for g in sorted(weights):
+        cap = F.when(stratum == F.lit(g), F.lit(caps[g])).otherwise(cap)
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(n).over(w) - n
+    return (
+        kept.withColumn("__cb__", cum_before)
+        .filter(F.col("__cb__") < cap)
+        .drop("__cb__")
     )
 
 

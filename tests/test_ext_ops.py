@@ -1134,6 +1134,87 @@ def test_global_token_shards_validation(spark):
     assert row["gshard"] == 0 and row["gstart"] == 0
 
 
+def test_pack_texts_materializes_in_id_order(spark):
+    from gecko_spark.operators.packing import pack_sequences, pack_texts
+
+    rows = [(i, f"doc{i}" if i % 7 else None, 5) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tokens int")
+    packed = pack_sequences(
+        df, "doc_id", "n_tokens", budget=20, n_shards=3,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(3)).cast("int"),
+    )
+    out = pack_texts(packed.repartition(5), "doc_id", "text", sep="|").toPandas()
+    model = packed.select("shard", "pack", "doc_id", "text").toPandas()
+    for (s, p), g in model.groupby(["shard", "pack"]):
+        g = g.sort_values("doc_id")
+        want = "|".join("" if t is None else t for t in g["text"])
+        row = out[(out["shard"] == s) & (out["pack"] == p)]
+        assert len(row) == 1
+        assert row["text"].iloc[0] == want, (s, p)
+        assert row["n_docs"].iloc[0] == len(g)
+    # every (shard, pack) materialized exactly once
+    assert len(out) == model.groupby(["shard", "pack"]).ngroups
+
+
+def test_mix_corpus_tokens_balances_tokens_not_rows(spark):
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.sampling import mix_corpus_tokens
+
+    # stratum 'web': 600 short docs (10 tokens); 'books': 60 long docs
+    # (100 tokens) — equal TOKEN totals (6000 each), wildly unequal rows
+    rows = [(i, "web", 10) for i in range(600)]
+    rows += [(1000 + i, "books", 100) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    rand = LcgRandom("doc_id", seed=13)
+    out = mix_corpus_tokens(
+        df, "source", "n_tokens", {"web": 1, "books": 1}, rand,
+        tiebreak="doc_id",
+    ).toPandas()
+    tok = out.groupby("source")["n_tokens"].sum()
+    # equal-weight TOKEN mixture: each stratum lands within one doc of
+    # its 6000-token cap
+    assert 6000 - 100 < tok["books"] <= 6000, tok["books"]
+    assert 6000 - 10 < tok["web"] <= 6000, tok["web"]
+    # determinism + partitioning invariance
+    out2 = mix_corpus_tokens(
+        df.repartition(7), "source", "n_tokens", {"web": 1, "books": 1},
+        rand, tiebreak="doc_id",
+    ).toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # bernoulli path: expected token mixture, no window
+    b = mix_corpus_tokens(
+        df, "source", "n_tokens", {"web": 1, "books": 1}, rand,
+        method="bernoulli",
+    ).toPandas()
+    bt = b.groupby("source")["n_tokens"].sum()
+    assert abs(bt["web"] - 6000) < 1500 and abs(bt["books"] - 6000) < 1500
+    # weight skew actually skews: 3:1 gives books ~a third of web tokens
+    skew = mix_corpus_tokens(
+        df, "source", "n_tokens", {"web": 3, "books": 1}, rand,
+        tiebreak="doc_id",
+    ).toPandas()
+    st = skew.groupby("source")["n_tokens"].sum()
+    assert st["web"] > 2.5 * st["books"], st.to_dict()
+
+
+def test_mix_corpus_tokens_validation(spark):
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.sampling import mix_corpus_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a", 5)], "doc_id long, source string, n_tokens int"
+    )
+    rand = LcgRandom("doc_id", 1)
+    with pytest.raises(ValueError, match="method"):
+        mix_corpus_tokens(df, "source", "n_tokens", {"a": 1}, rand, method="x")
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_corpus_tokens(df, "source", "n_tokens", {}, rand)
+    with pytest.raises(ValueError, match="positive int"):
+        mix_corpus_tokens(df, "source", "n_tokens", {"a": 0}, rand)
+    with pytest.raises(ValueError, match="token-empty"):
+        mix_corpus_tokens(df, "source", "n_tokens", {"a": 1, "zz": 1}, rand)
+
+
 def test_pack_sequences_custom_shard_portable(spark):
     from gecko_spark.operators.packing import pack_sequences
 
