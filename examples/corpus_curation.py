@@ -44,6 +44,11 @@ way a 100 TB pretraining-data job would chain them:
                          keep a weighted fraction ∝ exp(log_weight):
                          the data-SELECTION stage after cleaning, as in
                          Xie et al. 2023)
+ 12. shard + materialize (packing.global_token_shards — seeded global
+                         shuffle order cut into token-budget shards via
+                         the distributed prefix sum — then
+                         packing.pack_texts: the concatenated sequences
+                         a trainer actually reads)
 
 Every stage is a lazy DataFrame transform; nothing collects to the
 driver. Run: python examples/corpus_curation.py [sf_dir] [out_dir]
@@ -255,6 +260,40 @@ def main() -> None:
             f"  DSIR-selected: {n_sel}/{n_train} train docs "
             f"({100 * n_sel / n_train:.1f}% kept, weighted toward the "
             "reference style)"
+        )
+
+        # last mile: one seeded global shuffle order, cut into
+        # ~2048-token shards (distributed prefix sum — no
+        # single-partition stage), then materialize the concatenated
+        # training sequences
+        from gecko_spark.operators.packing import (
+            global_token_shards,
+            pack_texts,
+        )
+        from gecko_spark.operators.text import word_token_count
+
+        sharded = global_token_shards(
+            selected.withColumn(
+                "n_tokens", word_token_count(F.col("text"))
+            ),
+            "doc_id", "n_tokens", budget=2048,
+            rand=LcgRandom("doc_id", 37), buckets=16,
+        )
+        seqs = pack_texts(
+            sharded.withColumnRenamed("gshard", "shard")
+            .withColumn("pack", F.lit(0)),
+            "doc_id", "text",
+        )
+        fills = seqs.select(
+            "shard", F.length("text").alias("chars"), "n_docs"
+        ).orderBy("shard").collect()
+        assert len(fills) > 0
+        total_docs = sum(r["n_docs"] for r in fills)
+        assert total_docs == n_sel, (total_docs, n_sel)
+        print(
+            f"  materialized {len(fills)} training shards "
+            f"(~2048 tokens each; first shard {fills[0]['n_docs']} docs, "
+            f"{fills[0]['chars']} chars)"
         )
     finally:
         spark.stop()
