@@ -7194,12 +7194,12 @@ cum AS (
   SELECT doc_id, lang, n_tokens,
          SUM(n_tokens) OVER (PARTITION BY lang ORDER BY {u}, doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - n_tokens AS cb
+           AS ci
   FROM toked
 )
 SELECT doc_id, lang, n_tokens
 FROM cum JOIN caps ON cum.lang = caps.g
-WHERE cb < cap
+WHERE ci <= cap
 """
 
 

@@ -191,9 +191,14 @@ def mix_corpus_tokens(
     ``C_g = floor(T·w_g/W)`` from the exact per-stratum token totals.
 
     ``method="exact"`` keeps each stratum's greedy prefix in seeded
-    hash order — rows whose cumulative token offset (exclusive) is
-    below the cap; the realized stratum total lands within one
-    document of ``C_g``, and membership is a pure function of
+    hash order — rows whose INCLUSIVE cumulative token count stays
+    ≤ the cap, so a stratum NEVER exceeds its token budget (the
+    boundary document is dropped, not kept — found by the hypothesis
+    model: exclusive-offset semantics overshot the cap by up to one
+    document) and the realized total lands within one document below
+    ``C_g`` (prefix semantics: the first too-big document ends the
+    stratum even if a later smaller one would fit — deterministic,
+    not a knapsack). Membership is a pure function of
     (row key, seed, corpus), replayed exactly by the DuckDB oracle
     (one window per stratum — bounded-strata shape, as in
     mix_corpus). ``method="bernoulli"`` keeps each row with
@@ -249,11 +254,11 @@ def mix_corpus_tokens(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum_before = F.sum(n).over(w) - n
+    cum_incl = F.sum(n).over(w)
     return (
-        kept.withColumn("__cb__", cum_before)
-        .filter(F.col("__cb__") < cap)
-        .drop("__cb__")
+        kept.withColumn("__ci__", cum_incl)
+        .filter(F.col("__ci__") <= cap)
+        .drop("__ci__")
     )
 
 

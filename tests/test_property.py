@@ -452,3 +452,86 @@ def test_substring_dedup_matches_bruteforce_model(spark, texts, window, data):
     assert clean == _model_excise(docs, window), (
         f"excision window={window} docs={docs!r}"
     )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    sizes=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    budget=st.sampled_from([7, 20, 64]),
+    buckets=st.sampled_from([1, 4, 16]),
+    seed=st.integers(0, 5000),
+    parts=st.integers(1, 5),
+)
+def test_global_token_shards_prefix_sum_model(
+    spark, sizes, budget, buckets, seed, parts
+):
+    """global_token_shards == the sequential model on ANY input: sorting
+    by gstart reconstructs one gap-free concatenated stream whose shard
+    ids are exact integer division — the two-phase distributed sum must
+    be indistinguishable from a single sequential pass."""
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.packing import global_token_shards
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_tokens int"
+    ).repartition(parts)
+    out = (
+        global_token_shards(
+            df, "doc_id", "n_tokens", budget,
+            rand=LcgRandom("doc_id", seed), buckets=buckets,
+        )
+        .toPandas()
+        .sort_values("gstart", kind="stable")
+    )
+    assert len(out) == len(sizes)
+    n = out["n_tokens"].to_numpy()
+    starts = n.cumsum() - n
+    assert (out["gstart"].to_numpy() == starts).all()
+    assert (out["gshard"].to_numpy() == starts // budget).all()
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(1, 30),
+        ),
+        min_size=3,
+        max_size=50,
+    ),
+    wa=st.integers(1, 4),
+    wb=st.integers(1, 4),
+    seed=st.integers(0, 5000),
+)
+def test_mix_corpus_tokens_caps_model(spark, docs, wa, wb, seed):
+    """mix_corpus_tokens invariants on any corpus: per-stratum kept
+    tokens never exceed the integer cap, land within one document of
+    it, and membership is the greedy prefix of the seeded order."""
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.sampling import mix_corpus_tokens
+
+    rows = [(i, g, t) for i, (g, t) in enumerate(docs)]
+    sums = {}
+    for _, g, t in rows:
+        sums[g] = sums.get(g, 0) + t
+    weights = {"a": wa, "b": wb}
+    if not all(sums.get(g, 0) > 0 for g in weights):
+        return  # unsatisfiable mixtures raise by design; not this test
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = mix_corpus_tokens(
+        df, "source", "n_tokens", weights,
+        rand=LcgRandom("doc_id", seed), tiebreak="doc_id",
+    ).toPandas()
+    total_w = wa + wb
+    t_total = min(sums[g] * total_w // w for g, w in weights.items())
+    caps = {g: t_total * w // total_w for g, w in weights.items()}
+    for g, cap in caps.items():
+        kept = out[out["source"] == g]["n_tokens"].sum()
+        biggest = max((t for _, gg, t in rows if gg == g), default=0)
+        assert kept <= cap, (g, kept, cap)
+        # greedy prefix: adding the next doc would cross the cap, so
+        # the kept total lands within one (stratum-max) document of it
+        assert kept > cap - biggest or cap == 0 or kept == sums[g], (
+            g, kept, cap, biggest,
+        )
