@@ -7203,6 +7203,66 @@ WHERE ci <= cap
 """
 
 
+def _text_sentence_chunks(spark, sf):
+    """Sentence-boundary chunking (text.py::sentence_chunks): the
+    curation-grade chunker — every boundary is a sentence boundary,
+    offset-packed by integer arithmetic (regexp extraction → per-doc
+    cumsum → ordered re-concatenation), chunk text compared by
+    md5+length to stay scalar. The \\z-not-$ anchor keeps Java and RE2
+    splitting newline-terminated docs identically."""
+    from gecko_spark.operators.text import sentence_chunks
+
+    docs = load_table(spark, sf, "documents")
+    out = sentence_chunks(docs, max_chars=120)
+    return out.select(
+        "doc_id", "chunk_id", "n_sentences",
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.md5(F.encode("chunk", "utf-8")).alias("chunk_md5"),
+    )
+
+
+def _text_sentence_chunks_sql(max_chars: int = 120) -> str:
+    from gecko_spark.operators.text import _SENTENCE_RE
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(COALESCE(text, ''), '{_SENTENCE_RE}') AS ss
+  FROM documents
+), sents AS (
+  SELECT doc_id, u.x.i AS s_idx, u.x.s AS s
+  FROM base,
+       UNNEST(list_transform(range(1, len(ss) + 1),
+                             i -> struct_pack(i := i, s := ss[i]))) AS u(x)
+), offs AS (
+  SELECT doc_id, s_idx, s,
+         SUM(length(s)) OVER (PARTITION BY doc_id ORDER BY s_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - length(s) AS start
+  FROM sents
+), chunks AS (
+  SELECT doc_id, start // {max_chars} AS chunk_id,
+         COUNT(*) AS n_sentences,
+         string_agg(s, '' ORDER BY s_idx) AS chunk
+  FROM offs GROUP BY doc_id, start // {max_chars}
+), backfill AS (
+  SELECT d.doc_id, CAST(0 AS BIGINT) AS chunk_id,
+         CAST(0 AS BIGINT) AS n_sentences, '' AS chunk
+  FROM documents d LEFT JOIN (SELECT DISTINCT doc_id FROM chunks) c
+    ON d.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL
+), unioned AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         CAST(n_sentences AS BIGINT) AS n_sentences, chunk FROM chunks
+  UNION ALL SELECT * FROM backfill
+)
+SELECT doc_id, chunk_id, n_sentences,
+       CAST(length(chunk) AS BIGINT) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM unioned
+"""
+
+
 # The driver-graded window: the driver evaluates the FIRST 50 dict
 # entries of queries(). Rotation history: r02 graded the §2 operator
 # surface, r04 the relational/LLM-ops surface, r05 the round-5
@@ -7498,6 +7558,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("pack_global_shards", _pack_global_shards),
     ("pack_texts", _pack_texts),
     ("sample_mix_tokens", _sample_mix_tokens),
+    ("text_sentence_chunks", _text_sentence_chunks),
 ]
 
 
@@ -7652,6 +7713,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_global_shards": _pack_global_shards_sql(),
         "pack_texts": _PACK_TEXTS_SQL,
         "sample_mix_tokens": _sample_mix_tokens_sql(),
+        "text_sentence_chunks": _text_sentence_chunks_sql(),
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,

@@ -44,6 +44,7 @@ __all__ = [
     "perplexity_buckets",
     "chunk_documents",
     "chunk_documents_tokens",
+    "sentence_chunks",
     "HTML_ENTITIES",
     "strip_html",
     "url_scheme",
@@ -1363,6 +1364,92 @@ def chunk_documents(
             max_chars,
         ).alias("chunk"),
     )
+
+
+# Sentence shape: a run up to (and including) terminal punctuation, or
+# the unpunctuated tail. \z (absolute end), NOT $: Java's default $
+# matches BEFORE a final line terminator while RE2's matches only at
+# end-of-text — \z means the same thing in both engines, so a doc
+# ending in '\n' splits identically on Spark and the DuckDB oracle.
+_SENTENCE_RE = r"[^.!?]+[.!?]+|[^.!?]+\z"
+
+
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 512,
+) -> DataFrame:
+    """Chunk documents at SENTENCE boundaries — the curation-grade
+    alternative to :func:`chunk_documents`'s fixed windows (which cut
+    mid-word/mid-sentence): sentences (rule-based: runs ending in
+    ``.!?``, plus the unpunctuated tail) are packed left-to-right into
+    chunks by character offset, so every chunk boundary is a sentence
+    boundary. A single sentence longer than ``max_chars`` stays whole
+    in its chunk (never split — cap upstream if that matters); chunks
+    are therefore *approximately* ``max_chars``-sized, the same
+    boundary-straddle trade as ``pack_sequences``.
+
+    Plan: one regexp extraction (narrow) → posexplode → per-doc window
+    cumsum (``chunk_id = start_offset DIV max_chars`` — integer
+    arithmetic, no iteration) → ordered re-concatenation per (doc,
+    chunk). Every step is replayed exactly by the DuckDB oracle
+    (``text_sentence_chunks``); an empty/NULL document yields one empty
+    chunk so no doc silently disappears.
+
+    Returns ``(id, chunk_id, n_sentences, chunk)``.
+    """
+    if max_chars < 1:
+        raise ValueError("max_chars must be >= 1")
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(_SENTENCE_RE),
+                F.lit(0),
+            )
+        ).alias("__s_idx__", "__s__"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__s_idx__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    slen = F.length("__s__").cast("long")
+    start = F.sum(slen).over(w) - slen
+    # start/max_chars is double-exact to 2^53 chars per doc (the same
+    # bound pack_sequences documents); floor == integer division here
+    chunked = sents.withColumn(
+        "chunk_id", F.floor(start / F.lit(max_chars)).cast("long")
+    )
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("__s_idx__"), F.col("__s__")))
+    )
+    out = (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(members.alias("__m__"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__m__").cast("long").alias("n_sentences"),
+            F.array_join(
+                F.transform("__m__", lambda s: s["__s__"]), ""
+            ).alias("chunk"),
+        )
+    )
+    # no-doc-disappears: empty/NULL text has zero sentences — backfill
+    # one empty chunk (same convention as chunk_documents)
+    empties = (
+        df.join(out.select(id_col).distinct(), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("chunk_id"),
+            F.lit(0).cast("long").alias("n_sentences"),
+            F.lit("").alias("chunk"),
+        )
+    )
+    return out.unionByName(empties)
 
 
 def chunk_documents_tokens(

@@ -294,6 +294,67 @@ def test_chunk_documents_reconstructs_and_overlaps(spark):
     assert set(pdf["doc_id"]) == set(texts)
 
 
+def test_sentence_chunks_matches_python_model(spark):
+    import re as _re
+
+    from gecko_spark.operators.text import _SENTENCE_RE, sentence_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = (
+        sentence_chunks(docs, max_chars=120)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    pat = _re.compile(_SENTENCE_RE.replace(r"\z", r"\Z"))  # Python \Z == Java \z
+
+    def model(text):
+        sents = pat.findall(text or "")
+        chunks, pos = {}, 0
+        for s in sents:
+            chunks.setdefault(pos // 120, []).append(s)
+            pos += len(s)
+        return {cid: "".join(ss) for cid, ss in chunks.items()} or {0: ""}
+
+    for doc_id, grp in out.groupby("doc_id"):
+        want = model(texts[doc_id])
+        got = dict(zip(grp["chunk_id"], grp["chunk"]))
+        assert got == want, doc_id
+        # boundaries are sentence boundaries: concatenation rebuilds
+        assert "".join(grp.sort_values("chunk_id")["chunk"]) == (
+            texts[doc_id] or ""
+        ) or texts[doc_id] is None
+    assert set(out["doc_id"]) == set(texts)
+
+
+def test_sentence_chunks_edges(spark):
+    from gecko_spark.operators.text import sentence_chunks
+
+    rows = [
+        (1, None),                      # NULL -> one empty chunk
+        (2, ""),                        # empty -> one empty chunk
+        (3, "No terminal punctuation"),  # tail-only
+        (4, "Tiny. " + "x" * 500 + ". End."),  # giant sentence stays whole
+        (5, "Ends with newline.\n"),    # \z vs $ divergence guard
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sentence_chunks(df, max_chars=50).toPandas()
+    byid = {
+        i: g.sort_values("chunk_id") for i, g in out.groupby("doc_id")
+    }
+    assert list(byid[1]["chunk"]) == [""] and list(byid[1]["n_sentences"]) == [0]
+    assert list(byid[2]["chunk"]) == [""]
+    assert list(byid[3]["chunk"]) == ["No terminal punctuation"]
+    four = list(byid[4]["chunk"])
+    assert "".join(four) == rows[3][1]
+    assert any(len(c) > 50 for c in four)  # the giant sentence is whole
+    assert "".join(byid[5]["chunk"]) == "Ends with newline.\n"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_chars"):
+        sentence_chunks(df, max_chars=0)
+
+
 def test_chunk_documents_empty_and_validation(spark):
     from gecko_spark.operators.text import chunk_documents
 
