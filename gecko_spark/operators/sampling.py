@@ -125,6 +125,49 @@ def mix_corpus(
     The stratum counts are collected to the driver — that is
     config-sized (one row per domain), not data-sized.
     """
+    counts = {
+        r["__g__"]: r["__c__"]
+        for r in df.groupBy(F.col(stratum_col).alias("__g__"))
+        .agg(F.count("*").alias("__c__"))
+        .collect()
+    }
+    caps = _mixture_caps(
+        counts, weights, method,
+        "strata {} in weights but absent from the corpus — a mixture "
+        "containing them is unsatisfiable without upsampling",
+    )
+    stratum = F.col(stratum_col)
+    kept = df.filter(stratum.isin(*weights.keys()))
+    if method == "bernoulli":
+        return kept.filter(
+            rand.uniform(_SALT_SAMPLE)
+            < _stratum_frac_col(stratum, weights, caps, counts)
+        )
+    order = [rand.uniform(_SALT_SAMPLE).asc()]
+    if tiebreak is not None:
+        order.append(
+            (F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).asc()
+        )
+    cap = _stratum_cap_col(stratum, weights, caps)
+    w = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        kept.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= cap)
+        .drop("__rn__")
+    )
+
+
+def _mixture_caps(
+    measures: Mapping[str, int],
+    weights: Mapping[str, int],
+    method: str,
+    missing_msg: str,
+) -> dict:
+    """The integer mixture-cap algebra, in ONE place (shared by the
+    row-weighted and token-weighted mixers so a convention change
+    cannot diverge them): validates method + integer weights, demands
+    every weighted stratum carry positive measure, and returns
+    ``C_g = floor(T·w_g/W)`` for ``T = min_g floor(S_g·W/w_g)``."""
     if method not in ("exact", "bernoulli"):
         raise ValueError(f"method must be 'exact' or 'bernoulli', got {method!r}")
     if not weights:
@@ -133,43 +176,29 @@ def mix_corpus(
         if int(wt) != wt or wt <= 0:
             raise ValueError(f"weight for stratum {s!r} must be a positive int: {wt}")
     total_w = sum(int(w) for w in weights.values())
-    counts = {
-        r["__g__"]: r["__c__"]
-        for r in df.groupBy(F.col(stratum_col).alias("__g__"))
-        .agg(F.count("*").alias("__c__"))
-        .collect()
-    }
-    missing = sorted(set(weights) - set(counts))
+    missing = sorted(g for g in weights if int(measures.get(g, 0)) <= 0)
     if missing:
-        raise ValueError(
-            f"strata {missing} in weights but absent from the corpus — "
-            f"a mixture containing them is unsatisfiable without upsampling"
-        )
-    t_total = min(counts[g] * total_w // int(w) for g, w in weights.items())
-    caps = {g: t_total * int(w) // total_w for g, w in weights.items()}
-    stratum = F.col(stratum_col)
-    kept = df.filter(stratum.isin(*weights.keys()))
-    if method == "bernoulli":
-        frac = F.lit(0.0)
-        for g in sorted(weights):
-            frac = F.when(
-                stratum == F.lit(g), F.lit(caps[g] / max(counts[g], 1))
-            ).otherwise(frac)
-        return kept.filter(rand.uniform(_SALT_SAMPLE) < frac)
-    order = [rand.uniform(_SALT_SAMPLE).asc()]
-    if tiebreak is not None:
-        order.append(
-            (F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).asc()
-        )
+        raise ValueError(missing_msg.format(missing))
+    t_total = min(
+        int(measures[g]) * total_w // int(w) for g, w in weights.items()
+    )
+    return {g: t_total * int(w) // total_w for g, w in weights.items()}
+
+
+def _stratum_cap_col(stratum: Column, weights, caps) -> Column:
     cap = F.lit(0)
     for g in sorted(weights):
         cap = F.when(stratum == F.lit(g), F.lit(caps[g])).otherwise(cap)
-    w = Window.partitionBy(stratum_col).orderBy(*order)
-    return (
-        kept.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") <= cap)
-        .drop("__rn__")
-    )
+    return cap
+
+
+def _stratum_frac_col(stratum: Column, weights, caps, measures) -> Column:
+    frac = F.lit(0.0)
+    for g in sorted(weights):
+        frac = F.when(
+            stratum == F.lit(g), F.lit(caps[g] / max(int(measures[g]), 1))
+        ).otherwise(frac)
+    return frac
 
 
 def mix_corpus_tokens(
@@ -207,14 +236,6 @@ def mix_corpus_tokens(
     expectation with ±√n-documents wobble. NULL token counts weigh 0
     (such rows are token-free and survive while their stratum prefix
     is under cap)."""
-    if method not in ("exact", "bernoulli"):
-        raise ValueError(f"method must be 'exact' or 'bernoulli', got {method!r}")
-    if not weights:
-        raise ValueError("weights must be non-empty")
-    for s, wt in weights.items():
-        if int(wt) != wt or wt <= 0:
-            raise ValueError(f"weight for stratum {s!r} must be a positive int: {wt}")
-    total_w = sum(int(w) for w in weights.values())
     n = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
     sums = {
         r["__g__"]: int(r["__s__"])
@@ -222,33 +243,24 @@ def mix_corpus_tokens(
         .agg(F.sum(n).alias("__s__"))
         .collect()
     }
-    missing = sorted(
-        set(weights) - {g for g, s in sums.items() if s > 0}
+    caps = _mixture_caps(
+        sums, weights, method,
+        "strata {} in weights but token-empty in the corpus — a token "
+        "mixture containing them is unsatisfiable",
     )
-    if missing:
-        raise ValueError(
-            f"strata {missing} in weights but token-empty in the corpus — "
-            f"a token mixture containing them is unsatisfiable"
-        )
-    t_total = min(sums[g] * total_w // int(w) for g, w in weights.items())
-    caps = {g: t_total * int(w) // total_w for g, w in weights.items()}
     stratum = F.col(stratum_col)
     kept = df.filter(stratum.isin(*weights.keys()))
     if method == "bernoulli":
-        frac = F.lit(0.0)
-        for g in sorted(weights):
-            frac = F.when(
-                stratum == F.lit(g), F.lit(caps[g] / max(sums[g], 1))
-            ).otherwise(frac)
-        return kept.filter(rand.uniform(_SALT_SAMPLE) < frac)
+        return kept.filter(
+            rand.uniform(_SALT_SAMPLE)
+            < _stratum_frac_col(stratum, weights, caps, sums)
+        )
     order = [rand.uniform(_SALT_SAMPLE).asc()]
     if tiebreak is not None:
         order.append(
             (F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).asc()
         )
-    cap = F.lit(0)
-    for g in sorted(weights):
-        cap = F.when(stratum == F.lit(g), F.lit(caps[g])).otherwise(cap)
+    cap = _stratum_cap_col(stratum, weights, caps)
     w = (
         Window.partitionBy(stratum_col)
         .orderBy(*order)

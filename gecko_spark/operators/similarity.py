@@ -870,12 +870,30 @@ def pq_train(
     draw changes with the physical partitioning — ADVICE r5). Seeded
     init, fixed iteration count; empty codes keep their previous
     centroid."""
+    sample = _pq_sample(corpus, vec_col, m, k_codes, seed, sample_per_code)
+    rng = np.random.default_rng(seed)
+    return _pq_fit_sample(sample, m, k_codes, iters, rng)
+
+
+def _pq_sample(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int,
+    k_codes: int,
+    seed: int,
+    sample_per_code: int,
+) -> np.ndarray:
+    """The content-hash-deterministic training sample, in ONE place
+    (shared by :func:`pq_train` and :func:`opq_train`, extracted
+    verbatim so both train on byte-identical samples): the
+    ``k_codes·sample_per_code`` rows with the smallest seeded xxhash64
+    of the vector itself — stable under any partitioning/row order,
+    unlike ``DataFrame.sample``. Validates dim/m and k_codes."""
     dim = infer_dim(corpus, vec_col)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     if not 2 <= k_codes <= 256:
         raise ValueError(f"k_codes must be in [2, 256], got {k_codes}")
-    dsub = dim // m
     want = k_codes * sample_per_code
     sample = np.array(
         corpus.select(
@@ -890,8 +908,7 @@ def pq_train(
     )
     if len(sample) < k_codes:
         raise ValueError("not enough rows to train codebooks")
-    rng = np.random.default_rng(seed)
-    return _pq_fit_sample(sample, m, k_codes, iters, rng)
+    return sample
 
 
 def _pq_fit_sample(
@@ -972,25 +989,8 @@ def opq_train(
     and because R is orthogonal, cosine is invariant, so exact rerank
     against ORIGINAL vectors stays valid.
     """
-    dim = infer_dim(corpus, vec_col)
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    if not 2 <= k_codes <= 256:
-        raise ValueError(f"k_codes must be in [2, 256], got {k_codes}")
-    want = k_codes * sample_per_code
-    sample = np.array(
-        corpus.select(
-            F.col(vec_col).alias("__v"),
-            F.xxhash64(F.col(vec_col), F.lit(int(seed))).alias("__h"),
-        )
-        .orderBy("__h", "__v")
-        .limit(want)
-        .toPandas()["__v"]
-        .tolist(),
-        dtype=np.float64,
-    )
-    if len(sample) < k_codes:
-        raise ValueError("not enough rows to train codebooks")
+    sample = _pq_sample(corpus, vec_col, m, k_codes, seed, sample_per_code)
+    dim = sample.shape[1]
     R = np.eye(dim)
     books = None
     for it in range(opq_iters):

@@ -1371,7 +1371,11 @@ def chunk_documents(
 # matches BEFORE a final line terminator while RE2's matches only at
 # end-of-text — \z means the same thing in both engines, so a doc
 # ending in '\n' splits identically on Spark and the DuckDB oracle.
-_SENTENCE_RE = r"[^.!?]+[.!?]+|[^.!?]+\z"
+# The first alternative is * not +: with + a document-LEADING run of
+# terminal punctuation ('...Hello.' or a punctuation-only doc '!!!')
+# matched neither branch and silently vanished from every chunk,
+# breaking reconstruction (review find, round-11 extension).
+_SENTENCE_RE = r"[^.!?]*[.!?]+|[^.!?]+\z"
 
 
 def sentence_chunks(
@@ -1439,9 +1443,21 @@ def sentence_chunks(
         )
     )
     # no-doc-disappears: empty/NULL text has zero sentences — backfill
-    # one empty chunk (same convention as chunk_documents)
+    # one empty chunk (same convention as chunk_documents). Derived by
+    # a narrow re-extraction filter on df, NOT an anti-join against
+    # `out` (which would recompute the whole window+groupBy pipeline a
+    # second time just to learn the id set — review find)
     empties = (
-        df.join(out.select(id_col).distinct(), id_col, "left_anti")
+        df.filter(
+            F.size(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(_SENTENCE_RE),
+                    F.lit(0),
+                )
+            )
+            == 0
+        )
         .select(
             F.col(id_col),
             F.lit(0).cast("long").alias("chunk_id"),

@@ -336,6 +336,8 @@ def test_sentence_chunks_edges(spark):
         (3, "No terminal punctuation"),  # tail-only
         (4, "Tiny. " + "x" * 500 + ". End."),  # giant sentence stays whole
         (5, "Ends with newline.\n"),    # \z vs $ divergence guard
+        (6, "...Leading dots. Then text."),  # leading punct must survive
+        (7, "!!!"),                     # punctuation-only doc
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = sentence_chunks(df, max_chars=50).toPandas()
@@ -349,6 +351,10 @@ def test_sentence_chunks_edges(spark):
     assert "".join(four) == rows[3][1]
     assert any(len(c) > 50 for c in four)  # the giant sentence is whole
     assert "".join(byid[5]["chunk"]) == "Ends with newline.\n"
+    # the regex's * first branch: leading punctuation is its own
+    # sentence, not silently dropped (round-11 extension review find)
+    assert "".join(byid[6]["chunk"]) == rows[5][1]
+    assert "".join(byid[7]["chunk"]) == "!!!"
     import pytest as _pt
 
     with _pt.raises(ValueError, match="max_chars"):

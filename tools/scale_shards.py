@@ -47,22 +47,34 @@ def main():
             F.count("*").alias("rows"),
             F.countDistinct("gstart").alias("starts"),
             F.min("gstart").alias("min_s"),
+            F.max("gstart").alias("max_s"),
             F.max(F.col("gstart") + F.col("n_tokens")).alias("end"),
             F.countDistinct("gshard").alias("shards"),
             F.max("gshard").alias("max_shard"),
+            F.max("n_tokens").alias("max_doc"),
         ).first()
         dt = time.time() - t0
         # stream integrity without a global sort: N distinct starts,
-        # starting at 0, ending exactly at the token total
+        # starting at 0, ending exactly at the token total. The shard
+        # invariants follow a doc's FIRST token (a straddling last doc
+        # means max_shard < (total-1)//budget — that is correct
+        # behaviour, so assert against max(gstart), not the total;
+        # full occupancy only holds when no doc exceeds the budget)
         assert stats["rows"] == n and stats["starts"] == n
         assert stats["min_s"] == 0 and stats["end"] == total
-        assert stats["max_shard"] == (total - 1) // budget
-        assert stats["shards"] == stats["max_shard"] + 1
+        assert stats["max_shard"] == stats["max_s"] // budget
+        if stats["max_doc"] <= budget:
+            assert stats["shards"] == stats["max_shard"] + 1
+        occ = (
+            "every shard id occupied"
+            if stats["max_doc"] <= budget
+            else "oversized docs straddle shards (budget < max doc)"
+        )
         print(
             f"global_token_shards: {n} rows, {total} tokens -> "
             f"{stats['shards']} shards of ~{budget} tokens in {dt:.1f}s "
             f"({n / dt / 1e6:.1f} M rows/s); stream gap-free "
-            f"(N distinct starts, 0..total), every shard id occupied",
+            f"(N distinct starts, 0..total), {occ}",
             flush=True,
         )
         out.unpersist()
