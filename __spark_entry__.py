@@ -3537,6 +3537,24 @@ def _topk_ivfpq_sql(
     sums — order-free in IEEE — and the per-vector ADC distance is a
     strict left fold over subspaces in j order (numpy's `dists += LUT_j`
     loop ≡ list_reduce over list(lv ORDER BY j))."""
+    return "\nWITH " + _ivfpq_sql_body(
+        "embeddings", n_centroids, m, k_codes, nprobe, shortlist, k
+    )
+
+
+def _ivfpq_sql_body(
+    src: str,
+    n_centroids: int,
+    m: int,
+    k_codes: int,
+    nprobe: int,
+    shortlist: int,
+    k: int,
+) -> str:
+    """The IVFADC replay CTE chain over source relation ``src`` —
+    shared by the plain (``topk_cosine_ivfpq``, src=embeddings) and
+    OPQ-rotated (``topk_cosine_opq``, src=the rotation CTE) contracts.
+    Returned WITHOUT a leading WITH so callers can prepend CTEs."""
     assign_dot = _sql_seq_dot("e.embedding", "c.cvec")
     probe_dot = _sql_seq_dot("q.qv", "c.cvec")
     d2 = (
@@ -3551,12 +3569,11 @@ def _topk_ivfpq_sql(
         f"THEN 0.0 ELSE {_sql_seq_dot('b.embedding', 'p.qv')} / "
         f"({_sql_l2('b.embedding')} * {_sql_l2('p.qv')}) END"
     )
-    return f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_centroids}
+    return f"""cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM {src} WHERE vec_id < {n_centroids}
 ), assign AS (
   SELECT e.vec_id, e.embedding, c.cid, {assign_dot} AS score
-  FROM embeddings e CROSS JOIN cents c
+  FROM {src} e CROSS JOIN cents c
 ), best AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT vec_id, embedding, cid,
@@ -3585,7 +3602,7 @@ WITH cents AS (
     FROM rsub r JOIN bsub b ON b.j = r.j
   ) WHERE rn = 1
 ), q AS (
-  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
+  SELECT vec_id AS qid, embedding AS qv FROM {src} WHERE vec_id < 3
 ), probe AS (
   SELECT qid, qv, cid FROM (
     SELECT q.qid, q.qv, c.cid,
@@ -3620,7 +3637,7 @@ WITH cents AS (
 ), scored AS (
   SELECT s.qid AS query_id, b.vec_id, {cos} AS cos
   FROM short s
-  JOIN embeddings b ON b.vec_id = s.vec_id
+  JOIN {src} b ON b.vec_id = s.vec_id
   JOIN q p ON p.qid = s.qid
 )
 SELECT query_id, vec_id, CAST(rnk AS INTEGER) AS rank FROM (
@@ -3628,6 +3645,87 @@ SELECT query_id, vec_id, CAST(rnk AS INTEGER) AS rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
   FROM scored
 ) WHERE rnk <= {k}
+"""
+
+
+def _opq_fixture_rotation(dim: int):
+    """The pinned OPQ serving-contract rotation: a deterministic SIGNED
+    PERMUTATION — column j reads coordinate (5·j + 3) mod dim with sign
+    (−1)^j. This is the OPQ paper's PQ-RO baseline (Ge et al. 2013
+    compare against random dimension re-ordering, a special orthogonal
+    transform), chosen because it is the one rotation family BOTH
+    engines evaluate bit-exactly: a trained R (opq_train's SVD output)
+    flows through BLAS dgemm, whose summation order is
+    implementation-defined — not oracle-portable — while a signed
+    permutation makes every output coordinate a single ±1·x product.
+    Crucially the SPARK side still runs the real serving path
+    (rotate_vectors' Arrow matmul — the fixture R is just its input),
+    so the contract certifies rotate + IVFADC + rerank end-to-end."""
+    import math as _math
+
+    import numpy as np
+
+    if _math.gcd(5, dim) != 1:
+        raise ValueError(f"5 must be coprime with dim, got dim={dim}")
+    R = np.zeros((dim, dim))
+    for j in range(dim):
+        R[(5 * j + 3) % dim, j] = 1.0 if j % 2 == 0 else -1.0
+    return R
+
+
+def _topk_opq(spark, sf):
+    """OPQ SERVING path end-to-end (similarity.py rotate_vectors →
+    ivfpq_build → cosine_topk_ivfpq): rotate the corpus with the pinned
+    fixture rotation (see _opq_fixture_rotation — training via
+    opq_train's SVD is fairly oracle-exempt; serving is not), then the
+    whole IVFADC pipeline runs in rotated space. R is orthogonal, so
+    rotated-space cosine equals original-space cosine — the ranking is
+    the true answer, and the oracle replays rotation, assignment,
+    residual encoding, ADC, shortlist, and rerank bit-for-bit."""
+    from gecko_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        ivfpq_build,
+        rotate_vectors,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    rot = rotate_vectors(emb, _opq_fixture_rotation(dim))
+    qs = rot.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes, cents, books = ivfpq_build(
+        rot, n_centroids=16, m=32, k_codes=8,
+        init="first_k", pq_init="first_k", ivf_id_col="vec_id",
+    )
+    return cosine_topk_ivfpq(
+        codes, cents, books, rot, qs, k=5, nprobe=4, shortlist=32
+    ).select("query_id", "vec_id", "rank")
+
+
+def _topk_opq_sql(
+    n_centroids: int = 16,
+    m: int = 32,
+    k_codes: int = 8,
+    nprobe: int = 4,
+    shortlist: int = 32,
+    k: int = 5,
+) -> str:
+    """The rotated-space IVFADC replay: one rotation CTE (signed
+    permutation — output coordinate i reads input coordinate
+    (5·(i−1)+3) mod dim with sign (−1)^(i−1); a single ±1·x product per
+    coordinate, so Spark's Arrow matmul and this list comprehension
+    agree to the bit), then the shared _ivfpq_sql_body chain."""
+    rot_elem = (
+        "CASE WHEN (i-1) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        " * CAST(embedding[((5*(i-1)+3) % len(embedding)) + 1] AS DOUBLE)"
+    )
+    return f"""
+WITH embr AS (
+  SELECT vec_id,
+         [{rot_elem} for i in range(1, len(embedding)+1)] AS embedding
+  FROM embeddings
+), {_ivfpq_sql_body("embr", n_centroids, m, k_codes, nprobe, shortlist, k)}
 """
 
 
@@ -3799,9 +3897,9 @@ def _doc_fingerprints_sql(window: int = 8, keep: int = 4) -> str:
     )
 
     joined = (
-        "array_to_string(list_sort(list_distinct(COALESCE("
-        "list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'), t -> len(t) > 0),"
-        " []))), ' ')"
+        r"array_to_string(list_sort(list_distinct(COALESCE("
+        r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'), t -> len(t) > 0),"
+        r" []))), ' ')"
     )
     rolling = f"list_sort(list_distinct({sql_window_hashes('lower(text)', window, P1)}))[1:{keep}]"
     return f"""
@@ -3817,7 +3915,7 @@ FROM base
 """
 
 
-_TOKS_CTE = """toks AS (
+_TOKS_CTE = r"""toks AS (
   SELECT doc_id,
          COALESCE(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                               t -> len(t) > 0), []) AS tk
@@ -4209,7 +4307,7 @@ def _pack_sequences(spark, sf):
     return pack_manifest(packed).orderBy("shard", "pack")
 
 
-_PACK_SQL = """
+_PACK_SQL = r"""
 WITH toked AS (
   SELECT doc_id,
          CAST(len(COALESCE(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
@@ -4665,7 +4763,7 @@ def _text_gopher_quality(spark, sf):
     return gopher_quality_flags(planted, "doc_id", "text", min_words=20)
 
 
-_TEXT_GOPHER_QUALITY_SQL = """
+_TEXT_GOPHER_QUALITY_SQL = r"""
 WITH planted AS (
   SELECT doc_id,
          text || CASE
@@ -4685,8 +4783,8 @@ coalesced AS (
 ),
 base AS (
   SELECT doc_id, text,
-    list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0) AS words,
-    list_filter(string_split_regex(text, '\\n'),
+    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS words,
+    list_filter(string_split_regex(text, '\n'),
                 l -> len(trim(l)) > 0) AS lines,
     COALESCE(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                          t -> len(t) > 0), []) AS tk
@@ -4698,14 +4796,14 @@ m AS (
     CAST(COALESCE(list_sum(list_transform(words, w -> len(w))), 0) AS DOUBLE)
       / GREATEST(CAST(len(words) AS DOUBLE), 1.0) AS mean_len,
     (len(string_split_regex(text, '#')) - 1
-     + len(string_split_regex(text, '\\.\\.\\.')) - 1
+     + len(string_split_regex(text, '\.\.\.')) - 1
      + len(string_split_regex(text, CHR(8230))) - 1) AS n_sym,
     GREATEST(CAST(len(lines) AS DOUBLE), 1.0) AS n_lines,
     CAST(len(list_filter(lines,
          l -> regexp_matches(trim(l), '^([*' || CHR(8226) || CHR(8227) ||
-                             CHR(9642) || '-]\\s)'))) AS DOUBLE) AS bullet_lines,
+                             CHR(9642) || '-]\s)'))) AS DOUBLE) AS bullet_lines,
     CAST(len(list_filter(lines,
-         l -> regexp_matches(rtrim(l), '(\\.\\.\\.|' || CHR(8230) || ')$')))
+         l -> regexp_matches(rtrim(l), '(\.\.\.|' || CHR(8230) || ')$')))
          AS DOUBLE) AS ellipsis_lines,
     CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
          AS DOUBLE) AS alpha_words,
@@ -6020,7 +6118,7 @@ def _text_vocab_divergence(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-_TEXT_VOCAB_DIVERGENCE_SQL = """
+_TEXT_VOCAB_DIVERGENCE_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
          COALESCE(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
@@ -6902,21 +7000,80 @@ FROM documents d LEFT JOIN doc_w w USING (doc_id)
 """
 
 
-def _dsir_select_sql() -> str:
-    # clamp literal = 2.0**-31, the LCG's smallest nonzero draw
+def _dsir_keyed_cte() -> str:
+    """Shared DuckDB CTE tail ``weights → keyed(doc_id, lw_micro,
+    gumbel_key)`` — replays selection.py::_gumbel_key exactly. The
+    two-sided clamp mirrors the Spark kernel: literals are 2.0**-31
+    and 1 − 2.0**-31; both are no-ops for LCG draws (k/2^31), so the
+    replay is bit-identical."""
     u = lcg_uniform_sql("doc_id", _DSIR_SEED, 17)
-    return f"""
-WITH {_dsir_weights_cte()}, weights AS (
+    return f"""weights AS (
   SELECT d.doc_id, CAST(COALESCE(w.lw, 0) AS BIGINT) AS lw_micro
   FROM documents d LEFT JOIN doc_w w USING (doc_id)
 ), keyed AS (
   SELECT doc_id, lw_micro,
          ROUND(CAST(lw_micro AS DOUBLE) / 1000000.0
-               - LN(-LN(GREATEST({u}, 4.656612873077393e-10))), 6) AS gumbel_key
+               - LN(-LN(LEAST(GREATEST({u}, 4.656612873077393e-10),
+                              0.9999999995343387))), 6) AS gumbel_key
   FROM weights
-)
+)"""
+
+
+def _dsir_select_sql() -> str:
+    return f"""
+WITH {_dsir_weights_cte()}, {_dsir_keyed_cte()}
 SELECT doc_id, lw_micro, gumbel_key
 FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
+"""
+
+
+_DSIR_FRAC = 0.25  # power-of-2 fraction: frac·N and CEIL are exact in
+# double on BOTH engines, so the rank target can't straddle an ulp
+
+
+def _dsir_select_frac(spark, sf):
+    """The documented at-scale DSIR selection form
+    (selection.py::gumbel_select_frac) under its EXACT threshold mode:
+    keep the rows whose Gumbel key clears the exact ⌈frac·N⌉-th-largest
+    key — an order statistic of the key multiset, independent of
+    physical layout, computed with bounded driver traffic (bracket via
+    percentile_approx, then only the O(N/accuracy) bracket rows leave
+    the executors). The oracle recomputes the same order statistic with
+    one global window and replays membership row-exactly — certifying
+    that the bracketed three-pass threshold equals the sequential
+    rank."""
+    from gecko_spark.operators.selection import (
+        dsir_log_weights,
+        gumbel_select_frac,
+    )
+
+    docs, lr = _dsir_fit(spark, sf)
+    lw = dsir_log_weights(docs, lr)
+    picked = gumbel_select_frac(
+        lw,
+        _DSIR_FRAC,
+        LcgRandom("doc_id", seed=_DSIR_SEED),
+        weight_col="log_weight",
+        threshold_mode="exact",
+    )
+    return picked.select("doc_id", "lw_micro", "gumbel_key")
+
+
+def _dsir_select_frac_sql() -> str:
+    return f"""
+WITH {_dsir_weights_cte()}, {_dsir_keyed_cte()}, n AS (
+  SELECT COUNT(*) AS n_total FROM keyed
+), ranked AS (
+  SELECT gumbel_key, row_number() OVER (ORDER BY gumbel_key ASC) AS rn
+  FROM keyed
+), thr AS (
+  -- the exact ceil(frac·N)-th LARGEST key: ties share a value, so the
+  -- order statistic is deterministic even though rn among ties is not
+  SELECT r.gumbel_key AS t FROM ranked r, n
+  WHERE r.rn = n.n_total - CAST(CEIL({_DSIR_FRAC} * n.n_total) AS BIGINT) + 1
+)
+SELECT doc_id, lw_micro, gumbel_key
+FROM keyed WHERE gumbel_key >= (SELECT t FROM thr)
 """
 
 
@@ -7513,6 +7670,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("topk_cosine_bruteforce", _topk_cosine),
     ("topk_cosine_ivf", _topk_ivf),
     ("topk_cosine_ivfpq", _topk_ivfpq),
+    ("topk_cosine_opq", _topk_opq),
     ("emb_quantize_int8", _emb_quantize),
     ("pack_sequences", _pack_sequences),
     # text analysis
@@ -7553,6 +7711,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("sketch_topk_counts", _sketch_topk_counts),
     ("dsir_log_weights", _dsir_log_weights),
     ("dsir_select", _dsir_select),
+    ("dsir_select_frac", _dsir_select_frac),
     ("ann_hard_negatives", _ann_hard_negatives),
     ("sketch_kmv_overlap", _sketch_kmv_overlap),
     ("pack_global_shards", _pack_global_shards),
@@ -7678,6 +7837,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_cosine_bruteforce": _TOPK_COSINE_SQL,
         "topk_cosine_ivf": _topk_ivf_sql(),
         "topk_cosine_ivfpq": _topk_ivfpq_sql(),
+        "topk_cosine_opq": _topk_opq_sql(),
         "text_stats": _TEXT_STATS_SQL,
         "doc_normalize_filter": _DOC_NORMALIZE_SQL,
         "doc_fingerprints": _doc_fingerprints_sql(),
@@ -7708,6 +7868,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_train": _text_bpe_train_sql(),
         "dsir_log_weights": _dsir_log_weights_sql(),
         "dsir_select": _dsir_select_sql(),
+        "dsir_select_frac": _dsir_select_frac_sql(),
         "ann_hard_negatives": _ANN_HARD_NEGATIVES_SQL,
         "sketch_kmv_overlap": _sketch_kmv_overlap_sql(),
         "pack_global_shards": _pack_global_shards_sql(),

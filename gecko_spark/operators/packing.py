@@ -40,6 +40,18 @@ __all__ = [
 _SALT_GSHARD = 19
 
 
+def _safe_tokens(n_tokens_col: str) -> F.Column:
+    """Token counts, defensively clamped: NULL → 0 (the
+    tokens()-empty convention) and negative → 0. A negative count
+    would make every cumulative sum in this module non-monotone, so
+    greedy-prefix filters could readmit rows after a cap is crossed
+    and shard/pack invariants would silently break — clamp once here
+    instead of trusting every caller."""
+    return F.greatest(
+        F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0)), F.lit(0)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -72,8 +84,9 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(n_tokens_col).cast("long")).over(w)
-    start = cum - F.col(n_tokens_col).cast("long")
+    n = _safe_tokens(n_tokens_col)
+    cum = F.sum(n).over(w)
+    start = cum - n
     # start/budget is exact in double up to 2^53 tokens per shard —
     # far beyond any real shard; truncation == floor since start >= 0
     return out.withColumn("pack", (start / F.lit(budget)).cast("int"))
@@ -133,8 +146,9 @@ def global_token_shards(
     )
     # NULL token counts stream as 0-length docs (the tokens()-empty
     # convention; a NULL here once minted a phantom NULL pack in
-    # pack_sequences — adversarial gate, round 11)
-    n = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    # pack_sequences — adversarial gate, round 11); negatives clamp to
+    # 0 so the prefix sum stays monotone (shard ids never regress)
+    n = _safe_tokens(n_tokens_col)
     local_before = F.sum(n).over(w) - n
     keyed = keyed.withColumn("__lb__", local_before)
 

@@ -235,8 +235,12 @@ def mix_corpus_tokens(
     aggregation, the 100 TB path; the token mixture is exact in
     expectation with ±√n-documents wobble. NULL token counts weigh 0
     (such rows are token-free and survive while their stratum prefix
-    is under cap)."""
-    n = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    is under cap); negative counts also clamp to 0 — a negative
+    would make the cumulative sum non-monotone, so the greedy prefix
+    could readmit rows after the cap is crossed."""
+    n = F.greatest(
+        F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0)), F.lit(0)
+    )
     sums = {
         r["__g__"]: int(r["__s__"])
         for r in df.groupBy(F.col(stratum_col).alias("__g__"))

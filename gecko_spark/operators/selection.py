@@ -50,6 +50,7 @@ log-ratio, micro-quantize, Gumbel key — in DuckDB.
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Iterable, Iterator, Sequence, Union
 
@@ -291,11 +292,17 @@ def gumbel_topk(
 
 
 def _gumbel_key(w: Column, rand: RandomSource) -> Column:
-    # u ∈ [0, 1) in LCG granularity k/2^31: clamp the zero draw to the
-    # generator's own smallest nonzero (same device as weighted_sample_n);
-    # u never reaches 1 so the outer ln(-ln(u)) stays finite
+    # Clamp BOTH tails to the LCG's granularity 2^-31: the zero draw
+    # (same device as weighted_sample_n), and the u = 1.0 draw a
+    # HashRandom source can produce (h/2^64 + 0.5 rounds to exactly 1.0
+    # for longs within ~512 of 2^63), where log(-log(1.0)) = log(0)
+    # would NULL the key and silently sort the row last. LCG draws are
+    # k/2^31 ≤ 1 − 2^-31, so the upper clamp never alters them and the
+    # DuckDB oracle replay stays bit-identical.
     u = rand.uniform(_SALT_GUMBEL)
-    safe_u = F.greatest(u, F.lit(2.0 ** -31))
+    safe_u = F.least(
+        F.greatest(u, F.lit(2.0 ** -31)), F.lit(1.0 - 2.0 ** -31)
+    )
     return F.round(w.cast("double") - F.log(-F.log(safe_u)), 6)
 
 
@@ -307,31 +314,104 @@ def gumbel_select_frac(
     weight_col: Union[str, Column] = "log_weight",
     key_col: str = "gumbel_key",
     accuracy: int = 10_000,
+    threshold_mode: str = "approx",
 ) -> DataFrame:
     """The at-scale form of :func:`gumbel_topk` for selection targets
     too large for a driver merge (``n`` in the billions): keep
     approximately ``frac`` of the rows, chosen with probability
     proportional to ``exp(weight_col)``.
 
-    Two passes over deterministic keys: (1) one aggregation estimates
-    the ``(1 − frac)`` key quantile (``percentile_approx``, mergeable
+    ``threshold_mode="approx"`` (default): two passes over
+    deterministic keys — (1) one aggregation estimates the
+    ``(1 − frac)`` key quantile (``percentile_approx``, mergeable
     sketch — error ≤ 1/accuracy in RANK space, so the selected count is
     within ``±N/accuracy`` of the target); (2) a scan keeps rows whose
     key clears the threshold. No global sort, no driver-sized collect,
     no single-partition stage — both passes are embarrassingly
-    parallel. The keys are a pure function of (row key, seed), so the
-    same call on the same data selects the same rows; exact-``n``
-    contracts should use :func:`gumbel_topk`.
+    parallel. The KEYS are a pure function of (row key, seed), but the
+    percentile_approx sketch merges in physical-partition order, so the
+    THRESHOLD — and with it boundary-row membership — is only
+    reproducible for the same data AND layout; a repartitioned input
+    can shift the cutoff by up to the rank error.
+
+    ``threshold_mode="exact"``: the threshold is the exact
+    ``⌈frac·N⌉``-th largest key — an ORDER STATISTIC of the key
+    multiset, independent of physical layout, so membership is a pure
+    function of (data, seed) and a DuckDB oracle replays it row-exactly
+    (``dsir_select_frac`` contract). Computed scale-safely in three
+    bounded passes, never a global sort: (1) ``percentile_approx``
+    brackets the target rank in VALUE space (rank error ≤ N/accuracy
+    per Greenwald–Khanna, so a ±2/accuracy quantile margin provably
+    contains the target); (2) one count below the bracket; (3) the
+    bracket's keys — O(N/accuracy) rows by construction — come to the
+    driver once and the exact order statistic is read off. Driver
+    traffic is ~4·N/accuracy key doubles (e.g. 4 M doubles at N = 10¹²,
+    accuracy = 10⁶ — tune ``accuracy`` to taste). Rows EQUAL to the
+    threshold key are all kept, so the selected count can exceed the
+    target by the tie count (keys are 6-dp-rounded doubles; ties are
+    rare and deterministic).
+
+    Exact-``n`` contracts should use :func:`gumbel_topk`.
     """
     if not (0.0 < frac < 1.0):
         raise ValueError(f"frac must be in (0, 1), got {frac}")
     if accuracy < 100:
         raise ValueError(f"accuracy must be >= 100, got {accuracy}")
+    if threshold_mode not in ("approx", "exact"):
+        raise ValueError(
+            f"threshold_mode must be 'approx' or 'exact', got {threshold_mode!r}"
+        )
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     keyed = df.withColumn(key_col, _gumbel_key(w, rand))
-    thresh = keyed.agg(
-        F.percentile_approx(key_col, 1.0 - frac, accuracy).alias("t")
-    ).collect()[0]["t"]
+    if threshold_mode == "exact":
+        thresh = _exact_rank_threshold(keyed, key_col, frac, accuracy)
+    else:
+        thresh = keyed.agg(
+            F.percentile_approx(key_col, 1.0 - frac, accuracy).alias("t")
+        ).collect()[0]["t"]
     if thresh is None:  # empty input
         return keyed.filter(F.lit(False))
     return keyed.filter(F.col(key_col) >= F.lit(float(thresh)))
+
+
+def _exact_rank_threshold(
+    keyed: DataFrame, key_col: str, frac: float, accuracy: int
+):
+    """Exact ``⌈frac·N⌉``-th LARGEST value of ``key_col`` with bounded
+    driver traffic: bracket the target rank via percentile_approx
+    (rank error ≤ N/accuracy), count below the bracket, then collect
+    only the bracket's ~4·N/accuracy rows and index into them. The
+    margin doubles on a bracket miss (can't happen within the GK
+    guarantee — pure belt-and-braces) before giving up."""
+    n_total = keyed.count()
+    if n_total == 0:
+        return None
+    n_keep = math.ceil(frac * n_total)
+    target = n_total - n_keep + 1  # ascending rank of the threshold key
+    q = target / n_total
+    margin = 2.0 / accuracy
+    key = F.col(key_col)
+    for _ in range(3):
+        q_lo, q_hi = max(0.0, q - margin), min(1.0, q + margin)
+        v_lo, v_hi = keyed.agg(
+            F.percentile_approx(key_col, [q_lo, q_hi], accuracy).alias("b")
+        ).collect()[0]["b"]
+        if q_lo == 0.0:
+            v_lo = float("-inf")
+        if q_hi == 1.0:
+            v_hi = float("inf")
+        c_below = keyed.filter(key < F.lit(v_lo)).count()
+        bracket = sorted(
+            r[0]
+            for r in keyed.filter(
+                (key >= F.lit(v_lo)) & (key <= F.lit(v_hi))
+            ).select(key_col).collect()
+        )
+        idx = target - c_below - 1
+        if 0 <= idx < len(bracket):
+            return bracket[idx]
+        margin *= 2.0
+    raise RuntimeError(
+        "exact-rank bracket failed to converge — percentile_approx "
+        "returned values outside its documented rank-error bound"
+    )

@@ -211,20 +211,22 @@ def kmv_overlap_estimate(
     """
     if k < 2:
         raise ValueError("k must be ≥ 2")
-    sa = sketch_a.select("h").distinct()
-    sb = sketch_b.select("h").distinct()
+    # Truncate each input to its k smallest ONCE, up front, and use the
+    # truncated frames everywhere (merge, membership, side estimates).
+    # Input sketches are ≤ k rows by construction, so this is a no-op
+    # on well-formed callers — but an oversized sketch previously fed
+    # the UNtruncated sets into merged/in_both while the side estimates
+    # were truncated, inflating n_common/jaccard relative to
+    # est_a/est_b (internally inconsistent).
+    sa = sketch_a.select("h").distinct().orderBy("h").limit(k)
+    sb = sketch_b.select("h").distinct().orderBy("h").limit(k)
     merged = sa.unionByName(sb).distinct().orderBy("h").limit(k)
     in_both = merged.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
     m = merged.agg(F.count("*").alias("n_seen"), F.max("h").alias("h_k"))
     c = in_both.agg(F.count("*").alias("n_common"))
 
     def side_est(s: DataFrame, n: str, hk: str):
-        # input sketches are ≤ k rows by construction, but re-truncate
-        # defensively so an oversized caller sketch can't skew the side
-        # estimate relative to the merged threshold
-        return s.orderBy("h").limit(k).agg(
-            F.count("*").alias(n), F.max("h").alias(hk)
-        )
+        return s.agg(F.count("*").alias(n), F.max("h").alias(hk))
 
     union_est = _kmv_estimate_col("n_seen", "h_k", k)
     jaccard = F.when(F.col("n_seen") > 0,
