@@ -6685,6 +6685,287 @@ FROM agg
 """
 
 
+def _stream_scratch(prefix):
+    """(root, src, ckpt, run_id) under scratch/ — the shared layout of
+    every file-fed streaming parity contract."""
+    import uuid
+
+    run_id = uuid.uuid4().hex[:12]
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scratch",
+        f"{prefix}_{run_id}",
+    )
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+    return root, src, os.path.join(root, "ckpt"), run_id
+
+
+def _write_ordered_batches(df_batches, src):
+    """Write each DataFrame as one parquet file under ``src`` with
+    FORCED ascending mtimes, so the file stream source (maxFilesPerTrigger
+    =1) delivers them as separate micro-batches in list order — the
+    cross-batch-state device every streaming parity contract uses."""
+    import glob as _glob
+    import shutil
+
+    for i, df in enumerate(df_batches):
+        tmp = os.path.join(os.path.dirname(src), f"half{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        p = os.path.join(src, f"batch{i}.parquet")
+        shutil.copy(part, p)
+        os.utime(p, (1_700_000_000 + i * 100,) * 2)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_pack_parity(spark, sf):
+    """Streaming packing batch parity (streaming/stream.py::pack_stream):
+    documents split into two id-ordered halves arriving as separate
+    micro-batches; each shard's running token offset is
+    applyInPandasWithState state, so batch 2's pack ids continue from
+    batch 1's offsets — a broken or reset state store would restart
+    every shard at pack 0 and halve the assignments. Because the halves
+    arrive in id order, the stream must reproduce the BATCH
+    pack_sequences assignment exactly: the contract aggregates the
+    streamed (shard, pack) rows to the same manifest as the
+    ``pack_sequences`` entry and grades against the SAME oracle SQL
+    (portable pmod sharding, identical 512-token budget)."""
+    import shutil
+
+    from gecko_spark.operators.text import word_token_count
+    from gecko_spark.streaming.stream import pack_stream
+
+    root, src, ckpt, run_id = _stream_scratch("stream_pack")
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", word_token_count(F.col("text")).alias("n_tokens")
+    )
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    sink = f"stream_pack_parity_{run_id}"
+    try:
+        _write_ordered_batches(
+            [docs.filter(F.col("doc_id") <= mid),
+             docs.filter(F.col("doc_id") > mid)],
+            src,
+        )
+        schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        packed = pack_stream(
+            stream, "doc_id", "n_tokens", budget=512, n_shards=8,
+            shard_col=F.pmod(F.col("doc_id"), F.lit(8)).cast("int"),
+        )
+        q = (
+            packed.writeStream.format("memory")
+            .outputMode("append")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pdf = (
+            spark.table(sink)
+            .groupBy("shard", "pack")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.col("n_tokens").cast("long")).alias("n_tokens_total"),
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "shard int, pack int, n_docs long, n_tokens_total long"
+    )
+
+
+def _stream_hh_parity(spark, sf):
+    """Streaming heavy hitters batch parity (streaming/stream.py::
+    heavy_hitters_stream): events split into two micro-batches, value =
+    97 recurring 'u…' keys (half the rows) + one distinct 't…' key per
+    remaining row — thousands of distinct values against capacity 48,
+    so Misra–Gries EVICTION is active in every shard while the
+    guarantee (undercount ≤ n_shard/(capacity+1) ≈ n/392 < the φ=1/250
+    threshold that every heavy value clears at ~n/194) still proves no
+    heavy value can be evicted. Candidates come from the LAST emission
+    per shard (the `emit` ordinal device), and an exact broadcast
+    recount + integer cut turns them into exact heavy hitters — equal
+    to the oracle's plain GROUP BY … HAVING, the same finalization the
+    batch ``sketch_heavy_hitters`` contract certifies. Counts are NOT
+    idempotent, so unlike the sketch parities the two batches are
+    DISJOINT halves."""
+    import shutil
+
+    from gecko_spark.streaming.stream import (
+        heavy_hitters_from_shards,
+        heavy_hitters_stream,
+    )
+
+    root, src, ckpt, run_id = _stream_scratch("stream_hh")
+    value = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit("u"), (F.col("event_id") % 97).cast("string")),
+    ).otherwise(F.concat(F.lit("t"), F.col("event_id").cast("string")))
+    ev = load_table(spark, sf, "events").select(
+        "ts", "event_id", value.alias("value")
+    )
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    sink = f"stream_hh_parity_{run_id}"
+    try:
+        _write_ordered_batches(
+            [ev.filter(F.col("event_id") <= mid),
+             ev.filter(F.col("event_id") > mid)],
+            src,
+        )
+        schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        summaries = heavy_hitters_stream(
+            stream, "value", capacity=48, n_shards=8,
+            ts_col="ts", watermark="3650 days",
+        )
+        q = (
+            summaries.writeStream.format("memory")
+            .outputMode("update")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize the sink: from_shards self-joins its input
+        # (latest-emit filter), which a MemoryPlan view can't resolve
+        dump = spark.createDataFrame(
+            spark.table(sink).toPandas(),
+            "shard int, value string, cnt long, n_shard long, emit long",
+        )
+        cand = heavy_hitters_from_shards(dump, 1, 250).select("value")
+        n_total = ev.count()
+        out = (
+            ev.join(F.broadcast(cand), "value", "left_semi")
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * 250 > F.lit(int(n_total)))
+        )
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, "value string, cnt long")
+
+
+_STREAM_HH_PARITY_SQL = """
+WITH src AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'u' || CAST(event_id % 97 AS VARCHAR)
+              ELSE 't' || CAST(event_id AS VARCHAR) END AS value
+  FROM events
+),
+n AS (SELECT COUNT(*) AS n_total FROM src),
+cnts AS (SELECT value, COUNT(*) AS cnt FROM src GROUP BY value)
+SELECT value, CAST(cnt AS BIGINT) AS cnt
+FROM cnts CROSS JOIN n WHERE cnt * 250 > n_total
+"""
+
+
+def _stream_kmv_parity(spark, sf):
+    """Streaming KMV batch parity (streaming/stream.py::
+    kmv_distinct_stream): the events table streamed TWICE (the
+    duplicate lands in a later micro-batch), so every hash hits state
+    that already contains it — bottom-k union is idempotent and the
+    finalized estimate must equal the batch sketch bit-for-bit. The
+    portable kmv_hash makes the per-shard bottom-k sets — and therefore
+    the merged estimate — engine-independent: the oracle replays the
+    batch kmv_distinct_estimate chain over distinct user_ids, the same
+    arithmetic kmv_estimate_from_shards applies to the latest per-shard
+    emissions (hash-exact, not rows-only)."""
+    import shutil
+
+    from gecko_spark.streaming.stream import (
+        kmv_distinct_stream,
+        kmv_estimate_from_shards,
+    )
+
+    root, src, ckpt, run_id = _stream_scratch("stream_kmv")
+    ev = load_table(spark, sf, "events").select(
+        "ts", F.col("user_id").cast("string").alias("uid")
+    )
+    sink = f"stream_kmv_parity_{run_id}"
+    try:
+        _write_ordered_batches([ev, ev], src)
+        schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        sketches = kmv_distinct_stream(
+            stream, "uid", k=128, n_shards=4,
+            ts_col="ts", watermark="3650 days",
+        )
+        q = (
+            sketches.writeStream.format("memory")
+            .outputMode("update")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        last = (
+            spark.table(sink)
+            .toPandas()
+            .groupby("shard")
+            .last()
+            .reset_index()
+        )
+        out = kmv_estimate_from_shards(
+            spark.createDataFrame(last, "shard int, hs array<bigint>"), k=128
+        )
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, "n_seen long, estimate double")
+
+
+def _stream_kmv_parity_sql(k: int = 128) -> str:
+    from gecko_spark.functions.portable_hash import (
+        P1,
+        P2,
+        sql_horner,
+        sql_mix64_ctes,
+    )
+    from gecko_spark.operators.sketches import _A1, _A2, _B1, _B2, _M
+
+    h1 = f"(({sql_horner('v', P1)}) * {_A1} + {_B1}) % {P1}"
+    h2 = f"(({sql_horner('v', P2)}) * {_A2} + {_B2}) % {P2}"
+    # the batch kmv_distinct_estimate chain (cf. _sketch_kmv_sql) over
+    # events.user_id — what the streamed shards must merge back to
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+), hashes AS (
+  SELECT ({h1}) * {P2} + ({h2}) AS h0 FROM vals
+),{sql_mix64_ctes('hashes', 'h0', 'z')},
+mixed AS (
+  SELECT CAST(z >> 2 AS BIGINT) AS h FROM __mix6
+), topk AS (
+  SELECT h FROM mixed ORDER BY h LIMIT {k}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+       CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE {float(k - 1)!r} * CAST({_M} AS DOUBLE) / CAST(MAX(h) AS DOUBLE)
+       END AS estimate
+FROM topk
+"""
+
+
 def _stream_neardup_parity(spark, sf):
     """Streaming near-dup suppression batch parity (VERDICT r10 #3 —
     the last contract-less streaming op): the documents table, with a
@@ -7558,6 +7839,9 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("stream_interval_join_parity", _stream_interval_join_parity),
     ("stream_neardup_parity", _stream_neardup_parity),
     ("stream_hll_parity", _stream_hll_parity),
+    ("stream_pack_parity", _stream_pack_parity),
+    ("stream_hh_parity", _stream_hh_parity),
+    ("stream_kmv_parity", _stream_kmv_parity),
     ("corpus_warc", _corpus_warc),
     ("stream_warc_parity", _stream_warc_parity),
     ("text_main_content", _text_main_content),
@@ -7747,6 +8031,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_interval_join_parity": _STREAM_INTERVAL_JOIN_PARITY_SQL,
         "stream_neardup_parity": _stream_neardup_parity_sql(),
         "stream_hll_parity": _stream_hll_parity_sql(),
+        "stream_pack_parity": _PACK_SQL,
+        "stream_hh_parity": _STREAM_HH_PARITY_SQL,
+        "stream_kmv_parity": _stream_kmv_parity_sql(),
         "corpus_warc": _CORPUS_WARC_SQL,
         "stream_warc_parity": _CORPUS_WARC_SQL,
         "text_main_content": _TEXT_MAIN_CONTENT_SQL,

@@ -491,6 +491,7 @@ def pack_stream(
     n_shards: int = 64,
     watermark_col: Optional[str] = None,
     watermark: str = "1 hour",
+    shard_col=None,
 ) -> DataFrame:
     """Streaming sequence packing: assign arriving documents to
     ~``budget``-token bins, continuing pack numbering across
@@ -503,7 +504,11 @@ def pack_stream(
     O(n_shards), not O(history). Within a micro-batch documents pack in
     ``id_col`` order; ACROSS batches assignment depends on arrival
     order, which is the inherent streaming trade (the batch operator is
-    the deterministic replay)."""
+    the deterministic replay — and when batches arrive in id order the
+    stream reproduces it exactly, which is what the
+    ``stream_pack_parity`` contract certifies). ``shard_col`` overrides
+    the default xxhash64 sharding with an explicit int Column — same
+    portability escape hatch as the batch operator."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
@@ -537,8 +542,9 @@ def pack_stream(
             )
         state.update((offset,))
 
-    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
-    out = docs.withColumn("shard", shard)
+    if shard_col is None:
+        shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    out = docs.withColumn("shard", shard_col)
     if watermark_col is not None:
         out = out.withWatermark(watermark_col, watermark)
     return (

@@ -230,6 +230,93 @@ def test_gumbel_select_frac_validation_and_empty(spark):
     assert gumbel_select_frac(df, 0.5, rand).count() == 0
 
 
+def test_gumbel_select_frac_exact_matches_sequential(spark):
+    from pyspark.sql import functions as F
+
+    from gecko_spark.operators.selection import _gumbel_key
+
+    n_rows = 1000
+    df = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(n_rows)],
+        "doc_id long, log_weight double",
+    ).repartition(4)
+    rand = LcgRandom("doc_id", seed=42)
+    out = gumbel_select_frac(
+        df, 0.25, rand, threshold_mode="exact", accuracy=100
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    # sequential model: the exact ceil(frac*N)-th largest key
+    keyed = df.withColumn("k", _gumbel_key(F.col("log_weight"), rand))
+    keys = sorted((r["k"] for r in keyed.collect()), reverse=True)
+    thr = keys[249]
+    want = sorted(
+        r["doc_id"] for r in keyed.filter(F.col("k") >= thr).collect()
+    )
+    assert got == want
+    assert len(got) >= 250  # target plus any threshold ties
+
+
+def test_gumbel_select_frac_exact_layout_independent(spark):
+    """The ADVICE r11 point: the approx threshold depends on the
+    percentile_approx merge order (physical layout); exact mode must
+    not — repartitioned input selects the identical rows."""
+    df = spark.createDataFrame(
+        [(i, float((i * 7) % 11)) for i in range(500)],
+        "doc_id long, log_weight double",
+    )
+    rand = LcgRandom("doc_id", seed=3)
+    a = {
+        r["doc_id"]
+        for r in gumbel_select_frac(
+            df.repartition(2), 0.3, rand, threshold_mode="exact", accuracy=100
+        ).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in gumbel_select_frac(
+            df.repartition(17), 0.3, rand, threshold_mode="exact", accuracy=100
+        ).collect()
+    }
+    assert a == b
+
+
+def test_gumbel_select_frac_exact_empty_and_validation(spark):
+    df = spark.createDataFrame([], "doc_id long, log_weight double")
+    rand = LcgRandom("doc_id", seed=1)
+    assert (
+        gumbel_select_frac(df, 0.5, rand, threshold_mode="exact").count() == 0
+    )
+    with pytest.raises(ValueError, match="threshold_mode"):
+        gumbel_select_frac(df, 0.5, rand, threshold_mode="banana")
+
+
+def test_gumbel_key_upper_clamp_no_null_keys(spark):
+    """HashRandom's uniform can round to exactly 1.0 (ADVICE r11):
+    log(-log(1.0)) would NULL the key and silently sort the row last.
+    The two-sided clamp keeps every key finite for any uniform in
+    [0, 1] — exercised here by scanning many HashRandom draws."""
+    from pyspark.sql import functions as F
+
+    from gecko_spark.core import HashRandom
+    from gecko_spark.operators.selection import _gumbel_key
+
+    df = spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+    rand = HashRandom(seed=5, key_cols=["doc_id"])
+    keyed = df.withColumn(
+        "k", _gumbel_key(F.lit(0.0), rand)
+    )
+    assert keyed.filter(F.col("k").isNull()).count() == 0
+    # and the clamp itself: u = 1.0 must produce a finite key
+    one = spark.createDataFrame([(1,)], "doc_id long").select(
+        F.round(
+            F.lit(0.0)
+            - F.log(-F.log(F.least(F.greatest(F.lit(1.0), F.lit(2.0 ** -31)),
+                                   F.lit(1.0 - 2.0 ** -31)))), 6
+        ).alias("k")
+    )
+    assert one.collect()[0]["k"] is not None
+
+
 def test_gumbel_topk_plan_is_take_ordered(spark):
     df = spark.createDataFrame(
         [(i, 0.0) for i in range(50)], "doc_id long, log_weight double"

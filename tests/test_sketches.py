@@ -98,6 +98,26 @@ def test_kmv_overlap_disjoint_and_identical(spark):
         kmv_overlap_estimate(kmv_sketch(a, "v", k), kmv_sketch(a, "v", k), 1)
 
 
+def test_kmv_overlap_oversized_sketch_consistent(spark):
+    """ADVICE r11: an oversized caller sketch used to feed UNtruncated
+    hash sets into merged/in_both while side estimates truncated —
+    internally inconsistent. Both inputs now truncate to their k
+    smallest once up front, so a 4k-row sketch at k must give the
+    identical row a well-formed k-row sketch gives."""
+    k = 256
+    a = spark.range(0, 3_000).select(F.concat(F.lit("o"), "id").alias("v"))
+    b = spark.range(1_500, 4_500).select(F.concat(F.lit("o"), "id").alias("v"))
+    well = kmv_overlap_estimate(
+        kmv_sketch(a, "v", k), kmv_sketch(b, "v", k), k
+    ).first()
+    over = kmv_overlap_estimate(
+        kmv_sketch(a, "v", 4 * k), kmv_sketch(b, "v", 4 * k), k
+    ).first()
+    assert well.asDict() == over.asDict()
+    # and the internal identities hold on the defensive path too
+    assert over["intersect_est"] == over["jaccard"] * over["union_est"]
+
+
 def test_kmv_overlap_exact_below_k(spark):
     k = 1024
     a = spark.range(0, 300).select(F.concat(F.lit("e"), "id").alias("v"))

@@ -267,6 +267,47 @@ def test_pack_stream_offsets_continue_across_batches(spark, tmp_path):
         assert set(g["pack"]) == set(range(g["pack"].max() + 1))
 
 
+def test_pack_stream_shard_col_override_matches_batch(spark, tmp_path):
+    """With a portable shard override and id-ordered micro-batches the
+    stream must reproduce the batch pack_sequences assignment exactly —
+    the invariant the stream_pack_parity contract grades externally."""
+    import pathlib
+
+    from gecko_spark.operators.packing import pack_sequences
+    from gecko_spark.streaming import pack_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").cast("long").alias("n_tokens")
+    )
+    shard = F.pmod(F.col("doc_id"), F.lit(4)).cast("int")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    src = pathlib.Path(tmp_path) / "stream_src2"
+    src.mkdir()
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(str(src / "b1"))
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(str(src / "b2"))
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*/")
+    packed = pack_stream(
+        stream, "doc_id", "n_tokens", budget=1000, n_shards=4,
+        shard_col=shard,
+    )
+    _run(packed, "pack_stream_shardcol_sink")
+    got = (
+        spark.sql("SELECT shard, doc_id, pack FROM pack_stream_shardcol_sink")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = (
+        pack_sequences(docs, "doc_id", "n_tokens", budget=1000, n_shards=4,
+                       shard_col=shard)
+        .select("shard", "doc_id", "pack")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert got.astype("int64").equals(want.astype("int64"))
+
+
 # ---------------------------------------------------------------------------
 # checkpoint restart: kill the query with input pending, resume, and
 # assert exactly-once output + restored operator state
