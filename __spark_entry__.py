@@ -2014,6 +2014,45 @@ GROUP BY o_orderpriority
 """
 
 
+def _charsafe_alpha(a: str, b: str) -> str:
+    """Per-pair remap alphabet: every non-ASCII or control codepoint
+    appearing in either string, in first-appearance order. DuckDB's
+    levenshtein / jaro_winkler_similarity count UTF-8 BYTES while
+    Spark's builtins and the package kernels count CHARACTERS
+    (adversarial linkage fixture, round 12: the NFC-vs-NFD 'müller'
+    pair is char-distance 2 but byte-distance 4, so the engines
+    disagreed on pair membership). Injectively remapping each such
+    codepoint to an unused 1-byte char (chr(1..31), chr(127)) makes
+    byte metrics equal char metrics — any injective per-pair remap
+    preserves both edit distance and Jaro-Winkler, which depend only
+    on char equality and positions. BMP caveat: Spark's levenshtein
+    counts UTF-16 code units, so astral chars (emoji) would count as
+    2 there — the fixtures keep linkage names inside the BMP."""
+    return (
+        f"list_distinct(list_filter("
+        f"regexp_extract_all(COALESCE({a}, '') || COALESCE({b}, ''), '(?s).'),"
+        f" c -> unicode(c) > 126 OR unicode(c) < 32))"
+    )
+
+
+def _charsafe_enc(x: str, alpha: str = "__alpha__") -> str:
+    """Encode ``x`` through the pair's remap alphabet (see
+    :func:`_charsafe_alpha`). ASCII-only pairs pass through untouched;
+    more than 32 distinct remappable codepoints in one pair errors
+    loudly rather than colliding silently."""
+    return f"""CASE
+      WHEN {x} IS NULL THEN NULL
+      WHEN len({alpha}) = 0 THEN {x}
+      WHEN len({alpha}) > 32 THEN error('char-safe remap overflow (>32)')
+      ELSE array_to_string(list_transform(regexp_extract_all({x}, '(?s).'),
+             c -> CASE WHEN unicode(c) > 126 OR unicode(c) < 32
+                       THEN chr(CASE WHEN list_position({alpha}, c) <= 31
+                                     THEN list_position({alpha}, c)
+                                     ELSE 127 END)
+                       ELSE c END), '')
+    END"""
+
+
 def _q_linkage_blocked(spark, sf):
     """Record-linkage join (round 6, operators/linkage.py): self-link
     part names blocked on (first token, p_size) and scored with Spark's
@@ -2037,14 +2076,21 @@ def _q_linkage_blocked(spark, sf):
     )
 
 
-_Q_LINKAGE_BLOCKED_SQL = """
+def _linkage_blocked_sql() -> str:
+    return f"""
 WITH l AS (SELECT p_partkey AS id_a, lower(split_part(p_name, ' ', 1)) AS bk,
                   p_size AS sz, p_name AS na FROM part),
      r AS (SELECT p_partkey AS id_b, lower(split_part(p_name, ' ', 1)) AS bk,
-                  p_size AS sz, p_name AS nb FROM part)
-SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INT) AS dist
-FROM l JOIN r USING (bk, sz)
-WHERE levenshtein(na, nb) <= 2 AND id_a < id_b
+                  p_size AS sz, p_name AS nb FROM part),
+j AS (
+  SELECT id_a, id_b, na, nb, {_charsafe_alpha('na', 'nb')} AS __alpha__
+  FROM l JOIN r USING (bk, sz) WHERE id_a < id_b
+), enc AS (
+  SELECT id_a, id_b, {_charsafe_enc('na')} AS ea, {_charsafe_enc('nb')} AS eb
+  FROM j
+)
+SELECT id_a, id_b, CAST(levenshtein(ea, eb) AS INT) AS dist
+FROM enc WHERE levenshtein(ea, eb) <= 2
 """
 
 
@@ -2069,14 +2115,24 @@ def _q_linkage_snm(spark, sf):
     )
 
 
-_Q_LINKAGE_SNM_SQL = """
+def _linkage_snm_sql() -> str:
+    # NULLS FIRST matches Spark's ASC default (adversarial linkage
+    # fixture, round 12: a NULL-name row shifted the whole neighborhood
+    # under DuckDB's NULLS-LAST default)
+    return f"""
 WITH ranked AS (
   SELECT c_custkey AS id, c_name AS nm,
-         row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
-  FROM customer)
-SELECT a.id AS id_a, b.id AS id_b,
-       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
-FROM ranked a JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2
+         row_number() OVER (ORDER BY c_name ASC NULLS FIRST, c_custkey) AS rnk
+  FROM customer),
+j AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.nm AS na, b.nm AS nb,
+         {_charsafe_alpha('a.nm', 'b.nm')} AS __alpha__
+  FROM ranked a JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2
+)
+SELECT id_a, id_b,
+       CAST(levenshtein({_charsafe_enc('na')}, {_charsafe_enc('nb')}) AS INT)
+         AS dist
+FROM j
 """
 
 
@@ -2106,15 +2162,25 @@ def _q_linkage_jw(spark, sf):
     )
 
 
-_Q_LINKAGE_JW_SQL = """
+def _linkage_jw_sql() -> str:
+    # the remap preserves Jaro-Winkler exactly (it depends only on char
+    # equality and positions), so DuckDB's byte-wise builtin computes
+    # the char-wise score of the originals on the encoded pair
+    return f"""
 WITH l AS (SELECT p_partkey AS id_a, lower(split_part(p_name, ' ', 1)) AS bk,
                   p_size AS sz, p_name AS na FROM part),
      r AS (SELECT p_partkey AS id_b, lower(split_part(p_name, ' ', 1)) AS bk,
-                  p_size AS sz, p_name AS nb FROM part)
+                  p_size AS sz, p_name AS nb FROM part),
+j AS (
+  SELECT id_a, id_b, na, nb, {_charsafe_alpha('na', 'nb')} AS __alpha__
+  FROM l JOIN r USING (bk, sz) WHERE id_a < id_b
+), enc AS (
+  SELECT id_a, id_b, {_charsafe_enc('na')} AS ea, {_charsafe_enc('nb')} AS eb
+  FROM j
+)
 SELECT id_a, id_b,
-       CAST(round(jaro_winkler_similarity(na, nb) * 1e9) AS BIGINT) AS sim_1e9
-FROM l JOIN r USING (bk, sz)
-WHERE jaro_winkler_similarity(na, nb) >= 0.8 AND id_a < id_b
+       CAST(round(jaro_winkler_similarity(ea, eb) * 1e9) AS BIGINT) AS sim_1e9
+FROM enc WHERE jaro_winkler_similarity(ea, eb) >= 0.8
 """
 
 # Fellegi-Sunter field weights for q_linkage_fs: log2 odds precomputed
@@ -2166,11 +2232,18 @@ def _fs_sql() -> str:
     return f"""
 WITH c AS (SELECT c_custkey AS id, c_name AS nm, c_mktsegment AS mk,
                   c_nationkey AS nat FROM customer),
+j AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.nm AS na, b.nm AS nb,
+         a.mk AS mka, b.mk AS mkb,
+         {_charsafe_alpha('a.nm', 'b.nm')} AS __alpha__
+  FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id),
 scored AS (
-  SELECT a.id AS id_a, b.id AS id_b,
-         (CASE WHEN levenshtein(a.nm, b.nm) <= 1 THEN {na!r} ELSE {nd!r} END
-          + CASE WHEN a.mk = b.mk THEN {ma!r} ELSE {md!r} END) AS weight
-  FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id)
+  SELECT id_a, id_b,
+         (CASE WHEN levenshtein({_charsafe_enc('na')},
+                                {_charsafe_enc('nb')}) <= 1
+               THEN {na!r} ELSE {nd!r} END
+          + CASE WHEN mka = mkb THEN {ma!r} ELSE {md!r} END) AS weight
+  FROM j)
 SELECT id_a, id_b, CAST(round(weight * 1e9) AS BIGINT) AS weight_1e9
 FROM scored WHERE weight >= 0.0
 """
@@ -2235,10 +2308,16 @@ def _linkage_soundex_sql() -> str:
 WITH l AS (SELECT p_partkey AS id_a, {sx} AS bk,
                   p_size AS sz, p_name AS na FROM part),
      r AS (SELECT p_partkey AS id_b, {sx} AS bk,
-                  p_size AS sz, p_name AS nb FROM part)
-SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INT) AS dist
-FROM l JOIN r USING (bk, sz)
-WHERE levenshtein(na, nb) <= 2 AND id_a < id_b
+                  p_size AS sz, p_name AS nb FROM part),
+j AS (
+  SELECT id_a, id_b, na, nb, {_charsafe_alpha('na', 'nb')} AS __alpha__
+  FROM l JOIN r USING (bk, sz) WHERE id_a < id_b
+), enc AS (
+  SELECT id_a, id_b, {_charsafe_enc('na')} AS ea, {_charsafe_enc('nb')} AS eb
+  FROM j
+)
+SELECT id_a, id_b, CAST(levenshtein(ea, eb) AS INT) AS dist
+FROM enc WHERE levenshtein(ea, eb) <= 2
 """
 
 
@@ -3645,6 +3724,90 @@ SELECT query_id, vec_id, CAST(rnk AS INTEGER) AS rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
   FROM scored
 ) WHERE rnk <= {k}
+"""
+
+
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+def _text_bm25_topk(spark, sf):
+    """BM25 keyword retrieval (round 12, operators/retrieval.py):
+    per-query top-10 over the documents corpus, queries = the first 80
+    chars of every doc_id % 151 == 3 document (4 queries at sf0.01, 34
+    at sf0.1). Lucene non-negative IDF, k1=1.2, b=0.75; per-term
+    contributions micro-quantized to int64 and INTEGER-summed
+    (associative → partition-proof), so the oracle replays tokenize →
+    postings → pruned df → idf/length-norm → quantize → int sum →
+    rank bit-for-bit."""
+    from gecko_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    queries = docs.filter(F.col("doc_id") % 151 == 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring(F.col("text"), 1, 80).alias("query_text"),
+    )
+    return bm25_topk(
+        docs, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    ).select("query_id", "doc_id", "n_hit_terms", "score_micro", "rank")
+
+
+def _text_bm25_topk_sql() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    # literals mirror the Spark expression's PYTHON-computed constants
+    # (k1+1, 1-b) so both engines fold the identical doubles
+    return f"""
+WITH {_TOKS_CTE},
+doclen AS (SELECT doc_id, len(tk) AS dl FROM toks),
+consts AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM doclen
+),
+posts AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+  GROUP BY doc_id, t
+),
+q AS (
+  SELECT doc_id AS query_id,
+         COALESCE(list_filter(
+           string_split_regex(lower(substr(text, 1, 80)),
+                              '[^\\p{{L}}\\p{{N}}_]+'),
+           t -> len(t) > 0), []) AS qtk
+  FROM documents WHERE doc_id % 151 = 3
+),
+qterms AS (SELECT DISTINCT query_id, unnest(qtk) AS term FROM q),
+hit AS (
+  SELECT p.* FROM posts p
+  WHERE p.term IN (SELECT DISTINCT term FROM qterms)
+),
+dfs AS (SELECT term, COUNT(*) AS df FROM hit GROUP BY term),
+contrib AS (
+  SELECT qt.query_id, h.doc_id,
+         CAST(ROUND(
+           LN(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+           * (CAST(h.tf AS DOUBLE) * {k1 + 1.0!r}
+              / (CAST(h.tf AS DOUBLE)
+                 + {float(k1)!r} * ({1.0 - b!r}
+                     + {float(b)!r} * CAST(l.dl AS DOUBLE) / c.avgdl)))
+           * 1000000.0) AS BIGINT) AS cm
+  FROM hit h
+  JOIN qterms qt USING (term)
+  JOIN dfs d USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN consts c
+),
+scored AS (
+  SELECT query_id, doc_id, COUNT(*) AS n_hit_terms,
+         CAST(SUM(cm) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_hit_terms, score_micro, CAST(rnk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_micro DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_BM25_K}
 """
 
 
@@ -7745,85 +7908,97 @@ FROM unioned
 # can never silently diverge from the catalogue (a duplicate key in
 # the old dict literal would have collapsed silently).
 WINDOW_50 = [
-    # --- (a) round-11 new or touched code ---
-    "stream_neardup_parity",      # NEW this round (VERDICT r10 #3)
-    "topk_cosine_ivfpq",          # rerank two-step broadcast (ADVICE r10)
-    "sketch_hll_estimate",        # NEW: oracle-exact HLL (splitmix64 replay)
-    "dedup_substring_clean",      # n_cut NULL-coalesce fix (ADVICE r10)
-    "dedup_substring_spans",      # pathological-doc hardening (r11 #6)
-    "sketch_hll_by_group",        # NEW: per-group HLL
-    "stream_hll_parity",          # NEW: hash-exact streaming HLL contract
-    "dedup_substring_incr_clean", # NEW this round: incremental excision
-                                  # (drives the same against-index path
-                                  # dedup_substring_incr, r10-graded, covers)
-    "corpus_warc",                # resync boundary fix (ADVICE r10)
-    "layout_zorder_key",          # NEW: Morton layout clustering key
-    # --- (b) newest driver grade is r7 — refresh (VERDICT r10 #2).
-    # The in-round session listed all 39; the extension session then
-    # yielded SEVEN of them to the seven NEW-operator contracts (q7,
-    # q10, q_cube_flag_status, q_json_props, q_percentile_price,
-    # q_distinct_counts — all plain-Spark relational shapes with no
-    # package code — and sketch_cm_counts, whose kernel+query path is
-    # graded via sketch_cm_estimate below). Those seven keep their r7
-    # driver grade one more round; the deliberate trade is documented
-    # here rather than hidden: a first driver grade on a NEW operator
-    # is a stronger signal than a re-grade of untouched built-in SQL,
-    # and all seven stay green in the 154-entry local gate at three
-    # SFs + the adversarial fixture where applicable. ---
-    "decontam_filter",
-    "decontam_overlap",
-    "dedup_embedding_pairs",
-    "dedup_fp_overlap",
-    "dedup_ngram_jaccard",
-    "emb_quantize_int8",
-    "gen_datasource",
-    "gen_datetime",
-    "gen_freq_multi",
-    "gen_freq_single",
-    "gen_group",
-    "gen_group_exact",
-    "gen_normal",
-    "gen_uniform",
-    "mut_function",
-    "mut_insert",
+    # Round 12 (VERDICT r11 #1/#3/#4/#5): clear ALL grading residue —
+    # after this round no catalogue entry is never-graded and nothing
+    # carries a grade older than r9 except the 18 slots documented in
+    # group (d) below (15 plain-Spark TPC-H shapes + 3 kernel-covered
+    # siblings), which rotate in r13.
+    # --- (a) round-12 NEW contracts + the two never-driver-graded
+    # round-11 entries (VERDICT r11 #1) ---
+    "dsir_select_frac",           # NEW: at-scale DSIR selection, EXACT
+                                  # rank threshold (VERDICT r11 #4)
+    "topk_cosine_opq",            # NEW: OPQ serving path — rotate +
+                                  # IVFADC + rerank (VERDICT r11 #3)
+    "stream_pack_parity",         # NEW: streaming packing == batch
+    "stream_hh_parity",           # NEW: MG stream + exact recount
+    "stream_kmv_parity",          # NEW: streamed-twice KMV bit-parity
+    "text_sentence_chunks",       # round-11 addition, never graded
+    "text_unicode_normalize",     # round-11 addition, never graded
+    # --- (b) the seven r7-stale entries (VERDICT r11 #1): the six
+    # plain-Spark relational shapes that yielded slots across rounds
+    # 10-11 plus sketch_cm_counts (package code — sketches.py) ---
+    "sketch_cm_counts",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q_cube_flag_status",
+    "q_distinct_counts",
+    "q_json_props",
+    "q_percentile_price",
+    # --- (c) code touched in round 12 — re-grade: the gumbel-key
+    # two-sided clamp + oracle mirror (dsir_select), the KMV overlap
+    # up-front truncation, and the non-negative token-count clamps in
+    # packing/sampling. topk_cosine_ivfpq's oracle refactor yielded
+    # its slot (render verified byte-identical in-repo; the shared SQL
+    # body is driver-graded through topk_cosine_opq above). ---
+    "dsir_select",
+    "sketch_kmv_overlap",
+    "sample_mix_tokens",
+    "pack_global_shards",
     "pack_sequences",
-    "q1_pricing_summary",
-    "q6_revenue_filter",
-    "q_asof_join",
-    "q_linkage_jw",
-    "q_linkage_soundex",
-    "q_skew_join",
-    "sample_reservoir_n",
-    "sample_split",
-    "sketch_cm_estimate",     # cm_counts yielded its slot: estimate
-                              # drives the identical sketch kernel +
-                              # the query path on top; counts stays in
-                              # the 154-entry local + adversarial gates
-    "sketch_heavy_hitters",
-    "sketch_kmv_by_group",
-    "sketch_topk_counts",
-    "text_pii_redact",
-    "text_repetition",
-    "text_stats",
-    # --- (c) round-11 trained-loop certification ---
-    "text_bpe_train",             # NEW: oracle replays the merge loop
-    # --- (d) round-11 extension: DSIR data selection + contrastive
-    # mining (NEW; ann_hard_negatives takes the q_cube_flag_status
-    # slot under the same plain-Spark-relational rationale) ---
-    "dsir_log_weights",           # fit+serve chain replayed in DuckDB
-    "dsir_select",                # Gumbel top-k, portable LCG keys
-    "ann_hard_negatives",         # label-excluded cosine top-k
-    "sketch_kmv_overlap",         # Jaccard/∩/∪ from two KMV sketches
-                                  # (takes the q_json_props slot —
-                                  # plain-Spark JSON builtins, same
-                                  # rationale as the TPC-H yields)
-    "pack_global_shards",         # distributed prefix-sum sharding
-                                  # (takes the q_percentile_price slot
-                                  # — plain-Spark window arithmetic)
-    "pack_texts",                 # materialized training sequences
-                                  # (takes the q_distinct_counts slot)
-    "sample_mix_tokens",          # token-weighted domain mixing
-                                  # (takes the sketch_cm_counts slot)
+    "q_linkage_jw",            # oracle rewritten round 12 (char-safe
+    "q_linkage_soundex",       # remap) — r11 grades no longer cover
+                               # the shipped SQL; they take the
+                               # text_chunks and text_url_normalize
+                               # slots (trivial slice/regex kernels,
+                               # documents-fixtured in the local gate)
+    # --- (d) the 29 oldest-graded (r9) PACKAGE-CODE entries. The 20
+    # r9 entries left out: the 15 plain-DataFrame TPC-H shapes
+    # (q2,q3,q5,q8,q9,q11,q12,q13,q14,q15,q17,q18,q19,q21,
+    # q_window_topk_orders — no gecko_spark import; all stay in the
+    # 3-SF local gate) and five whose kernels are driver-graded
+    # through siblings this round: sketch_kmv_distinct (same chain as
+    # sketch_kmv_by_group r11 + stream_kmv_parity NEW),
+    # text_chunks/text_chunks_tokens/text_url_normalize (trivial
+    # slice/regex arithmetic, documents-fixtured in the local +
+    # adversarial gates; their slots went to the two changed-oracle
+    # linkage entries above), sample_shuffle (sampling module graded
+    # via reservoir/split r11 + mix_tokens r12). All 20 rotate in
+    # r13. ---
+    "mm_image_features",
+    "mm_audio_features",
+    "mm_video_frames",
+    "stream_dedupe_parity",
+    "stream_user_stats_parity",
+    "stream_warc_parity",
+    "text_main_content",
+    "q_linkage_blocked",
+    "q_linkage_snm",
+    "q_linkage_fs",
+    "dedup_groups",
+    "dedup_incremental_index",
+    "dedup_simhash_pairs",
+    "dedup_cluster_reps",
+    "dedup_transitive",
+    "sample_weighted_n",
+    "sample_stratified",
+    "sample_split_grouped",
+    "sample_mix_corpus",
+    "topk_cosine_ivf",
+    "text_bm25_topk",             # NEW round 12: BM25 retrieval
+                                  # (takes the text_unigram_logprob
+                                  # slot — its log-prob chain is
+                                  # graded via text_bigram_logprob
+                                  # r10; stays in the local gate)
+    "text_line_dedupe",
+    "text_quality_classifier",    # also the r11 bench-regression
+                                  # suspect — regrade with the A/B'd
+                                  # serving path (task #2)
+    "text_strip_html",
+    "text_vocab_divergence",
+    "doc_normalize_filter",
+    "doc_fingerprints",
+    "sketch_quantiles",
+    "sketch_quantiles_by_group",
 ]
 
 # Full catalogue as (name, fn) PAIRS — a list, not a dict literal, so a
@@ -8002,6 +8177,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("pack_texts", _pack_texts),
     ("sample_mix_tokens", _sample_mix_tokens),
     ("text_sentence_chunks", _text_sentence_chunks),
+    ("text_bm25_topk", _text_bm25_topk),
 ]
 
 
@@ -8037,9 +8213,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_warc": _CORPUS_WARC_SQL,
         "stream_warc_parity": _CORPUS_WARC_SQL,
         "text_main_content": _TEXT_MAIN_CONTENT_SQL,
-        "q_linkage_blocked": _Q_LINKAGE_BLOCKED_SQL,
-        "q_linkage_snm": _Q_LINKAGE_SNM_SQL,
-        "q_linkage_jw": _Q_LINKAGE_JW_SQL,
+        "q_linkage_blocked": _linkage_blocked_sql(),
+        "q_linkage_snm": _linkage_snm_sql(),
+        "q_linkage_jw": _linkage_jw_sql(),
         "q_linkage_fs": _fs_sql(),
         "q_linkage_soundex": _linkage_soundex_sql(),
         "q1_pricing_summary": _Q1_SQL,
@@ -8162,6 +8338,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_texts": _PACK_TEXTS_SQL,
         "sample_mix_tokens": _sample_mix_tokens_sql(),
         "text_sentence_chunks": _text_sentence_chunks_sql(),
+        "text_bm25_topk": _text_bm25_topk_sql(),
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,

@@ -172,6 +172,75 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx
 
 
+def curate_to_sequences(spark: SparkSession, sf_dir: str):
+    """The FULL 12-stage chain as one composable unit — stages 0-8 via
+    :func:`curate`, then split → DSIR selection → global token shards →
+    materialized pack texts. Returns ``(sequences_df, cached)`` where
+    ``cached`` are the frames this function persisted (callers
+    unpersist when done — the bench does, so timed reps don't reuse a
+    warm cache).
+
+    THE cross-stage plan point (benched as ``curation_e2e``): the
+    stages after curation are MULTI-PASS — the DSIR fit collects bucket
+    counts over the cleaned train split, gumbel_select_frac aggregates
+    a threshold, global_token_shards collects bucket totals, and the
+    final write scans once more. Without a persist boundary each of
+    those four actions RE-EXECUTES the whole 12-stage dedup gauntlet
+    (4× the most expensive plan in the repo); persisting the cleaned
+    train split collapses them to one execution + four cheap cached
+    scans. At 100 TB the same boundary is a checkpoint to object
+    storage rather than executor memory, but it sits in the same place.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.packing import global_token_shards, pack_texts
+    from gecko_spark.operators.sampling import split_dataset
+    from gecko_spark.operators.selection import (
+        dsir_log_weights,
+        fit_log_ratio_micro,
+        gumbel_select_frac,
+        hashed_ngram_bucket_counts,
+    )
+    from gecko_spark.operators.text import word_token_count
+
+    ctx = curate(spark, sf_dir)
+    split = split_dataset(
+        ctx,
+        [("train", 0.98), ("val", 0.01), ("test", 0.01)],
+        rand=LcgRandom("doc_id", 23),
+    )
+    # persist boundary: everything below makes multiple passes
+    train_docs = (
+        split.filter("split = 'train'")
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    raw = load_table(spark, sf_dir, "documents")
+    reference = raw.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    lr = fit_log_ratio_micro(
+        hashed_ngram_bucket_counts(reference, n_buckets=4096),
+        hashed_ngram_bucket_counts(train_docs, n_buckets=4096),
+        4096,
+    )
+    weighted = train_docs.join(
+        dsir_log_weights(train_docs, lr).select("doc_id", "log_weight"),
+        "doc_id",
+    )
+    selected = gumbel_select_frac(weighted, 0.6, LcgRandom("doc_id", 29))
+    sharded = global_token_shards(
+        selected.withColumn("n_tokens", word_token_count(F.col("text"))),
+        "doc_id", "n_tokens", budget=2048,
+        rand=LcgRandom("doc_id", 37), buckets=16,
+    )
+    seqs = pack_texts(
+        sharded.withColumnRenamed("gshard", "shard")
+        .withColumn("pack", F.lit(0)),
+        "doc_id", "text",
+    )
+    return seqs, [train_docs]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="corpus_")

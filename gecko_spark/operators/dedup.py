@@ -68,18 +68,49 @@ def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     return [(rnd.randrange(1, _P - 1), rnd.randrange(0, _P - 1)) for _ in range(num_hashes)]
 
 
+_SHUFFLE_NODE_RE = None  # compiled lazily (module import stays light)
+
+
+def _plan_has_shuffle(df: DataFrame) -> bool:
+    """True when the OPTIMIZED logical plan contains a width-restoring
+    operator (aggregate/join/window/sort/repartition): downstream
+    partition count is then governed by spark.sql.shuffle.partitions /
+    AQE, not by the scan. Analysis-only — never plans physically, never
+    runs a job. Operator names are matched at tree-line starts so a
+    column named 'JoinDate' can't false-positive."""
+    global _SHUFFLE_NODE_RE
+    if _SHUFFLE_NODE_RE is None:
+        import re as _re
+
+        # deliberately NOT GlobalLimit: a .limit() plan collapses to
+        # one partition, exactly the starvation the guard exists for
+        _SHUFFLE_NODE_RE = _re.compile(
+            r"(?m)^[\s:+\-]*(Aggregate|Join |Window|Sort |"
+            r"RepartitionByExpression|Repartition |Distinct|"
+            r"Intersect|Except)\b"
+        )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return bool(_SHUFFLE_NODE_RE.search(plan))
+
+
 def ensure_parallelism(df: DataFrame, min_ratio: float = 1.0) -> DataFrame:
     """Round-robin repartition when the scan yields fewer partitions than
     cores (single-file / single-row-group parquet reads collapse to one
     task otherwise). On a real cluster with many input splits this is a
     no-op — the guard only fires when parallelism is actually starved.
 
-    Cost note: ``df.inputFiles()`` (analysis + file listing only) short-
-    circuits the common at-scale case — parquet files are splittable, so
-    ``n_partitions >= n_files`` and enough files proves enough splits
-    without converting the plan to an RDD. Only the ambiguous few-files
-    case falls through to the exact ``.rdd.getNumPartitions()`` probe,
-    which is cheap precisely when the input is that small."""
+    Cost ladder (round 12 — the old exact probe was the curation
+    chain's hidden build cost): (1) ``df.inputFiles()`` (analysis +
+    file listing only) short-circuits the common at-scale case —
+    parquet files are splittable, so ``n_partitions >= n_files``;
+    (2) a logical-plan scan: if the input already shuffles
+    (aggregate/join/window/…), its width is shuffle.partitions by
+    construction and the guard is moot; (3) only a genuinely
+    scan-shaped few-files input falls through to the exact
+    ``.rdd.getNumPartitions()`` probe — which is only safe THERE:
+    under AQE, ``.rdd`` on a shuffle-bearing plan EXECUTES its query
+    stages (profiled at 6+ s and real cluster jobs per call inside the
+    curation chain), so step (2) must come first."""
     target = max(
         1, int(df.sparkSession.sparkContext.defaultParallelism * min_ratio)
     )
@@ -87,7 +118,12 @@ def ensure_parallelism(df: DataFrame, min_ratio: float = 1.0) -> DataFrame:
         if len(df.inputFiles()) >= target:
             return df
     except Exception:
-        pass  # non-file-backed plan: fall through to the exact probe
+        pass  # non-file-backed plan: fall through
+    try:
+        if _plan_has_shuffle(df):
+            return df
+    except Exception:
+        pass  # plan dump unavailable: fall through to the exact probe
     if df.rdd.getNumPartitions() < target:
         return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df

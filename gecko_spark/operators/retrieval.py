@@ -1,0 +1,178 @@
+"""BM25 keyword retrieval over a document corpus — the lexical
+retrieval primitive an LLM-data pipeline reaches for when embeddings
+are too expensive or the query is exact-term (Robertson & Zaragoza
+2009; the IDF is Lucene's non-negative variant):
+
+* **hard-negative mining for retrieval training** — BM25 top-k are the
+  classic "hard" lexical negatives (DPR, Karpukhin et al. 2020 mine
+  them exactly this way) complementing the embedding-space miner in
+  ``similarity.hard_negative_pairs``;
+* **targeted decontamination / eval-set audits** — "which training
+  documents score suspiciously high against this benchmark question";
+* **corpus exploration** at 100 TB where an inverted-index service
+  doesn't exist yet.
+
+Shape, Spark-first: the QUERY SET is small by definition (it is the
+thing a human or a training config supplies), so the only corpus-sized
+work is one tokenize→explode→count aggregation; query terms broadcast
+into a semi-join that prunes the posting lists BEFORE the per-(query,
+doc) scoring join, so the shuffle carries only postings whose term
+appears in some query — at 100 TB that pruning is the difference
+between "one bounded shuffle" and "re-shuffling the corpus vocabulary".
+
+Oracle-exactness: per-term score contributions are micro-quantized to
+int64 (half-away-from-zero × 10^6 — the DSIR device, selection.py::
+fit_log_ratio_micro) and summed as INTEGERS, so the per-(query, doc)
+score is associative and partition-proof, and a DuckDB oracle replays
+the whole chain bit-for-bit (``text_bm25_topk`` contract). Every
+floating intermediate (idf, length norm) is a pure function of integer
+statistics, evaluated identically by both engines; only the final SUM
+would have been order-sensitive, and it is integer.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gecko_spark.operators.text import tokens
+
+__all__ = ["bm25_score_pairs", "bm25_topk"]
+
+
+def _doc_stats(docs: DataFrame, id_col: str, text_col: str):
+    """(postings, doclen, n_docs, sum_len): term frequencies per doc,
+    doc lengths, and the corpus constants. One tokenize, one explode,
+    one (doc, term) aggregation — the only corpus-wide shuffle."""
+    toked = docs.select(
+        F.col(id_col).alias("__doc__"), tokens(F.col(text_col)).alias("__tk__")
+    )
+    doclen = toked.select("__doc__", F.size("__tk__").alias("__len__"))
+    postings = (
+        toked.select("__doc__", F.explode("__tk__").alias("__term__"))
+        .groupBy("__doc__", "__term__")
+        .agg(F.count(F.lit(1)).alias("__tf__"))
+    )
+    row = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__len__").alias("s")
+    ).collect()[0]
+    return postings, doclen, int(row["n"]), int(row["s"] or 0)
+
+
+def bm25_score_pairs(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every (query, matching document) pair:
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
+    over the query's DISTINCT terms, with Lucene's non-negative IDF
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``. Returns
+    ``(query_id, doc_id, n_hit_terms, score_micro)`` where
+    ``score_micro`` is the exact int64 sum of per-term contributions
+    micro-quantized at 10^6 — associative, so partitioning cannot
+    change it, and an external SQL engine replays it exactly.
+
+    Documents sharing no term with the query do not appear (BM25 gives
+    them 0; emitting corpus-sized zero rows would defeat the pruning).
+
+    Plan: query terms (distinct, tiny) BROADCAST into a semi-join that
+    prunes postings before anything wide happens; df/idf is computed
+    on the pruned postings only; one final aggregation keyed
+    (query, doc). ``queries`` must be driver-small (it broadcasts) —
+    that is the operator's contract, not a limitation: a billion-query
+    workload is a join-reordering problem, not a retrieval call.
+    """
+    if k1 < 0 or not (0.0 <= b <= 1.0):
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got {k1=} {b=}")
+    postings, doclen, n_docs, sum_len = _doc_stats(docs, id_col, text_col)
+    if n_docs == 0:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, "
+            "n_hit_terms long, score_micro long",
+        )
+    avgdl = sum_len / n_docs  # exact int ratio → identical double everywhere
+
+    qterms = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__q__"),
+            F.explode(tokens(F.col(query_text_col))).alias("__term__"),
+        ).distinct()
+    )
+    # prune postings to query vocabulary FIRST (broadcast semi-join),
+    # then df over the pruned set — df counts DOCS per term, which is
+    # invariant to the pruning (a term's posting list survives whole)
+    hit = postings.join(qterms.select("__term__").distinct(), "__term__", "left_semi")
+    df_ = hit.groupBy("__term__").agg(
+        F.count(F.lit(1)).alias("__df__")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df__") + F.lit(0.5))
+        / (F.col("__df__") + F.lit(0.5))
+    )
+    scored = (
+        hit.join(F.broadcast(df_), "__term__")
+        .join(qterms, "__term__")
+        .join(doclen, "__doc__")
+    )
+    tf = F.col("__tf__").cast("double")
+    norm = tf * F.lit(k1 + 1.0) / (
+        tf
+        + F.lit(float(k1))
+        * (
+            F.lit(1.0 - b)
+            + F.lit(float(b)) * F.col("__len__").cast("double") / F.lit(avgdl)
+        )
+    )
+    # micro-quantize each term's contribution half-away-from-zero, then
+    # sum INTEGERS: associative → partition-proof → oracle-exact
+    contrib = idf * norm * F.lit(1_000_000.0)
+    micro = (
+        F.signum(contrib) * F.floor(F.abs(contrib) + F.lit(0.5))
+    ).cast("long")
+    return (
+        scored.withColumn("__c__", micro)
+        .groupBy(
+            F.col("__q__").alias(query_id_col), F.col("__doc__").alias(id_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("__c__").alias("score_micro"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    **kwargs,
+) -> DataFrame:
+    """Per-query BM25 top-``k``: :func:`bm25_score_pairs` + one rank
+    window partitioned by query (Q·matched-docs rows — already pruned
+    to the query vocabulary, never corpus-wide). Total order
+    (score desc, doc_id asc) → unique, replayable result. Adds
+    ``rank``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    id_col = kwargs.get("id_col", "doc_id")
+    query_id_col = kwargs.get("query_id_col", "query_id")
+    pairs = bm25_score_pairs(docs, queries, **kwargs)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -63,6 +63,63 @@ def test_corpus_curation_end_to_end(spark, tmp_path):
     assert pdf.loc[pdf["doc_id"] >= 0, "event_type"].notna().all()
 
 
+def test_curate_to_sequences_persist_boundary(spark):
+    """The curation_e2e bench invariant (round 12): the final packed-
+    sequences plan must read every document byte from the PERSISTED
+    train split — zero documents.parquet leaves in the optimized plan.
+    Without the persist boundary each post-curation action (DSIR fit,
+    selection threshold, shard totals, final write) would re-execute
+    the whole 12-stage dedup gauntlet."""
+    from corpus_curation import curate_to_sequences
+
+    seqs, cached = curate_to_sequences(spark, "/root/testdata/sf0.001")
+    try:
+        pdf = seqs.toPandas()
+        assert len(pdf) > 0
+        assert pdf["n_docs"].sum() > 0
+        leaves = seqs._jdf.queryExecution().optimizedPlan().collectLeaves()
+        doc_scans = sum(
+            1
+            for i in range(leaves.size())
+            if "documents.parquet"
+            in leaves.apply(i).toString().splitlines()[0]
+        )
+        assert doc_scans == 0, f"{doc_scans} raw re-scans of documents"
+        # the cache boundary is real: at least one InMemoryRelation leaf
+        assert any(
+            leaves.apply(i).toString().startswith("InMemoryRelation")
+            for i in range(leaves.size())
+        )
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
+def test_ensure_parallelism_ladder(spark):
+    """Round-12 cost ladder: shuffle-bearing inputs return unchanged
+    WITHOUT an .rdd conversion (which executes query stages under AQE);
+    scan-shaped starved inputs still get repartitioned."""
+    from pyspark.sql import functions as F
+
+    from gecko_spark.operators.dedup import _plan_has_shuffle, ensure_parallelism
+
+    agg = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .groupBy("lang").count()
+    )
+    assert _plan_has_shuffle(agg)
+    assert ensure_parallelism(agg) is agg  # returned untouched
+    # a column NAMED like an operator must not trip the matcher
+    narrow = spark.range(10).select(F.col("id").alias("JoinDate"))
+    assert not _plan_has_shuffle(narrow)
+    # scan-shaped single-partition input still gets widened
+    one = spark.range(0, 100, 1, 1)
+    widened = ensure_parallelism(one)
+    assert widened.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 2
+    )
+
+
 def test_streaming_pipeline_example(spark):
     from streaming_pipeline import run_to_memory
 

@@ -1,0 +1,107 @@
+"""BM25 retrieval (operators/retrieval.py): scoring model parity with
+a brute-force reference, pruning/plan shape, determinism, guards."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from gecko_spark.operators.retrieval import bm25_score_pairs, bm25_topk
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "a quick brown cat sleeps"),
+    (2, "the dog barks at the other dog"),
+    (3, "entirely unrelated words about spaceships"),
+    (4, None),
+    (5, ""),
+    (6, "fox fox fox fox fox"),
+]
+QUERIES = [(100, "quick fox"), (101, "dog"), (102, "zzz_absent_term")]
+
+
+def _brute_bm25(k1=1.2, b=0.75):
+    tok = lambda t: re.findall(r"\w+", (t or "").lower())
+    dtoks = {i: tok(t) for i, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in dtoks.values()) / n
+    out = {}
+    for qid, qt in QUERIES:
+        for did, toks in dtoks.items():
+            s, hits = 0, 0
+            for term in sorted(set(tok(qt))):
+                tf = toks.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for v in dtoks.values() if term in v)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                norm = tf * (k1 + 1.0) / (
+                    tf + k1 * ((1.0 - b) + b * len(toks) / avgdl)
+                )
+                c = idf * norm * 1e6
+                s += int(math.copysign(math.floor(abs(c) + 0.5), c))
+                hits += 1
+            if hits:
+                out[(qid, did)] = (hits, s)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").repartition(3)
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return spark.createDataFrame(QUERIES, "query_id long, query_text string")
+
+
+def test_bm25_matches_brute_force(spark, corpus, queries):
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_hit_terms"], r["score_micro"])
+        for r in bm25_score_pairs(corpus, queries).collect()
+    }
+    assert got == _brute_bm25()
+
+
+def test_bm25_topk_rank_and_intuition(spark, corpus, queries):
+    top = bm25_topk(corpus, queries, k=2)
+    rows = {
+        (r["query_id"], r["rank"]): r["doc_id"] for r in top.collect()
+    }
+    # 'quick fox': doc 0 matches both terms; doc 6 is tf-saturated fox
+    assert rows[(100, 1)] in (0, 6)
+    # 'dog': doc 2 (tf=2, shorter) outranks doc 0 (tf=1)
+    assert rows[(101, 1)] == 2
+    # absent term: no rows for query 102
+    assert not any(q == 102 for q, _ in rows)
+    # zero-score never beats positive; ranks are 1..k contiguous
+    for q in (100, 101):
+        ranks = sorted(r for (qq, r) in rows if qq == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_bm25_partitioning_invariant(spark, corpus, queries):
+    a = sorted(map(tuple, bm25_score_pairs(corpus, queries).collect()))
+    b = sorted(
+        map(tuple, bm25_score_pairs(corpus.repartition(7), queries).collect())
+    )
+    assert a == b  # integer micro-sum: associativity-proof
+
+
+def test_bm25_plan_broadcasts_queries(spark, corpus, queries):
+    plan = bm25_score_pairs(corpus, queries)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Broadcast" in plan  # query vocabulary never shuffles the corpus
+
+
+def test_bm25_guards_and_empty(spark, corpus, queries):
+    with pytest.raises(ValueError, match="k1"):
+        bm25_score_pairs(corpus, queries, k1=-1.0)
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(corpus, queries, k=0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_score_pairs(empty, queries).count() == 0

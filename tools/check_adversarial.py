@@ -122,12 +122,65 @@ ADVERSARIAL_ORDERS = [
 ]
 
 
+# (p_partkey, p_name, p_brand, p_type, p_size, p_retailprice) — the
+# linkage name-table pathology (VERDICT r11 #7): NULL/empty/whitespace
+# names (NULL block keys must vanish from inner joins identically on
+# both engines), multibyte and combining-mark names at edit-distance /
+# JW-window edges (character-vs-byte divergence in levenshtein /
+# jaro_winkler would surface here), the classic JW transposition pair
+# (martha/marhta), a shared block with a leading-digit first token
+# (soundex's non-letter passthrough inside a real blocked join), H/W
+# leading soundex names, and same-name-different-size rows (block-key
+# discrimination). Sizes cluster on 777/778 so the planted pairs
+# actually co-block.
+ADVERSARIAL_PARTS = [
+    (300001, None, "Brand#1", "TYPE a", 777, 1.0),       # NULL name
+    (300002, "", "Brand#1", "TYPE a", 777, 2.0),         # empty name
+    (300003, "   ", "Brand#1", "TYPE a", 777, 3.0),      # whitespace name
+    (300004, "martha steel blue", "Brand#2", "TYPE b", 777, 4.0),
+    (300005, "marhta steel blue", "Brand#2", "TYPE b", 777, 5.0),  # JW transposition
+    (300006, "müller grün polished", "Brand#3", "TYPE c", 778, 6.0),
+    (300007, "muller grun polished", "Brand#3", "TYPE c", 778, 7.0),  # accent-stripped twin
+    (300008, "müller grün polished", "Brand#3", "TYPE c", 778, 8.0),  # combining mark
+    (300009, "汉字 widget 漢字", "Brand#4", "TYPE d", 778, 9.0),   # CJK tokens
+    (300010, "汉字 widget 漢字X", "Brand#4", "TYPE d", 778, 10.0),  # CJK + 1 edit
+    (300011, "4th gear special", "Brand#5", "TYPE e", 779, 11.0),  # digit first token
+    (300012, "4th gear specials", "Brand#5", "TYPE e", 779, 12.0),
+    (300013, "whyte honed almond", "Brand#6", "TYPE f", 780, 13.0),  # W-leading soundex
+    (300014, "white honed almond", "Brand#6", "TYPE f", 780, 14.0),
+    (300015, "same name same block", "Brand#7", "TYPE g", 781, 15.0),
+    (300016, "same name same block", "Brand#7", "TYPE g", 781, 16.0),  # exact dup name
+    (300017, "same name same block", "Brand#7", "TYPE g", 999, 17.0),  # dup name, other block
+]
+
+
+# (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment) — the
+# sorted-neighborhood + Fellegi-Sunter pathology: NULL/empty/multibyte
+# names at global-rank boundaries (SNM orders by (name, key) — NULL
+# name ordering must agree across engines or the window pairs shift),
+# NULL FS block key (nationkey) and NULL agreement field (mktsegment),
+# and an identical-name tie pair probing rank tiebreaks.
+ADVERSARIAL_CUSTOMERS = [
+    (400001, None, 3, 1.0, "BUILDING"),          # NULL name
+    (400002, "", 3, 2.0, "BUILDING"),            # empty name (sorts first)
+    (400003, "Ärger Zoé", 3, 3.0, "MACHINERY"),  # multibyte, sorts by codepoint
+    (400004, "Customer#tie", 5, 4.0, "AUTOMOBILE"),
+    (400005, "Customer#tie", 5, 5.0, "AUTOMOBILE"),  # exact name tie
+    (400006, "Customer#nullseg", 5, 6.0, None),  # NULL FS agreement field
+    (400007, "Customer#nullnat", None, 7.0, "HOUSEHOLD"),  # NULL FS block key
+    (400008, "éclair Ann", 7, 8.0, "FURNITURE"),   # é composed
+    (400009, "éclair Ann", 7, 9.0, "FURNITURE"),  # é decomposed
+]
+
+
 def build_fixture() -> str:
     if FIX_DIR.exists():
         shutil.rmtree(FIX_DIR)
     FIX_DIR.mkdir(parents=True)
     for p in Path(BASE_SF).glob("*.parquet"):
-        if p.stem not in ("documents", "embeddings", "events", "orders"):
+        if p.stem not in (
+            "documents", "embeddings", "events", "orders", "part", "customer"
+        ):
             shutil.copy(p, FIX_DIR / p.name)
     con = duckdb.connect()
     con.execute(
@@ -174,6 +227,33 @@ def build_fixture() -> str:
           UNION ALL SELECT * FROM adv_ev ORDER BY event_id
         ) TO '{FIX_DIR}/events.parquet' (FORMAT PARQUET)
     """)
+    con.execute(
+        "CREATE TABLE adv_part (p_partkey BIGINT, p_name VARCHAR, "
+        "p_brand VARCHAR, p_type VARCHAR, p_size INTEGER, "
+        "p_retailprice DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO adv_part VALUES (?, ?, ?, ?, ?, ?)", ADVERSARIAL_PARTS
+    )
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{BASE_SF}/part.parquet')
+          UNION ALL SELECT * FROM adv_part ORDER BY p_partkey
+        ) TO '{FIX_DIR}/part.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(
+        "CREATE TABLE adv_cust (c_custkey BIGINT, c_name VARCHAR, "
+        "c_nationkey INTEGER, c_acctbal DOUBLE, c_mktsegment VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO adv_cust VALUES (?, ?, ?, ?, ?)", ADVERSARIAL_CUSTOMERS
+    )
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{BASE_SF}/customer.parquet')
+          UNION ALL SELECT * FROM adv_cust ORDER BY c_custkey
+        ) TO '{FIX_DIR}/customer.parquet' (FORMAT PARQUET)
+    """)
     dim = con.execute(
         f"SELECT len(embedding) FROM read_parquet("
         f"'{BASE_SF}/embeddings.parquet') LIMIT 1"
@@ -194,15 +274,21 @@ def build_fixture() -> str:
 
 def documents_entries() -> list[str]:
     """Entries whose oracle SQL (or known streaming parity capture)
-    reads the documents table."""
+    reads an adversarially-fixtured table. part/customer (the linkage
+    name tables, round 12) match as relation references only — 'part'
+    is a substring of split_part/PARTITION, so a bare find() would
+    drag in half the catalogue."""
+    import re
+
     import __spark_entry__ as e
 
+    rel = re.compile(r"(?i)\b(?:from|join)\s+(part|customer)\b")
     names = []
     oracles = e.oracle_sql()
     for name in e.queries():
         sql = oracles.get(name, "")
         if ("documents" in sql or "embeddings" in sql or "orders" in sql
-                or name.startswith("stream_")):
+                or rel.search(sql) or name.startswith("stream_")):
             names.append(name)
     return names
 
