@@ -2418,8 +2418,12 @@ SELECT "range" AS __idx__, 'hello' AS v FROM range(0, {GEN_N})
 """
 
 
-def _reverse_str(s: str) -> str:
-    return s[::-1]
+def _reverse_str(s):
+    # NULL-safe: with_function passes selected nulls through to the
+    # function BY CONTRACT (mutators.py docstring — the reference
+    # passes NaN), so the function owns NULL handling; the oracle's
+    # reverse(NULL) is NULL (adversarial persons fixture, round 12)
+    return None if s is None else s[::-1]
 
 
 def _mut_function(spark, sf):
@@ -2430,10 +2434,20 @@ def _mut_function(spark, sf):
     )
 
 
+# codepoint-wise reverse, NOT DuckDB's reverse() builtin: the builtin
+# is grapheme-aware (keeps a base char before its combining mark),
+# while Python's s[::-1] — what with_function's user fn runs — reverses
+# CODEPOINTS (adversarial persons fixture, round 12: the NFD 'éclair'
+# customer separated the two)
+_SQL_CP_REVERSE = (
+    "array_to_string(list_reverse("
+    "regexp_extract_all(c_name, '(?s).')), '')"
+)
+
 _MUT_FUNCTION_SQL = f"""
 SELECT c_custkey,
        CASE WHEN {_u('c_custkey', 118, 0)} < 0.5
-            THEN reverse(c_name) ELSE c_name END AS c_name
+            THEN {_SQL_CP_REVERSE} ELSE c_name END AS c_name
 FROM customer
 """
 

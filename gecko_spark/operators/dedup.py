@@ -82,11 +82,13 @@ def _plan_has_shuffle(df: DataFrame) -> bool:
     if _SHUFFLE_NODE_RE is None:
         import re as _re
 
-        # deliberately NOT GlobalLimit: a .limit() plan collapses to
-        # one partition, exactly the starvation the guard exists for
+        # deliberately NOT GlobalLimit or Repartition/
+        # RepartitionByExpression: a .limit() plan collapses to one
+        # partition and a .coalesce(1)/.repartition(n) pins width to
+        # an EXPLICIT n that may be tiny — exactly the starvation the
+        # guard exists for (caught by the substring plan-shape test)
         _SHUFFLE_NODE_RE = _re.compile(
-            r"(?m)^[\s:+\-]*(Aggregate|Join |Window|Sort |"
-            r"RepartitionByExpression|Repartition |Distinct|"
+            r"(?m)^[\s:+\-]*(Aggregate|Join |Window|Sort |Distinct|"
             r"Intersect|Except)\b"
         )
     plan = df._jdf.queryExecution().optimizedPlan().toString()

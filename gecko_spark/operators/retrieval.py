@@ -71,6 +71,7 @@ def bm25_score_pairs(
     query_text_col: str = "query_text",
     k1: float = 1.2,
     b: float = 0.75,
+    max_df_ratio: Union[float, None] = None,
 ) -> DataFrame:
     """Score every (query, matching document) pair:
     ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
@@ -90,9 +91,19 @@ def bm25_score_pairs(
     (query, doc). ``queries`` must be driver-small (it broadcasts) —
     that is the operator's contract, not a limitation: a billion-query
     workload is a join-reordering problem, not a retrieval call.
-    """
+
+    ``max_df_ratio``: optionally ELIDE query terms whose document
+    frequency exceeds ``ratio · N`` — standard stopword elision. A term
+    in half the corpus has idf ≈ ln(1 + ~1) ≈ 0.7 but drags its ENTIRE
+    posting list through scoring (measured: one df≈0.5 query term cost
+    more rows than thirty rare terms combined — tools/scale_bm25.py);
+    eliding it changes each affected score by that near-floor constant
+    while cutting the scored-pair volume by orders of magnitude. Off by
+    default (exact BM25, what the oracle contract replays)."""
     if k1 < 0 or not (0.0 <= b <= 1.0):
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got {k1=} {b=}")
+    if max_df_ratio is not None and not (0.0 < max_df_ratio <= 1.0):
+        raise ValueError(f"max_df_ratio must be in (0, 1], got {max_df_ratio}")
     postings, doclen, n_docs, sum_len = _doc_stats(docs, id_col, text_col)
     if n_docs == 0:
         spark = docs.sparkSession
@@ -121,6 +132,12 @@ def bm25_score_pairs(
         + (F.lit(float(n_docs)) - F.col("__df__") + F.lit(0.5))
         / (F.col("__df__") + F.lit(0.5))
     )
+    if max_df_ratio is not None:
+        # elide stopword-frequent query terms BEFORE the wide joins —
+        # df_ is query-vocabulary-sized, so the filter is free
+        df_ = df_.filter(
+            F.col("__df__") <= F.lit(float(max_df_ratio)) * F.lit(float(n_docs))
+        )
     scored = (
         hit.join(F.broadcast(df_), "__term__")
         .join(qterms, "__term__")

@@ -98,6 +98,28 @@ def test_bm25_plan_broadcasts_queries(spark, corpus, queries):
     assert "Broadcast" in plan  # query vocabulary never shuffles the corpus
 
 
+def test_bm25_max_df_elision(spark, corpus, queries):
+    """max_df_ratio elides stopword-frequent query terms: 'the' is in
+    2/7 docs (df ratio ≈ 0.29); at max_df 0.2 any pair that only
+    matched via an elided term disappears, others lose exactly that
+    term's contribution."""
+    q = spark.createDataFrame([(200, "the fox")], "query_id long, query_text string")
+    exact = {
+        (r["query_id"], r["doc_id"]): r["score_micro"]
+        for r in bm25_score_pairs(corpus, q).collect()
+    }
+    elided = {
+        (r["query_id"], r["doc_id"]): r["score_micro"]
+        for r in bm25_score_pairs(corpus, q, max_df_ratio=0.2).collect()
+    }
+    # doc 2 only matched 'the' -> gone; fox docs remain, scores shrink
+    assert (200, 2) in exact and (200, 2) not in elided
+    for key in elided:
+        assert key in exact and elided[key] <= exact[key]
+    with pytest.raises(ValueError, match="max_df_ratio"):
+        bm25_score_pairs(corpus, q, max_df_ratio=0.0)
+
+
 def test_bm25_guards_and_empty(spark, corpus, queries):
     with pytest.raises(ValueError, match="k1"):
         bm25_score_pairs(corpus, queries, k1=-1.0)
