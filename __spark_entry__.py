@@ -3765,12 +3765,14 @@ def _text_bm25_topk(spark, sf):
     ).select("query_id", "doc_id", "n_hit_terms", "score_micro", "rank")
 
 
-def _text_bm25_topk_sql() -> str:
+def _bm25_scored_cte() -> str:
+    """The BM25 replay chain through ``scored(query_id, doc_id,
+    n_hit_terms, score_micro)`` — shared by the plain top-k and the
+    hard-negatives contracts. Literals mirror the Spark expression's
+    PYTHON-computed constants (k1+1, 1−b) so both engines fold the
+    identical doubles."""
     k1, b = _BM25_K1, _BM25_B
-    # literals mirror the Spark expression's PYTHON-computed constants
-    # (k1+1, 1-b) so both engines fold the identical doubles
-    return f"""
-WITH {_TOKS_CTE},
+    return f"""{_TOKS_CTE},
 doclen AS (SELECT doc_id, len(tk) AS dl FROM toks),
 consts AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -3815,13 +3817,59 @@ scored AS (
   SELECT query_id, doc_id, COUNT(*) AS n_hit_terms,
          CAST(SUM(cm) AS BIGINT) AS score_micro
   FROM contrib GROUP BY query_id, doc_id
-)
+)"""
+
+
+def _text_bm25_topk_sql() -> str:
+    return f"""
+WITH {_bm25_scored_cte()}
 SELECT query_id, doc_id, n_hit_terms, score_micro, CAST(rnk AS INT) AS rank
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY score_micro DESC, doc_id) AS rnk
   FROM scored
 ) WHERE rnk <= {_BM25_K}
+"""
+
+
+def _bm25_hard_negatives(spark, sf):
+    """BM25 hard-negative mining (retrieval.py::bm25_hard_negatives —
+    the lexical half of the DPR recipe, mirroring the embedding-space
+    ann_hard_negatives): per anchor (the same doc_id % 151 == 3 query
+    set, labeled by lang), the 5 highest-BM25 docs whose lang DIFFERS
+    (IS DISTINCT FROM — NULL-safe). The label filter sits UNDER the
+    rank window; the oracle composes the shared BM25 replay chain with
+    the label exclusion."""
+    from gecko_spark.operators.retrieval import bm25_hard_negatives
+
+    docs = load_table(spark, sf, "documents")
+    anchors = docs.filter(F.col("doc_id") % 151 == 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring(F.col("text"), 1, 80).alias("query_text"),
+        F.col("lang").alias("label"),
+    )
+    return bm25_hard_negatives(
+        docs, anchors, k=5, label_col="lang",
+        k1=_BM25_K1, b=_BM25_B,
+    ).select("query_id", "doc_id", "n_hit_terms", "score_micro", "rank")
+
+
+def _bm25_hard_negatives_sql() -> str:
+    return f"""
+WITH {_bm25_scored_cte()},
+labeled AS (
+  SELECT s.query_id, s.doc_id, s.n_hit_terms, s.score_micro
+  FROM scored s
+  JOIN documents d ON d.doc_id = s.doc_id
+  JOIN documents a ON a.doc_id = s.query_id
+  WHERE d.lang IS DISTINCT FROM a.lang
+)
+SELECT query_id, doc_id, n_hit_terms, score_micro, CAST(rnk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_micro DESC, doc_id) AS rnk
+  FROM labeled
+) WHERE rnk <= 5
 """
 
 
@@ -7995,7 +8043,6 @@ WINDOW_50 = [
     "dedup_transitive",
     "sample_weighted_n",
     "sample_stratified",
-    "sample_split_grouped",
     "sample_mix_corpus",
     "topk_cosine_ivf",
     "text_bm25_topk",             # NEW round 12: BM25 retrieval
@@ -8003,6 +8050,11 @@ WINDOW_50 = [
                                   # slot — its log-prob chain is
                                   # graded via text_bigram_logprob
                                   # r10; stays in the local gate)
+    "bm25_hard_negatives",        # NEW round 12: DPR lexical negatives
+                                  # (takes the sample_split_grouped
+                                  # slot — the sampling family holds
+                                  # three other in-window slots:
+                                  # weighted_n, stratified, mix_corpus)
     "text_line_dedupe",
     "text_quality_classifier",    # also the r11 bench-regression
                                   # suspect — regrade with the A/B'd
@@ -8192,6 +8244,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("sample_mix_tokens", _sample_mix_tokens),
     ("text_sentence_chunks", _text_sentence_chunks),
     ("text_bm25_topk", _text_bm25_topk),
+    ("bm25_hard_negatives", _bm25_hard_negatives),
 ]
 
 
@@ -8353,6 +8406,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_mix_tokens": _sample_mix_tokens_sql(),
         "text_sentence_chunks": _text_sentence_chunks_sql(),
         "text_bm25_topk": _text_bm25_topk_sql(),
+        "bm25_hard_negatives": _bm25_hard_negatives_sql(),
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,

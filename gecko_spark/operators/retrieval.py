@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from gecko_spark.operators.text import tokens
 
-__all__ = ["bm25_score_pairs", "bm25_topk"]
+__all__ = ["bm25_score_pairs", "bm25_topk", "bm25_hard_negatives"]
 
 
 def _doc_stats(docs: DataFrame, id_col: str, text_col: str):
@@ -192,4 +192,67 @@ def bm25_topk(
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_hard_negatives(
+    docs: DataFrame,
+    anchors: DataFrame,
+    k: int,
+    *,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    anchor_label_col: str = "label",
+    **kwargs,
+) -> DataFrame:
+    """LEXICAL hard negatives — the BM25 half of the DPR recipe
+    (Karpukhin et al. 2020 mine negatives as "top BM25 passages that
+    don't contain the answer"; the embedding-space half is
+    ``similarity.hard_negative_pairs``): per anchor, the ``k``
+    highest-BM25 documents whose label DIFFERS from the anchor's
+    (NULL-safe ``IS DISTINCT FROM`` — a NULL-labeled doc is a valid
+    negative for a labeled anchor and vice versa, same policy as the
+    embedding miner).
+
+    ``anchors`` = (query_id, query_text, label). The label filter sits
+    UNDER the rank window, so every anchor gets ``k`` true negatives —
+    post-filtering a top-k list would silently waste the positives'
+    slots. Same plan as :func:`bm25_topk` plus one broadcast label
+    join; scoring cost is unchanged."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = bm25_score_pairs(
+        docs,
+        anchors,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+        **kwargs,
+    )
+    doc_labels = docs.select(
+        F.col(id_col), F.col(label_col).alias("__dlab__")
+    )
+    anchor_labels = F.broadcast(
+        anchors.select(
+            F.col(query_id_col), F.col(anchor_label_col).alias("__alab__")
+        )
+    )
+    negatives = (
+        pairs.join(doc_labels, id_col)
+        .join(anchor_labels, query_id_col)
+        .filter(
+            ~F.col("__dlab__").eqNullSafe(F.col("__alab__"))
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        negatives.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .drop("__dlab__", "__alab__")
     )

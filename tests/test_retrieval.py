@@ -120,6 +120,37 @@ def test_bm25_max_df_elision(spark, corpus, queries):
         bm25_score_pairs(corpus, q, max_df_ratio=0.0)
 
 
+def test_bm25_hard_negatives_label_under_window(spark):
+    """The DPR device: the highest-scoring doc shares the anchor's
+    label and MUST be excluded BEFORE the top-k window, so its slot
+    goes to the best true negative instead of being wasted."""
+    from gecko_spark.operators.retrieval import bm25_hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "en"),   # same label as anchor, best hit
+            (1, "alpha beta", "de"),          # true negative
+            (2, "alpha", "de"),               # weaker true negative
+            (3, "unrelated text", "fr"),
+            (4, "alpha beta gamma delta", None),  # NULL label = negative
+        ],
+        "doc_id long, text string, lang string",
+    )
+    anchors = spark.createDataFrame(
+        [(9, "alpha beta gamma", "en")],
+        "query_id long, query_text string, label string",
+    )
+    out = bm25_hard_negatives(
+        docs, anchors, k=2, label_col="lang"
+    ).collect()
+    got = {(r["query_id"], r["rank"]): r["doc_id"] for r in out}
+    assert 0 not in {r["doc_id"] for r in out}  # same-label excluded
+    # ranks 1..2 filled by true negatives (NULL label counts)
+    assert set(got) == {(9, 1), (9, 2)}
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_hard_negatives(docs, anchors, k=0, label_col="lang")
+
+
 def test_bm25_guards_and_empty(spark, corpus, queries):
     with pytest.raises(ValueError, match="k1"):
         bm25_score_pairs(corpus, queries, k1=-1.0)
