@@ -677,6 +677,35 @@ def bench_queries(spark, sf_dir):
     # OPQ end-to-end: rotation train + rotate + encode + 100-query ADC
     timed("opq_train_encode_adc", _opq)
 
+    def _bm25_indexed():
+        # search ONLY — the index is built off-timer below, the serving
+        # shape (build once, search many); partition-pruned postings
+        # scan + the shared integer-exact scoring tail
+        from gecko_spark.operators.retrieval import bm25_topk_indexed
+
+        docs = load_table(spark, sf_dir, "documents")
+        queries = docs.filter(F.col("doc_id") % 151 == 3).select(
+            F.col("doc_id").alias("query_id"),
+            F.substring(F.col("text"), 1, 80).alias("query_text"),
+        )
+        _run(bm25_topk_indexed(spark, _bm25_idx_path, queries, k=10))
+
+    if "bm25_topk_indexed_34q" not in EXCLUDE:
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from gecko_spark.operators.retrieval import write_bm25_index
+
+        _bm25_idx_path = _tempfile.mkdtemp(prefix="bm25_idx_")
+        try:
+            write_bm25_index(
+                load_table(spark, sf_dir, "documents"), _bm25_idx_path,
+                n_buckets=64,
+            )
+            timed("bm25_topk_indexed_34q", _bm25_indexed)
+        finally:
+            _shutil.rmtree(_bm25_idx_path, ignore_errors=True)
+
     def _curation():
         # full 12-stage curation chain (examples/corpus_curation.py::
         # curate_to_sequences): strip → gates → exact/minhash/semantic/

@@ -39,7 +39,13 @@ from pyspark.sql import functions as F
 
 from gecko_spark.operators.text import tokens
 
-__all__ = ["bm25_score_pairs", "bm25_topk", "bm25_hard_negatives"]
+__all__ = [
+    "bm25_score_pairs",
+    "bm25_topk",
+    "bm25_hard_negatives",
+    "write_bm25_index",
+    "bm25_topk_indexed",
+]
 
 
 def _doc_stats(docs: DataFrame, id_col: str, text_col: str):
@@ -105,8 +111,33 @@ def bm25_score_pairs(
     if max_df_ratio is not None and not (0.0 < max_df_ratio <= 1.0):
         raise ValueError(f"max_df_ratio must be in (0, 1], got {max_df_ratio}")
     postings, doclen, n_docs, sum_len = _doc_stats(docs, id_col, text_col)
+    return _score_from_stats(
+        docs.sparkSession, postings, doclen, n_docs, sum_len, queries,
+        id_col=id_col, query_id_col=query_id_col,
+        query_text_col=query_text_col, k1=k1, b=b,
+        max_df_ratio=max_df_ratio,
+    )
+
+
+def _score_from_stats(
+    spark,
+    postings: DataFrame,
+    doclen: DataFrame,
+    n_docs: int,
+    sum_len: int,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    query_id_col: str,
+    query_text_col: str,
+    k1: float,
+    b: float,
+    max_df_ratio,
+) -> DataFrame:
+    """The scoring tail shared by the direct path and the persisted-
+    index path (:func:`bm25_topk_indexed`). ``postings`` =
+    (__doc__, __term__, __tf__), ``doclen`` = (__doc__, __len__)."""
     if n_docs == 0:
-        spark = docs.sparkSession
         return spark.createDataFrame(
             [],
             f"{query_id_col} long, {id_col} long, "
@@ -186,6 +217,99 @@ def bm25_topk(
     id_col = kwargs.get("id_col", "doc_id")
     query_id_col = kwargs.get("query_id_col", "query_id")
     pairs = bm25_score_pairs(docs, queries, **kwargs)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the BM25 inverted index so repeated query batches skip
+    the corpus tokenize/aggregate pass entirely (the ``write_ivf_index``
+    pattern): ``postings/`` parquet PARTITIONED by
+    ``pmod(xxhash64(term), n_buckets)`` — a query's terms hash to a few
+    buckets, so the search scan is partition-pruned to
+    ~|query vocab| / n_buckets of the index; ``doclen/`` per-doc
+    lengths; ``stats/`` one row (n_docs, sum_len). One repartition on
+    the bucket before the write keeps file counts at O(n_buckets), not
+    O(n_buckets × input partitions) — the IVF compaction lesson."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    postings, doclen, n_docs, sum_len = _doc_stats(docs, id_col, text_col)
+    bkt = F.pmod(F.xxhash64("__term__"), F.lit(n_buckets)).cast("int")
+    (
+        postings.withColumn("__bkt__", bkt)
+        .repartition("__bkt__")
+        .write.mode("overwrite")
+        .partitionBy("__bkt__")
+        .parquet(f"{path}/postings")
+    )
+    doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(int(n_docs), int(sum_len), int(n_buckets))],
+        "n_docs long, sum_len long, n_buckets int",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: Union[float, None] = None,
+) -> DataFrame:
+    """BM25 top-k over a PERSISTED index (:func:`write_bm25_index`):
+    identical results to :func:`bm25_topk` on the source corpus (unit-
+    asserted parity), but the corpus-sized tokenize/aggregate is gone
+    and the postings scan is PARTITION-PRUNED — query terms' buckets
+    are computed driver-side from the (driver-small) query set and
+    pushed as a partition filter, so only ~|query vocab|/n_buckets of
+    the index is read. The 100 TB serving shape: build once, search
+    many."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_docs, sum_len, n_buckets = (
+        int(stats["n_docs"]), int(stats["sum_len"]), int(stats["n_buckets"])
+    )
+    postings = spark.read.parquet(f"{path}/postings")
+    doclen = spark.read.parquet(f"{path}/doclen")
+    # query-term buckets, driver-side (queries are driver-small by the
+    # operator's contract) → a partition filter the scan prunes on
+    qt = queries.select(
+        F.explode(tokens(F.col(query_text_col))).alias("__term__")
+    ).distinct()
+    buckets = sorted(
+        r[0]
+        for r in qt.select(
+            F.pmod(F.xxhash64("__term__"), F.lit(n_buckets)).cast("int")
+        ).distinct().collect()
+    )
+    if buckets:
+        postings = postings.filter(F.col("__bkt__").isin(buckets))
+    pairs = _score_from_stats(
+        spark, postings.drop("__bkt__"), doclen, n_docs, sum_len, queries,
+        id_col=id_col, query_id_col=query_id_col,
+        query_text_col=query_text_col, k1=k1, b=b,
+        max_df_ratio=max_df_ratio,
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
     )

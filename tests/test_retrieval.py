@@ -151,6 +151,33 @@ def test_bm25_hard_negatives_label_under_window(spark):
         bm25_hard_negatives(docs, anchors, k=0, label_col="lang")
 
 
+def test_bm25_index_roundtrip_parity_and_pruning(spark, corpus, queries, tmp_path):
+    """The persisted index must answer EXACTLY what the direct path
+    answers, and its postings scan must be partition-pruned to the
+    query terms' hash buckets."""
+    from gecko_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25_idx")
+    write_bm25_index(corpus, path, n_buckets=8)
+    direct = sorted(map(tuple, bm25_topk(corpus, queries, k=3).collect()))
+    indexed = sorted(
+        map(tuple, bm25_topk_indexed(spark, path, queries, k=3).collect())
+    )
+    assert direct == indexed
+    # pruning: the scan carries a __bkt__ partition filter
+    plan = bm25_topk_indexed(spark, path, queries, k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "__bkt__" in plan and "PartitionFilters: [" in plan
+    assert "__bkt__#" in plan.split("PartitionFilters", 1)[1][:200]
+    # index stats round-trip exactly
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert stats["n_docs"] == corpus.count()
+
+
 def test_bm25_guards_and_empty(spark, corpus, queries):
     with pytest.raises(ValueError, match="k1"):
         bm25_score_pairs(corpus, queries, k1=-1.0)
