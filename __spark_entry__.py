@@ -7866,6 +7866,64 @@ WHERE ci <= cap
 """
 
 
+def _sample_mix_temperature(spark, sf):
+    """Temperature-weighted token mixing (sampling.py::
+    mix_corpus_temperature — the mT5/XLM-R recipe, α = 1/T): weights
+    w_g ∝ S_g^0.5 derived from the EXACT per-lang token totals, then
+    the same integer cap algebra + greedy seeded prefix as
+    sample_mix_tokens. α = 0.5 is the oracle-portable point — IEEE
+    mandates correctly-rounded sqrt, so DuckDB recomputes bit-identical
+    micro-quantized weights from the same integer totals; the whole
+    chain (totals → weights → caps → membership) replays exactly."""
+    from gecko_spark.operators.sampling import mix_corpus_temperature
+    from gecko_spark.operators.text import word_token_count
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang",
+        word_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return mix_corpus_temperature(
+        docs, "lang", "n_tokens",
+        rand=LcgRandom("doc_id", 277), alpha=0.5, tiebreak="doc_id",
+    )
+
+
+def _sample_mix_temperature_sql() -> str:
+    u = lcg_uniform_sql("doc_id", 277, 11, stream=0)
+    return f"""
+WITH toked AS (
+  SELECT doc_id, lang,
+         CAST(len(COALESCE(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                                       t -> len(t) > 0), [])) AS BIGINT) AS n_tokens
+  FROM documents WHERE lang IS NOT NULL
+), sums AS (
+  SELECT lang AS g, SUM(n_tokens) AS s FROM toked GROUP BY lang
+), wts AS (
+  -- w_g = floor(sqrt(S_g)·10^6 + 0.5): sqrt is IEEE exact-rounded, so
+  -- these ints equal Python's temperature_weights(alpha=0.5) exactly
+  SELECT g, s, CAST(FLOOR(SQRT(CAST(s AS DOUBLE)) * 1000000.0 + 0.5)
+               AS BIGINT) AS w
+  FROM sums WHERE s > 0
+), tw AS (SELECT SUM(w) AS tot FROM wts),
+t AS (
+  SELECT MIN(CAST(s AS HUGEINT) * (SELECT tot FROM tw) // w) AS t FROM wts
+), caps AS (
+  SELECT g, CAST((SELECT t FROM t) * w // (SELECT tot FROM tw) AS BIGINT)
+           AS cap
+  FROM wts
+), cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY {u}, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ci
+  FROM toked JOIN wts ON toked.lang = wts.g
+)
+SELECT doc_id, lang, n_tokens
+FROM cum JOIN caps ON cum.lang = caps.g
+WHERE ci <= cap
+"""
+
+
 def _text_sentence_chunks(spark, sf):
     """Sentence-boundary chunking (text.py::sentence_chunks): the
     curation-grade chunker — every boundary is a sentence boundary,
@@ -8043,7 +8101,12 @@ WINDOW_50 = [
     "dedup_transitive",
     "sample_weighted_n",
     "sample_stratified",
-    "sample_mix_corpus",
+    "sample_mix_temperature",     # NEW round 12: temperature mixing
+                                  # (takes the sample_mix_corpus slot —
+                                  # the mixture machinery is graded via
+                                  # sample_mix_tokens in-window; the
+                                  # row-weighted variant stays in the
+                                  # local + adversarial gates)
     "topk_cosine_ivf",
     "text_bm25_topk",             # NEW round 12: BM25 retrieval
                                   # (takes the text_unigram_logprob
@@ -8245,6 +8308,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("text_sentence_chunks", _text_sentence_chunks),
     ("text_bm25_topk", _text_bm25_topk),
     ("bm25_hard_negatives", _bm25_hard_negatives),
+    ("sample_mix_temperature", _sample_mix_temperature),
 ]
 
 
@@ -8407,6 +8471,7 @@ def oracle_sql() -> dict[str, str]:
         "text_sentence_chunks": _text_sentence_chunks_sql(),
         "text_bm25_topk": _text_bm25_topk_sql(),
         "bm25_hard_negatives": _bm25_hard_negatives_sql(),
+        "sample_mix_temperature": _sample_mix_temperature_sql(),
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,

@@ -30,6 +30,8 @@ __all__ = [
     "weighted_sample_n",
     "mix_corpus",
     "mix_corpus_tokens",
+    "mix_corpus_temperature",
+    "temperature_weights",
     "split_dataset",
     "shuffle_ranked",
 ]
@@ -209,6 +211,7 @@ def mix_corpus_tokens(
     rand: RandomSource,
     tiebreak: Union[str, Column, None] = None,
     method: str = "exact",
+    sums: Union[Mapping[str, int], None] = None,
 ) -> DataFrame:
     """TOKEN-weighted corpus mixing — what pretraining mixtures
     actually specify ("50% of the TOKENS from web, 30% from books"):
@@ -237,16 +240,21 @@ def mix_corpus_tokens(
     (such rows are token-free and survive while their stratum prefix
     is under cap); negative counts also clamp to 0 — a negative
     would make the cumulative sum non-monotone, so the greedy prefix
-    could readmit rows after the cap is crossed."""
+    could readmit rows after the cap is crossed. ``sums`` optionally
+    passes precomputed per-stratum token totals (bounded-strata dict)
+    so a caller that already aggregated them — mix_corpus_temperature
+    derives its weights from the same totals — doesn't pay a second
+    corpus scan."""
     n = F.greatest(
         F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0)), F.lit(0)
     )
-    sums = {
-        r["__g__"]: int(r["__s__"])
-        for r in df.groupBy(F.col(stratum_col).alias("__g__"))
-        .agg(F.sum(n).alias("__s__"))
-        .collect()
-    }
+    if sums is None:
+        sums = {
+            r["__g__"]: int(r["__s__"])
+            for r in df.groupBy(F.col(stratum_col).alias("__g__"))
+            .agg(F.sum(n).alias("__s__"))
+            .collect()
+        }
     caps = _mixture_caps(
         sums, weights, method,
         "strata {} in weights but token-empty in the corpus — a token "
@@ -275,6 +283,81 @@ def mix_corpus_tokens(
         kept.withColumn("__ci__", cum_incl)
         .filter(F.col("__ci__") <= cap)
         .drop("__ci__")
+    )
+
+
+def temperature_weights(
+    sums: Mapping[str, int],
+    alpha: float = 0.5,
+    scale: int = 1_000_000,
+) -> dict[str, int]:
+    """Integer mixture weights ∝ ``S_g^alpha`` — TEMPERATURE sampling
+    over corpus strata (mT5 §3.1 / XLM-R §3.1 with ``alpha = 1/T``):
+    ``alpha = 1`` reproduces natural proportions, ``alpha → 0``
+    approaches uniform, the standard 0.3–0.7 band up-weights small
+    domains/languages without drowning large ones. Weights are
+    micro-quantized half-away-from-zero at ``scale``, so the whole
+    downstream cap algebra stays integer-exact.
+
+    ``alpha = 0.5`` is the oracle-portable point: IEEE mandates
+    correctly-rounded sqrt, so an external SQL engine recomputes
+    bit-identical weights from the same integer totals
+    (``sample_mix_temperature`` contract). Other alphas evaluate
+    ``pow``, whose last ulp is libm-implementation-specific — fine for
+    production mixing, not for bit-exact replay. Zero/negative-sum
+    strata are dropped (they carry no tokens to mix)."""
+    import math
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    out: dict[str, int] = {}
+    for g, s in sums.items():
+        if s is None or int(s) <= 0:
+            continue
+        if alpha == 0.5:
+            v = math.sqrt(float(s)) * scale
+        else:
+            v = float(s) ** float(alpha) * scale
+        out[g] = int(math.floor(v + 0.5))
+    return out
+
+
+def mix_corpus_temperature(
+    df: DataFrame,
+    stratum_col: str,
+    n_tokens_col: str,
+    rand: RandomSource,
+    alpha: float = 0.5,
+    tiebreak: Union[str, Column, None] = None,
+    method: str = "exact",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-weighted TOKEN mixing in one call: aggregate exact
+    per-stratum token totals (ONE corpus scan — the totals feed both
+    the weight derivation and the cap algebra via the ``sums``
+    passthrough), derive ``w_g ∝ S_g^alpha`` with
+    :func:`temperature_weights`, then run the :func:`mix_corpus_tokens`
+    machinery unchanged. NULL strata are excluded (no mixture weight
+    can name them)."""
+    n = F.greatest(
+        F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0)), F.lit(0)
+    )
+    sums = {
+        r["__g__"]: int(r["__s__"])
+        for r in df.filter(F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("__g__"))
+        .agg(F.sum(n).alias("__s__"))
+        .collect()
+    }
+    weights = temperature_weights(sums, alpha, scale)
+    if not weights:
+        return df.filter(F.lit(False))
+    return mix_corpus_tokens(
+        df, stratum_col, n_tokens_col, weights, rand,
+        tiebreak=tiebreak, method=method,
+        sums={g: sums[g] for g in weights},
     )
 
 

@@ -1197,6 +1197,53 @@ def test_mix_corpus_tokens_balances_tokens_not_rows(spark):
     assert st["web"] > 2.5 * st["books"], st.to_dict()
 
 
+def test_mix_corpus_temperature_flattens_toward_uniform(spark):
+    """Temperature weights ∝ S^alpha: at alpha=0.5 a 100:1 token
+    imbalance mixes at sqrt ratio 10:1 — the small stratum's SHARE
+    rises vs natural proportions; alpha→1 approaches natural."""
+    import math
+
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.sampling import (
+        mix_corpus_temperature,
+        temperature_weights,
+    )
+
+    # 'big': 1000 docs x 100 tokens (100k); 'small': 100 docs x 10 (1k)
+    rows = [(i, "big", 100) for i in range(1000)]
+    rows += [(10_000 + i, "small", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    rand = LcgRandom("doc_id", seed=17)
+    out = mix_corpus_temperature(
+        df, "lang", "n_tokens", rand, alpha=0.5, tiebreak="doc_id"
+    ).toPandas()
+    tok = out.groupby("lang")["n_tokens"].sum()
+    # caps follow w ∝ sqrt(S): T = min_g S_g*W/w_g is set by the SMALL
+    # stratum (it exhausts first), so small keeps ~everything (within
+    # one cap-floor rounding + one boundary doc) and big keeps
+    # ~sqrt(100k/1k)=10x small's tokens, not 100x
+    assert 1000 - 20 <= tok["small"] <= 1000
+    ratio = tok["big"] / tok["small"]
+    assert 9.0 <= ratio <= 10.5, ratio
+    # the weight helper itself: exact half-away micro-quantized sqrt
+    w = temperature_weights({"big": 100_000, "small": 1_000})
+    assert w["big"] == int(math.floor(math.sqrt(100_000.0) * 1e6 + 0.5))
+    assert w["small"] == int(math.floor(math.sqrt(1_000.0) * 1e6 + 0.5))
+    # zero-sum strata drop; validation guards
+    assert "dead" not in temperature_weights({"dead": 0, "big": 4})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights({"a": 1}, alpha=0.0)
+    # NULL strata excluded; empty result when nothing has tokens
+    null_df = spark.createDataFrame(
+        [(1, None, 5)], "doc_id long, lang string, n_tokens int"
+    )
+    assert mix_corpus_temperature(
+        null_df, "lang", "n_tokens", rand
+    ).count() == 0
+
+
 def test_mix_corpus_tokens_validation(spark):
     from gecko_spark.core import LcgRandom
     from gecko_spark.operators.sampling import mix_corpus_tokens
