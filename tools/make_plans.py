@@ -376,6 +376,48 @@ def main():
         "(hard_negative_pairs_ivf) prunes the scan to nprobe IVF lists.",
     )
 
+    cap(
+        "BM25 retrieval: broadcast query vocabulary prunes postings before scoring (r12)",
+        qs["text_bm25_topk"](spark, sf),
+        "The query-term set broadcasts into a LEFT SEMI join over the "
+        "(doc, term, tf) postings, so only postings whose term appears "
+        "in some query reach the df/idf joins and the per-(query, doc) "
+        "integer sum (measured 5.8% survivor fraction at 1 M docs — "
+        "SCALE.md round-12 addendum 3); df and the query map join back "
+        "as broadcasts; the top-k window ranks only pruned pairs.",
+    )
+
+    # BM25 persisted index: partition-pruned postings scan
+    import shutil as _shutil
+    import tempfile as _tmp
+
+    from gecko_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from gecko_spark.sources.testdata import load_table as _lt
+    from pyspark.sql import functions as _F
+
+    _idx = _tmp.mkdtemp(prefix="plans_bm25_")
+    try:
+        _docs = _lt(spark, sf, "documents")
+        write_bm25_index(_docs, _idx, n_buckets=64)
+        _qs = _docs.filter(_F.col("doc_id") % 151 == 3).select(
+            _F.col("doc_id").alias("query_id"),
+            _F.substring("text", 1, 80).alias("query_text"),
+        )
+        cap(
+            "BM25 persisted index: query-term buckets pushed as PartitionFilters (r12)",
+            bm25_topk_indexed(spark, _idx, _qs, k=10),
+            "Build once, search many: the postings parquet is partitioned "
+            "by pmod(xxhash64(term), 64); the search computes the query "
+            "terms' buckets driver-side and the scan's PartitionFilters "
+            "skips every other bucket — the corpus tokenize/aggregate "
+            "pass is gone entirely.",
+        )
+    finally:
+        _shutil.rmtree(_idx, ignore_errors=True)
+
     # bucketed warehouse: write once, join forever without exchanges
     import tempfile
 
