@@ -535,3 +535,106 @@ def test_mix_corpus_tokens_caps_model(spark, docs, wa, wb, seed):
         assert kept > cap - biggest or cap == 0 or kept == sums[g], (
             g, kept, cap, biggest,
         )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=25,
+    ),
+    qterms=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zzz"]),
+        min_size=1, max_size=4,
+    ),
+    parts=st.integers(1, 5),
+)
+def test_bm25_matches_python_model_on_random_corpora(spark, docs, qterms, parts):
+    """BM25 scores on ARBITRARY small corpora equal an independent
+    pure-Python model of the same formula (Lucene IDF, k1=1.2, b=0.75,
+    micro-quantized int sums) — the strongest available statement for
+    the integer-exact scoring claim, and partitioning must not matter."""
+    import math as _math
+
+    from gecko_spark.operators.retrieval import bm25_score_pairs
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(parts)
+    q = spark.createDataFrame(
+        [(0, " ".join(qterms))], "query_id long, query_text string"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_hit_terms"], r["score_micro"])
+        for r in bm25_score_pairs(df, q).collect()
+    }
+    # pure-Python model
+    k1, b = 1.2, 0.75
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    want = {}
+    for did, toks in enumerate(docs):
+        s, hits = 0, 0
+        for term in set(qterms):
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            dfreq = sum(1 for d in docs if term in d)
+            idf = _math.log(1.0 + (float(n) - dfreq + 0.5) / (dfreq + 0.5))
+            norm = tf * (k1 + 1.0) / (
+                tf + k1 * ((1.0 - b) + b * len(toks) / avgdl)
+            )
+            c = idf * norm * 1e6
+            s += int(_math.copysign(_math.floor(abs(c) + 0.5), c))
+            hits += 1
+        if hits:
+            want[(0, did)] = (hits, s)
+    assert got == want, (texts, qterms)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    weights=st.lists(
+        st.floats(-5.0, 5.0, allow_nan=False), min_size=4, max_size=60
+    ),
+    frac_pct=st.integers(5, 95),
+    seed=st.integers(0, 5000),
+    parts=st.integers(1, 5),
+)
+def test_gumbel_select_frac_exact_order_statistic_model(
+    spark, weights, frac_pct, seed, parts
+):
+    """Exact-mode gumbel_select_frac on ANY weights selects exactly the
+    rows whose key clears the true ceil(frac*N)-th-largest key — the
+    sequential order-statistic model — independent of partitioning."""
+    import math as _math
+
+    from gecko_spark.core import LcgRandom
+    from gecko_spark.operators.selection import _gumbel_key, gumbel_select_frac
+
+    frac = frac_pct / 100.0
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)],
+        "doc_id long, log_weight double",
+    ).repartition(parts)
+    rand = LcgRandom("doc_id", seed)
+    got = sorted(
+        r["doc_id"]
+        for r in gumbel_select_frac(
+            df, frac, rand, threshold_mode="exact", accuracy=100
+        ).collect()
+    )
+    keyed = {
+        r["doc_id"]: r["k"]
+        for r in df.withColumn(
+            "k", _gumbel_key(F.col("log_weight"), rand)
+        ).collect()
+    }
+    n_keep = _math.ceil(frac * len(weights))
+    thr = sorted(keyed.values(), reverse=True)[n_keep - 1]
+    want = sorted(d for d, k in keyed.items() if k >= thr)
+    assert got == want, (weights, frac, seed)
