@@ -7924,6 +7924,64 @@ WHERE ci <= cap
 """
 
 
+def _sample_mix_temperature_q25(spark, sf):
+    """Temperature mixing at α = 0.25 (round 13, VERDICT r12 #7): the
+    second IEEE-exact point — S^0.25 is DEFINED as sqrt(sqrt(S)), two
+    correctly-rounded sqrts that DuckDB replays bit-identically — so
+    the contract now pins the ALPHA-GENERALITY of the integer cap
+    algebra (totals → weights → caps → greedy seeded prefix), not one
+    magic α. Flatter than α = 0.5: small langs get relatively larger
+    caps, so the kept set genuinely differs from the q=0.5 contract
+    (different seed too)."""
+    from gecko_spark.operators.sampling import mix_corpus_temperature
+    from gecko_spark.operators.text import word_token_count
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang",
+        word_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return mix_corpus_temperature(
+        docs, "lang", "n_tokens",
+        rand=LcgRandom("doc_id", 283), alpha=0.25, tiebreak="doc_id",
+    )
+
+
+def _sample_mix_temperature_q25_sql() -> str:
+    u = lcg_uniform_sql("doc_id", 283, 11, stream=0)
+    return f"""
+WITH toked AS (
+  SELECT doc_id, lang,
+         CAST(len(COALESCE(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                                       t -> len(t) > 0), [])) AS BIGINT) AS n_tokens
+  FROM documents WHERE lang IS NOT NULL
+), sums AS (
+  SELECT lang AS g, SUM(n_tokens) AS s FROM toked GROUP BY lang
+), wts AS (
+  -- w_g = floor(sqrt(sqrt(S_g))·10^6 + 0.5): each sqrt is IEEE
+  -- exact-rounded, so these ints equal temperature_weights(alpha=0.25)
+  SELECT g, s, CAST(FLOOR(SQRT(SQRT(CAST(s AS DOUBLE))) * 1000000.0 + 0.5)
+               AS BIGINT) AS w
+  FROM sums WHERE s > 0
+), tw AS (SELECT SUM(w) AS tot FROM wts),
+t AS (
+  SELECT MIN(CAST(s AS HUGEINT) * (SELECT tot FROM tw) // w) AS t FROM wts
+), caps AS (
+  SELECT g, CAST((SELECT t FROM t) * w // (SELECT tot FROM tw) AS BIGINT)
+           AS cap
+  FROM wts
+), cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY {u}, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ci
+  FROM toked JOIN wts ON toked.lang = wts.g
+)
+SELECT doc_id, lang, n_tokens
+FROM cum JOIN caps ON cum.lang = caps.g
+WHERE ci <= cap
+"""
+
+
 def _text_sentence_chunks(spark, sf):
     """Sentence-boundary chunking (text.py::sentence_chunks): the
     curation-grade chunker — every boundary is a sentence boundary,
@@ -8028,6 +8086,85 @@ FROM unioned
 # can never silently diverge from the catalogue (a duplicate key in
 # the old dict literal would have collapsed silently).
 WINDOW_50 = [
+    # Round 13 (VERDICT r12 #1): rotate the 23 r9-stale entries in —
+    # after this round NO catalogue entry carries a grade older than
+    # r10 (grade map recomputed over CORRECTNESS_r01..r12: exactly
+    # these 23 were last green at r9; everything else is r10+).
+    # --- (a) the 15 plain-Spark TPC-H shapes + q_window_topk_orders
+    # family that yielded slots across rounds 10-12 ---
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",       # also a r12 driver-bench regression
+    "q5_region_revenue",          # suspect (0.51→0.61 / 0.76→0.96 s) —
+                                  # regrade alongside the band check
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_order_histogram",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_branch_revenue",
+    "q21_waiting_supplier",
+    "q_window_topk_orders",
+    # --- (a cont.) the 8 r9-stale package-code siblings ---
+    "sketch_kmv_distinct",
+    "text_chunks",
+    "text_chunks_tokens",
+    "text_unigram_logprob",
+    "text_url_normalize",
+    "sample_shuffle",
+    "sample_split_grouped",
+    "sample_mix_corpus",
+    # --- (b) code touched in round 13 — regrade: selection.py's
+    # exact-rank threshold (NULL-key exclusion + persist + auto-scaled
+    # accuracy, ADVICE r12 + VERDICT #3), retrieval.py's empty-corpus
+    # schema derivation (ADVICE r12), generators.py from_group's
+    # max_rounding_adjustment warning (VERDICT #5), and dedup.py's
+    # _plan_has_shuffle broadcast-join/local-sort fix (ADVICE r12 —
+    # regraded through its three ensure_parallelism call sites:
+    # minhash signatures, simhash base, substring windows) ---
+    "dsir_select_frac",
+    "text_bm25_topk",
+    "bm25_hard_negatives",
+    "gen_group",
+    "gen_group_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_substring_spans",
+    # --- (c) NEW round-13 contract: α = 0.25 temperature mixing
+    # (sqrt∘sqrt, IEEE-exact — pins the cap algebra's alpha-generality
+    # rather than one magic point; VERDICT r12 #7) ---
+    "sample_mix_temperature_q25",
+    # --- (d) the 18 oldest-remaining (r10) package-code entries: the
+    # table-driven/mutator family — the reference-parity core. Left at
+    # r10 for lack of slots: mut_lowercase/mut_uppercase (trivial
+    # case-mapping kernels, exact-eligibility unit-tested + in the
+    # local gate), the r10 plain-Spark relational shapes (q4, q16,
+    # q20, q22, joins/set-ops — no package code), and the r10 text_*
+    # rule kernels; all stay in the 3-SF local sweep. ---
+    "gen_function",
+    "mut_chain",
+    "mut_group",
+    "mut_cldr_keymap",
+    "mut_phonetic",
+    "mut_regex",
+    "mut_replacement_inline",
+    "mut_replacement_whole",
+    "mut_categorical",
+    "mut_permute",
+    "mut_datetime_offset",
+    "mut_generator_splice",
+    "mut_missing_value",
+    "mut_missing_strict_p",
+    "mut_delete",
+    "mut_substitute",
+    "mut_transpose",
+    "mut_repeat",
+]
+
+_WINDOW_50_RETIRED_R12 = [
     # Round 12 (VERDICT r11 #1/#3/#4/#5): clear ALL grading residue —
     # after this round no catalogue entry is never-graded and nothing
     # carries a grade older than r9 except the 18 slots documented in
@@ -8309,6 +8446,8 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("text_bm25_topk", _text_bm25_topk),
     ("bm25_hard_negatives", _bm25_hard_negatives),
     ("sample_mix_temperature", _sample_mix_temperature),
+    # round-13 additions
+    ("sample_mix_temperature_q25", _sample_mix_temperature_q25),
 ]
 
 
@@ -8472,6 +8611,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25_topk": _text_bm25_topk_sql(),
         "bm25_hard_negatives": _bm25_hard_negatives_sql(),
         "sample_mix_temperature": _sample_mix_temperature_sql(),
+        "sample_mix_temperature_q25": _sample_mix_temperature_q25_sql(),
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,

@@ -68,31 +68,51 @@ def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     return [(rnd.randrange(1, _P - 1), rnd.randrange(0, _P - 1)) for _ in range(num_hashes)]
 
 
-_SHUFFLE_NODE_RE = None  # compiled lazily (module import stays light)
+_TREE_PREFIX_RE = None  # compiled lazily (module import stays light)
 
 
 def _plan_has_shuffle(df: DataFrame) -> bool:
-    """True when the OPTIMIZED logical plan contains a width-restoring
-    operator (aggregate/join/window/sort/repartition): downstream
+    """True when the OPTIMIZED logical plan contains a width-RESTORING
+    operator (aggregate/shuffle-join/window/global-sort/…): downstream
     partition count is then governed by spark.sql.shuffle.partitions /
     AQE, not by the scan. Analysis-only — never plans physically, never
     runs a job. Operator names are matched at tree-line starts so a
-    column named 'JoinDate' can't false-positive."""
-    global _SHUFFLE_NODE_RE
-    if _SHUFFLE_NODE_RE is None:
+    column named 'JoinDate' can't false-positive.
+
+    Two node kinds are deliberately NOT shuffle evidence (round 13,
+    ADVICE r12): a broadcast-hinted ``Join … Hint=(strategy=broadcast)``
+    preserves the PROBE side's partitioning (no exchange — a
+    1-partition scan probe stays 1 partition through it), and
+    ``sortWithinPartitions`` prints ``Sort […], false`` (partition-
+    local, no exchange). Both fall through to the exact width probe;
+    any real shuffle BENEATH them (e.g. an Aggregate under the probe
+    side) still matches on its own line. Also deliberately NOT
+    GlobalLimit or Repartition/RepartitionByExpression: a .limit()
+    plan collapses to one partition and a .coalesce(1)/.repartition(n)
+    pins width to an EXPLICIT n that may be tiny — exactly the
+    starvation the guard exists for (caught by the substring
+    plan-shape test)."""
+    global _TREE_PREFIX_RE
+    if _TREE_PREFIX_RE is None:
         import re as _re
 
-        # deliberately NOT GlobalLimit or Repartition/
-        # RepartitionByExpression: a .limit() plan collapses to one
-        # partition and a .coalesce(1)/.repartition(n) pins width to
-        # an EXPLICIT n that may be tiny — exactly the starvation the
-        # guard exists for (caught by the substring plan-shape test)
-        _SHUFFLE_NODE_RE = _re.compile(
-            r"(?m)^[\s:+\-]*(Aggregate|Join |Window|Sort |Distinct|"
-            r"Intersect|Except)\b"
-        )
+        _TREE_PREFIX_RE = _re.compile(r"^[\s:+\-]*")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    return bool(_SHUFFLE_NODE_RE.search(plan))
+    for raw in plan.splitlines():
+        line = _TREE_PREFIX_RE.sub("", raw, count=1)
+        if line.startswith(
+            ("Aggregate", "Window", "Distinct", "Intersect", "Except")
+        ):
+            return True
+        # global sort prints 'Sort [...], true'; partition-local
+        # sortWithinPartitions prints '..., false' — no exchange
+        if line.startswith("Sort ") and line.rstrip().endswith("], true"):
+            return True
+        # broadcast-hinted joins (left or right hint) keep the probe
+        # side's width; every other join strategy shuffles
+        if line.startswith("Join ") and "strategy=broadcast" not in line:
+            return True
+    return False
 
 
 def ensure_parallelism(df: DataFrame, min_ratio: float = 1.0) -> DataFrame:

@@ -138,10 +138,26 @@ def _score_from_stats(
     index path (:func:`bm25_topk_indexed`). ``postings`` =
     (__doc__, __term__, __tf__), ``doclen`` = (__doc__, __len__)."""
     if n_docs == 0:
+        # derive id types from the input schemas so the empty result
+        # unions cleanly with non-empty-path results under string (or
+        # any other) id columns (ADVICE r12 — 'long' was hardcoded)
+        from pyspark.sql.types import LongType, StructField, StructType
+
         return spark.createDataFrame(
             [],
-            f"{query_id_col} long, {id_col} long, "
-            "n_hit_terms long, score_micro long",
+            StructType(
+                [
+                    StructField(
+                        query_id_col,
+                        queries.schema[query_id_col].dataType,
+                    ),
+                    StructField(id_col, postings.schema["__doc__"].dataType),
+                    # count() is non-nullable, sum() nullable — mirror
+                    # the non-empty aggregation exactly
+                    StructField("n_hit_terms", LongType(), nullable=False),
+                    StructField("score_micro", LongType()),
+                ]
+            ),
         )
     avgdl = sum_len / n_docs  # exact int ratio → identical double everywhere
 

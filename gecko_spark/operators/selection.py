@@ -315,6 +315,7 @@ def gumbel_select_frac(
     key_col: str = "gumbel_key",
     accuracy: int = 10_000,
     threshold_mode: str = "approx",
+    max_driver_rows: int = 1_000_000,
 ) -> DataFrame:
     """The at-scale form of :func:`gumbel_topk` for selection targets
     too large for a driver merge (``n`` in the billions): keep
@@ -345,11 +346,22 @@ def gumbel_select_frac(
     contains the target); (2) one count below the bracket; (3) the
     bracket's keys — O(N/accuracy) rows by construction — come to the
     driver once and the exact order statistic is read off. Driver
-    traffic is ~4·N/accuracy key doubles (e.g. 4 M doubles at N = 10¹²,
-    accuracy = 10⁶ — tune ``accuracy`` to taste). Rows EQUAL to the
-    threshold key are all kept, so the selected count can exceed the
-    target by the tie count (keys are 6-dp-rounded doubles; ties are
-    rare and deterministic).
+    traffic is ~4·N/accuracy key doubles; ``accuracy`` is AUTO-RAISED
+    so that estimate never exceeds ``max_driver_rows`` (round 13,
+    VERDICT r12 #3 — a sf0.1 call lifted unchanged to N = 10¹² now
+    collects ≤ 1 M keys instead of 4×10⁸), and the call raises up
+    front if even the capped sketch accuracy (10⁸) cannot bound the
+    bracket under the budget. Rows EQUAL to the threshold key are all
+    kept, so the selected count can exceed the target by the tie count
+    (keys are 6-dp-rounded doubles; ties are rare and deterministic).
+    The threshold is an order statistic — a pure function of the key
+    multiset — so the auto-raise never changes WHICH rows are
+    selected, only how the bracket is found.
+
+    Rows whose ``weight_col`` is NULL get a NULL key and are NEVER
+    selected, in either mode; ``frac`` is relative to the non-NULL
+    rows (both the percentile sketch and the exact rank count ignore
+    NULL keys — ADVICE r12).
 
     Exact-``n`` contracts should use :func:`gumbel_topk`.
     """
@@ -364,7 +376,9 @@ def gumbel_select_frac(
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     keyed = df.withColumn(key_col, _gumbel_key(w, rand))
     if threshold_mode == "exact":
-        thresh = _exact_rank_threshold(keyed, key_col, frac, accuracy)
+        thresh = _exact_rank_threshold(
+            keyed, key_col, frac, accuracy, max_driver_rows
+        )
     else:
         thresh = keyed.agg(
             F.percentile_approx(key_col, 1.0 - frac, accuracy).alias("t")
@@ -374,44 +388,93 @@ def gumbel_select_frac(
     return keyed.filter(F.col(key_col) >= F.lit(float(thresh)))
 
 
+# percentile_approx's GK sketch holds O(accuracy) samples per partition
+# — beyond ~10^8 entries (800 MB of doubles) the sketch itself becomes
+# the memory hazard the row budget was protecting against
+_MAX_SKETCH_ACCURACY = 100_000_000
+
+
+def _bracket_accuracy(
+    n_total: int, accuracy: int, max_driver_rows: int
+) -> int:
+    """Effective percentile_approx accuracy so the exact-rank bracket
+    (~4·N/accuracy rows) stays under ``max_driver_rows``. Pure
+    function, unit-tested directly (VERDICT r12 #3) — a real 10¹²-row
+    call never runs in tests. Raising accuracy tightens the bracket;
+    the returned order statistic is unchanged (it is a property of the
+    key multiset, not of how it was bracketed)."""
+    if max_driver_rows < 1000:
+        raise ValueError(
+            f"max_driver_rows must be >= 1000, got {max_driver_rows}"
+        )
+    needed = math.ceil(4 * n_total / max_driver_rows)
+    if needed > _MAX_SKETCH_ACCURACY:
+        raise ValueError(
+            f"exact-rank threshold over n={n_total} rows cannot bound "
+            f"driver traffic under max_driver_rows={max_driver_rows} "
+            f"(would need percentile accuracy {needed} > "
+            f"{_MAX_SKETCH_ACCURACY}); raise max_driver_rows or use "
+            "threshold_mode='approx'"
+        )
+    return max(accuracy, needed)
+
+
 def _exact_rank_threshold(
-    keyed: DataFrame, key_col: str, frac: float, accuracy: int
+    keyed: DataFrame,
+    key_col: str,
+    frac: float,
+    accuracy: int,
+    max_driver_rows: int = 1_000_000,
 ):
     """Exact ``⌈frac·N⌉``-th LARGEST value of ``key_col`` with bounded
     driver traffic: bracket the target rank via percentile_approx
     (rank error ≤ N/accuracy), count below the bracket, then collect
     only the bracket's ~4·N/accuracy rows and index into them. The
     margin doubles on a bracket miss (can't happen within the GK
-    guarantee — pure belt-and-braces) before giving up."""
-    n_total = keyed.count()
-    if n_total == 0:
-        return None
-    n_keep = math.ceil(frac * n_total)
-    target = n_total - n_keep + 1  # ascending rank of the threshold key
-    q = target / n_total
-    margin = 2.0 / accuracy
+    guarantee — pure belt-and-braces) before giving up.
+
+    NULL keys (NULL weights) are excluded up front — percentile_approx,
+    the below-count and the bracket collect all ignore NULLs, so
+    counting them in ``n_total`` would shift the rank target (ADVICE
+    r12). ``keyed`` is persisted for the duration: the helper runs 4+
+    actions over the same keyed projection, and without the pin each
+    one re-executes the full weight scan + key computation (ADVICE
+    r12; the curation chain's own persist-boundary lesson)."""
     key = F.col(key_col)
-    for _ in range(3):
-        q_lo, q_hi = max(0.0, q - margin), min(1.0, q + margin)
-        v_lo, v_hi = keyed.agg(
-            F.percentile_approx(key_col, [q_lo, q_hi], accuracy).alias("b")
-        ).collect()[0]["b"]
-        if q_lo == 0.0:
-            v_lo = float("-inf")
-        if q_hi == 1.0:
-            v_hi = float("inf")
-        c_below = keyed.filter(key < F.lit(v_lo)).count()
-        bracket = sorted(
-            r[0]
-            for r in keyed.filter(
-                (key >= F.lit(v_lo)) & (key <= F.lit(v_hi))
-            ).select(key_col).collect()
+    keyed = keyed.filter(key.isNotNull()).select(key_col)
+    keyed.persist()
+    try:
+        n_total = keyed.count()
+        if n_total == 0:
+            return None
+        accuracy = _bracket_accuracy(n_total, accuracy, max_driver_rows)
+        n_keep = math.ceil(frac * n_total)
+        target = n_total - n_keep + 1  # ascending rank of the threshold
+        q = target / n_total
+        margin = 2.0 / accuracy
+        for _ in range(3):
+            q_lo, q_hi = max(0.0, q - margin), min(1.0, q + margin)
+            v_lo, v_hi = keyed.agg(
+                F.percentile_approx(key_col, [q_lo, q_hi], accuracy).alias("b")
+            ).collect()[0]["b"]
+            if q_lo == 0.0:
+                v_lo = float("-inf")
+            if q_hi == 1.0:
+                v_hi = float("inf")
+            c_below = keyed.filter(key < F.lit(v_lo)).count()
+            bracket = sorted(
+                r[0]
+                for r in keyed.filter(
+                    (key >= F.lit(v_lo)) & (key <= F.lit(v_hi))
+                ).collect()
+            )
+            idx = target - c_below - 1
+            if 0 <= idx < len(bracket):
+                return bracket[idx]
+            margin *= 2.0
+        raise RuntimeError(
+            "exact-rank bracket failed to converge — percentile_approx "
+            "returned values outside its documented rank-error bound"
         )
-        idx = target - c_below - 1
-        if 0 <= idx < len(bracket):
-            return bracket[idx]
-        margin *= 2.0
-    raise RuntimeError(
-        "exact-rank bracket failed to converge — percentile_approx "
-        "returned values outside its documented rank-error bound"
-    )
+    finally:
+        keyed.unpersist()

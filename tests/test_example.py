@@ -112,6 +112,27 @@ def test_ensure_parallelism_ladder(spark):
     # a column NAMED like an operator must not trip the matcher
     narrow = spark.range(10).select(F.col("id").alias("JoinDate"))
     assert not _plan_has_shuffle(narrow)
+    # round 13 (ADVICE r12): a broadcast-hinted join preserves the
+    # probe side's width — NOT shuffle evidence; a plain join is
+    dim = spark.range(5).withColumnRenamed("id", "k")
+    probe = spark.range(0, 100, 1, 1).withColumnRenamed("id", "k")
+    assert not _plan_has_shuffle(probe.join(F.broadcast(dim), "k"))
+    assert _plan_has_shuffle(probe.join(dim, "k"))
+    # ...and a starved probe behind a broadcast join still gets widened
+    widened_bj = ensure_parallelism(probe.join(F.broadcast(dim), "k"))
+    assert widened_bj.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 2
+    )
+    # round 13 (ADVICE r12): sortWithinPartitions prints 'Sort …, false'
+    # (no exchange) — NOT shuffle evidence; a global sort is
+    v = spark.range(100).withColumn("v", F.col("id") % 7)
+    assert not _plan_has_shuffle(v.sortWithinPartitions(F.col("v").desc()))
+    assert _plan_has_shuffle(v.orderBy("v"))
+    # a shuffle BENEATH the probe side of a broadcast join still counts
+    agg_probe = v.groupBy("v").count().join(
+        F.broadcast(dim.withColumnRenamed("k", "v")), "v"
+    )
+    assert _plan_has_shuffle(agg_probe)
     # scan-shaped single-partition input still gets widened
     one = spark.range(0, 100, 1, 1)
     widened = ensure_parallelism(one)

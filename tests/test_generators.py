@@ -192,3 +192,22 @@ def test_distribution_fidelity_1m(spark, fruit_freq):
     expected = {"apple": 100 / total_w, "banana": 50 / total_w, "orange": 80 / total_w}
     for fruit, p in expected.items():
         assert abs(counts[fruit] / n - p) < 0.002, (fruit, counts[fruit] / n, p)
+
+
+def test_from_group_rounding_adjustment_warns():
+    """VERDICT r12 #5: the reference's round()-drift repair budget has
+    nothing to repair under largest-remainder allocation — a nonzero
+    value must warn instead of silently doing nothing."""
+    import warnings
+
+    import pytest
+
+    from gecko_spark.core import GeckoWarning
+    from gecko_spark.operators.generators import from_group, from_uniform_distribution
+
+    gens = [from_uniform_distribution(0, 1), from_uniform_distribution(1, 2)]
+    with pytest.warns(GeckoWarning, match="max_rounding_adjustment"):
+        from_group(gens, max_rounding_adjustment=3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # zero (default): no warning
+        from_group(gens, max_rounding_adjustment=0)

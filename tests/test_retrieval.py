@@ -185,3 +185,21 @@ def test_bm25_guards_and_empty(spark, corpus, queries):
         bm25_topk(corpus, queries, k=0)
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bm25_score_pairs(empty, queries).count() == 0
+
+
+def test_bm25_empty_corpus_schema_follows_id_types(spark):
+    """ADVICE r12: the empty-corpus short-circuit hardcoded long ids;
+    string-id inputs must produce a schema that unions with the
+    non-empty path."""
+    empty_docs = spark.createDataFrame([], "doc_id string, text string")
+    str_queries = spark.createDataFrame(
+        [("qa", "cat mat")], "query_id string, query_text string"
+    )
+    out = bm25_score_pairs(empty_docs, str_queries)
+    assert out.count() == 0
+    nonempty = bm25_score_pairs(
+        spark.createDataFrame([("d1", "cat on mat")], "doc_id string, text string"),
+        str_queries,
+    )
+    assert out.schema == nonempty.schema
+    out.unionByName(nonempty)  # must not raise

@@ -324,3 +324,62 @@ def test_gumbel_topk_plan_is_take_ordered(spark):
     out = gumbel_topk(df, 5, LcgRandom("doc_id", 7))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # per-partition top-n, no window
+
+
+def test_bracket_accuracy_auto_scale_and_cap():
+    """VERDICT r12 #3: exact-mode driver traffic (~4N/accuracy rows)
+    must stay bounded regardless of N. Pure-function unit test — a
+    real 10^12-row call never runs here."""
+    from gecko_spark.operators.selection import (
+        _MAX_SKETCH_ACCURACY,
+        _bracket_accuracy,
+    )
+
+    # small N: the user's accuracy wins (bit-compatible with r12 runs)
+    assert _bracket_accuracy(10_000, 10_000, 1_000_000) == 10_000
+    # huge N: auto-raised so 4N/accuracy <= max_driver_rows
+    acc = _bracket_accuracy(10 ** 12, 10_000, 1_000_000)
+    assert acc == 4_000_000
+    assert 4 * 10 ** 12 / acc <= 1_000_000
+    # beyond the sketch-memory ceiling: refuse loudly, name the fix
+    with pytest.raises(ValueError, match="threshold_mode='approx'"):
+        _bracket_accuracy(10 ** 15, 10_000, 1_000)
+    assert _bracket_accuracy(
+        _MAX_SKETCH_ACCURACY // 4 * 1_000, 100, 1_000
+    ) == _MAX_SKETCH_ACCURACY
+    with pytest.raises(ValueError, match="max_driver_rows"):
+        _bracket_accuracy(10_000, 10_000, 999)
+
+
+def test_gumbel_select_frac_null_weights_excluded(spark):
+    """ADVICE r12: NULL weights -> NULL keys. The exact rank target
+    must count only non-NULL keys (percentile/bracket already ignore
+    them), and NULL-weight rows are never selected in either mode."""
+    from pyspark.sql import functions as F
+
+    from gecko_spark.operators.selection import _gumbel_key
+
+    rows = [(i, float(i % 7)) for i in range(400)]
+    rows += [(1000 + i, None) for i in range(200)]  # NULL weights
+    df = spark.createDataFrame(
+        rows, "doc_id long, log_weight double"
+    ).repartition(5)
+    rand = LcgRandom("doc_id", seed=11)
+    out = gumbel_select_frac(
+        df, 0.25, rand, threshold_mode="exact", accuracy=100
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert all(d < 1000 for d in got)  # no NULL-weight row selected
+    # sequential model over the NON-NULL keys only: ceil(0.25*400)=100
+    keyed = df.filter(F.col("log_weight").isNotNull()).withColumn(
+        "k", _gumbel_key(F.col("log_weight"), rand)
+    )
+    keys = sorted((r["k"] for r in keyed.collect()), reverse=True)
+    thr = keys[99]
+    want = sorted(
+        r["doc_id"] for r in keyed.filter(F.col("k") >= thr).collect()
+    )
+    assert got == want
+    # approx mode: same exclusion semantics (milder skew otherwise)
+    approx = gumbel_select_frac(df, 0.25, rand)
+    assert approx.filter(F.col("log_weight").isNull()).count() == 0
