@@ -638,3 +638,98 @@ def test_gumbel_select_frac_exact_order_statistic_model(
     thr = sorted(keyed.values(), reverse=True)[n_keep - 1]
     want = sorted(d for d, k in keyed.items() if k >= thr)
     assert got == want, (weights, frac, seed)
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix sum vs the sequential model (round 13, VERDICT r12 #8)
+# ---------------------------------------------------------------------------
+# global_token_shards claims its two-phase bucketed prefix sum equals
+# the one-pass sequential cumsum over the seeded global order, for any
+# physical layout. The model replays the documented draw (salt 19,
+# stream 0), the (u, id) order, the NULL->0 / negative->0 clamps, and
+# gshard = gstart div budget. Random repartitioning + random bucket
+# counts attack the phase boundary (bucket offsets) directly.
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    toks=st.lists(
+        st.one_of(st.none(), st.integers(-5, 30)), min_size=1, max_size=40
+    ),
+    budget=st.integers(1, 50),
+    buckets=st.sampled_from([1, 2, 3, 7, 64]),
+    parts=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+)
+def test_global_token_shards_match_sequential_model(
+    spark, toks, budget, buckets, parts, seed
+):
+    from gecko_spark.operators.packing import global_token_shards
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+    ).repartition(parts)
+    out = global_token_shards(
+        df, "doc_id", "n_tokens", budget,
+        LcgRandom("doc_id", seed), buckets=buckets,
+    )
+    got = {
+        r["doc_id"]: (r["gstart"], r["gshard"]) for r in out.collect()
+    }
+    order = sorted(range(len(toks)), key=lambda i: (_u(i, seed, 19, 0), i))
+    running = 0
+    for i in order:
+        n = max(toks[i] or 0, 0)
+        assert got[i] == (running, running // budget), (
+            f"doc={i} seed={seed} budget={budget} buckets={buckets}"
+        )
+        running += n
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs union-find (round 13, VERDICT r12 #8)
+# ---------------------------------------------------------------------------
+# Min-label propagation + pointer jumping must produce EXACTLY the
+# min-node-id labeling of each component, for any graph shape and any
+# physical layout. Small dense node space makes multi-edge/self-loop/
+# long-chain shapes common; union-find is the independent model.
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1, max_size=40,
+    ),
+    parts=st.integers(1, 6),
+)
+def test_connected_components_match_union_find(spark, edges, parts):
+    from gecko_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(parts)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, on_nonconvergence="raise").collect()
+    }
+    # union-find model
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+    assert got == want, f"edges={edges}"
