@@ -172,7 +172,7 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx
 
 
-def curate_to_sequences(spark: SparkSession, sf_dir: str):
+def curate_to_sequences(spark: SparkSession, sf_dir: str, timers=None):
     """The FULL 12-stage chain as one composable unit — stages 0-8 via
     :func:`curate`, then split → DSIR selection → global token shards →
     materialized pack texts. Returns ``(sequences_df, cached)`` where
@@ -190,8 +190,26 @@ def curate_to_sequences(spark: SparkSession, sf_dir: str):
     train split collapses them to one execution + four cheap cached
     scans. At 100 TB the same boundary is a checkpoint to object
     storage rather than executor memory, but it sits in the same place.
+
+    ``timers`` (round 13, VERDICT r12 #4 — dispersion attribution): a
+    dict to receive per-stage wall seconds at each DRIVER-ACTION
+    boundary. Timer mode inserts ONE extra action (a count() that
+    fills the train-split cache under its own timer, so the dedup
+    gauntlet's cost lands in ``train_fill`` instead of inside the DSIR
+    fit) — a diagnostic variant, not the benched shape; pass None
+    (default) for the production path.
     """
+    import time as _time
+
     from pyspark.storagelevel import StorageLevel
+
+    _t0 = _time.time()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t0
+        if timers is not None:
+            timers[stage] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
 
     from gecko_spark.core import LcgRandom
     from gecko_spark.operators.packing import global_token_shards, pack_texts
@@ -216,6 +234,12 @@ def curate_to_sequences(spark: SparkSession, sf_dir: str):
         .select("doc_id", "text")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _mark("curate_build")  # plan construction + curate()'s EAGER work:
+    # minhash → LSH pairs → connected-components rounds run here (the
+    # CC edge list and each round's labels are localCheckpointed)
+    if timers is not None:
+        train_docs.count()  # fill the cache under its own timer
+        _mark("train_fill")
     raw = load_table(spark, sf_dir, "documents")
     reference = raw.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     lr = fit_log_ratio_micro(
@@ -223,21 +247,25 @@ def curate_to_sequences(spark: SparkSession, sf_dir: str):
         hashed_ngram_bucket_counts(train_docs, n_buckets=4096),
         4096,
     )
+    _mark("dsir_fit")  # two fit aggregations + driver model collect
     weighted = train_docs.join(
         dsir_log_weights(train_docs, lr).select("doc_id", "log_weight"),
         "doc_id",
     )
     selected = gumbel_select_frac(weighted, 0.6, LcgRandom("doc_id", 29))
+    _mark("select_threshold")  # percentile_approx threshold aggregation
     sharded = global_token_shards(
         selected.withColumn("n_tokens", word_token_count(F.col("text"))),
         "doc_id", "n_tokens", budget=2048,
         rand=LcgRandom("doc_id", 37), buckets=16,
     )
+    _mark("token_shards")  # bucket-total collect + broadcast-back
     seqs = pack_texts(
         sharded.withColumnRenamed("gshard", "shard")
         .withColumn("pack", F.lit(0)),
         "doc_id", "text",
     )
+    _mark("pack_build")  # lazy; the caller's final action is the scan
     return seqs, [train_docs]
 
 
