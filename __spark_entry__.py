@@ -6435,6 +6435,46 @@ FROM m WHERE kind = 'null'
 """
 
 
+def _mm_image_quarantine(spark, sf):
+    """Per-payload corrupt-media quarantine end-to-end (round 13,
+    VERDICT r12 #6 + the new ``on_error`` policy): every non-null
+    fixture payload gets a doctored twin (media_id + 1000) TRUNCATED
+    at half its bytes IN THE QUERY (binary substring — no extra
+    fixture file), and the whole union decodes with
+    ``on_error="null"``. Contract: originals decode (ok, not
+    quarantined); every truncated twin — JPEG cut mid-entropy-stream,
+    PNG with a truncated zlib stream, BMP short of its pixel array —
+    is quarantined with a reason, neighbors unaffected; the null
+    payload stays the third state (not ok, not quarantined). The
+    oracle knows the fates by construction."""
+    from gecko_spark.operators.multimodal import decode_image_features
+
+    media = spark.read.parquet(_MEDIA_IMAGES)
+    bad = media.filter(F.col("kind") != "null").select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.expr(
+            "substring(content, 1, cast(length(content)/2 as int))"
+        ).alias("content"),
+        "mime",
+    )
+    allm = media.select("media_id", "content", "mime").unionByName(bad)
+    feats = decode_image_features(allm, out_dim=16, on_error="null")
+    return feats.select(
+        "media_id",
+        F.col("features").isNotNull().alias("ok"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+_MM_IMAGE_QUARANTINE_SQL = f"""
+WITH m AS (SELECT media_id, kind FROM read_parquet('{_MEDIA_IMAGES}'))
+SELECT media_id, kind <> 'null' AS ok, FALSE AS quarantined FROM m
+UNION ALL
+SELECT media_id + 1000 AS media_id, FALSE AS ok, TRUE AS quarantined
+FROM m WHERE kind <> 'null'
+"""
+
+
 def _mm_audio_features(spark, sf):
     """Audio decode → 16-window RMS envelope through the real executor
     path (RIFF/WAV parse + windowed RMS in
@@ -8161,7 +8201,10 @@ WINDOW_50 = [
     "mut_delete",
     "mut_substitute",
     "mut_transpose",
-    "mut_repeat",
+    # --- (c cont.) NEW round-13 contract: corrupt-payload quarantine
+    # end-to-end (takes the mut_repeat slot — trivial repeat kernel,
+    # r10-green, stays in the local gate) ---
+    "mm_image_quarantine",
 ]
 
 _WINDOW_50_RETIRED_R12 = [
@@ -8448,6 +8491,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("sample_mix_temperature", _sample_mix_temperature),
     # round-13 additions
     ("sample_mix_temperature_q25", _sample_mix_temperature_q25),
+    ("mm_image_quarantine", _mm_image_quarantine),
 ]
 
 
@@ -8612,6 +8656,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_hard_negatives": _bm25_hard_negatives_sql(),
         "sample_mix_temperature": _sample_mix_temperature_sql(),
         "sample_mix_temperature_q25": _sample_mix_temperature_q25_sql(),
+        "mm_image_quarantine": _MM_IMAGE_QUARANTINE_SQL,
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,
