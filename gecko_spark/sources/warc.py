@@ -105,6 +105,114 @@ class _ChainRaw(io.RawIOBase):
         return len(data)
 
 
+class _ResyncGzipRaw(io.RawIOBase):
+    """Decompress concatenated gzip members (the Common Crawl
+    member-per-record framing) with MEMBER-LEVEL resync: a corrupt
+    member — bit-flipped deflate data, a failed CRC, a truncated tail —
+    raises ONE :class:`MalformedWarcError` after first repositioning
+    the internal state at the next gzip magic (``1f 8b 08``) in the
+    raw bytes, so the caller's quarantine-and-resync loop continues
+    with the following member instead of losing the rest of a ~1 GB
+    crawl file (round 13; plain ``gzip.GzipFile`` propagates
+    ``BadGzipFile``/``EOFError`` and kills the whole scan).
+
+    Best-effort boundary: the magic scan starts from the data most
+    recently FED to the decompressor — bytes an earlier feed already
+    consumed cannot be rescanned, so a magic inside them is lost with
+    the corrupt member. At the 1 MiB feed size that bounds the blast
+    radius to ~1 MiB of members per corruption, against the whole file
+    without it. ``strict`` callers keep ``gzip.GzipFile``."""
+
+    _MAGIC = b"\x1f\x8b\x08"
+
+    def __init__(self, fp):
+        import zlib
+
+        self._zlib = zlib
+        self._fp = fp
+        self._d = zlib.decompressobj(31)
+        self._pending = b""  # raw bytes not yet fed
+        self._out = b""  # decompressed, not yet served
+        self._raw_eof = False
+
+    def readable(self) -> bool:
+        return True
+
+    def _feed(self) -> None:
+        """One step: feed pending/next raw chunk; on corruption, resync
+        to the next magic and raise MalformedWarcError exactly once."""
+        if not self._pending and not self._raw_eof:
+            chunk = self._fp.read(1 << 20)
+            if chunk:
+                self._pending = chunk
+            else:
+                self._raw_eof = True
+        if not self._pending:
+            # raw EOF: a member still mid-stream is a truncation
+            if self._d is not None and not self._d.eof:
+                tail_obj, self._d = self._d, None
+                try:
+                    self._out += tail_obj.flush()
+                except self._zlib.error:
+                    pass
+                raise MalformedWarcError(
+                    "truncated gzip member at end of file"
+                )
+            self._d = None
+            return
+        data, self._pending = self._pending, b""
+        if self._d is None:  # scanning for the next member's magic
+            buf = data
+            while True:
+                i = buf.find(self._MAGIC)
+                if i != -1:
+                    data = buf[i:]
+                    self._d = self._zlib.decompressobj(31)
+                    break
+                if self._raw_eof:
+                    return  # junk to EOF: nothing more to serve
+                chunk = self._fp.read(1 << 20)
+                if not chunk:
+                    self._raw_eof = True
+                    return
+                # keep 2 bytes: the magic may straddle the chunk seam
+                buf = buf[-2:] + chunk
+        # decompress in 64 KiB sub-slices: zlib loses ALL output of the
+        # call that hits the corruption, so fine slicing preserves every
+        # record decoded before the bad byte (a whole-file single-member
+        # gzip keeps its clean prefix instead of losing everything)
+        step = 64 * 1024
+        off = 0
+        try:
+            while off < len(data):
+                self._out += self._d.decompress(data[off:off + step])
+                off += step
+                if self._d.eof:  # member end: CRC verified by wbits=31
+                    self._pending = self._d.unused_data + data[off:]
+                    self._d = (
+                        self._zlib.decompressobj(31) if self._pending else None
+                    )
+                    return
+        except self._zlib.error as ex:
+            # corrupt member: drop back to magic-scan state starting
+            # just past the failing slice's first byte, then raise
+            # exactly once so the caller can quarantine + resync
+            self._pending = data[off + 1:]
+            self._d = None
+            raise MalformedWarcError(f"corrupt gzip member: {ex}") from ex
+
+    def readinto(self, b) -> int:
+        while not self._out:
+            at_eof = self._raw_eof and not self._pending
+            if at_eof and self._d is None:
+                return 0
+            self._feed()
+        n = min(len(b), len(self._out))
+        b[:n] = self._out[:n]
+        self._out = self._out[n:]
+        return n
+
+
 def _resync_to_record(fp) -> Optional[bytes]:
     """After a framing error, scan forward for the next plausible
     record boundary — a ``WARC/`` version marker at a line start — and
@@ -223,8 +331,15 @@ def iter_warc_records(
     marker and then RESYNCHRONISES at the next ``WARC/`` version marker
     at a line start — the skipped span is quarantined, the rest of the
     file still parses (a bad Content-Length in one member must not
-    cost the remaining ~50k records of a crawl segment)."""
-    fp = gzip.GzipFile(fileobj=raw) if gzipped else raw
+    cost the remaining ~50k records of a crawl segment). Since round
+    13 the same policy covers the GZIP layer: in non-strict mode a
+    corrupt gzip member (bit-flipped deflate, failed CRC, truncated
+    tail) is skipped member-wise (:class:`_ResyncGzipRaw`) instead of
+    killing the whole file the way ``gzip.GzipFile`` would."""
+    if gzipped:
+        fp = gzip.GzipFile(fileobj=raw) if strict else _ResyncGzipRaw(raw)
+    else:
+        fp = raw
     fp = io.BufferedReader(fp, 1024 * 1024)
     seq = 0
     while True:

@@ -338,3 +338,128 @@ def test_corrupt_video_payload_emits_no_rows_with_on_error_null(spark):
     ids = {r["media_id"] for r in rows}
     assert ids == {0}  # corrupt clip quarantined whole, good clip intact
     assert len(rows) == 3  # frames 0, 2, 4
+
+
+# ---------------------------------------------------------------------------
+# Gzip-member corruption + resync (round 13: _ResyncGzipRaw)
+# ---------------------------------------------------------------------------
+# Common Crawl frames one gzip MEMBER per record; gzip.GzipFile
+# propagates the first corrupt member as BadGzipFile/EOFError and the
+# whole ~1 GB file dies. The resync layer must skip member-wise.
+
+
+import gzip as _gzip
+
+
+def _gz_members(recs: list[bytes]) -> list[bytes]:
+    return [_gzip.compress(r) for r in recs]
+
+
+def _good_and_malformed_gz(data: bytes):
+    from gecko_spark.sources.warc import iter_warc_records
+
+    good, bad = [], []
+    for rec in iter_warc_records(io.BytesIO(data), gzipped=True):
+        (bad if "__malformed__" in rec else good).append(rec)
+    return good, bad
+
+
+def test_warc_gzip_member_resync_after_bitflip():
+    pays = _payloads(7)
+    members = _gz_members([_mk_record(f"doc{i}", p) for i, p in enumerate(pays)])
+    m = bytearray(members[3])
+    mid = len(m) // 2
+    m[mid] ^= 0xFF  # flip a deflate byte mid-member
+    m[mid + 1] ^= 0xFF
+    members[3] = bytes(m)
+    good, bad = _good_and_malformed_gz(b"".join(members))
+    assert len(bad) >= 1 and any(
+        "gzip" in b["__malformed__"] or "WARC" in b["__malformed__"] for b in bad
+    )
+    assert [r["payload"] for r in good] == [
+        p for i, p in enumerate(pays) if i != 3
+    ]
+    # strict mode: gzip.GzipFile propagates the corruption
+    from gecko_spark.sources.warc import iter_warc_records
+
+    with pytest.raises(Exception):
+        list(iter_warc_records(io.BytesIO(b"".join(members)),
+                               gzipped=True, strict=True))
+
+
+def test_warc_gzip_truncated_final_member():
+    pays = _payloads(5)
+    members = _gz_members([_mk_record(f"doc{i}", p) for i, p in enumerate(pays)])
+    members[4] = members[4][: len(members[4]) // 2]
+    good, bad = _good_and_malformed_gz(b"".join(members))
+    assert [r["payload"] for r in good] == pays[:4]
+    assert len(bad) == 1
+    reason = bad[0]["__malformed__"]
+    assert "gzip" in reason or "shorter" in reason
+
+
+def test_warc_gzip_single_member_truncated_keeps_prefix():
+    """Whole-file single-member gzip truncated mid-stream: the tail is
+    gone (no later member magic to resync to) but the prefix records
+    survive — the 64 KiB decompress sub-slicing means everything
+    decoded before the break is already served, instead of the whole
+    file dying the way gzip.GzipFile's EOFError would. Incompressible
+    ~60 KB payloads make the compressed stream span many slices."""
+    rng = np.random.default_rng(3)
+    pays = [rng.integers(0, 256, size=60_000, dtype=np.uint8).tobytes()
+            for _ in range(6)]
+    blob = _gzip.compress(b"".join(_mk_record(f"doc{i}", p)
+                                   for i, p in enumerate(pays)))
+    good, bad = _good_and_malformed_gz(blob[: int(len(blob) * 0.7)])
+    assert bad and any("gzip" in b["__malformed__"] for b in bad)
+    got = [r["payload"] for r in good]
+    # a clean prefix of the record sequence survives, the tail is lost
+    assert 0 < len(got) < 6
+    assert got == pays[: len(got)]
+
+
+def test_warc_gzip_crc_corruption_flags_but_serves():
+    """A bit-flip inside a STORED deflate block decompresses 'cleanly'
+    (the flipped byte just changes value) and only the member CRC
+    catches it — the documented outcome is: records served (one
+    carrying the flipped byte), plus a corrupt-member marker at the
+    member boundary. Incompressible payloads force stored blocks."""
+    rng = np.random.default_rng(5)
+    pays = [rng.integers(0, 256, size=60_000, dtype=np.uint8).tobytes()
+            for _ in range(4)]
+    blob = bytearray(_gzip.compress(b"".join(
+        _mk_record(f"doc{i}", p) for i, p in enumerate(pays))))
+    blob[int(len(blob) * 0.5)] ^= 0xFF
+    good, bad = _good_and_malformed_gz(bytes(blob))
+    assert any("incorrect data check" in b["__malformed__"] for b in bad)
+    # every record framed correctly; exactly one differs by one byte
+    got = [r["payload"] for r in good if len(r["payload"]) == 60_000]
+    diffs = sum(1 for g, p in zip(got, pays) if g != p)
+    assert len(got) >= 3 and diffs <= 1
+
+
+def test_warc_gzip_member_resync_through_spark(spark, tmp_path):
+    from gecko_spark.sources.warc import read_warc
+
+    pays = _payloads(9)
+    members = _gz_members([_mk_record(f"doc{i}", p) for i, p in enumerate(pays)])
+    m = bytearray(members[4])
+    m[len(m) // 2] ^= 0xFF
+    members[4] = bytes(m)
+    path = tmp_path / "corrupt.warc.gz"
+    path.write_bytes(b"".join(members))
+    df = read_warc(spark, str(path)).cache()
+    try:
+        assert df.filter("warc_type = '__malformed__'").count() >= 1
+        good = {
+            r["target_uri"]: bytes(r["payload"])
+            for r in df.filter("warc_type = 'response'").collect()
+        }
+        assert good == {
+            f"http://example.com/doc{i}": p
+            for i, p in enumerate(pays) if i != 4
+        }
+        with pytest.raises(Exception):
+            read_warc(spark, str(path), strict=True).collect()
+    finally:
+        df.unpersist()
