@@ -6536,6 +6536,45 @@ FROM m WHERE kind = 'null'
 """
 
 
+def _mm_audio_quarantine(spark, sf):
+    """Audio-path twin of :func:`_mm_image_quarantine` (round 13): each
+    non-null WAV payload gets a doctored copy (media_id + 1000)
+    truncated to its first 20 bytes IN THE QUERY — the RIFF/WAVE magic
+    survives (so it is not mistaken for a foreign format) but the fmt
+    chunk body is empty, a deterministic typed decode error for every
+    WAV flavor. ``on_error="null"`` must quarantine exactly the twins
+    (NULL features AND NULL metadata, reason recorded) while the
+    originals decode; the null payload remains the third state."""
+    from gecko_spark.operators.multimodal import decode_audio_features
+
+    media = spark.read.parquet(_MEDIA_AUDIO)
+    bad = media.filter(F.col("kind") != "null").select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.expr("substring(content, 1, 20)").alias("content"),
+        "mime",
+    )
+    allm = media.select("media_id", "content", "mime").unionByName(bad)
+    feats = decode_audio_features(allm, out_dim=16, on_error="null")
+    return feats.select(
+        "media_id",
+        F.col("features").isNotNull().alias("ok"),
+        F.col("sample_rate").isNotNull().alias("has_meta"),
+        F.col("error").isNotNull().alias("quarantined"),
+    )
+
+
+_MM_AUDIO_QUARANTINE_SQL = f"""
+WITH m AS (SELECT media_id, kind FROM read_parquet('{_MEDIA_AUDIO}'))
+SELECT media_id, kind <> 'null' AS ok, kind <> 'null' AS has_meta,
+       FALSE AS quarantined
+FROM m
+UNION ALL
+SELECT media_id + 1000 AS media_id, FALSE AS ok, FALSE AS has_meta,
+       TRUE AS quarantined
+FROM m WHERE kind <> 'null'
+"""
+
+
 _MEDIA_VIDEO = os.path.join(_FIXDIR, "media_video.parquet")
 
 
@@ -8492,6 +8531,7 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     # round-13 additions
     ("sample_mix_temperature_q25", _sample_mix_temperature_q25),
     ("mm_image_quarantine", _mm_image_quarantine),
+    ("mm_audio_quarantine", _mm_audio_quarantine),
 ]
 
 
@@ -8657,6 +8697,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_mix_temperature": _sample_mix_temperature_sql(),
         "sample_mix_temperature_q25": _sample_mix_temperature_q25_sql(),
         "mm_image_quarantine": _MM_IMAGE_QUARANTINE_SQL,
+        "mm_audio_quarantine": _MM_AUDIO_QUARANTINE_SQL,
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,
