@@ -6636,6 +6636,59 @@ FROM fi WHERE j * 3 < n_frames
 """
 
 
+def _mm_video_quarantine(spark, sf):
+    """Video-path quarantine contract (round 14, VERDICT r13 #4 —
+    image and audio twins exist since r13). Every non-null fixture
+    clip gets a doctored copy (media_id + 1000) truncated to its first
+    16 bytes IN THE QUERY: the container magic survives (RIFF…AVI /
+    YUV4MPEG2 prefix — so the payload is not mistaken for a foreign
+    format) but the stream headers are cut, a deterministic typed
+    ``UnsupportedMediaError`` for BOTH container kinds (verified:
+    'AVI has no MJPG video stream header' / 'truncated Y4M header').
+    ``sample_video_frames`` fans out (one row per frame), so there is
+    no natural quarantine ROW — ``on_error="null"`` instead drops the
+    corrupt clip's frames atomically; the contract pins the per-media
+    frame COUNTS: originals sample exactly their construction-known
+    frames, twins and the null payload emit zero."""
+    from gecko_spark.operators.multimodal import sample_video_frames
+
+    media = spark.read.parquet(_MEDIA_VIDEO)
+    bad = media.filter(F.col("kind") != "null").select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.expr("substring(content, 1, 16)").alias("content"),
+        "mime",
+    )
+    allm = media.select("media_id", "content", "mime").unionByName(bad)
+    frames = sample_video_frames(allm, every_n=3, max_frames=3, on_error="null")
+    per = frames.groupBy("media_id").agg(F.count("*").alias("n_out"))
+    return (
+        allm.select("media_id")
+        .join(per, "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce(F.col("n_out"), F.lit(0)).alias("n_frames_out"),
+            (F.coalesce(F.col("n_out"), F.lit(0)) > 0).alias("ok"),
+        )
+    )
+
+
+_MM_VIDEO_QUARANTINE_SQL = f"""
+WITH m AS (SELECT media_id, kind, n_frames
+           FROM read_parquet('{_MEDIA_VIDEO}')),
+orig AS (
+  SELECT media_id,
+         CAST(CASE WHEN kind = 'const'
+              THEN least(3, CAST(ceil(n_frames / 3.0) AS INT))
+              ELSE 0 END AS BIGINT) AS n_frames_out
+  FROM m),
+tw AS (SELECT media_id + 1000 AS media_id, CAST(0 AS BIGINT) AS n_frames_out
+       FROM m WHERE kind <> 'null')
+SELECT media_id, n_frames_out, n_frames_out > 0 AS ok FROM orig
+UNION ALL
+SELECT media_id, n_frames_out, n_frames_out > 0 AS ok FROM tw
+"""
+
+
 def _stream_dedupe_parity(spark, sf):
     """Streaming dedup batch parity (round 8, VERDICT r7 #4): the
     events table plus a FULL duplicate copy streamed as two separate
@@ -7361,6 +7414,99 @@ SELECT DISTINCT
   CAST(CASE WHEN s >= {1 << 63} THEN s - {1 << 64} ELSE s END AS BIGINT) AS fp,
   CAST(1 AS BIGINT) AS n_rows
 FROM sh
+"""
+
+
+_STREAM_BLOOM_BITS = 1 << 18
+
+
+def _stream_decontam_bloom_parity(spark, sf):
+    """Streaming decontamination through the BLOOM carrier (round 14,
+    VERDICT r13 #8 — the parity family previously pinned only the
+    frozenset path). streaming/stream.py::decontaminate_stream with
+    ``bloom_bits_count`` folds the reference grams into a bitset
+    distributedly (operators/decontam.bloom_bits) and each stream row
+    runs the 6-hash membership test in an Arrow kernel. The bloom's
+    decisions — INCLUDING its deterministic false positives — are
+    engine-portable: gram → portable polynomial hash
+    (poly_hash_strings == sql_horner) → 6 universal-hash positions mod
+    2^18. The DuckDB oracle replays the positions and drops exactly
+    the same documents, so the batch-built carrier and the streaming
+    membership kernel are pinned hash-exact end to end; the train
+    split arrives as two micro-batches so the decisions span a batch
+    boundary (the kernel is stateless — parity must hold regardless)."""
+    import shutil
+
+    from gecko_spark.streaming.stream import decontaminate_stream
+
+    root, src, ckpt, run_id = _stream_scratch("stream_decontam")
+    docs = load_table(spark, sf, "documents")
+    reference = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    sink = f"stream_decontam_bloom_parity_{run_id}"
+    try:
+        _write_ordered_batches(
+            [train.filter(F.col("doc_id") % 2 == 0),
+             train.filter(F.col("doc_id") % 2 == 1)],
+            src,
+        )
+        schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = decontaminate_stream(
+            stream, reference, "doc_id", "text", n=4,
+            bloom_bits_count=_STREAM_BLOOM_BITS,
+        )
+        q = (
+            out.select("doc_id").writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pdf = spark.table(sink).toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, "doc_id long")
+
+
+def _stream_decontam_bloom_sql() -> str:
+    """DuckDB replay of the bloom DECISIONS (not just the exact-join
+    result): reference grams → portable hash → the 6 universal-hash
+    bit positions; a train doc drops iff it has a gram whose 6
+    positions are ALL present in the reference's position set —
+    bit-identical to testing the broadcast bitset, since a bit is set
+    iff some reference gram produced that position."""
+    from gecko_spark.functions.portable_hash import P1, sql_horner
+    from gecko_spark.operators.decontam import _BLOOM_K, _BLOOM_PARAMS
+
+    nb = _STREAM_BLOOM_BITS
+    params = ", ".join(f"({a}, {b})" for a, b in _BLOOM_PARAMS[:_BLOOM_K])
+    h = sql_horner("gram", P1)
+    return f"""
+WITH {_TOKS_CTE},
+grams AS ({_grams_cte(4, distinct=True)}),
+params(a, b) AS (VALUES {params}),
+ref_h AS (SELECT DISTINCT {h} AS h
+          FROM (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0)),
+ref_pos AS (SELECT DISTINCT (h * a + b) % {P1} % {nb} AS pos
+            FROM ref_h CROSS JOIN params),
+train_h AS (SELECT DISTINCT doc_id, {h} AS h
+            FROM grams WHERE doc_id % 10 <> 0),
+hits AS (
+  SELECT th.doc_id
+  FROM train_h th
+  CROSS JOIN params p
+  JOIN ref_pos rp ON (th.h * p.a + p.b) % {P1} % {nb} = rp.pos
+  GROUP BY th.doc_id, th.h
+  HAVING COUNT(*) = {_BLOOM_K}
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
 
@@ -8532,6 +8678,8 @@ _CATALOGUE_PAIRS: "list[tuple[str, Callable[[SparkSession, str], DataFrame]]]" =
     ("sample_mix_temperature_q25", _sample_mix_temperature_q25),
     ("mm_image_quarantine", _mm_image_quarantine),
     ("mm_audio_quarantine", _mm_audio_quarantine),
+    ("stream_decontam_bloom_parity", _stream_decontam_bloom_parity),
+    ("mm_video_quarantine", _mm_video_quarantine),
 ]
 
 
@@ -8566,6 +8714,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_kmv_parity": _stream_kmv_parity_sql(),
         "corpus_warc": _CORPUS_WARC_SQL,
         "stream_warc_parity": _CORPUS_WARC_SQL,
+        "stream_decontam_bloom_parity": _stream_decontam_bloom_sql(),
         "text_main_content": _TEXT_MAIN_CONTENT_SQL,
         "q_linkage_blocked": _linkage_blocked_sql(),
         "q_linkage_snm": _linkage_snm_sql(),
@@ -8698,6 +8847,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_mix_temperature_q25": _sample_mix_temperature_q25_sql(),
         "mm_image_quarantine": _MM_IMAGE_QUARANTINE_SQL,
         "mm_audio_quarantine": _MM_AUDIO_QUARANTINE_SQL,
+        "mm_video_quarantine": _MM_VIDEO_QUARANTINE_SQL,
         "text_unicode_normalize": _TEXT_UNICODE_NORMALIZE_SQL,
         "pack_sequences": _PACK_SQL,
         "text_line_dedupe": _LINE_DEDUPE_SQL,

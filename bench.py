@@ -825,6 +825,9 @@ def compact_stdout_line(result: dict, cap: int = STDOUT_LINE_CAP) -> str:
     entries are dropped before the headline set — the totals summarize
     the rest and the dispersion file always has everything."""
     slim = dict(result)
+    # per-session detail (env fingerprints, session meds) lives in the
+    # dispersion artifact only — the stdout line keeps sessions_n
+    slim.pop("sessions", None)
     slim["queries"] = {
         q: (v["med"] if isinstance(v, dict) else v)
         for q, v in result["queries"].items()
@@ -868,10 +871,15 @@ def compact_stdout_line(result: dict, cap: int = STDOUT_LINE_CAP) -> str:
     return line
 
 
-def main():
+def _session_result():
+    """One fresh-session measurement pass (the pre-round-14 whole
+    bench): run every entry once through the adaptive-warmup/median
+    protocol in THIS process's SparkSession and return the result
+    dict. Does not touch BENCH_DISPERSION.json."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     env = _env_fingerprint(cpus)
+    t_start = time.time()
     spark = get_spark(app_name="gecko-spark-bench", cpus=cpus, shuffle_partitions=cpus)
     try:
         # warm the JVM/session so timings measure the queries, not startup
@@ -894,6 +902,7 @@ def main():
         "headline25_total": round(sum(meds[q] for q in headline), 3),
         "headline25_n": len(headline),
         "env": env,
+        "wall_s": round(time.time() - t_start, 1),
     }
     if errors:
         # A failing query would otherwise shrink the headline total and
@@ -901,9 +910,81 @@ def main():
         # so round-over-round comparisons skip it.
         result["errors"] = errors
         result["partial"] = True
+    return result
+
+
+def _combine_sessions(session_results: list) -> dict:
+    """Cross-session aggregation (VERDICT r13 #1): five same-code
+    sessions spanned headline25 20.5–29.5 s with per-entry medians
+    swinging 3× independently, so a SINGLE session's bands cannot
+    adjudicate regressions. Per entry: med = median of the session
+    medians, band = [min session-lo, max session-hi] — the criterion
+    'new lo > prior hi' then means disjoint ACROSS ≥N fresh JVMs,
+    exactly SCALE.md's operational rule. An entry missing from a
+    session (error there) still aggregates over the sessions that
+    have it; an entry failing everywhere lands in errors."""
+    import statistics
+
+    names: list = []
+    for r in session_results:
+        for q in r["queries"]:
+            if q not in names:
+                names.append(q)
+    combined_q = {}
+    for q in names:
+        per = [r["queries"][q] for r in session_results if q in r["queries"]]
+        s_meds = [v["med"] for v in per]
+        combined_q[q] = {
+            "med": round(statistics.median(s_meds), 3),
+            "lo": min(v["lo"] for v in per),
+            "hi": max(v["hi"] for v in per),
+            "n_runs": sum(v.get("n_runs", 5) for v in per),
+            "n_sessions": len(per),
+            "session_meds": s_meds,
+        }
+    meds = {q: v["med"] for q, v in combined_q.items()}
+    headline = [q for q in HEADLINE_25 if q in combined_q]
+    errors: dict = {}
+    for r in session_results:
+        for q, e in r.get("errors", {}).items():
+            if q not in combined_q:
+                errors[q] = e
+    result = {
+        "metric": session_results[0]["metric"],
+        "value": round(sum(meds.values()), 3),
+        "unit": "sec",
+        "queries": combined_q,
+        "sf": session_results[0]["sf"],
+        "headline25_total": round(sum(meds[q] for q in headline), 3),
+        "headline25_n": len(headline),
+        "protocol": "cross-session median of %d fresh-JVM sessions"
+        % len(session_results),
+        "sessions_n": len(session_results),
+        "sessions": [
+            {
+                "headline25_total": r.get("headline25_total"),
+                "value": r.get("value"),
+                "wall_s": r.get("wall_s"),
+                "env": r.get("env"),
+                "partial": r.get("partial", False),
+            }
+            for r in session_results
+        ],
+        "env": session_results[0].get("env", {}),
+    }
+    if errors:
+        result["errors"] = errors
+        result["partial"] = True
+    return result
+
+
+def _finalize(result: dict) -> None:
+    """Compare against the prior committed artifact, write the
+    dispersion artifact, print the one driver-facing line."""
+    sf = result.get("sf")
+    disp = os.path.join(os.path.dirname(os.path.abspath(__file__)), DISPERSION_FILE)
     # band-vs-band comparison against the previous committed artifact,
     # BEFORE overwriting it (VERDICT r10 #8)
-    disp = os.path.join(os.path.dirname(os.path.abspath(__file__)), DISPERSION_FILE)
     try:
         with open(disp) as f:
             prior_doc = json.load(f)
@@ -913,7 +994,7 @@ def main():
         prior = prior_doc.get("queries", {}) if prior_doc.get("sf") == sf else {}
     except (OSError, ValueError):
         prior = {}
-    reg = detect_regressions(queries, prior)
+    reg = detect_regressions(result["queries"], prior)
     if reg:
         result["regressions"] = reg
     # full {med,lo,hi} dispersion → committed artifact, compact line →
@@ -925,6 +1006,86 @@ def main():
     with open(disp, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(compact_stdout_line(result))
+
+
+def main():
+    """Driver entry. Default protocol (round 14, VERDICT r13 #1):
+    N fresh-JVM sessions — subprocess per session so JIT state, Arrow
+    buffers, and Python workers never carry over — combined into
+    cross-session medians; the dispersion artifact records every
+    session's meds and env fingerprint. Modes:
+
+    - ``SPARK_GRAFT_BENCH_SESSION`` set → CHILD: run one session, dump
+      the full result to $SPARK_GRAFT_BENCH_SESSION_FILE, print
+      nothing on stdout, never touch the shared artifact.
+    - ``SPARK_GRAFT_BENCH_SESSIONS=1`` → iteration mode: one in-process
+      session; the artifact still goes through _finalize (suffixed at
+      off-default sf, so the committed sf0.1 artifact survives quick
+      iteration only when run at another sf — full-protocol runs are
+      what should land on BENCH_DISPERSION.json).
+    - otherwise → PARENT: spawn up to ``SPARK_GRAFT_BENCH_SESSIONS``
+      (default 3) children under a wall budget
+      ``SPARK_GRAFT_BENCH_BUDGET_S`` (default 2700 s): after each
+      session, stop early if the next one would overrun — at least one
+      session always completes, so a tight budget degrades to the old
+      single-session bench instead of losing the round's artifact."""
+    session_tag = os.environ.get("SPARK_GRAFT_BENCH_SESSION")
+    if session_tag is not None:
+        result = _session_result()
+        out_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_SESSION_FILE",
+            os.path.join("scratch", f"bench_session_{session_tag}.json"),
+        )
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+        return
+
+    n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3"))
+    if n_sessions <= 1:
+        _finalize(_session_result())
+        return
+
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    scratch = os.path.join(here, "scratch")
+    os.makedirs(scratch, exist_ok=True)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2700"))
+    t0 = time.time()
+    stamp = int(t0)
+    session_results = []
+    last_wall = None
+    for i in range(n_sessions):
+        if i > 0 and last_wall is not None:
+            # stop early when the next fresh-JVM session would overrun
+            # the budget (15% headroom for startup jitter)
+            if time.time() - t0 + 1.15 * last_wall > budget:
+                break
+        tag = f"{stamp}_{i}"
+        sfile = os.path.join(scratch, f"bench_session_{tag}.json")
+        t_sess = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={
+                **os.environ,
+                "SPARK_GRAFT_BENCH_SESSION": tag,
+                "SPARK_GRAFT_BENCH_SESSION_FILE": sfile,
+            },
+            stdout=subprocess.DEVNULL,
+            stderr=sys.stderr,
+            cwd=here,
+        )
+        last_wall = time.time() - t_sess
+        if proc.returncode == 0 and os.path.exists(sfile):
+            with open(sfile) as f:
+                session_results.append(json.load(f))
+    if not session_results:
+        # every child died: fall back to one in-process session so the
+        # round still gets a bench line (and the failure is visible in
+        # sessions_n=1 + whatever error killed the children)
+        _finalize(_session_result())
+        return
+    _finalize(_combine_sessions(session_results))
 
 
 if __name__ == "__main__":

@@ -91,7 +91,19 @@ def _plan_has_shuffle(df: DataFrame) -> bool:
     plan collapses to one partition and a .coalesce(1)/.repartition(n)
     pins width to an EXPLICIT n that may be tiny — exactly the
     starvation the guard exists for (caught by the substring
-    plan-shape test)."""
+    plan-shape test).
+
+    The broadcast carve-out applies only where Spark can actually
+    honor the hint (round 14, ADVICE r13 — verified against the
+    physical planner with autoBroadcastJoinThreshold=-1): the build
+    side must be legal for the join type — either side for
+    Inner/Cross, only the RIGHT for LeftOuter/LeftSemi/LeftAnti/
+    ExistenceJoin, only the LEFT for RightOuter, NEITHER for
+    FullOuter. A hint on an illegal side is silently dropped by
+    Spark (SortMergeJoin → exchange), so such joins count as shuffle
+    evidence here — otherwise the fall-through ``.rdd`` width probe
+    would execute the shuffle stages under AQE, the exact
+    multi-second hazard this plan scan exists to avoid."""
     global _TREE_PREFIX_RE
     if _TREE_PREFIX_RE is None:
         import re as _re
@@ -108,11 +120,38 @@ def _plan_has_shuffle(df: DataFrame) -> bool:
         # sortWithinPartitions prints '..., false' — no exchange
         if line.startswith("Sort ") and line.rstrip().endswith("], true"):
             return True
-        # broadcast-hinted joins (left or right hint) keep the probe
-        # side's width; every other join strategy shuffles
-        if line.startswith("Join ") and "strategy=broadcast" not in line:
+        # broadcast-hinted joins keep the probe side's width — but only
+        # when the hint sits on a build side the join type permits;
+        # Spark silently drops illegal hints (→ SortMergeJoin)
+        if line.startswith("Join ") and not _broadcast_hint_usable(line):
             return True
     return False
+
+
+def _broadcast_hint_usable(join_line: str) -> bool:
+    """True when a ``Join <Type>, …, [left|right]Hint=(…)`` optimized-plan
+    line carries a broadcast hint Spark can actually honor for that join
+    type (see _plan_has_shuffle docstring for the legality table)."""
+    parts = join_line.split(None, 2)
+    join_type = parts[1].rstrip(",") if len(parts) > 1 else ""
+
+    def _hinted(side: str) -> bool:
+        marker = side + "Hint=("
+        i = join_line.find(marker)
+        if i == -1:
+            return False
+        body = join_line[i + len(marker):]
+        return "strategy=broadcast" in body.split(")", 1)[0]
+
+    if join_type in ("Inner", "Cross"):
+        return _hinted("left") or _hinted("right")
+    if join_type in ("LeftOuter", "LeftSemi", "LeftAnti") or join_type.startswith(
+        "ExistenceJoin"
+    ):
+        return _hinted("right")
+    if join_type == "RightOuter":
+        return _hinted("left")
+    return False  # FullOuter and anything unrecognized: never broadcastable
 
 
 def ensure_parallelism(df: DataFrame, min_ratio: float = 1.0) -> DataFrame:
@@ -474,16 +513,84 @@ def minhash_dedupe(
     return adopt_cache_owner(df.join(losers, id_col, "left_anti"), owner)
 
 
+def _cc_driver_union_find(pairs_c: DataFrame) -> DataFrame:
+    """Exact connected components of a BOUNDED pair list on the driver:
+    union-find with path compression over np.unique-factorized node
+    codes. np.unique returns SORTED uniques, so the code order is the
+    id order and keeping the smaller-code root as parent makes every
+    final root the minimum id of its component — byte-identical to the
+    distributed min-label propagation. Only called beneath
+    ``max_driver_edges`` (see connected_components); duplicate pairs
+    and self-pairs are harmless to union-find, so the symmetric-expand
+    + distinct shuffle of the distributed path is skipped entirely."""
+    spark = pairs_c.sparkSession
+    pdf = pairs_c.toPandas()
+    node_type = pairs_c.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("component", node_type, False),
+        ]
+    )
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    both = np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()])
+    nodes, codes = np.unique(both, return_inverse=True)
+    a = codes[: len(pdf)]
+    b = codes[len(pdf):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for i in range(len(a)):
+        ra, rb = find(a[i]), find(b[i])
+        if ra < rb:
+            parent[rb] = ra
+        elif rb < ra:
+            parent[ra] = rb
+    labels = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    out = pd.DataFrame({"node": nodes, "component": nodes[labels]})
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
     on_nonconvergence: str = "warn",
+    max_driver_edges: Optional[int] = 1_000_000,
 ) -> DataFrame:
     """Cluster a pair list into connected components: returns
     ``(node, component)`` where ``component`` is the minimum node id
     reachable from ``node``.
+
+    Two physical strategies behind one exact semantic (round 14,
+    VERDICT r13 #3 — the CC rounds owned 63% of curation_e2e):
+
+    - **small graphs** (edge count ≤ ``max_driver_edges``, the
+      overwhelmingly common near-dup case — a 0.1%-duplicate corpus of
+      a billion docs yields ~1M pairs): ONE bounded ``toPandas`` of the
+      checkpointed pair list, union-find with path compression on the
+      driver, labels broadcast back as a DataFrame. No propagation
+      rounds, no per-round shuffles, exact min-label semantics
+      (np.unique sorts, so code order == id order and union-by-min-code
+      IS union-by-min-id). The collect is explicitly bounded: at the
+      1M default it moves ≤ ~32 MB through Arrow.
+    - **large graphs** (> cap, or ``max_driver_edges=None``): the
+      distributed min-label propagation below — nothing reaches the
+      driver but a 1-row convergence sum per round.
+
+    The edge count that picks the strategy is a cheap ``count()`` on
+    the already-checkpointed pair list (no recomputation). Both paths
+    return identical labels, so callers and oracles cannot observe
+    which ran.
 
     Min-label propagation with pointer jumping: each round every node
     adopts the smallest label in its neighborhood (its own included),
@@ -522,6 +629,10 @@ def connected_components(
     pairs_c = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint()
+    if max_driver_edges is not None:
+        n_edges = pairs_c.count()  # checkpoint-backed: no recompute
+        if n_edges <= max_driver_edges:
+            return _cc_driver_union_find(pairs_c)
     edges = (
         pairs_c.union(pairs_c.select(F.col("dst"), F.col("src")))
         .distinct()

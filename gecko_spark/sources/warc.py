@@ -121,9 +121,26 @@ class _ResyncGzipRaw(io.RawIOBase):
     consumed cannot be rescanned, so a magic inside them is lost with
     the corrupt member. At the 1 MiB feed size that bounds the blast
     radius to ~1 MiB of members per corruption, against the whole file
-    without it. ``strict`` callers keep ``gzip.GzipFile``."""
+    without it. ``strict`` callers keep ``gzip.GzipFile``.
+
+    Memory bound (round 14, ADVICE r13): deflate expands up to
+    ~1030:1, so decompressing a whole raw chunk unboundedly could
+    buffer ~1 GiB per feed. Every ``decompress`` call therefore passes
+    ``max_length`` so ``self._out`` never exceeds ``_OUT_CAP`` (1 MiB);
+    unconsumed input is requeued on ``self._pending`` and drained
+    incrementally by subsequent ``readinto`` calls — matching the
+    bounded-reads behavior ``gzip.GzipFile`` gives the strict path.
+
+    Resync false positives (ADVICE r13): a bare 3-byte magic occurs by
+    chance ~once per 16 MB of compressed data, and each false hit costs
+    one extra quarantine marker. The scan therefore also validates the
+    4th header byte (FLG: RFC 1952 reserved bits 5-7 must be zero),
+    cutting false positives 8×. Residual false hits still converge —
+    the bogus decompressor fails and the scan resumes — so quarantine
+    marker counts remain an UPPER bound on true corrupt members."""
 
     _MAGIC = b"\x1f\x8b\x08"
+    _OUT_CAP = 1 << 20  # max buffered decompressed bytes per feed
 
     def __init__(self, fp):
         import zlib
@@ -163,20 +180,39 @@ class _ResyncGzipRaw(io.RawIOBase):
         data, self._pending = self._pending, b""
         if self._d is None:  # scanning for the next member's magic
             buf = data
+            pos = 0
             while True:
-                i = buf.find(self._MAGIC)
-                if i != -1:
-                    data = buf[i:]
-                    self._d = self._zlib.decompressobj(31)
-                    break
-                if self._raw_eof:
-                    return  # junk to EOF: nothing more to serve
-                chunk = self._fp.read(1 << 20)
-                if not chunk:
+                i = buf.find(self._MAGIC, pos)
+                if i != -1 and i + 3 >= len(buf) and not self._raw_eof:
+                    # FLG byte straddles the chunk seam: read more
+                    # before judging this candidate
+                    chunk = self._fp.read(1 << 20)
+                    if chunk:
+                        buf += chunk
+                        continue
                     self._raw_eof = True
-                    return
-                # keep 2 bytes: the magic may straddle the chunk seam
-                buf = buf[-2:] + chunk
+                if i == -1:
+                    if self._raw_eof:
+                        return  # junk to EOF: nothing more to serve
+                    chunk = self._fp.read(1 << 20)
+                    if not chunk:
+                        self._raw_eof = True
+                        return
+                    # keep 3 bytes: the 4-byte magic+FLG window may
+                    # straddle the chunk seam
+                    buf = buf[-3:] + chunk
+                    pos = 0
+                    continue
+                if i + 3 >= len(buf):
+                    return  # header cut off at EOF: nothing to serve
+                if buf[i + 3] & 0xE0:
+                    # RFC 1952 reserved FLG bits set: a false magic
+                    # inside member data, not a real header
+                    pos = i + 1
+                    continue
+                data = buf[i:]
+                self._d = self._zlib.decompressobj(31)
+                break
         # decompress in 64 KiB sub-slices: zlib loses ALL output of the
         # call that hits the corruption, so fine slicing preserves every
         # record decoded before the bad byte (a whole-file single-member
@@ -185,14 +221,27 @@ class _ResyncGzipRaw(io.RawIOBase):
         off = 0
         try:
             while off < len(data):
-                self._out += self._d.decompress(data[off:off + step])
-                off += step
+                budget = self._OUT_CAP - len(self._out)
+                if budget <= 0:
+                    # output cap reached: requeue the rest of the raw
+                    # input and let readinto drain incrementally
+                    # (max_length=0 would mean UNLIMITED to zlib)
+                    self._pending = data[off:]
+                    return
+                self._out += self._d.decompress(data[off:off + step], budget)
                 if self._d.eof:  # member end: CRC verified by wbits=31
-                    self._pending = self._d.unused_data + data[off:]
+                    self._pending = self._d.unused_data + data[off + step:]
                     self._d = (
                         self._zlib.decompressobj(31) if self._pending else None
                     )
                     return
+                tail = self._d.unconsumed_tail
+                if tail:
+                    # max_length stopped mid-slice: requeue unconsumed
+                    # input; out is at/near the cap, serve it first
+                    self._pending = tail + data[off + step:]
+                    return
+                off += step
         except self._zlib.error as ex:
             # corrupt member: drop back to magic-scan state starting
             # just past the failing slice's first byte, then raise

@@ -340,6 +340,32 @@ def test_corrupt_video_payload_emits_no_rows_with_on_error_null(spark):
     assert len(rows) == 3  # frames 0, 2, 4
 
 
+def test_corrupt_mjpeg_avi_quarantined_per_clip(spark):
+    """MJPEG twin of the y4m case (round 14, VERDICT r13 #4): an AVI
+    truncated inside the movi chunk — container magic and stream
+    headers intact, sampled frame's JPEG bytes cut — raises a typed
+    error under the default and drops ONLY the corrupt clip under
+    on_error='null', while the sibling AVI decodes in the same batch."""
+    from gecko_spark.functions.av_codecs import encode_avi_mjpeg
+    from gecko_spark.operators.multimodal import sample_video_frames
+
+    frames = np.stack(
+        [np.full((8, 8, 3), 40 * (i + 1), dtype=np.uint8) for i in range(5)]
+    )
+    clip = encode_avi_mjpeg(frames, fps=10)
+    corrupt = clip[: int(len(clip) * 0.6)]  # cut mid-movi
+    df = spark.createDataFrame(
+        [(0, clip), (1, corrupt)], "media_id long, content binary"
+    ).repartition(1)
+    with pytest.raises(Exception):
+        sample_video_frames(df, every_n=2, max_frames=3).collect()
+    rows = sample_video_frames(
+        df, every_n=2, max_frames=3, on_error="null"
+    ).collect()
+    assert {r["media_id"] for r in rows} == {0}
+    assert len(rows) == 3  # frames 0, 2, 4 of the clean clip
+
+
 # ---------------------------------------------------------------------------
 # Gzip-member corruption + resync (round 13: _ResyncGzipRaw)
 # ---------------------------------------------------------------------------
@@ -463,3 +489,85 @@ def test_warc_gzip_member_resync_through_spark(spark, tmp_path):
             read_warc(spark, str(path), strict=True).collect()
     finally:
         df.unpersist()
+
+
+def test_warc_gzip_bounded_output_per_feed():
+    """ADVICE r13 (medium): deflate expands up to ~1030:1, so an
+    unbounded feed of one 1 MiB raw chunk could buffer ~1 GiB of
+    decompressed output. The resync reader must pass max_length so its
+    internal out-buffer never exceeds _OUT_CAP, requeueing unconsumed
+    input instead. A 64 MiB all-zeros member compresses to ~64 KiB —
+    one raw chunk — which the old code decompressed in full."""
+    from gecko_spark.sources.warc import _ResyncGzipRaw
+
+    plain = b"\x00" * (64 << 20)
+    blob = _gzip.compress(plain)
+    assert len(blob) < (1 << 20)  # the whole member arrives in ONE feed
+    r = _ResyncGzipRaw(io.BytesIO(blob))
+    got = 0
+    peak = 0
+    buf = bytearray(256 * 1024)
+    while True:
+        n = r.readinto(buf)
+        if n == 0:
+            break
+        assert bytes(buf[:n]) == b"\x00" * n
+        got += n
+        peak = max(peak, len(r._out))
+    assert got == len(plain)
+    assert peak <= _ResyncGzipRaw._OUT_CAP
+
+
+def test_warc_gzip_false_magic_reserved_flg_skipped():
+    """ADVICE r13 (low): after a corrupt member, the magic rescan used
+    to accept any 1f 8b 08 triple; a false hit spawned a bogus
+    decompressor that failed again, inflating the quarantine-marker
+    count. The scan now also checks the FLG byte's RFC 1952 reserved
+    bits, so a fake magic with FLG=0xFF between the corruption and the
+    next real member is skipped without an extra marker."""
+    pays = _payloads(5)
+    members = _gz_members(
+        [_mk_record(f"doc{i}", p) for i, p in enumerate(pays)]
+    )
+    m = bytearray(members[2])
+    m[len(m) // 2] ^= 0xFF
+    members[2] = bytes(m)
+    # junk after the corrupt member carrying a reserved-FLG fake magic
+    junk = b"XX" + b"\x1f\x8b\x08\xff" + b"ZZZZ" + b"\x1f\x8b\x08\xe1" + b"Q"
+    blob = b"".join(members[:3]) + junk + b"".join(members[3:])
+    good, bad = _good_and_malformed_gz(blob)
+    # one corruption event -> markers for it, but the fake magics add
+    # no decompressor-spawn-and-fail cycle beyond the real corruption
+    assert [r["payload"] for r in good] == [
+        p for i, p in enumerate(pays) if i != 2
+    ]
+    assert 1 <= len(bad) <= 2  # corrupt member (+ possibly junk span)
+    # a fake-magic-spawned decompressor would add 'corrupt gzip member:
+    # Error -3' markers per fake magic; assert none beyond the first
+    gzip_markers = [b for b in bad if "gzip" in b["__malformed__"]]
+    assert len(gzip_markers) <= 1
+
+
+def test_warc_gzip_flg_straddles_chunk_seam():
+    """A real member whose FLG byte lands exactly past a 1 MiB read
+    boundary must still be accepted: the scan reads ahead before
+    judging the candidate instead of dropping it."""
+    from gecko_spark.sources.warc import _ResyncGzipRaw
+
+    pays = _payloads(4)
+    members = _gz_members(
+        [_mk_record(f"doc{i}", p) for i, p in enumerate(pays)]
+    )
+    m = bytearray(members[1])
+    m[len(m) // 2] ^= 0xFF
+    members[1] = bytes(m)
+    # pad the junk so the NEXT member's magic sits 3 bytes before a
+    # 1 MiB boundary: magic in chunk k, FLG in chunk k+1
+    prefix = b"".join(members[:2])
+    pad_len = (1 << 20) - ((len(prefix)) % (1 << 20)) - 3
+    blob = prefix + b"J" * pad_len + b"".join(members[2:])
+    good, bad = _good_and_malformed_gz(blob)
+    assert [r["payload"] for r in good] == [
+        p for i, p in enumerate(pays) if i != 1
+    ]
+    assert len(bad) >= 1

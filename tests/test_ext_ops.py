@@ -511,16 +511,68 @@ def test_connected_components_nonconvergence_modes(spark):
     from gecko_spark.core import GeckoWarning
     from gecko_spark.operators.dedup import connected_components
 
-    # a 6-node chain cannot converge in 1 iteration
+    # a 6-node chain cannot converge in 1 iteration — force the
+    # DISTRIBUTED path (the round-14 driver union-find fast path is
+    # exact and never non-converges, so the cap must be disabled to
+    # exercise the iteration limit)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
     )
     with pytest.warns(GeckoWarning, match="did not converge"):
-        connected_components(pairs, max_iterations=1)
+        connected_components(pairs, max_iterations=1, max_driver_edges=None)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iterations=1, on_nonconvergence="raise")
+        connected_components(
+            pairs, max_iterations=1, on_nonconvergence="raise",
+            max_driver_edges=None,
+        )
     with pytest.raises(ValueError, match="on_nonconvergence"):
         connected_components(pairs, on_nonconvergence="explode")
+    # the DEFAULT path on the same graph: bounded driver union-find,
+    # exact closure regardless of max_iterations
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, max_iterations=1).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 7)}
+
+
+def test_connected_components_driver_matches_distributed(spark):
+    """The two physical strategies must be observationally identical:
+    random multi-component graphs (chains, stars, dup edges, isolated
+    pairs) labeled by BOTH paths yield the same (node, component) set."""
+    import random
+
+    from gecko_spark.operators.dedup import connected_components
+
+    rnd = random.Random(1411)
+    edges = []
+    # 8 chains/stars over disjoint id ranges + duplicate + reversed edges
+    for c in range(8):
+        base = c * 100
+        n = rnd.randint(2, 12)
+        ids = [base + i for i in range(n)]
+        if c % 2:  # chain
+            edges += [(ids[i], ids[i + 1]) for i in range(n - 1)]
+        else:  # star with shuffled spokes
+            edges += [(rnd.choice([ids[0], ids[-1]]), x) for x in ids[1:-1]]
+            edges.append((ids[0], ids[-1]))
+    edges += [(e[1], e[0]) for e in edges[::3]]  # reversed dups
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    via_driver = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    via_dist = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, max_driver_edges=None).collect()
+    }
+    assert via_driver == via_dist
+    # every component label is the min id of its member set
+    comp_members: dict = {}
+    for node, comp in via_dist:
+        comp_members.setdefault(comp, []).append(node)
+    for comp, members in comp_members.items():
+        assert comp == min(members)
 
 
 def test_minhash_dedupe_transitive(spark, docs):
