@@ -8311,85 +8311,74 @@ FROM unioned
 # can never silently diverge from the catalogue (a duplicate key in
 # the old dict literal would have collapsed silently).
 WINDOW_50 = [
-    # Round 13 (VERDICT r12 #1): rotate the 23 r9-stale entries in —
-    # after this round NO catalogue entry carries a grade older than
-    # r10 (grade map recomputed over CORRECTNESS_r01..r12: exactly
-    # these 23 were last green at r9; everything else is r10+).
-    # --- (a) the 15 plain-Spark TPC-H shapes + q_window_topk_orders
-    # family that yielded slots across rounds 10-12 ---
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",       # also a r12 driver-bench regression
-    "q5_region_revenue",          # suspect (0.51→0.61 / 0.76→0.96 s) —
-                                  # regrade alongside the band check
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_order_histogram",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_volume",
-    "q19_branch_revenue",
-    "q21_waiting_supplier",
-    "q_window_topk_orders",
-    # --- (a cont.) the 8 r9-stale package-code siblings ---
-    "sketch_kmv_distinct",
-    "text_chunks",
-    "text_chunks_tokens",
-    "text_unigram_logprob",
-    "text_url_normalize",
-    "sample_shuffle",
-    "sample_split_grouped",
-    "sample_mix_corpus",
-    # --- (b) code touched in round 13 — regrade: selection.py's
-    # exact-rank threshold (NULL-key exclusion + persist + auto-scaled
-    # accuracy, ADVICE r12 + VERDICT #3), retrieval.py's empty-corpus
-    # schema derivation (ADVICE r12), generators.py from_group's
-    # max_rounding_adjustment warning (VERDICT #5), and dedup.py's
-    # _plan_has_shuffle broadcast-join/local-sort fix (ADVICE r12 —
-    # regraded through its three ensure_parallelism call sites:
-    # minhash signatures, simhash base, substring windows) ---
-    "dsir_select_frac",
-    "text_bm25_topk",
-    "bm25_hard_negatives",
-    "gen_group",
-    "gen_group_exact",
+    # Round 14 (VERDICT r13 #2): rotate the ENTIRE remaining r10 tail
+    # in — after this round the oldest driver grade anywhere is r11.
+    # --- (a) the 29 r10-graded entries (grade map recomputed over
+    # CORRECTNESS_r01..r13) + mm_audio_quarantine (landed after the
+    # r13 window froze; never driver-graded, 3-SF-verified locally) ---
+    "mm_audio_quarantine",
+    "decontam_filter_bloom",
+    "dedup_exact",
+    "dedup_semantic_pairs",
+    "dedup_substring_incr",
+    "dedup_substring_winnowed",
+    "mut_lowercase",
+    "mut_repeat",
+    "mut_uppercase",
+    "q4_priority_exists",
+    "q16_supplier_cnt",
+    "q20_qty_threshold",
+    "q22_global_sales_opportunity",
+    "q_anti_join",
+    "q_semi_join",
+    "q_range_join",
+    "q_rollup_region_nation",
+    "q_set_ops",
+    "q_events_hourly",
+    "q_events_sessions",
+    "stream_interval_join_parity",
+    "text_bigram_logprob",
+    "text_bpe_tokens",
+    "text_c4_clean",
+    "text_classifier_trained",
+    "text_gopher_quality",
+    "text_gopher_repetition",
+    "text_ppl_buckets",
+    "text_tfidf_top3",
+    "topk_cosine_bruteforce",
+    # --- (b) NEW round-14 contracts: the streaming bloom-carrier
+    # decontamination parity (VERDICT r13 #8) and the video-path
+    # quarantine twin (VERDICT r13 #4) ---
+    "stream_decontam_bloom_parity",
+    "mm_video_quarantine",
+    # --- (c) code touched in round 14 — regrade: warc.py's bounded
+    # resync + FLG header validation (ADVICE r13), dedup.py's
+    # legal-build-side broadcast carve-out in _plan_has_shuffle
+    # (ADVICE r13, through the three ensure_parallelism call sites)
+    # and the driver union-find CC fast path (VERDICT r13 #3 — every
+    # connected_components consumer) ---
+    "corpus_warc",
+    "stream_warc_parity",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_substring_spans",
-    # --- (c) NEW round-13 contract: α = 0.25 temperature mixing
-    # (sqrt∘sqrt, IEEE-exact — pins the cap algebra's alpha-generality
-    # rather than one magic point; VERDICT r12 #7) ---
-    "sample_mix_temperature_q25",
-    # --- (d) the 18 oldest-remaining (r10) package-code entries: the
-    # table-driven/mutator family — the reference-parity core. Left at
-    # r10 for lack of slots: mut_lowercase/mut_uppercase (trivial
-    # case-mapping kernels, exact-eligibility unit-tested + in the
-    # local gate), the r10 plain-Spark relational shapes (q4, q16,
-    # q20, q22, joins/set-ops — no package code), and the r10 text_*
-    # rule kernels; all stay in the 3-SF local sweep. ---
-    "gen_function",
-    "mut_chain",
-    "mut_group",
-    "mut_cldr_keymap",
-    "mut_phonetic",
-    "mut_regex",
-    "mut_replacement_inline",
-    "mut_replacement_whole",
-    "mut_categorical",
-    "mut_permute",
-    "mut_datetime_offset",
-    "mut_generator_splice",
-    "mut_missing_value",
-    "mut_missing_strict_p",
-    "mut_delete",
-    "mut_substitute",
-    "mut_transpose",
-    # --- (c cont.) NEW round-13 contract: corrupt-payload quarantine
-    # end-to-end (takes the mut_repeat slot — trivial repeat kernel,
-    # r10-green, stays in the local gate) ---
-    "mm_image_quarantine",
+    "dedup_transitive",
+    "dedup_cluster_reps",
+    "dedup_groups",
+    # --- (d) the 10 oldest r11-graded package-code entries, so the
+    # r11 tail starts rotating out too (generator core G2-G6, the two
+    # r11-graded mutators, two sketch estimators, one stateful
+    # streaming parity) ---
+    "gen_uniform",
+    "gen_normal",
+    "gen_freq_single",
+    "gen_freq_multi",
+    "gen_datetime",
+    "mut_insert",
+    "mut_function",
+    "sketch_hll_estimate",
+    "sketch_cm_estimate",
+    "stream_neardup_parity",
 ]
 
 _WINDOW_50_RETIRED_R12 = [

@@ -119,6 +119,15 @@ def _gen_1m(spark, seed=11):
 def bench_queries(spark, sf_dir):
     out = {}
     errors = {}
+    # LIGHT protocol (round 14): under the multi-session parent each
+    # child halves its in-session reps — the cross-session median over
+    # N fresh JVMs carries the statistical weight, so paying 13 reps
+    # per entry per session triples wall time for variance the session
+    # combine already absorbs. Set by the parent; a solo run
+    # (SPARK_GRAFT_BENCH_SESSIONS=1) keeps the full protocol.
+    light = os.environ.get("SPARK_GRAFT_BENCH_LIGHT") == "1"
+    max_warm, n_timed = (4, 3) if light else (8, 5)
+    n_timed_slow = 2 if light else 3
 
     def timed(name, thunk):
         # Adaptive warmup, then median of 3 timed runs. Round-6 profiling
@@ -143,7 +152,7 @@ def bench_queries(spark, sf_dir):
             return
         try:
             best = None
-            for _ in range(8):
+            for _ in range(max_warm):
                 t0 = time.time()
                 thunk()
                 dt = time.time() - t0
@@ -151,12 +160,12 @@ def bench_queries(spark, sf_dir):
                     break
                 best = dt if best is None else min(best, dt)
             runs = []
-            for _ in range(5):
+            for _ in range(n_timed):
                 t0 = time.time()
                 thunk()
                 runs.append(time.time() - t0)
             runs.sort()
-            _record(name, runs)
+            _record(name, runs, n_runs=n_timed)
         except Exception as ex:  # noqa: BLE001 — keep the bench alive
             errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
 
@@ -175,12 +184,12 @@ def bench_queries(spark, sf_dir):
         try:
             thunk()
             runs = []
-            for _ in range(3):
+            for _ in range(n_timed_slow):
                 t0 = time.time()
                 thunk()
                 runs.append(time.time() - t0)
             runs.sort()
-            _record(name, runs, n_runs=3)
+            _record(name, runs, n_runs=n_timed_slow)
         except Exception as ex:  # noqa: BLE001 — keep the bench alive
             errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
 
@@ -978,22 +987,37 @@ def _combine_sessions(session_results: list) -> dict:
     return result
 
 
-def _finalize(result: dict) -> None:
-    """Compare against the prior committed artifact, write the
-    dispersion artifact, print the one driver-facing line."""
-    sf = result.get("sf")
+def _load_prior(sf, cross_session: bool = False) -> dict:
+    """The prior committed artifact's bands — loaded BEFORE the first
+    overwrite (VERDICT r10 #8). Bands are only comparable at the SAME
+    scale factor: a quick sf0.01 iteration run must not flag (or
+    silently rebase) the sf0.1 round artifact's bands. With
+    ``cross_session=True`` a prior WITHOUT cross-session bands is also
+    rejected: a multi-session band spans fresh-JVM session variance
+    (measured 20.5–29.5 s on same code), a single-session band does
+    not, so 'new lo > prior hi' across that protocol change flags
+    session placement, not code — the r14 transition run produced 13
+    such spurious flags before this guard."""
     disp = os.path.join(os.path.dirname(os.path.abspath(__file__)), DISPERSION_FILE)
-    # band-vs-band comparison against the previous committed artifact,
-    # BEFORE overwriting it (VERDICT r10 #8)
     try:
         with open(disp) as f:
             prior_doc = json.load(f)
-        # bands are only comparable at the SAME scale factor: a quick
-        # sf0.01 iteration run must not flag (or silently rebase) the
-        # sf0.1 round artifact's bands
-        prior = prior_doc.get("queries", {}) if prior_doc.get("sf") == sf else {}
+        if prior_doc.get("sf") != sf:
+            return {}
+        if cross_session and "sessions_n" not in prior_doc:
+            return {}
+        return prior_doc.get("queries", {})
     except (OSError, ValueError):
-        prior = {}
+        return {}
+
+
+def _finalize(result: dict, prior: dict = None) -> None:
+    """Compare against the prior committed artifact, write the
+    dispersion artifact, print the driver-facing line."""
+    sf = result.get("sf")
+    disp = os.path.join(os.path.dirname(os.path.abspath(__file__)), DISPERSION_FILE)
+    if prior is None:
+        prior = _load_prior(sf)
     reg = detect_regressions(result["queries"], prior)
     if reg:
         result["regressions"] = reg
@@ -1055,6 +1079,7 @@ def main():
     stamp = int(t0)
     session_results = []
     last_wall = None
+    prior = None
     for i in range(n_sessions):
         if i > 0 and last_wall is not None:
             # stop early when the next fresh-JVM session would overrun
@@ -1070,6 +1095,11 @@ def main():
                 **os.environ,
                 "SPARK_GRAFT_BENCH_SESSION": tag,
                 "SPARK_GRAFT_BENCH_SESSION_FILE": sfile,
+                # children run the halved in-session protocol unless
+                # the caller pinned it explicitly
+                "SPARK_GRAFT_BENCH_LIGHT": os.environ.get(
+                    "SPARK_GRAFT_BENCH_LIGHT", "1"
+                ),
             },
             stdout=subprocess.DEVNULL,
             stderr=sys.stderr,
@@ -1079,13 +1109,22 @@ def main():
         if proc.returncode == 0 and os.path.exists(sfile):
             with open(sfile) as f:
                 session_results.append(json.load(f))
+            # finalize INCREMENTALLY after every completed session: if
+            # an outer timeout kills this parent mid-protocol, the
+            # artifact + the last stdout line still describe every
+            # session that finished (sessions_n says how many), instead
+            # of the whole round losing its bench record
+            if session_results:
+                combined = _combine_sessions(session_results)
+                if prior is None:
+                    prior = _load_prior(combined.get("sf"), cross_session=True)
+                _finalize(combined, prior)
+                sys.stdout.flush()
     if not session_results:
         # every child died: fall back to one in-process session so the
         # round still gets a bench line (and the failure is visible in
         # sessions_n=1 + whatever error killed the children)
         _finalize(_session_result())
-        return
-    _finalize(_combine_sessions(session_results))
 
 
 if __name__ == "__main__":

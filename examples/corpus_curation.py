@@ -115,6 +115,22 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("embedding")
     neardup = sem.unionByName(no_vec)
 
+    # LINEAGE boundary, not a cache (round 14 — interleaved same-session
+    # A/B at sf0.1, scratch/curation_ab*_r14.log): the doc-level-deduped
+    # corpus is consumed by the substring pass's eager flag/clamp
+    # collects, the train fill, and every post-curation action. Without
+    # a cut, each of those pays Catalyst re-ANALYSIS of the whole
+    # composed lineage plus a full recompute of the gauntlet — measured
+    # chain total 37.6 s median. localCheckpoint → 20.6 s (−45%): every
+    # downstream stage (dsir_fit, select_threshold, token_shards)
+    # collapses because it now plans over one `Scan ExistingRDD` leaf.
+    # A persist() boundary at the same joint measured WORSE than no
+    # boundary at all (48 s vs 40 s): caching keeps the logical lineage,
+    # so it pays cache reads on top of the same re-analysis. At 100 TB
+    # this boundary is a reliable checkpoint to object storage; blocks
+    # live in executor MEMORY_AND_DISK and are GC-reclaimed.
+    neardup = neardup.localCheckpoint()
+
     # substring-span excision AFTER doc-level dedup (the Lee et al.
     # order: whole-doc copies are gone, so the span pass only pays for
     # partial overlaps): every duplicated ≥40-char span keeps its

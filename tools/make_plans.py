@@ -102,9 +102,12 @@ def main():
         [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6)],
         "id_a long, id_b long",
     )
+    # force the DISTRIBUTED loop: the round-14 driver union-find fast
+    # path (edge count <= max_driver_edges) would otherwise answer this
+    # toy graph with one bounded collect and no propagation plan at all
     cap(
         "connected_components: round output truncated at a checkpoint",
-        connected_components(pairs, max_iterations=3),
+        connected_components(pairs, max_iterations=3, max_driver_edges=None),
         "After 3 label-propagation + pointer-jump rounds the plan root is a "
         "`Scan ExistingRDD` — each round's `localCheckpoint()` cuts the "
         "lineage, so round N's plan is ONE join+agg+jump over a "
