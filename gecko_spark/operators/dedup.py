@@ -339,10 +339,19 @@ def minhash_signature(
             else:
                 win = np.lib.stride_tricks.sliding_window_view(c, n)
                 h = (win.astype(np.int64) @ pows) % _P
+                # distinct BEFORE the k-hash grid: duplicates cannot
+                # change a minimum, natural text is ~31% duplicate
+                # shingles, and np.unique's sort costs far less than 64
+                # fold rows over the dupes (measured −13% on the real
+                # corpus, bit-identical output). A round-14 chunked
+                # cross-row vectorization of this grid measured 1.3–5×
+                # SLOWER at every chunk size — the per-doc (k × S)
+                # block is cache-resident, large chunks stream through
+                # main memory — so the per-row loop stays.
+                h = np.unique(h)
             # universal-hash grid with an in-place Mersenne fold
             # (2^31 ≡ 1 mod P): two shift+mask+add rounds replace the
             # generic `%` — bit-identical values, measurably faster.
-            # No distinct step: duplicates cannot change a minimum.
             x = a_col * h[None, :] + b_col
             y = x >> 31
             x &= _P

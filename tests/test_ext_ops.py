@@ -917,6 +917,60 @@ def test_text_and_dedup_kernels_null_safe(spark):
     assert pairs.filter("id_a = 0 AND id_b = 4").count() == 1
 
 
+def test_minhash_signature_matches_reference_model(spark):
+    """The Arrow signature kernel must agree BIT-FOR-BIT with an
+    independent per-row model of the documented hash (window polynomial
+    mod P → k universal hashes → min). Pins the round-14 distinct-
+    before-grid optimization (np.unique cannot change a minimum) and
+    any future kernel rewrite — the DuckDB oracles replay this exact
+    arithmetic, so a one-ULP drift here fails 8 contract entries."""
+    import numpy as np
+
+    import gecko_spark.operators.dedup as D
+    from gecko_spark.functions.portable_hash import code_points, powers
+
+    import random
+    import string
+
+    rnd = random.Random(1414)
+    texts = ["", None, "ab", "abcd", "abcde", "hello world",
+             "日本語テキストの長さ試験\U0001F600"]
+    for _ in range(40):
+        L = rnd.choice([1, 4, 5, 6, 37, 200, 1500])
+        texts.append("".join(
+            rnd.choice(string.ascii_letters + " .,!日本") for _ in range(L)
+        ))
+    n, k = 5, 64
+    params = np.asarray(D._perm_params(k, 0), dtype=np.int64)
+    a_col = params[:, 0][:, None]
+    b_col = params[:, 1][:, None]
+    pows = powers(n, D._P)
+
+    def model(t):
+        c = code_points(t.lower()) if t else np.empty(0, np.uint32)
+        if len(c) == 0:
+            return [D._P] * k
+        if len(c) < n:
+            h = np.array([int(c @ pows[-len(c):]) % D._P], dtype=np.int64)
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(c, n)
+            h = (win.astype(np.int64) @ pows) % D._P
+        x = (a_col * h[None, :] + b_col) % D._P
+        return [int(v) for v in x.min(axis=1)]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: list(r["s"])
+        for r in df.select(
+            "i", D.minhash_signature(F.col("t"), k, n, 0).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == model(t), f"signature drift at row {i}: {t!r}"
+
+
 def test_kmeans_fit_distributed(spark):
     """Distributed Lloyd's: k unit centroids, assignments cover ≥ most
     clusters, and inertia does not increase across refits."""
