@@ -116,3 +116,91 @@ def test_regressions_summarized_on_line():
     parsed = json.loads(line)
     assert parsed["regressions_n"] == 9 and len(parsed["regressions"]) == 5
     assert all(isinstance(x, str) for x in parsed["regressions"])
+
+
+def _session(meds: dict, wall=600.0, partial=False) -> dict:
+    qs = {
+        q: {"med": m, "lo": round(m * 0.9, 3), "hi": round(m * 1.2, 3)}
+        for q, m in meds.items()
+    }
+    r = {
+        "metric": "gecko_spark bench: gen+mutate @1M rows + headline queries",
+        "value": round(sum(meds.values()), 3),
+        "unit": "sec",
+        "queries": qs,
+        "sf": 0.1,
+        "headline25_total": round(sum(meds.values()), 3),
+        "headline25_n": len(meds),
+        "env": {"cpus": 32},
+        "wall_s": wall,
+    }
+    if partial:
+        r["errors"] = {"q_dead": "Boom"}
+        r["partial"] = True
+    return r
+
+
+def test_combine_sessions_cross_session_medians_and_bands():
+    """Round 14: per entry med = median of session meds, band =
+    [min session-lo, max session-hi], n_runs summed, session_meds
+    recorded; totals recomputed from combined meds."""
+    s1 = _session({"a": 1.0, "b": 4.0})
+    s2 = _session({"a": 3.0, "b": 2.0})
+    s3 = _session({"a": 2.0, "b": 6.0})
+    c = bench._combine_sessions([s1, s2, s3])
+    assert c["sessions_n"] == 3 and "3 fresh-JVM" in c["protocol"]
+    a = c["queries"]["a"]
+    assert a["med"] == 2.0 and a["session_meds"] == [1.0, 3.0, 2.0]
+    assert a["lo"] == 0.9 and a["hi"] == 3.6 and a["n_sessions"] == 3
+    assert c["value"] == round(2.0 + 4.0, 3)
+    # per-session summaries ride along for the artifact
+    assert [s["wall_s"] for s in c["sessions"]] == [600.0, 600.0, 600.0]
+
+
+def test_combine_sessions_entry_missing_from_one_session():
+    """An entry that errored in one session still aggregates over the
+    sessions that have it; an entry failing EVERYWHERE lands in errors
+    and flags the combined result partial."""
+    s1 = _session({"a": 1.0, "b": 2.0})
+    s2 = _session({"a": 3.0}, partial=True)
+    s2["errors"] = {"b": "AnalysisException: boom"}
+    c = bench._combine_sessions([s1, s2])
+    assert c["queries"]["b"]["n_sessions"] == 1
+    assert c["queries"]["a"]["n_sessions"] == 2
+    assert "errors" not in c or "b" not in c.get("errors", {})
+    s3 = _session({"a": 1.0}, partial=True)
+    s3["errors"] = {"zz": "Kaboom"}
+    c2 = bench._combine_sessions([s3])
+    assert c2["errors"] == {"zz": "Kaboom"} and c2["partial"] is True
+
+
+def test_stdout_line_drops_session_detail_keeps_count():
+    """The driver line must stay bounded: the per-session list (env
+    fingerprints, walls) is artifact-only; sessions_n survives."""
+    c = bench._combine_sessions([_session({"a": 1.0}), _session({"a": 2.0})])
+    line = bench.compact_stdout_line(c)
+    doc = json.loads(line)
+    assert doc["sessions_n"] == 2
+    assert "sessions" not in doc
+    assert doc["queries"]["a"] == 1.0 or doc["queries"]["a"] == 1.5
+
+
+def test_load_prior_rejects_single_session_bands_for_cross_session(tmp_path, monkeypatch):
+    """Round 14: a cross-session run must not band-compare against a
+    single-session artifact (protocol transition produced 13 spurious
+    flags) — but a same-protocol prior is accepted."""
+    import os
+
+    disp = tmp_path / bench.DISPERSION_FILE
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    single = {"sf": 0.1, "queries": {"a": {"med": 1, "lo": 1, "hi": 1}}}
+    disp.write_text(json.dumps(single))
+    assert bench._load_prior(0.1, cross_session=True) == {}
+    assert bench._load_prior(0.1) == single["queries"]
+    multi = dict(single, sessions_n=3)
+    disp.write_text(json.dumps(multi))
+    assert bench._load_prior(0.1, cross_session=True) == multi["queries"]
+    # sf mismatch always rejects
+    assert bench._load_prior(0.01, cross_session=True) == {}
