@@ -97,6 +97,16 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gated = filter_documents(docs, min_chars=40, min_quality=0.3)
     exact = dedupe_exact(gated, "text", id_col="doc_id")
+    # LINEAGE boundary #1 (round 14 opt — interleaved min-of-5 A/B at
+    # sf0.1, /tmp scratch logged to scratch/curation_ab3_r14.log): the
+    # exact-deduped frame feeds the minhash signature cache, the LSH
+    # band frames, AND the CC survivor join — without a cut each of
+    # those re-plans (and the eager LSH/CC actions re-execute) the
+    # strip/normalize/filter/dedupe-exact prefix. Boundary after
+    # `exact` measured min 24.93 s → 20.51 s for the full chain; with
+    # boundary #2 below as well, 18.88 s (−24%) and deterministic
+    # structure metrics drop too (79→76 jobs, 1452→1416 tasks).
+    exact = exact.localCheckpoint()
     neardup = minhash_dedupe_transitive(
         exact, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16
     )
@@ -107,6 +117,11 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
+    # LINEAGE boundary #2 (same A/B): the doc-level survivor set is
+    # consumed twice immediately below (has_vec/no_vec split) and the
+    # semantic pass's k-means fit collects eagerly — cutting here keeps
+    # the minhash/CC subtree out of every downstream plan.
+    neardup = neardup.localCheckpoint()
     with_vec = neardup.join(emb, "doc_id", "left")
     has_vec = with_vec.filter(F.col("embedding").isNotNull())
     no_vec = with_vec.filter(F.col("embedding").isNull()).drop("embedding")

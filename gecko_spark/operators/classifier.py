@@ -103,6 +103,12 @@ def hashed_linear_score(
     ``logit = bias + Σ_tokens weights[polyhash(tok, P1) % D]`` (exact
     int64) and ``passes = logit ≥ threshold``. A document with no
     tokens scores ``bias``. One Arrow projection, no shuffle."""
+    # split-starvation guard (round 14 opt): the scoring kernel is the
+    # whole operator — a single-file/single-row-group scan would run it
+    # in ONE task (no-op on many-split inputs; per-row output)
+    from gecko_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     w_arr = np.ascontiguousarray(np.asarray(weights, dtype=np.int64))
     n_features = len(w_arr)
     max_abs_w = int(np.abs(w_arr).max()) if n_features else 0

@@ -1612,7 +1612,17 @@ def dedupe_against_index(
     rpb = num_hashes // bands
 
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_size, seed)
-    new_sig = new_df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    # The new batch's signatures are referenced TWICE (the band explode
+    # below and the verify join's __sa__ side) — without a persist the
+    # Arrow signature kernel re-runs over the whole batch per reference,
+    # the exact recompute minhash_candidate_pairs already pins (round
+    # 14 opt; same 2× kernel finding). MEMORY_AND_DISK like the batch
+    # path; lifetime tied to the returned plan via persist_until_released.
+    from pyspark import StorageLevel
+
+    new_sig = new_df.select(F.col(id_col).alias("doc"), sig.alias("sig")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     def band_frame(s: DataFrame) -> DataFrame:
         return s.select(
@@ -1671,7 +1681,9 @@ def dedupe_against_index(
         .select(F.col("new_doc").alias(id_col))
         .distinct()
     )
-    return new_df.join(dupes, id_col, "left_anti")
+    return persist_until_released(
+        new_sig, new_df.join(dupes, id_col, "left_anti")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -129,7 +129,14 @@ def kmv_sketch(df: DataFrame, col: Union[str, Column], k: int = 1024) -> DataFra
         raise ValueError("k must be ≥ 2")
     h = kmv_hash(col)
 
-    hashed = df.select(h.alias("__h__"))
+    # split-starvation guard (round 14 opt): the per-batch hash+
+    # truncate kernel is the map side — a single-file scan serializes
+    # it into one task. The global bottom-k of distinct hashes is
+    # partition-invariant, so the sketch (and every estimate) is
+    # unchanged; no-op on many-split inputs.
+    from gecko_spark.operators.dedup import ensure_parallelism
+
+    hashed = ensure_parallelism(df).select(h.alias("__h__"))
 
     # map-side truncation: each batch contributes at most k candidates
     def _partial_iter(batches):
@@ -415,6 +422,12 @@ def quantile_sketch(
     deterministic even under hash collisions."""
     if k < 2:
         raise ValueError("k must be ≥ 2")
+    # split-starvation guard (round 14 opt): same rationale as
+    # kmv_sketch — the global bottom-k of (hash, value) rows is a
+    # partition-invariant multiset, so the sample is unchanged
+    from gecko_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     # ONE fused Arrow stage hashes and truncates per batch — a separate
     # hash UDF followed by a truncating mapInPandas would round-trip the
     # full data through Arrow twice (measured ~2× the Python cost at
@@ -938,7 +951,11 @@ def hll_registers(df: DataFrame, col: Union[str, Column], m: int = 256) -> DataF
     never data-sized, at any corpus size."""
     _hll_geometry(m)  # validate m
     c = F.col(col) if isinstance(col, str) else col
-    src = df.select(c.cast("string").alias("__v__"))
+    # split-starvation guard (round 14 opt): max-per-register merging
+    # is partition-order-free, so the registers are unchanged
+    from gecko_spark.operators.dedup import ensure_parallelism
+
+    src = ensure_parallelism(df).select(c.cast("string").alias("__v__"))
 
     def _partial_iter(batches):
         for pdf in batches:

@@ -203,6 +203,13 @@ def gopher_quality_flags(
     (word split + higher-order-function aggregates per row): the gate
     runs at parquet-scan speed at any corpus size, and every predicate
     is engine-portable arithmetic the DuckDB oracle replays."""
+    # split-starvation guard (round 14 opt): zero Python here, but the
+    # interpreted higher-order-function lambdas (rlike per line/word)
+    # are the per-row cost and a single-file scan serializes them into
+    # ONE task; same no-op-at-scale semantics as text_stats' guard.
+    from gecko_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
     n_words = F.size(words)
@@ -612,6 +619,15 @@ def gopher_repetition_flags(
     Arrow kernel, ZERO shuffles at any corpus size. Returns the metric
     columns (exact int-ratio doubles), per-rule booleans, and the
     conjunction ``passes``."""
+    # split-starvation guard (round 14 opt, guide §2.5 "input skew:
+    # one huge unsplittable file"): a single-file/single-row-group
+    # scan otherwise runs this per-doc Python kernel in ONE task —
+    # measured 1.49 s single-threaded for the sf0.1 corpus, which WAS
+    # the whole 1.6 s bench entry. No-op on many-split inputs; output
+    # is per-row, so the round-robin cannot change results.
+    from gecko_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     names = (
         ["dup_line_frac", "dup_line_char_frac", "dup_para_frac",
          "dup_para_char_frac"]
@@ -678,6 +694,11 @@ def repetition_profile(
     if engine not in ("arrow", "relational"):
         raise ValueError("engine must be 'arrow' or 'relational'")
     from gecko_spark.operators.decontam import ngrams_of_tokens
+    from gecko_spark.operators.dedup import ensure_parallelism
+
+    # split-starvation guard (round 14 opt): the arrow engine's Counter
+    # kernel is per-doc Python — a single-file scan runs it in one task
+    df = ensure_parallelism(df)
 
     # null text counts as empty, not null-propagating sizes; tokenize
     # ONCE into a stored array — an inline tokens(t) inside the gram

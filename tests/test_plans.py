@@ -84,13 +84,31 @@ def test_asof_join_single_exchange_single_window(spark):
     assert "CartesianProduct" not in p
 
 
-def test_repetition_profile_has_zero_exchanges(spark):
+def test_repetition_profile_no_keyed_shuffle(spark):
     from gecko_spark.operators.text import repetition_profile
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = _plan(repetition_profile(docs, "doc_id", "text"))
-    assert "Exchange" not in p, "arrow repetition profile must not shuffle"
+    # The split-starvation guard (round 14) may round-robin a
+    # single-file scan so the Arrow kernel is not serialized into one
+    # task; the scale invariant is that no KEYED (hash/range) shuffle
+    # ever appears — the profile is per-row.
+    assert "Exchange hashpartitioning" not in p, "profile must not hash-shuffle"
+    assert "Exchange rangepartitioning" not in p, "profile must not sort-shuffle"
     assert "ArrowEvalPython" in p
+
+
+def test_repetition_profile_guard_noop_on_shuffled_input(spark):
+    """The starvation guard must be a no-op when the input is already
+    wide (shuffle-fed): no RoundRobin repartition stacked on top."""
+    from gecko_spark.operators.text import repetition_profile
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .repartition(8, "doc_id")
+    )
+    p = _plan(repetition_profile(docs, "doc_id", "text"))
+    assert "roundrobin" not in p.lower(), p
 
 
 def test_pack_sequences_single_window_exchange(spark):
