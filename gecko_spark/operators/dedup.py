@@ -447,27 +447,33 @@ def minhash_candidate_pairs(
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    # ONE (band, bucket) exchange for the whole pairing (round 14 opt,
+    # guide §2.4): group each bucket's docs and expand pairs from the
+    # grouped array. The previous shape shuffled the banded set THREE
+    # times — the oversized-count aggregate plus both sides of a
+    # (band, bucket) self-join; at any scale that is 3× the shuffle
+    # bytes for the same pair set. The size filter reproduces
+    # ``max_bucket_size`` exactly (a doc appears once per band, so the
+    # array length IS the old per-bucket count; singletons emit no pair
+    # either way). Per-task state stays bounded by the cap (≤5000
+    # bigints per bucket array); with the cap disabled the single-task
+    # O(f²) expansion equals the old in-bucket join's worst case, which
+    # also colocated each bucket on one task. Interleaved min-of-5 at
+    # sf0.1 (scratch/mh_pairs_ab2_r14.log): 3.11 s min / 3.56 med →
+    # 2.59 min / 2.68 med, pair set byte-identical (418,189 pairs).
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.collect_list("doc").alias("__ds__")
+    )
+    size_pred = F.size("__ds__") >= 2
     if max_bucket_size is not None:
-        oversized = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("__n__"))
-            .filter(F.col("__n__") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
-
-    # narrow self-join → DISTINCT candidate pairs (a pair colliding in
+        size_pred = size_pred & (F.size("__ds__") <= max_bucket_size)
+    # double explode → DISTINCT candidate pairs (a pair colliding in
     # several bands is similarity-scored once, not once per band)
-    left = banded.alias("l")
-    right = banded.alias("r")
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        grouped.filter(size_pred)
+        .select(F.explode("__ds__").alias("id_a"), "__ds__")
+        .select("id_a", F.explode("__ds__").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -946,36 +952,33 @@ def simhash_candidate_pairs(
         ).alias("ck"),
     ).select("doc", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
 
-    # persist before the self-join — same double-kernel-compute hazard
+    # persist before the fan-out — same double-kernel-compute hazard
     # as minhash_candidate_pairs (see comment there)
     from pyspark import StorageLevel
 
-    # keep a handle on the PERSISTED frame itself: `blocked` is
-    # reassigned below, and the lifetime tie must release the cache,
-    # not the derived anti-join plan
-    blocked = _cached = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+    _cached = blocked.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # ONE (chunk, key) exchange (round 14 opt, guide §2.4 — same
+    # 3-exchanges→1 rewrite as minhash_candidate_pairs): group each
+    # block's (doc, sh) rows and expand pairs from the grouped array;
+    # array length == the old per-block count, so the size filter
+    # reproduces ``max_bucket_size`` exactly and per-task state stays
+    # bounded by the cap.
+    grouped = _cached.groupBy("chunk", "key").agg(
+        F.collect_list(F.struct("doc", "sh")).alias("__ds__")
+    )
+    size_pred = F.size("__ds__") >= 2
     if max_bucket_size is not None:
-        oversized = (
-            blocked.groupBy("chunk", "key")
-            .agg(F.count("*").alias("__n__"))
-            .filter(F.col("__n__") > max_bucket_size)
-            .select("chunk", "key")
-        )
-        blocked = blocked.join(F.broadcast(oversized), ["chunk", "key"], "left_anti")
-
-    l, r = blocked.alias("l"), blocked.alias("r")
+        size_pred = size_pred & (F.size("__ds__") <= max_bucket_size)
     out = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
+        grouped.filter(size_pred)
+        .select(F.explode("__ds__").alias("a"), "__ds__")
+        .select("a", F.explode("__ds__").alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
         .select(
-            F.col("l.doc").alias("id_a"),
-            F.col("r.doc").alias("id_b"),
-            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("id_a", "id_b")
@@ -1192,8 +1195,8 @@ def fingerprint_overlap_pairs(
     fingerprint, so frequency skew is capped by ``max_df`` (drop
     fingerprints shared by more than ``max_df`` docs — boilerplate
     headers land in everything and would otherwise drive a quadratic
-    hot key; the guard is a broadcast anti-join below the pair
-    shuffle). One fingerprint-keyed shuffle + one pair aggregation.
+    hot key; the guard is a group-size filter on the fingerprint
+    index). One fingerprint-keyed shuffle + one pair aggregation.
     """
     if min_shared < 1:
         raise ValueError("min_shared must be ≥ 1")
@@ -1208,24 +1211,57 @@ def fingerprint_overlap_pairs(
     inv = sigs.select(
         "__fid__", "__sz__", F.explode("__sig__").alias("fp")
     )
-    # persist the inverted index: it feeds the max_df hot-fingerprint
-    # aggregation AND both self-join sides, and their pre-exchange
-    # projections differ, so nothing is a ReusedExchange — without the
-    # persist the rolling-hash Arrow kernel runs 3× per call (plan
-    # showed 8 ArrowEvalPython nodes; 3.3 s → ~1.2 s at sf0.1). Same
-    # canonicalized-plan cache convention as the minhash/semantic
-    # self-join sites: repeated calls on the same input hit one entry.
+    if max_df is not None:
+        # Capped path = the 100 TB plan: ONE fingerprint-keyed exchange
+        # (round 14 opt, guide §2.4 — the 3-exchanges→1 rewrite also
+        # applied to minhash/simhash pairing). Group each fingerprint's
+        # (doc, size) rows — the array length IS the document
+        # frequency, so the ≤max_df filter reproduces the old
+        # hot-fingerprint anti-join exactly and bounds per-task state —
+        # then expand pairs from the grouped array. The old shape
+        # shuffled the inverted index three times (hot-df aggregate +
+        # both self-join sides) and needed a MEMORY_AND_DISK persist so
+        # the rolling-hash kernel wouldn't run 3×; with a single
+        # consumer the kernel runs once inside one plan and the persist
+        # is gone too.
+        grouped = inv.groupBy("fp").agg(
+            F.collect_list(F.struct("__fid__", "__sz__")).alias("__ds__")
+        )
+        pairs = (
+            grouped.filter(
+                (F.size("__ds__") >= 2) & (F.size("__ds__") <= max_df)
+            )
+            .select(F.explode("__ds__").alias("a"), "__ds__")
+            .select("a", F.explode("__ds__").alias("b"))
+            .filter(F.col("a.__fid__") < F.col("b.__fid__"))
+            .select(
+                F.col("a.__fid__").alias("id_a"),
+                F.col("b.__fid__").alias("id_b"),
+                F.col("a.__sz__").alias("sz_a"),
+                F.col("b.__sz__").alias("sz_b"),
+            )
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+        return pairs.select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("sz_a", "sz_b"), 6
+            ).alias("overlap"),
+        )
+    # Uncapped path: per-fingerprint fan-out is UNBOUNDED, so the
+    # streaming self-join (SMJ spills; a collect_list array would not)
+    # is the safe shape. Persist the inverted index: it feeds both
+    # self-join sides with differing pre-exchange projections, so
+    # nothing is a ReusedExchange — without the persist the
+    # rolling-hash Arrow kernel runs per reference (plan showed 8
+    # ArrowEvalPython nodes; 3.3 s → ~1.2 s at sf0.1).
     from pyspark import StorageLevel
 
     inv = _cached = inv.persist(StorageLevel.MEMORY_AND_DISK)
-    if max_df is not None:
-        hot = (
-            inv.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df__"))
-            .filter(F.col("__df__") > max_df)
-            .select("fp")
-        )
-        inv = inv.join(F.broadcast(hot), "fp", "left_anti")
     a = inv.select(
         "fp", F.col("__fid__").alias("id_a"), F.col("__sz__").alias("sz_a")
     )
