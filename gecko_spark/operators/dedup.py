@@ -952,19 +952,17 @@ def simhash_candidate_pairs(
         ).alias("ck"),
     ).select("doc", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
 
-    # persist before the fan-out — same double-kernel-compute hazard
-    # as minhash_candidate_pairs (see comment there)
-    from pyspark import StorageLevel
-
-    _cached = blocked.persist(StorageLevel.MEMORY_AND_DISK)
-
     # ONE (chunk, key) exchange (round 14 opt, guide §2.4 — same
     # 3-exchanges→1 rewrite as minhash_candidate_pairs): group each
     # block's (doc, sh) rows and expand pairs from the grouped array;
     # array length == the old per-block count, so the size filter
     # reproduces ``max_bucket_size`` exactly and per-task state stays
-    # bounded by the cap.
-    grouped = _cached.groupBy("chunk", "key").agg(
+    # bounded by the cap. The grouped shape leaves `blocked` with a
+    # single consumer, so the pre-rewrite MEMORY_AND_DISK persist
+    # (which guarded the simhash kernel against the oversized-count
+    # aggregate + both self-join sides recomputing it) is gone — the
+    # kernel runs once inside one plan.
+    grouped = blocked.groupBy("chunk", "key").agg(
         F.collect_list(F.struct("doc", "sh")).alias("__ds__")
     )
     size_pred = F.size("__ds__") >= 2
@@ -984,7 +982,7 @@ def simhash_candidate_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
     )
-    return persist_until_released(_cached, out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1460,16 +1458,20 @@ def semantic_dedupe_pairs(
         F.col(vec_col).alias("vec"),
         F.col("__ivf_list__").alias("cluster"),
     )
-    # persist before the self-join: both sides would recompute the
-    # n_clusters interpreted-HOF assignment dots otherwise (see
-    # embedding_cosine_pairs)
+    # Persist ONLY when the plan consumes `base` more than once: the
+    # max_cluster_size anti-join adds a second consumer, and the fold
+    # path's self-join consumes both sides (it persists below if this
+    # block didn't). The matrix path without a cap is single-consumer —
+    # its grouped kernel sits in one plan — so the old unconditional
+    # persist was a pure extra materialization pass there; the
+    # interpreted-HOF assignment dots run once either way.
     from pyspark import StorageLevel
 
-    # `base` is reassigned below — tie the cache release to the frame
-    # that actually holds the persist
-    base = _cached = base.persist(StorageLevel.MEMORY_AND_DISK)
-
+    _cached = None
     if max_cluster_size is not None:
+        # `base` is reassigned below — tie the cache release to the
+        # frame that actually holds the persist
+        base = _cached = base.persist(StorageLevel.MEMORY_AND_DISK)
         oversized = (
             base.groupBy("cluster")
             .agg(F.count("*").alias("__n__"))
@@ -1529,7 +1531,7 @@ def semantic_dedupe_pairs(
         out = base.groupBy("cluster").applyInPandas(
             _cluster_pairs, f"id_a {id_type}, id_b {id_type}, cosine double"
         )
-        return persist_until_released(_cached, out)
+        return out if _cached is None else persist_until_released(_cached, out)
 
     if method != "fold":
         raise ValueError(f"method must be 'matrix' or 'fold', got {method!r}")
@@ -1538,8 +1540,23 @@ def semantic_dedupe_pairs(
     # to the oracle while avoiding the interpreted zip_with/aggregate
     # HOF in the join condition (measured 5.8 s → 2.1 s at sf0.1; the
     # remainder is the Arrow transfer of both vectors per pair).
+    # Round-14 note: a grouped per-cluster fold kernel (each vector
+    # crossing Arrow once instead of per pair) was built,
+    # parity-verified bit-exact (diff=0 over 44,426 pairs,
+    # scratch/semantic_fold_ab_r14.log) and REJECTED on measurement:
+    # interleaved min-of-5 at sf0.1 showed min 1.88→3.78 s, med
+    # 2.48→6.87 s — groupBy(cluster) caps parallelism at n_clusters
+    # tasks (16 here), while the self-join spreads per-pair scoring
+    # across every core, and at catalogue scale the Arrow-traffic term
+    # the grouped shape saves is negligible. The bit-parity reference
+    # test (test_semantic_fold_grouped_matches_pair_kernel) stays: it
+    # pins this path's fold arithmetic against a sequential replay.
     from gecko_spark.operators.similarity import cosine_fold_udf
 
+    if _cached is None:
+        # both self-join sides consume `base`: persist, or the
+        # n_clusters interpreted-HOF assignment dots run once per side
+        base = _cached = base.persist(StorageLevel.MEMORY_AND_DISK)
     _cos_fold = cosine_fold_udf()
     l, r = base.alias("l"), base.alias("r")
     out = (

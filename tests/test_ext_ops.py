@@ -1575,6 +1575,53 @@ def test_semantic_cluster_cap_drops_degenerate_cluster(spark):
     assert all(a >= 900 for a, _ in ids)  # degenerate cluster dropped
 
 
+def test_semantic_fold_grouped_matches_pair_kernel(spark):
+    """The round-14 grouped fold kernel must be BIT-identical to the
+    per-pair cosine_fold_udf arithmetic it replaced (per-dimension
+    float64 accumulation, sqrt(na)*sqrt(nb) denominator, zero-norm →
+    0.0): the oracle replays the sequential fold exactly, so a last-ulp
+    drift here is a contract break, not noise."""
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((60, 16))
+    vecs[13] = 0.0  # zero-norm row exercises the 0.0 convention
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = (
+        D.semantic_dedupe_pairs(
+            df, "vec_id", "embedding", threshold=-2.0,
+            n_clusters=4, init="first_k", method="fold",
+        )
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    # reference: first_k assignment + the ORIGINAL per-pair fold
+    x = vecs.astype(np.float64)
+    cents = x[:4]
+    # sequential-fold assignment dots, first-max tie-break (ivf_assign)
+    dots = np.zeros((60, 4))
+    for j in range(x.shape[1]):
+        dots += x[:, j][:, None] * cents[:, j][None, :]
+    assign = dots.argmax(axis=1)
+    exp = []
+    for a in range(60):
+        for b in range(a + 1, 60):
+            if assign[a] != assign[b]:
+                continue
+            dot_ = na = nb = 0.0
+            for j in range(x.shape[1]):
+                dot_ += x[a, j] * x[b, j]
+                na += x[a, j] * x[a, j]
+                nb += x[b, j] * x[b, j]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            exp.append((a, b, dot_ / denom if denom > 0 else 0.0))
+    exp_pdf = pd.DataFrame(exp, columns=["id_a", "id_b", "cosine"])
+    assert len(got) == len(exp_pdf) and len(got) > 0
+    assert (got["id_a"].to_numpy() == exp_pdf["id_a"].to_numpy()).all()
+    assert (got["id_b"].to_numpy() == exp_pdf["id_b"].to_numpy()).all()
+    # BIT equality, not approx: the whole point of the fold contract
+    assert (got["cosine"].to_numpy() == exp_pdf["cosine"].to_numpy()).all()
+
+
 # -- product quantization ----------------------------------------------------
 
 
@@ -1838,7 +1885,6 @@ def test_operator_caches_released_when_results_dropped(spark, docs):
         lambda: D.fingerprint_overlap_pairs(
             docs, "doc_id", "text", window=8, keep=16, min_shared=1
         ),
-        lambda: D.simhash_candidate_pairs(docs, "doc_id", "text"),
     ]
     for fn in sweeps:
         for _ in range(2):  # back-to-back calls on the same input
@@ -1848,6 +1894,16 @@ def test_operator_caches_released_when_results_dropped(spark, docs):
             del out
             gc.collect()
             assert cm.isEmpty()  # dropped result released its cache
+    # round 14: the grouped pairing left simhash_candidate_pairs with a
+    # single-consumer plan, so it no longer persists ANYTHING — the
+    # stronger property is that the CacheManager stays empty throughout
+    for _ in range(2):
+        out = D.simhash_candidate_pairs(docs, "doc_id", "text")
+        out.count()
+        assert cm.isEmpty()  # cache-free operator: nothing to own
+        del out
+        gc.collect()
+        assert cm.isEmpty()
 
 
 def test_derived_results_keep_cache_alive(spark, docs):
