@@ -1695,25 +1695,30 @@ def dedupe_against_index(
 
     new_banded = band_frame(new_sig)
     idx_banded = band_frame(index)
+    # ONE (band, bucket) pass over the INDEX side (round 14 opt, guide
+    # §2.4 — the grouped-pairing shape from minhash_candidate_pairs
+    # applied to the new-vs-index join): group each index bucket's docs
+    # once; the array length IS the index-side bucket size, so the
+    # ≤max_bucket_size filter reproduces the old hot-bucket anti-join
+    # exactly (a dropped bucket stops matching new docs entirely,
+    # either way). The old shape consumed the exploded index TWICE —
+    # the per-bucket count aggregate plus the equi-join side — i.e. two
+    # reads of the index parquet and an extra keyed shuffle of the
+    # ×bands explode at any scale. Per-task state stays bounded by the
+    # cap (≤5000 ids per array); with the cap disabled the expansion
+    # matches the old in-bucket join's worst case, which also colocated
+    # each bucket.
+    grouped = idx_banded.groupBy("band", "bucket").agg(
+        F.collect_list("doc").alias("__idocs__")
+    )
     if max_bucket_size is not None:
-        oversized = (
-            idx_banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("__n__"))
-            .filter(F.col("__n__") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        idx_banded = idx_banded.join(
-            F.broadcast(oversized), ["band", "bucket"], "left_anti"
-        )
-
+        grouped = grouped.filter(F.size("__idocs__") <= max_bucket_size)
     cand = (
-        new_banded.alias("n")
-        .join(
-            idx_banded.alias("i"),
-            (F.col("n.band") == F.col("i.band"))
-            & (F.col("n.bucket") == F.col("i.bucket")),
+        new_banded.join(grouped, ["band", "bucket"])
+        .select(
+            F.col("doc").alias("new_doc"),
+            F.explode("__idocs__").alias("idx_doc"),
         )
-        .select(F.col("n.doc").alias("new_doc"), F.col("i.doc").alias("idx_doc"))
         .distinct()
     )
 
@@ -1851,29 +1856,41 @@ def substring_dup_spans(
     by :func:`substring_dedupe`; ``keep="none"`` reports every copy —
     the audit view.
 
-    Plan: hash-agg over window hashes (min/max doc + first occurrence,
-    map-side partials), broadcast-free equi-join to flag positions, one
-    per-doc merge. The span clamp joins the spans (small) against the
+    Plan: ONE hash-keyed exchange — per-hash duplication stats
+    (count, min/max doc, first occurrence) ride a ``partitionBy(h)``
+    window over the positions frame (round 14 opt, guide §2.2: the
+    previous shape shuffled the positions frame TWICE, once into the
+    stats hash-agg and once into the flag equi-join, behind a persist
+    so the hash kernel wouldn't run per consumer; the window shape has
+    a single consumer, so the kernel streams once and both the persist
+    materialization pass and the second exchange are gone).
+    ``WindowExec`` buffers one hash-group at a time in a spillable
+    array, so a boilerplate window shared by millions of docs degrades
+    to disk instead of OOM — unlike a ``collect_list`` bucket array,
+    which is why this path uses the window shape rather than the
+    grouped-pairing shape of ``minhash_candidate_pairs``. Then one
+    per-doc merge; the span clamp joins the spans (small) against the
     doc lengths with the spans BROADCAST — the corpus never shuffles."""
     if keep not in ("none", "first"):
         raise ValueError(f'keep must be "none" or "first", got {keep!r}')
-    # the positions frame is referenced twice (hash agg + flag join);
-    # without the persist the Python hash kernel runs once per
-    # reference — measured 1.9× at sf0.1
-    wh = substring_window_positions(df, id_col, text_col, window, winnow).persist()
-    agg = wh.groupBy("h").agg(
-        F.count("*").alias("__n__"),
-        F.min(id_col).alias("__mn__"),
-        F.max(id_col).alias("__mx__"),
-        F.min(F.struct(id_col, "pos")).alias("__first__"),
+    from pyspark.sql.window import Window
+
+    wh = substring_window_positions(df, id_col, text_col, window, winnow)
+    w = Window.partitionBy("h")
+    ann = wh.select(
+        id_col,
+        "pos",
+        F.count(F.lit(1)).over(w).alias("__n__"),
+        F.min(id_col).over(w).alias("__mn__"),
+        F.max(id_col).over(w).alias("__mx__"),
+        F.min(F.struct(id_col, "pos")).over(w).alias("__first__"),
     )
     cond = (
         (F.col("__mn__") != F.col("__mx__"))
         if cross_doc_only
         else (F.col("__n__") > 1)
     )
-    dup = agg.filter(cond).select("h", "__first__")
-    flagged = wh.join(dup, "h")
+    flagged = ann.filter(cond)
     if keep == "first":
         flagged = flagged.filter(
             ~(
@@ -1883,7 +1900,7 @@ def substring_dup_spans(
         )
     flagged = flagged.select(id_col, "pos")
     merged = _merged_spans(flagged, id_col, window)
-    return persist_until_released(wh, _clamped_spans(df, merged, id_col, text_col))
+    return _clamped_spans(df, merged, id_col, text_col)
 
 
 def substring_dedupe(
@@ -1903,10 +1920,8 @@ def substring_dedupe(
     Python in the reconstruction path."""
     spans = substring_dup_spans(
         df, id_col, text_col, window, winnow, cross_doc_only, keep="first"
-    )  # cache owner — adopted onto the returned plan below
-    return adopt_cache_owner(
-        _excise_spans(df, spans, id_col, text_col, out_col), spans
-    )
+    )  # round 14: cache-free (single-pass window shape) — no owner tie
+    return _excise_spans(df, spans, id_col, text_col, out_col)
 
 
 def _excise_spans(
