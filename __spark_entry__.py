@@ -3760,9 +3760,14 @@ def _text_bm25_topk(spark, sf):
         F.col("doc_id").alias("query_id"),
         F.substring(F.col("text"), 1, 80).alias("query_text"),
     )
-    return bm25_topk(
-        docs, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
-    ).select("query_id", "doc_id", "n_hit_terms", "score_micro", "rank")
+    from gecko_spark.core import adopt_cache_owner
+
+    owner = bm25_topk(docs, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+    # owner adoption keeps the doclen cache live for the derived select
+    return adopt_cache_owner(
+        owner.select("query_id", "doc_id", "n_hit_terms", "score_micro", "rank"),
+        owner,
+    )
 
 
 def _bm25_scored_cte() -> str:
@@ -3848,10 +3853,16 @@ def _bm25_hard_negatives(spark, sf):
         F.substring(F.col("text"), 1, 80).alias("query_text"),
         F.col("lang").alias("label"),
     )
-    return bm25_hard_negatives(
-        docs, anchors, k=5, label_col="lang",
-        k1=_BM25_K1, b=_BM25_B,
-    ).select("query_id", "doc_id", "n_hit_terms", "score_micro", "rank")
+    from gecko_spark.core import adopt_cache_owner
+
+    owner = bm25_hard_negatives(
+        docs, anchors, k=5, label_col="lang", k1=_BM25_K1, b=_BM25_B
+    )
+    # owner adoption keeps the doclen cache live for the derived select
+    return adopt_cache_owner(
+        owner.select("query_id", "doc_id", "n_hit_terms", "score_micro", "rank"),
+        owner,
+    )
 
 
 def _bm25_hard_negatives_sql() -> str:

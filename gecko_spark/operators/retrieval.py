@@ -51,11 +51,23 @@ __all__ = [
 def _doc_stats(docs: DataFrame, id_col: str, text_col: str):
     """(postings, doclen, n_docs, sum_len): term frequencies per doc,
     doc lengths, and the corpus constants. One tokenize, one explode,
-    one (doc, term) aggregation — the only corpus-wide shuffle."""
+    one (doc, term) aggregation — the only corpus-wide shuffle.
+
+    ``doclen`` comes back PERSISTED (round 14 opt, guide §5): the
+    corpus constants are an EAGER aggregate over it, so without the
+    persist every later action re-ran the corpus regex tokenize once
+    for the stats and once for doclen's scoring join — the cache fills
+    as a free by-product of the stats collect and holds two longs per
+    doc. Callers own the release: tie it to the returned plan
+    (``persist_until_released``) or unpersist after writing."""
+    from pyspark import StorageLevel
+
     toked = docs.select(
         F.col(id_col).alias("__doc__"), tokens(F.col(text_col)).alias("__tk__")
     )
-    doclen = toked.select("__doc__", F.size("__tk__").alias("__len__"))
+    doclen = toked.select("__doc__", F.size("__tk__").alias("__len__")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     postings = (
         toked.select("__doc__", F.explode("__tk__").alias("__term__"))
         .groupBy("__doc__", "__term__")
@@ -111,12 +123,19 @@ def bm25_score_pairs(
     if max_df_ratio is not None and not (0.0 < max_df_ratio <= 1.0):
         raise ValueError(f"max_df_ratio must be in (0, 1], got {max_df_ratio}")
     postings, doclen, n_docs, sum_len = _doc_stats(docs, id_col, text_col)
-    return _score_from_stats(
+    out = _score_from_stats(
         docs.sparkSession, postings, doclen, n_docs, sum_len, queries,
         id_col=id_col, query_id_col=query_id_col,
         query_text_col=query_text_col, k1=k1, b=b,
         max_df_ratio=max_df_ratio,
     )
+    if n_docs == 0:
+        # empty-corpus early return references nothing — release now
+        doclen.unpersist()
+        return out
+    from gecko_spark.core import persist_until_released
+
+    return persist_until_released(doclen, out)
 
 
 def _score_from_stats(
@@ -169,11 +188,18 @@ def _score_from_stats(
     )
     # prune postings to query vocabulary FIRST (broadcast semi-join),
     # then df over the pruned set — df counts DOCS per term, which is
-    # invariant to the pruning (a term's posting list survives whole)
+    # invariant to the pruning (a term's posting list survives whole).
+    # The per-term df rides a partitionBy(term) WINDOW over the pruned
+    # postings (round 14 opt, guide §2.2): the previous separate
+    # count aggregate + broadcast-join-back made `hit` a two-consumer
+    # frame, so the corpus tokenize → (doc, term) aggregation (or the
+    # indexed path's bucket-pruned scan) executed once per consumer.
+    # The window costs one exchange of the PRUNED postings — query-
+    # vocabulary-sized, not corpus-sized — and leaves the whole chain
+    # single-pass.
     hit = postings.join(qterms.select("__term__").distinct(), "__term__", "left_semi")
-    df_ = hit.groupBy("__term__").agg(
-        F.count(F.lit(1)).alias("__df__")
-    )
+    w_term = Window.partitionBy("__term__")
+    hit = hit.withColumn("__df__", F.count(F.lit(1)).over(w_term))
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("__df__") + F.lit(0.5))
@@ -181,15 +207,12 @@ def _score_from_stats(
     )
     if max_df_ratio is not None:
         # elide stopword-frequent query terms BEFORE the wide joins —
-        # df_ is query-vocabulary-sized, so the filter is free
-        df_ = df_.filter(
+        # a per-row filter on the window-attached df, same rows dropped
+        # as the old term-list filter
+        hit = hit.filter(
             F.col("__df__") <= F.lit(float(max_df_ratio)) * F.lit(float(n_docs))
         )
-    scored = (
-        hit.join(F.broadcast(df_), "__term__")
-        .join(qterms, "__term__")
-        .join(doclen, "__doc__")
-    )
+    scored = hit.join(qterms, "__term__").join(doclen, "__doc__")
     tf = F.col("__tf__").cast("double")
     norm = tf * F.lit(k1 + 1.0) / (
         tf
@@ -236,9 +259,12 @@ def bm25_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
     )
-    return (
+    from gecko_spark.core import adopt_cache_owner
+
+    return adopt_cache_owner(
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= k),
+        pairs,  # keeps the doclen cache alive for the derived plan
     )
 
 
@@ -271,6 +297,7 @@ def write_bm25_index(
         .parquet(f"{path}/postings")
     )
     doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+    doclen.unpersist()  # both eager consumers (stats, write) are done
     spark = docs.sparkSession
     spark.createDataFrame(
         [(int(n_docs), int(sum_len), int(n_buckets))],
@@ -391,8 +418,11 @@ def bm25_hard_negatives(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
     )
-    return (
+    from gecko_spark.core import adopt_cache_owner
+
+    return adopt_cache_owner(
         negatives.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .drop("__dlab__", "__alab__")
+        .drop("__dlab__", "__alab__"),
+        pairs,  # keeps the doclen cache alive for the derived plan
     )
