@@ -171,7 +171,15 @@ def ensure_parallelism(df: DataFrame, min_ratio: float = 1.0) -> DataFrame:
     ``.rdd.getNumPartitions()`` probe — which is only safe THERE:
     under AQE, ``.rdd`` on a shuffle-bearing plan EXECUTES its query
     stages (profiled at 6+ s and real cluster jobs per call inside the
-    curation chain), so step (2) must come first."""
+    curation chain), so step (2) must come first.
+
+    Streaming frames are returned untouched: ``.inputFiles()`` /
+    ``.rdd`` are illegal on a streaming plan, and micro-batch width is
+    the source's concern (maxFilesPerTrigger etc.), not this guard's —
+    stateless kernels that share code with the batch path (e.g. the
+    DSIR scorer) must stay streaming-servable."""
+    if df.isStreaming:
+        return df
     target = max(
         1, int(df.sparkSession.sparkContext.defaultParallelism * min_ratio)
     )

@@ -139,6 +139,12 @@ def test_ensure_parallelism_ladder(spark):
     assert widened.rdd.getNumPartitions() >= min(
         spark.sparkContext.defaultParallelism, 2
     )
+    # round 14: a STREAMING frame is returned untouched — .inputFiles()
+    # and .rdd are illegal on a streaming plan, and the guard sits
+    # inside kernels (DSIR scorer, gopher gates) that must stay
+    # streaming-servable
+    stream = spark.readStream.format("rate").load()
+    assert ensure_parallelism(stream) is stream
 
 
 def test_streaming_pipeline_example(spark):
