@@ -152,10 +152,29 @@ def _score_from_stats(
     k1: float,
     b: float,
     max_df_ratio,
+    df_via: str = "window",
 ) -> DataFrame:
     """The scoring tail shared by the direct path and the persisted-
     index path (:func:`bm25_topk_indexed`). ``postings`` =
-    (__doc__, __term__, __tf__), ``doclen`` = (__doc__, __len__)."""
+    (__doc__, __term__, __tf__), ``doclen`` = (__doc__, __len__).
+
+    ``df_via`` picks how the per-term document frequency is attached —
+    both produce identical rows, the choice is purely physical:
+
+    - ``"window"`` (default, the direct path): df rides a
+      partitionBy(term) window over the pruned postings, keeping the
+      chain SINGLE-PASS — right when ``postings`` is expensive to
+      produce (the corpus-wide tokenize+aggregate), because the
+      alternative re-executes it per consumer.
+    - ``"reaggregate"`` (the persisted-index path): a separate tiny
+      groupBy(term) count broadcast-joined back. ``postings`` is then
+      consumed twice, but there it is a cheap bucket-pruned parquet
+      scan, and the window's exchange+sort sat on the critical path
+      instead — measured +0.4 s (+30%) on the 34-query indexed bench
+      entry when the window shape was (wrongly) used for both paths
+      (round 14, cross-commit interleaved A/B)."""
+    if df_via not in ("window", "reaggregate"):
+        raise ValueError(f"df_via must be 'window' or 'reaggregate', got {df_via!r}")
     if n_docs == 0:
         # derive id types from the input schemas so the empty result
         # unions cleanly with non-empty-path results under string (or
@@ -198,20 +217,30 @@ def _score_from_stats(
     # vocabulary-sized, not corpus-sized — and leaves the whole chain
     # single-pass.
     hit = postings.join(qterms.select("__term__").distinct(), "__term__", "left_semi")
-    w_term = Window.partitionBy("__term__")
-    hit = hit.withColumn("__df__", F.count(F.lit(1)).over(w_term))
+    if df_via == "window":
+        w_term = Window.partitionBy("__term__")
+        hit = hit.withColumn("__df__", F.count(F.lit(1)).over(w_term))
+        if max_df_ratio is not None:
+            # elide stopword-frequent query terms BEFORE the wide joins
+            # — a per-row filter on the window-attached df, same rows
+            # dropped as the reaggregate shape's term-list filter
+            hit = hit.filter(
+                F.col("__df__")
+                <= F.lit(float(max_df_ratio)) * F.lit(float(n_docs))
+            )
+    else:
+        df_ = hit.groupBy("__term__").agg(F.count(F.lit(1)).alias("__df__"))
+        if max_df_ratio is not None:
+            df_ = df_.filter(
+                F.col("__df__")
+                <= F.lit(float(max_df_ratio)) * F.lit(float(n_docs))
+            )
+        hit = hit.join(F.broadcast(df_), "__term__")
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("__df__") + F.lit(0.5))
         / (F.col("__df__") + F.lit(0.5))
     )
-    if max_df_ratio is not None:
-        # elide stopword-frequent query terms BEFORE the wide joins —
-        # a per-row filter on the window-attached df, same rows dropped
-        # as the old term-list filter
-        hit = hit.filter(
-            F.col("__df__") <= F.lit(float(max_df_ratio)) * F.lit(float(n_docs))
-        )
     scored = hit.join(qterms, "__term__").join(doclen, "__doc__")
     tf = F.col("__tf__").cast("double")
     norm = tf * F.lit(k1 + 1.0) / (
@@ -347,11 +376,15 @@ def bm25_topk_indexed(
     )
     if buckets:
         postings = postings.filter(F.col("__bkt__").isin(buckets))
+    # df_via="reaggregate": here postings is a cheap bucket-pruned scan,
+    # so scanning it twice (tiny df aggregate + scoring) beats putting
+    # the window's exchange+sort on the critical path — see
+    # _score_from_stats for the measured asymmetry between the paths
     pairs = _score_from_stats(
         spark, postings.drop("__bkt__"), doclen, n_docs, sum_len, queries,
         id_col=id_col, query_id_col=query_id_col,
         query_text_col=query_text_col, k1=k1, b=b,
-        max_df_ratio=max_df_ratio,
+        max_df_ratio=max_df_ratio, df_via="reaggregate",
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
