@@ -2965,12 +2965,22 @@ def _dedup_jaccard(spark, sf):
     # the capped universe keeps the sf0.1 low-entropy corpus from going
     # quadratic (naive Σf² = 1.9e9 rows; capped = 33M, prefix-join far
     # less). The oracle replicates the cap.
+    from gecko_spark.core import adopt_cache_owner
     from gecko_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
     docs = load_table(spark, sf, "documents")
-    return ngram_jaccard_pairs_prefix(
+    # hold the owner through the derived select (core.py chaining
+    # caveat, round 14): a bare .select() drops the returned owner and
+    # releases the internal prefix cache before any action runs — the
+    # (explode → window → collect_list → slice) subtree then re-executes
+    # once per consumer (4× in the plan dump)
+    pairs = ngram_jaccard_pairs_prefix(
         docs, "doc_id", "text", n=4, threshold=0.35, max_shingle_freq=500
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return adopt_cache_owner(
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
+        pairs,
+    )
 
 
 _DEDUP_JACCARD_SQL = """

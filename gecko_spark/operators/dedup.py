@@ -1096,20 +1096,27 @@ def ngram_jaccard_pairs_prefix(
         F.col(id_col).alias("doc"),
         F.explode(char_shingles(F.col(text_col), n)).alias("shingle"),
     )
+    # Per-shingle document frequency rides a partitionBy(shingle) window
+    # (round 14 opt, guide §2.2/§2.4 — same single-pass rewrite as the
+    # substring stats and BM25 df): the previous shape evaluated the
+    # corpus-wide shingle explode THREE times — the hot-shingle count
+    # aggregate, the frequency aggregate, and the join's ranked side —
+    # 32 parquet scans in the sf0.01 plan dump. One window = one
+    # shingle-keyed exchange over a single explode pass, and the
+    # ``max_shingle_freq`` cap becomes a per-row filter on the attached
+    # count (shingles are dropped whole, so the window count over the
+    # pre-cap rows IS the old post-cap frequency for every survivor).
+    # WindowExec buffers one shingle-group at a time in a spillable
+    # array — bounded by the cap when set; uncapped, a degenerate
+    # shingle degrades to disk exactly like the old join's colocated
+    # bucket. Global canonical order: (frequency asc, shingle asc) —
+    # both sides of the self-join must sort tokens identically or the
+    # prefix theorem does not hold.
+    ranked = sh.withColumn(
+        "f", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     if max_shingle_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("f"))
-            .filter(F.col("f") > max_shingle_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
-    # global canonical order: (frequency asc, shingle asc) — both sides
-    # of the self-join must sort tokens identically or the prefix
-    # theorem does not hold
-    ranked = sh.join(freq, "shingle")
+        ranked = ranked.filter(F.col("f") <= max_shingle_freq)
 
     docs = (
         ranked.groupBy("doc")

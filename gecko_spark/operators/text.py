@@ -995,7 +995,17 @@ def unigram_logprob(
         F.col(id_col),
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # vocab table materialized once via lazy localCheckpoint (round 14
+    # opt, guide §2.4/§5): ``freq`` has TWO consumers — the totals
+    # aggregate and the scoring join — and without a cut each re-ran
+    # the corpus tokenize+explode+aggregate (3 Generate nodes in the
+    # sf0.01 plan dump, now 2: one frequency pass + the scoring join's
+    # token stream). Vocabulary-sized blocks, GC-released with the plan.
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = freq.agg(F.sum("cnt").alias("__total__"))  # 1 row — broadcast
     logp = (
         toks.join(freq, "tok")
@@ -1074,21 +1084,31 @@ def perplexity_buckets(
             .otherwise(F.lit("tail"))
         )
         return df.withColumn(bucket_col, bucket)
-    scored = df.filter(score.isNotNull())
-    nulls = df.filter(score.isNull()).withColumn(bucket_col, F.lit("tail"))
+    # SINGLE-PASS exact mode (round 14 opt, guide §2.4/§5): the previous
+    # shape filtered the input into scored/null halves and unioned them
+    # back, evaluating the upstream plan TWICE (and ``df`` here is
+    # typically the tip of a full LM-scoring pipeline). Counting only
+    # non-null scores inside the windows (``count(score)`` instead of
+    # ``count(*)``) makes the split unnecessary: ``n`` is the group's
+    # non-null count either way, and in the RANGE frame NULL scores sort
+    # last under ``desc()`` so a non-null current row's frame never
+    # reaches them (and ``count(score)`` would skip them regardless).
+    # NULL rows take the ``tail`` branch of the CASE directly — same
+    # rows, one window exchange, one evaluation of the input.
     w_n = Window.partitionBy(*group_cols)
     w_c = (
         Window.partitionBy(*group_cols)
         .orderBy(score.desc())
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n, c = F.count("*").over(w_n), F.count("*").over(w_c)
+    n, c = F.count(score).over(w_n), F.count(score).over(w_c)
     bucket = (
-        F.when(F.lit(3) * c <= n, F.lit("head"))
+        F.when(score.isNull(), F.lit("tail"))
+        .when(F.lit(3) * c <= n, F.lit("head"))
         .when(F.lit(3) * c <= F.lit(2) * n, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return scored.withColumn(bucket_col, bucket).unionByName(nulls)
+    return df.withColumn(bucket_col, bucket)
 
 
 def bpe_train(
@@ -1253,15 +1273,26 @@ def bigram_logprob(
     unnormalized scores, standard at corpus scale); first tokens score
     ``c(w)/T``. Returns ``(id, n_tokens, avg_logprob)``.
 
-    Plan shape: tokenize+posexplode (narrow) → one window (lag over
-    positions, shuffle by doc) → bigram aggregation (one shuffle);
-    context totals ``c(prev·)`` derive from the ALREADY-REDUCED bigram
-    table, not a second corpus pass; scoring joins stream the positions
-    against the two model tables (AQE broadcasts them when the vocab
-    fits, shuffle-joins otherwise — both shapes scale). Same
-    cross-engine determinism contract as unigram: per-token ``ln p``
-    rounded to 6 decimals, summed as ``decimal(28,6)`` (associative),
-    mean divided back in double."""
+    Plan shape (round 14 opt, guide §2.2/§2.4): tokenize+posexplode
+    (narrow) → one window (lag over positions, shuffle by doc) → ONE
+    ``groupBy(prev, tok)`` count that the WHOLE model derives from.
+    Every token position lands in exactly one (prev, tok) group (first
+    tokens under ``prev = NULL``), so the unigram table is
+    ``sum(cnt) per tok`` over the already-reduced model, the context
+    table ``sum(cnt) per prev`` over its non-null-prev rows, and the
+    corpus total ``T`` one more fold — never a second corpus pass.
+    (The previous shape ran a separate corpus-wide aggregate per
+    table, re-executing the tokenize+lag subtree per consumer: 5
+    Generate / 3 Window nodes in the sf0.01 plan dump, now 1/1 plus
+    the scoring stream.) The model is map-side combined before its one
+    shuffle (§2.3 "aggregate before you shuffle") and persisted once
+    (model-sized: the bigram vocabulary), the cache's lifetime tied to
+    the returned plan.
+    Scoring joins stream the positions against the model slices (AQE
+    broadcasts them when the vocab fits, shuffle-joins otherwise —
+    both shapes scale). Same cross-engine determinism contract as
+    unigram: per-token ``ln p`` rounded to 6 decimals, summed as
+    ``decimal(28,6)`` (associative), mean divided back in double."""
     from pyspark.sql.window import Window
 
     toks = df.select(
@@ -1273,14 +1304,38 @@ def bigram_logprob(
     w = Window.partitionBy(id_col).orderBy("pos")
     pairs = toks.withColumn("prev", F.lag("tok").over(w))
 
-    uni = pairs.groupBy("tok").agg(F.count("*").alias("ucnt"))
-    total = uni.agg(F.sum("ucnt").alias("__total__"))  # 1 row — broadcast
-    big = (
-        pairs.filter(F.col("prev").isNotNull())
-        .groupBy("prev", "tok")
-        .agg(F.count("*").alias("bcnt"))
+    # The model has four consumers (uni/big/ctx slices + the totals
+    # fold); the persist makes all four read one materialization (plan
+    # verified: 4 InMemoryTableScan references), lifetime tied to the
+    # returned plan below. (A GROUPING SETS ((tok),(prev,tok),(prev))
+    # variant was tried first and rejected: Spark's cache matching
+    # fails to canonicalize repeated references to a cached
+    # grouping-sets Aggregate within one query — only the first
+    # consumer read the InMemoryRelation — and its Expand tripled the
+    # pre-aggregation rows for no benefit over deriving the smaller
+    # tables from the (prev, tok) counts. A lazy-localCheckpoint
+    # materialization measured ~8% slower than the cache at sf0.1:
+    # the extra job boundary costs more than the InMemoryRelation
+    # bookkeeping saves.)
+    from pyspark import StorageLevel
+
+    from gecko_spark.core import persist_until_released
+
+    model = (
+        pairs.groupBy("prev", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ctx = big.groupBy("prev").agg(F.sum("bcnt").alias("ccnt"))
+    uni = model.groupBy("tok").agg(F.sum("cnt").alias("ucnt"))
+    total = model.agg(F.sum("cnt").alias("__total__"))  # 1 row — broadcast
+    big = model.filter(F.col("prev").isNotNull()).select(
+        "prev", "tok", F.col("cnt").alias("bcnt")
+    )
+    ctx = (
+        model.filter(F.col("prev").isNotNull())
+        .groupBy("prev")
+        .agg(F.sum("cnt").alias("ccnt"))
+    )
 
     scored_toks = (
         pairs.join(uni, "tok")
@@ -1326,13 +1381,14 @@ def bigram_logprob(
     # exact int64 floor-division: (num - num % den) is divisible by den,
     # so the double quotient is exact (values ≪ 2^53)
     avg_mic = (num - num % den) / den
-    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+    out = df.select(F.col(id_col)).join(scored, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         F.when(
             F.col("n_tokens") > 0, sign * avg_mic / F.lit(1000000.0)
         ).alias("avg_logprob"),
     )
+    return persist_until_released(model, out)
 
 
 def chunk_documents(
