@@ -6351,6 +6351,7 @@ def _text_vocab_divergence(spark, sf):
     (term-ascending tiebreak) so the top-k boundary is engine-portable
     — same design as text_tfidf_top3. (ASCII-tokenizer oracle
     assumption, as in _text_tfidf.)"""
+    from gecko_spark.core import adopt_cache_owner
     from gecko_spark.operators.text import vocab_divergence
 
     docs = load_table(spark, sf, "documents")
@@ -6360,8 +6361,12 @@ def _text_vocab_divergence(spark, sf):
         "text",
         k=20,
     )
-    # exact-width parity with the BIGINT-producing oracle window
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    # exact-width parity with the BIGINT-producing oracle window; the
+    # chained withColumn would drop the internal vocab cache's owner
+    # (core.py caller contract), so re-tie the lifetime explicitly
+    return adopt_cache_owner(
+        out.withColumn("rank", F.col("rank").cast("long")), out
+    )
 
 
 _TEXT_VOCAB_DIVERGENCE_SQL = r"""

@@ -225,9 +225,19 @@ def kmv_overlap_estimate(
     # the UNtruncated sets into merged/in_both while the side estimates
     # were truncated, inflating n_common/jaccard relative to
     # est_a/est_b (internally inconsistent).
-    sa = sketch_a.select("h").distinct().orderBy("h").limit(k)
-    sb = sketch_b.select("h").distinct().orderBy("h").limit(k)
-    merged = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    # Each truncated sketch is referenced THREE times below (merged,
+    # the in_both semi-joins, its own side estimate) and `merged` twice
+    # (m, in_both). Without a boundary every reference re-executes the
+    # caller's sketch pipeline — typically a corpus-sized hash+truncate
+    # (kmv_sketch) — so one overlap estimate cost ~8 corpus passes
+    # (plans/r14/sketch_kmv_overlap_before: 16 parquet scans).
+    # localCheckpoint materializes each ≤k-row frame once; everything
+    # downstream is arithmetic over ≤3k rows (round 14 opt, guide §5).
+    sa = sketch_a.select("h").distinct().orderBy("h").limit(k).localCheckpoint()
+    sb = sketch_b.select("h").distinct().orderBy("h").limit(k).localCheckpoint()
+    merged = (
+        sa.unionByName(sb).distinct().orderBy("h").limit(k).localCheckpoint()
+    )
     in_both = merged.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
     m = merged.agg(F.count("*").alias("n_seen"), F.max("h").alias("h_k"))
     c = in_both.agg(F.count("*").alias("n_common"))

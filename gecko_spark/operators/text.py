@@ -1926,6 +1926,18 @@ def vocab_divergence(
             .agg(F.count(F.lit(1)).alias(out))
         )
 
+    from pyspark import StorageLevel
+
+    from gecko_spark.core import persist_until_released
+
+    # `joined` feeds TWO consumers — the 1-row totals aggregate (the
+    # broadcast subtree evaluates as its own job) and the scored main
+    # pass — and its subtree is BOTH corpus tokenize+aggregate passes
+    # plus the vocab join. Unpersisted, all of that re-executed per
+    # consumer (plans/r14/text_vocab_divergence_before: 8 parquet
+    # scans). The totals job fills the cache as a by-product and the
+    # scoring pass reads the vocab-sized index back (round 14 opt,
+    # guide §5); lifetime tied to the returned frame.
     joined = (
         _counts(df_a, "cnt_a")
         .join(_counts(df_b, "cnt_b"), "term", "full_outer")
@@ -1934,6 +1946,7 @@ def vocab_divergence(
             F.coalesce(F.col("cnt_a"), F.lit(0)).alias("cnt_a"),
             F.coalesce(F.col("cnt_b"), F.lit(0)).alias("cnt_b"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = joined.agg(
         F.sum("cnt_a").alias("n_a"),
@@ -1957,9 +1970,10 @@ def vocab_divergence(
         F.col("contrib").desc(), F.col("term").asc()
     ).limit(k)
     w = Window.orderBy(F.col("contrib").desc(), F.col("term").asc())
-    return topk.withColumn("rank", F.row_number().over(w)).select(
+    out = topk.withColumn("rank", F.row_number().over(w)).select(
         "term", "cnt_a", "cnt_b", "contrib", "rank"
     )
+    return persist_until_released(joined, out)
 
 
 def compression_ratio(text: Column, level: int = 6) -> Column:

@@ -147,6 +147,48 @@ def test_cm_estimate_broadcasts_sketch(spark):
     assert "BroadcastHashJoin" in p and "BuildRight" in p, p
 
 
+def test_kmv_overlap_materializes_sketches_once(spark):
+    """Round 14 opt: kmv_overlap_estimate references each truncated
+    sketch 3× and the merged set 2× — without the localCheckpoint
+    boundary the caller's corpus-sized sketch pipeline re-executed per
+    reference (8 parquet scans, 16 kernel runs in the executed plan).
+    The final plan must read only checkpointed RDDs."""
+    from gecko_spark.operators.sketches import kmv_overlap_estimate, kmv_sketch
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_custkey").cast("string").alias("v")
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_custkey").cast("string").alias("v")
+    )
+    est = kmv_overlap_estimate(kmv_sketch(a, "v", 64), kmv_sketch(b, "v", 64), 64)
+    p = _plan(est)
+    assert "Scan parquet" not in p, (
+        "overlap estimate must run on the checkpointed ≤k-row sketches, "
+        "not re-execute the corpus pipeline per reference:\n" + p
+    )
+
+
+def test_vocab_divergence_caches_vocab_join(spark):
+    """Round 14 opt: the (term, cnt_a, cnt_b) union-vocab frame feeds
+    both the totals broadcast and the scored main pass; unpersisted,
+    both corpus tokenize+aggregate passes re-executed per consumer."""
+    from gecko_spark.operators.text import vocab_divergence
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = vocab_divergence(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        k=5,
+    )
+    p = _plan(out)
+    assert p.count("InMemoryTableScan") >= 2, (
+        "both consumers of the vocab join must read the cache:\n" + p
+    )
+
+
 def test_query_catalogue_invariants():
     """VERDICT r7 #5: queries() is BUILT from WINDOW_50 + the catalogue
     pair list, so the driver window cannot silently diverge — duplicate
