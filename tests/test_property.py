@@ -823,3 +823,44 @@ def test_warc_gzip_resync_blast_radius_property(
     assert full[:ci] == expect[:ci]
     # 4) corruption is reported, not swallowed
     assert len(bad) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Round 14 opt: the vectorized portable-hash fold (UCS4-view matrix,
+# right-pad + BASE^-pad correction) must stay bit-identical to the
+# definitional per-string Horner — every sketch/decontam/DSIR/classifier
+# contract hash rides on it.
+# ---------------------------------------------------------------------------
+
+HASH_TEXT = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0, max_codepoint=0x2FFF),
+        st.characters(min_codepoint=0x1F300, max_codepoint=0x1F6FF),  # astral
+    ),
+    max_size=2100,  # crosses the 2048-column chunk boundary
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts=st.lists(HASH_TEXT, max_size=30))
+def test_poly_hash_matches_horner_model(texts):
+    from gecko_spark.functions.portable_hash import (
+        P1,
+        P2,
+        BASE,
+        poly_hash_strings,
+        poly_hash_strings_multi,
+    )
+
+    def horner(s: str, p: int) -> int:
+        h = 0
+        for ch in s:
+            h = (h * BASE + ord(ch)) % p
+        return h
+
+    for p in (P1, P2):
+        got = poly_hash_strings(texts, p)
+        assert list(got) == [horner(s, p) for s in texts]
+    m1, m2 = poly_hash_strings_multi(texts, (P1, P2))
+    assert list(m1) == [horner(s, P1) for s in texts]
+    assert list(m2) == [horner(s, P2) for s in texts]
