@@ -467,13 +467,25 @@ def linkage_join(
         a, b, id_a, id_b, block_a, block_b, keep_a=on, keep_b=on
     )
     if score == "levenshtein":
+        # bounded levenshtein (round 14 opt, guide §4 "heavyweight work
+        # per row"): the threshold overload runs the banded O(d·n) DP
+        # with early abort instead of the full O(n²) table, returning
+        # -1 past the bound. Per-field bound = the TOTAL cap: any
+        # single field beyond it already fails the summed filter, so
+        # requiring every field ≥ 0 drops exactly the same pairs, and
+        # kept pairs carry exact distances (the bounded form is exact
+        # within the bound). NULL inputs still yield NULL → dropped,
+        # as before.
         dist = None
+        in_bound = None
         for c in on:
-            d = F.levenshtein(F.col(f"a_{c}"), F.col(f"b_{c}"))
+            d = F.levenshtein(F.col(f"a_{c}"), F.col(f"b_{c}"), int(max_dist))
+            ok = d >= 0
+            in_bound = ok if in_bound is None else in_bound & ok
             dist = d if dist is None else dist + d
         scored = (
             cands.withColumn("dist", dist.cast("int"))
-            .filter(F.col("dist") <= max_dist)
+            .filter(in_bound & (F.col("dist") <= max_dist))
             .select("id_a", "id_b", "dist")
         )
         order = [F.col("dist").asc(), F.col("id_b").asc()]
@@ -561,7 +573,11 @@ def fellegi_sunter_join(
         if max_dist is None:
             agree = la.eqNullSafe(lb)
         else:
-            agree = F.levenshtein(la, lb) <= F.lit(int(max_dist))
+            # bounded levenshtein (round 14 opt): O(max_dist·n) banded
+            # DP with early abort; ≥ 0 ⟺ distance ≤ max_dist (the
+            # overload returns -1 past the bound). NULL → NULL → the
+            # when() falls to the disagree branch, as before.
+            agree = F.levenshtein(la, lb, int(max_dist)) >= 0
         w = F.when(agree, F.lit(agree_w)).otherwise(F.lit(disagree_w))
         weight = w if weight is None else weight + w
     scored = (
