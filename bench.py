@@ -834,9 +834,11 @@ def compact_stdout_line(result: dict, cap: int = STDOUT_LINE_CAP) -> str:
     entries are dropped before the headline set — the totals summarize
     the rest and the dispersion file always has everything."""
     slim = dict(result)
-    # per-session detail (env fingerprints, session meds) lives in the
-    # dispersion artifact only — the stdout line keeps sessions_n
+    # per-session detail (env fingerprints, session meds) and the
+    # protocol caveat live in the dispersion artifact only — the stdout
+    # line keeps sessions_n
     slim.pop("sessions", None)
+    slim.pop("protocol_note", None)
     slim["queries"] = {
         q: (v["med"] if isinstance(v, dict) else v)
         for q, v in result["queries"].items()
@@ -968,6 +970,15 @@ def _combine_sessions(session_results: list) -> dict:
         "headline25_n": len(headline),
         "protocol": "cross-session median of %d fresh-JVM sessions"
         % len(session_results),
+        # measurement-method caveat (VERDICT r14 #4): children run the
+        # LIGHT in-session protocol (3 timed runs after ≤4 warmups vs 5
+        # after ≤8 pre-r14), so sub-second entry medians read ~5-10%
+        # higher than pre-r14 single-session artifacts — cross-ROUND
+        # comparisons against r13-or-earlier numbers must not read that
+        # as a code regression.
+        "protocol_note": "light in-session reps since r14 (3 timed/≤4 warm "
+        "per child session); sub-second medians read ~5-10% above pre-r14 "
+        "full-protocol artifacts",
         "sessions_n": len(session_results),
         "sessions": [
             {
@@ -987,22 +998,29 @@ def _combine_sessions(session_results: list) -> dict:
     return result
 
 
-def _load_prior(sf, cross_session: bool = False) -> dict:
+def _load_prior(sf, cross_session: bool = False, cpus=None) -> dict:
     """The prior committed artifact's bands — loaded BEFORE the first
     overwrite (VERDICT r10 #8). Bands are only comparable at the SAME
     scale factor: a quick sf0.01 iteration run must not flag (or
-    silently rebase) the sf0.1 round artifact's bands. With
-    ``cross_session=True`` a prior WITHOUT cross-session bands is also
-    rejected: a multi-session band spans fresh-JVM session variance
-    (measured 20.5–29.5 s on same code), a single-session band does
-    not, so 'new lo > prior hi' across that protocol change flags
-    session placement, not code — the r14 transition run produced 13
-    such spurious flags before this guard."""
+    silently rebase) the sf0.1 round artifact's bands. The same applies
+    to the CORE COUNT (VERDICT r14 #2): the driver also benches at a
+    lower $SPARK_GRAFT_CPUS, and comparing an 8-core run's medians
+    against committed 32-core bands flagged 6 false regressions in
+    round 14 — a prior recorded at a different ``env.cpus`` is
+    rejected. With ``cross_session=True`` a prior WITHOUT cross-session
+    bands is also rejected: a multi-session band spans fresh-JVM
+    session variance (measured 20.5–29.5 s on same code), a
+    single-session band does not, so 'new lo > prior hi' across that
+    protocol change flags session placement, not code — the r14
+    transition run produced 13 such spurious flags before this guard."""
     disp = os.path.join(os.path.dirname(os.path.abspath(__file__)), DISPERSION_FILE)
     try:
         with open(disp) as f:
             prior_doc = json.load(f)
         if prior_doc.get("sf") != sf:
+            return {}
+        prior_cpus = (prior_doc.get("env") or {}).get("cpus")
+        if cpus is not None and prior_cpus is not None and prior_cpus != cpus:
             return {}
         if cross_session and "sessions_n" not in prior_doc:
             return {}
@@ -1015,9 +1033,10 @@ def _finalize(result: dict, prior: dict = None) -> None:
     """Compare against the prior committed artifact, write the
     dispersion artifact, print the driver-facing line."""
     sf = result.get("sf")
+    cpus = (result.get("env") or {}).get("cpus")
     disp = os.path.join(os.path.dirname(os.path.abspath(__file__)), DISPERSION_FILE)
     if prior is None:
-        prior = _load_prior(sf)
+        prior = _load_prior(sf, cpus=cpus)
     reg = detect_regressions(result["queries"], prior)
     if reg:
         result["regressions"] = reg
@@ -1027,6 +1046,22 @@ def _finalize(result: dict, prior: dict = None) -> None:
     # artifact (that exact accident cost a git-restore in round 11).
     if sf is not None and sf != 0.1:
         disp = disp.replace(".json", f".sf{sf}.json")
+    # Off-core-count runs likewise (VERDICT r14 #2): the driver's
+    # scaling pass at a lower $SPARK_GRAFT_CPUS must not overwrite the
+    # main artifact's bands. Whatever core count the committed artifact
+    # records is authoritative for its path; a run at any OTHER count
+    # writes `<name>.c<cpus>.json`.
+    try:
+        with open(disp) as f:
+            committed_cpus = (json.load(f).get("env") or {}).get("cpus")
+    except (OSError, ValueError):
+        committed_cpus = None
+    if (
+        committed_cpus is not None
+        and cpus is not None
+        and committed_cpus != cpus
+    ):
+        disp = disp.replace(".json", f".c{cpus}.json")
     with open(disp, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(compact_stdout_line(result))
@@ -1117,7 +1152,11 @@ def main():
             if session_results:
                 combined = _combine_sessions(session_results)
                 if prior is None:
-                    prior = _load_prior(combined.get("sf"), cross_session=True)
+                    prior = _load_prior(
+                        combined.get("sf"),
+                        cross_session=True,
+                        cpus=(combined.get("env") or {}).get("cpus"),
+                    )
                 _finalize(combined, prior)
                 sys.stdout.flush()
     if not session_results:

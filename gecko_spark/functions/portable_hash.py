@@ -29,6 +29,8 @@ lengths.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 __all__ = [
@@ -40,6 +42,7 @@ __all__ = [
     "poly_hash_strings",
     "poly_hash_strings_multi",
     "window_hashes",
+    "batch_window_hashes",
     "sql_horner",
     "sql_window_hashes",
     "sql_window_hashes_combined",
@@ -58,13 +61,37 @@ def code_points(s: str) -> np.ndarray:
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
 
 
+# Memoization width cap: tables are keyed on the EXACT length, and
+# batch-dependent lengths (max string width of a batch) would otherwise
+# let a few pathological multi-MB documents pin hundreds of MB of
+# cached tables. Above the cap the table is built on the fly.
+_MEMO_MAX_N = 65536
+
+
 def powers(n: int, prime: int = P1) -> np.ndarray:
-    """``[BASE^(n-1) % prime, ..., BASE, 1]`` as int64."""
+    """``[BASE^(n-1) % prime, ..., BASE, 1]`` as int64.
+
+    Memoized (read-only array) below ``_MEMO_MAX_N``: the table was
+    rebuilt on every batch of every hash kernel otherwise — measurable
+    pure-Python cost on hot Arrow paths. Callers must not mutate the
+    result."""
+    if n <= _MEMO_MAX_N:
+        return _powers_cached(n, prime)
+    return _powers_build(n, prime)
+
+
+@lru_cache(maxsize=256)
+def _powers_cached(n: int, prime: int) -> np.ndarray:
+    return _powers_build(n, prime)
+
+
+def _powers_build(n: int, prime: int) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     acc = 1
     for i in range(n - 1, -1, -1):
         out[i] = acc
         acc = (acc * BASE) % prime
+    out.flags.writeable = False
     return out
 
 
@@ -101,13 +128,28 @@ def _codepoint_matrix(strings: list[str]):
 def _inv_base_powers(n: int, prime: int) -> np.ndarray:
     """``[BASE^0, BASE^-1, …, BASE^-n] mod prime`` as int64 — the
     right-pad correction table, indexed by pad length. ``prime`` is
-    prime, so the inverse is ``BASE^(prime-2)`` (Fermat)."""
+    prime, so the inverse is ``BASE^(prime-2)`` (Fermat). Memoized
+    (read-only) below ``_MEMO_MAX_N``: rebuilt per ``_fold_mod`` call
+    otherwise — a Python loop over the batch's max string width on the
+    hot path."""
+    if n <= _MEMO_MAX_N:
+        return _inv_base_powers_cached(n, prime)
+    return _inv_base_powers_build(n, prime)
+
+
+@lru_cache(maxsize=256)
+def _inv_base_powers_cached(n: int, prime: int) -> np.ndarray:
+    return _inv_base_powers_build(n, prime)
+
+
+def _inv_base_powers_build(n: int, prime: int) -> np.ndarray:
     inv_b = pow(BASE, prime - 2, prime)
     out = np.empty(n + 1, dtype=np.int64)
     acc = 1
     for j in range(n + 1):
         out[j] = acc
         acc = (acc * inv_b) % prime
+    out.flags.writeable = False
     return out
 
 
@@ -183,6 +225,124 @@ def window_hashes(s: str, n: int, prime: int = P1) -> np.ndarray:
         return np.array([int(cp @ pw[-len(cp):]) % prime], dtype=np.int64)
     win = np.lib.stride_tricks.sliding_window_view(cp, n)
     return (win.astype(np.int64) @ pw) % prime
+
+
+# --- batched window hashing (round 15, guide §4) ---------------------------
+#
+# The per-row kernels above re-enter numpy once per STRING (encode,
+# sliding_window_view, matmul); for corpora of short documents that
+# per-row dispatch dominates the batch. batch_window_hashes computes
+# every row's window hashes in ONE vectorized pass over the
+# concatenated batch via the prefix-sum identity
+#
+#   H(s..e) = Σ_{j=s}^{e-1} cp[j]·BASE^(e-1-j)
+#           = BASE^(e-1) · (U(e) - U(s))            (mod p),
+#   U(i)    = Σ_{j<i} cp[j]·BASE^(-j)               (mod-p residues,
+#                                                    summed exactly in int64)
+#
+# so each window costs O(1) gathers + multiplies instead of O(n) — and
+# the values are bit-identical to window_hashes (both reduce to the
+# canonical residue in [0, p)). Safety: residues are < 2^31 and the
+# raw cumsum of N of them stays inside int64 for N < 2^32 — far beyond
+# any Arrow batch; guarded anyway.
+
+# power-range tables [x^0 … x^(k-1)] mod p, grown geometrically and
+# reused across batches (worker reuse keeps this warm for a whole task
+# stream); values < 2^31 so the outer product below stays < 2^62.
+_POW_RANGE_CACHE: dict = {}
+
+
+def _pow_range(x: int, k: int, prime: int) -> np.ndarray:
+    """``[x^0, x^1, …, x^(k-1)] mod prime`` as a read-only int64 array
+    (a view of a cached, geometrically grown table)."""
+    key = (x, prime)
+    tbl = _POW_RANGE_CACHE.get(key)
+    if tbl is None or len(tbl) < k:
+        size = max(k, 4096, 0 if tbl is None else 2 * len(tbl))
+        # i = 64·q + r decomposition: two short Python loops build the
+        # factor vectors, one vectorized outer product mod p fills the
+        # table — O(size/64) interpreter steps for O(size) entries.
+        r = np.empty(64, dtype=np.int64)
+        acc = 1
+        for i in range(64):
+            r[i] = acc
+            acc = (acc * x) % prime
+        x64 = pow(x, 64, prime)
+        nq = (size + 63) // 64
+        q = np.empty(nq, dtype=np.int64)
+        acc = 1
+        for i in range(nq):
+            q[i] = acc
+            acc = (acc * x64) % prime
+        tbl = ((q[:, None] * r[None, :]) % prime).reshape(-1)[:size]
+        tbl.flags.writeable = False
+        _POW_RANGE_CACHE[key] = tbl
+    return tbl[:k]
+
+
+def batch_window_hashes(
+    strings, n: int, primes: tuple[int, ...] = (P1,)
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Window hashes of every string of a batch in one vectorized pass.
+
+    Returns ``(hs, counts)`` where ``counts[i]`` is the number of
+    hashes emitted for ``strings[i]`` (``len==0``/``None`` → 0;
+    ``0<len<n`` → 1 whole-string hash; else ``len-n+1``) and ``hs`` is
+    one int64 array per prime holding the concatenated per-row hashes —
+    bit-identical to
+    ``np.concatenate([window_hashes(s, n, p) for s in strings])``.
+
+    Unlike :func:`window_hashes`, the code-point encode, the window
+    fold and the mod reduction all run once over the concatenated
+    batch (guide §4: the per-row numpy dispatch was the dominant batch
+    cost for short-document corpora), and short rows need no special
+    casing — their single whole-string hash is the same prefix-sum
+    difference with ``e - s = len`` instead of ``n``.
+    """
+    nrows = len(strings)
+    counts = np.zeros(nrows, dtype=np.int64)
+    if nrows == 0:
+        return [np.empty(0, dtype=np.int64) for _ in primes], counts
+    ss = [s if isinstance(s, str) else "" for s in strings]
+    lens = np.fromiter(map(len, ss), dtype=np.int64, count=nrows)
+    counts = np.where(lens == 0, 0, np.maximum(lens - n + 1, 1))
+    total_out = int(counts.sum())
+    if total_out == 0:
+        return [np.empty(0, dtype=np.int64) for _ in primes], counts
+    joined = "".join(ss)
+    flat = code_points(joined).astype(np.int64)
+    total = len(flat)
+    if total >= 1 << 32:  # raw-residue cumsum would leave int64
+        hs = [
+            np.concatenate(
+                [window_hashes(s, n, p) for s in ss if s]
+                or [np.empty(0, dtype=np.int64)]
+            )
+            for p in primes
+        ]
+        return hs, counts
+    offs = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    # emitted-window global [start, end) spans, in row-major order
+    nz = counts > 0
+    cum = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(counts, out=cum[1:])
+    reps = counts[nz]
+    starts = np.repeat(offs[:-1][nz], reps) + (
+        np.arange(total_out, dtype=np.int64) - np.repeat(cum[:-1][nz], reps)
+    )
+    ends = starts + np.repeat(np.minimum(lens, n)[nz], reps)
+    hs = []
+    for p in primes:
+        inv_b = pow(BASE, p - 2, p)
+        ipow = _pow_range(inv_b, total, p)
+        t = (flat * ipow) % p
+        upad = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(t, out=upad[1:])
+        diff = (upad[ends] - upad[starts]) % p
+        bpow = _pow_range(BASE, total, p)
+        hs.append((diff * bpow[ends - 1]) % p)
+    return hs, counts
 
 
 # ---------------------------------------------------------------------------

@@ -323,52 +323,90 @@ def minhash_signature(
     points of the lowercased text. Any engine with 64-bit integers
     (DuckDB, Trino, a SQL oracle) reproduces the signature bit-for-bit
     — see the ``dedup_minhash_pairs`` oracle in ``__spark_entry__.py``.
+
+    Round 15 (guide §4): the shingle hashing runs once over the
+    CONCATENATED batch (``batch_window_hashes`` — the per-row
+    encode/window/matmul dispatch dominated the kernel), and when the
+    batch's distinct shingle vocabulary is small (natural-language
+    corpora repeat shingles massively — the bench corpus has ~2k
+    distinct hashes across 1.5M windows) the k-hash grid is evaluated
+    ONCE over the global distinct hashes and each row takes a
+    gather+min over its shingle codes. High-diversity batches keep the
+    round-14 per-row cache-resident grid (a 64 × U grid at U ≈ windows
+    would stream through main memory — the shape round 14 measured
+    1.3–5× slower). Both paths are bit-identical: duplicates cannot
+    change a minimum, and the grid arithmetic is unchanged.
     """
-    from gecko_spark.functions.portable_hash import code_points, powers
+    from gecko_spark.functions.portable_hash import batch_window_hashes
 
     params = np.asarray(_perm_params(num_hashes, seed), dtype=np.int64)
     a_col = params[:, 0][:, None]
     b_col = params[:, 1][:, None]
     n = shingle_size
-    pows = powers(n, _P)
+    # global-grid cap: 64 × 2^16 int64 temporaries stay ~32 MB (cache-
+    # friendly); past it the grid build goes memory-bound and the
+    # per-row path wins
+    grid_cap = 1 << 16
+
+    def _fold(x: np.ndarray) -> np.ndarray:
+        # universal-hash grid with an in-place Mersenne fold
+        # (2^31 ≡ 1 mod P): two shift+mask+add rounds replace the
+        # generic `%` — bit-identical values, measurably faster.
+        y = x >> 31
+        x &= _P
+        x += y
+        y = x >> 31
+        x &= _P
+        x += y
+        x[x >= _P] -= _P
+        return x
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
         k = len(params)
         empty_sig = np.full(k, _P, dtype=np.int64)
-        out: list = [None] * len(texts)
-        for i, t in enumerate(texts):
-            c = code_points(t.lower()) if t else np.empty(0, np.uint32)
-            if len(c) == 0:
-                out[i] = empty_sig
-                continue
-            if len(c) < n:
-                h = np.array([int(c @ pows[-len(c):]) % _P], dtype=np.int64)
-            else:
-                win = np.lib.stride_tricks.sliding_window_view(c, n)
-                h = (win.astype(np.int64) @ pows) % _P
-                # distinct BEFORE the k-hash grid: duplicates cannot
-                # change a minimum, natural text is ~31% duplicate
-                # shingles, and np.unique's sort costs far less than 64
-                # fold rows over the dupes (measured −13% on the real
-                # corpus, bit-identical output). A round-14 chunked
-                # cross-row vectorization of this grid measured 1.3–5×
-                # SLOWER at every chunk size — the per-doc (k × S)
-                # block is cache-resident, large chunks stream through
-                # main memory — so the per-row loop stays.
-                h = np.unique(h)
-            # universal-hash grid with an in-place Mersenne fold
-            # (2^31 ≡ 1 mod P): two shift+mask+add rounds replace the
-            # generic `%` — bit-identical values, measurably faster.
-            x = a_col * h[None, :] + b_col
-            y = x >> 31
-            x &= _P
-            x += y
-            y = x >> 31
-            x &= _P
-            x += y
-            x[x >= _P] -= _P
-            out[i] = x.min(axis=1)
+        nrows = len(texts)
+        if nrows == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        lowered = [t.lower() if t else "" for t in texts]
+        (hv,), counts = batch_window_hashes(lowered, n, (_P,))
+        cum = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(counts, out=cum[1:])
+        out: list = [empty_sig] * nrows
+        if len(hv) == 0:
+            return pd.Series(out)
+        # probe distinctness on a strided ~32k sample before paying the
+        # full batch sort: a high-diversity batch (sampled distinct
+        # ratio > 0.5) goes straight to the per-row path — the global
+        # unique would cost a full sort only to land over grid_cap
+        uniq = codes = None
+        stride = max(1, len(hv) >> 15)
+        samp = hv[::stride]
+        if len(np.unique(samp)) * 2 <= len(samp):
+            # hash values are < 2^31: the uint32 view sorts faster
+            uniq, codes = np.unique(hv.astype(np.uint32), return_inverse=True)
+        if uniq is not None and len(uniq) <= grid_cap:
+            # grid over the batch-global distinct hashes, transposed so
+            # each row's gather reads contiguous 64-value blocks; int32
+            # halves the gather traffic (values < P < 2^31)
+            grid_t = _fold(a_col * uniq.astype(np.int64)[None, :] + b_col).T.astype(
+                np.int32
+            )
+            for i in range(nrows):
+                if counts[i]:
+                    out[i] = (
+                        grid_t[codes[cum[i]:cum[i + 1]]]
+                        .min(axis=0)
+                        .astype(np.int64)
+                    )
+        else:
+            for i in range(nrows):
+                if counts[i]:
+                    # distinct BEFORE the k-hash grid: duplicates cannot
+                    # change a minimum, and the small sort costs less
+                    # than k grid rows over the dupes
+                    h = np.unique(hv[cum[i]:cum[i + 1]])
+                    out[i] = _fold(a_col * h[None, :] + b_col).min(axis=1)
         return pd.Series(out)
 
     return _sig(text)
@@ -1804,7 +1842,7 @@ def substring_window_positions(
     positions. One Arrow kernel; the only movement is the parallelism
     guard's round-robin when the scan is split-starved (a single small
     parquet file otherwise runs the whole corpus in one task)."""
-    from gecko_spark.functions.portable_hash import P1, P2, window_hashes
+    from gecko_spark.functions.portable_hash import P1, P2, batch_window_hashes
 
     id_type = df.schema[id_col].dataType.simpleString()
     df = ensure_parallelism(df)
@@ -1814,15 +1852,22 @@ def substring_window_positions(
             # numpy column assembly, never element-wise Python lists:
             # a single multi-MB document yields millions of positions
             # and boxing them through list.extend dominated the kernel
-            # (r11 pathological profiling — ~3× on giant docs)
+            # (r11 pathological profiling — ~3× on giant docs).
+            # Round 15: both primes' window hashes for the WHOLE batch
+            # come from one concatenated pass (batch_window_hashes,
+            # guide §4 — values bit-identical to the per-row kernel);
+            # the per-doc loop only slices and winnows.
+            (h1, h2), counts = batch_window_hashes(
+                list(pdf[text_col]), window, (P1, P2)
+            )
+            h_all = h1 * P2 + h2
+            cum = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=cum[1:])
             per_doc: list = []
-            for did, t in zip(pdf[id_col], pdf[text_col]):
-                if not t:
+            for i, did in enumerate(pdf[id_col]):
+                if not counts[i]:
                     continue
-                h = (
-                    window_hashes(t, window, P1) * P2
-                    + window_hashes(t, window, P2)
-                )
+                h = h_all[cum[i]:cum[i + 1]]
                 if winnow > 1 and len(h) > winnow:
                     win = np.lib.stride_tricks.sliding_window_view(h, winnow)
                     # rightmost minimum per window (standard winnowing

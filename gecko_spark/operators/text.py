@@ -362,15 +362,19 @@ def rolling_hash_fingerprint(text: Column, window: int = 8, keep: int = 4) -> Co
     Shared w-grams ⇒ shared signature entries — robust to local edits.
     Engine-portable like :func:`fingerprint`; empty/null text yields an
     empty signature."""
-    from gecko_spark.functions.portable_hash import P1, window_hashes
+    from gecko_spark.functions.portable_hash import P1, batch_window_hashes
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _rfp(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            h = window_hashes(t.lower(), window, P1) if t else np.empty(0, np.int64)
-            out.append(np.unique(h)[:keep])
-        return pd.Series(out)
+        # one concatenated window-hash pass for the batch (round 15,
+        # guide §4 — bit-identical to the per-row window_hashes loop)
+        lowered = [t.lower() if t else "" for t in texts]
+        (hv,), counts = batch_window_hashes(lowered, window, (P1,))
+        cum = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=cum[1:])
+        return pd.Series(
+            [np.unique(hv[cum[i]:cum[i + 1]])[:keep] for i in range(len(texts))]
+        )
 
     return _rfp(text)
 

@@ -864,3 +864,39 @@ def test_poly_hash_matches_horner_model(texts):
     m1, m2 = poly_hash_strings_multi(texts, (P1, P2))
     assert list(m1) == [horner(s, P1) for s in texts]
     assert list(m2) == [horner(s, P2) for s in texts]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    texts=st.lists(st.one_of(st.none(), HASH_TEXT), max_size=30),
+    n=st.sampled_from([1, 2, 5, 8, 40, 64]),
+)
+def test_batch_window_hashes_matches_per_row(texts, n):
+    """The round-15 concatenated-batch window-hash kernel (prefix-sum
+    identity over the joined code points) must stay bit-identical to
+    the definitional per-row ``window_hashes`` — the MinHash signature,
+    substring-dedup and winnowing-fingerprint contract entries (and
+    their DuckDB oracles) all key on these exact values. Covers NULs,
+    astral code points, empty/None rows, rows shorter than the window,
+    and the chunk of row-boundary windows the batch kernel must NOT
+    emit."""
+    import numpy as np
+
+    from gecko_spark.functions.portable_hash import (
+        P1,
+        P2,
+        batch_window_hashes,
+        window_hashes,
+    )
+
+    hs, counts = batch_window_hashes(texts, n, (P1, P2))
+    for got, p in zip(hs, (P1, P2)):
+        want = [
+            window_hashes(s, n, p) if s else np.empty(0, dtype=np.int64)
+            for s in texts
+        ]
+        assert list(counts) == [len(w) for w in want]
+        flat = (
+            np.concatenate(want) if want else np.empty(0, dtype=np.int64)
+        )
+        assert np.array_equal(got, flat)
