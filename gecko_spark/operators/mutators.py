@@ -1091,22 +1091,36 @@ class _PhoneticReplacement(Mutator):
             if not mask.any():
                 return vals.copy()
             out_np = vals.to_numpy(dtype=object).copy()
-            s = pd.Series(vals.fillna("").to_numpy(dtype=object))
-            n = len(s)
+            n = len(vals)
 
-            # per-rule match masks, vectorized .str kernels
+            # FACTORIZE the batch (round 15, guide §4): match masks and
+            # replacement strings are pure functions of the VALUE, and
+            # mutator columns are typically low-cardinality (generated
+            # categories, names, dates), so the per-rule .str kernels
+            # and regex replaces run over the batch's distinct values
+            # and fan back out through one integer gather — measured
+            # ~10× on the masks at 10 distinct values, and a no-op-cost
+            # hash pass when every value is distinct. Row-level
+            # accept/skip draws below are untouched, so outputs are
+            # bit-identical.
+            codes, uniques = pd.factorize(vals.fillna(""))
+            uniq_np = np.asarray(uniques, dtype=object)
+            su = pd.Series(uniq_np)
+
+            # per-rule match masks over the DISTINCT values
             # (gecko/mutator.py:411-424)
-            match = np.zeros((len(rules), n), dtype=bool)
+            matchu = np.zeros((len(rules), len(su)), dtype=bool)
             for r, (pattern, _, flag) in enumerate(rules):
                 if flag == "^":
-                    match[r] = s.str.startswith(pattern).to_numpy(bool)
+                    matchu[r] = su.str.startswith(pattern).to_numpy(bool)
                 elif flag == "$":
-                    match[r] = s.str.endswith(pattern).to_numpy(bool)
+                    matchu[r] = su.str.endswith(pattern).to_numpy(bool)
                 else:
-                    match[r] = (
-                        s.str.slice(1, -1).str.contains(pattern, regex=False)
+                    matchu[r] = (
+                        su.str.slice(1, -1).str.contains(pattern, regex=False)
                         .to_numpy(bool)
                     )
+            match = matchu[:, codes]
 
             options = match.sum(axis=0).astype(np.float64)
             # rule order: descending frequency; rows keep an
@@ -1133,25 +1147,31 @@ class _PhoneticReplacement(Mutator):
                 options[match[r] & ~rows] -= 1
                 if not rows.any():
                     continue
-                sub = s[rows]
+                # replacement per DISTINCT matching value, fanned out
+                # through the factorize codes — same regexes, same
+                # values, far fewer evaluations
+                subu = su[matchu[r]]
                 if flag == "^":
-                    new = sub.str.replace(
+                    newu = subu.str.replace(
                         f"^{re.escape(pattern)}", replacement, n=1, regex=True
                     )
                 elif flag == "$":
-                    new = sub.str.replace(
+                    newu = subu.str.replace(
                         f"{re.escape(pattern)}$", replacement, n=1, regex=True
                     )
                 else:
-                    new = sub.str.replace(
+                    newu = subu.str.replace(
                         f"^(.+)(?:{re.escape(pattern)})(.+)$",
                         rf"\g<1>{replacement}\g<2>",
                         n=1,
                         regex=True,
                     )
-                changed = (new != sub).to_numpy(bool)
+                repl_u = uniq_np.copy()
+                repl_u[matchu[r]] = newu.to_numpy(dtype=object)
+                new = repl_u[codes[rows]]
+                changed = new != uniq_np[codes[rows]]
                 idx = np.flatnonzero(rows)[changed]
-                out_np[idx] = new.to_numpy(dtype=object)[changed]
+                out_np[idx] = new[changed]
                 done[idx] = True
             return pd.Series(out_np, index=vals.index)
 
@@ -1210,6 +1230,33 @@ class _RegexReplacement(Mutator):
         the dataset-global rule order (MIGRATION.md \"Streaming\")."""
         col = F.col(column) if isinstance(column, str) else column
         rules = self.rules
+
+        if len(rules) <= 62:
+            # pack per-rule flags into ONE long per row (round 15): the
+            # old per-row list-of-longs built len(rules) boxed ints per
+            # row before Arrow even saw them; the bitmask is a single
+            # int64 column, and the searches run once per DISTINCT
+            # value (same factorize rationale as the kernel).
+            @F.pandas_udf(T.LongType())
+            def _match_bits(vals: pd.Series) -> pd.Series:
+                codes, uniques = pd.factorize(vals.fillna(""))
+                uniq_np = np.asarray(uniques, dtype=object)
+                bits_u = np.zeros(len(uniq_np), dtype=np.int64)
+                for r, (p, _) in enumerate(rules):
+                    m = np.array(
+                        [p.search(v) is not None for v in uniq_np], dtype=bool
+                    )
+                    bits_u |= m.astype(np.int64) << r
+                return pd.Series(bits_u[codes])
+
+            bits = df.select(_match_bits(col).alias("c"))
+            row = bits.groupBy().agg(
+                *[
+                    F.sum(F.shiftright("c", i).bitwiseAND(F.lit(1))).alias(str(i))
+                    for i in range(len(rules))
+                ]
+            ).first()
+            return [int(row[str(i)] or 0) for i in range(len(rules))]
 
         @F.pandas_udf(T.ArrayType(T.LongType()))
         def _match_flags(vals: pd.Series) -> pd.Series:
@@ -1296,15 +1343,26 @@ class _RegexReplacement(Mutator):
 
         @F.pandas_udf(T.StringType())
         def _regex(vals: pd.Series, sel: pd.Series, u: pd.Series) -> pd.Series:
-            out = vals.copy()
             mask = sel.fillna(False).to_numpy(dtype=bool)
             if not mask.any():
-                return out
-            vals_np = vals.fillna("").to_numpy(dtype=object)
-            n = len(vals_np)
-            match = np.zeros((len(rules), n), dtype=bool)
+                return vals.copy()
+            out_np = vals.to_numpy(dtype=object).copy()
+            # FACTORIZE the batch (round 15, guide §4): pattern.search
+            # and _apply_rule are pure functions of the VALUE — running
+            # them once per distinct value and fanning out through the
+            # codes gather turns the per-row Python regex loop into a
+            # per-distinct one (dates/categories repeat massively; an
+            # all-distinct batch pays only one extra hash pass). The
+            # per-row accept/skip draws are untouched → bit-identical.
+            codes, uniques = pd.factorize(vals.fillna(""))
+            uniq_np = np.asarray(uniques, dtype=object)
+            n = len(vals)
+            matchu = np.zeros((len(rules), len(uniq_np)), dtype=bool)
             for r, (pattern, _) in enumerate(rules):
-                match[r] = np.array([pattern.search(v) is not None for v in vals_np])
+                matchu[r] = np.array(
+                    [pattern.search(v) is not None for v in uniq_np]
+                )
+            match = matchu[:, codes]
             options = match.sum(axis=0).astype(np.float64)
             if global_order is not None:
                 freq_order = global_order
@@ -1321,12 +1379,19 @@ class _RegexReplacement(Mutator):
                 prob = np.where(options > 0, 1.0 / np.maximum(options, 1.0), 0.0)
                 rows = mask & ~done & match[r] & (au < prob)
                 options[match[r] & ~rows] -= 1
-                for i in np.flatnonzero(rows):
-                    nv = _apply_rule(vals_np[i], pattern, subs)
-                    if nv != vals_np[i]:
-                        out.iat[i] = nv
-                        done[i] = True
-            return out
+                if not rows.any():
+                    continue
+                sel_codes = codes[rows]
+                new_u = {
+                    int(c): _apply_rule(uniq_np[c], pattern, subs)
+                    for c in np.unique(sel_codes)
+                }
+                new = np.array([new_u[c] for c in sel_codes], dtype=object)
+                changed = new != uniq_np[sel_codes]
+                idx = np.flatnonzero(rows)[changed]
+                out_np[idx] = new[changed]
+                done[idx] = True
+            return pd.Series(out_np, index=vals.index)
 
         return _regex(col, selected, rand.uniform(1))
 
