@@ -493,35 +493,51 @@ def minhash_candidate_pairs(
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # ONE (band, bucket) exchange for the whole pairing (round 14 opt,
-    # guide §2.4): group each bucket's docs and expand pairs from the
-    # grouped array. The previous shape shuffled the banded set THREE
-    # times — the oversized-count aggregate plus both sides of a
-    # (band, bucket) self-join; at any scale that is 3× the shuffle
-    # bytes for the same pair set. The size filter reproduces
-    # ``max_bucket_size`` exactly (a doc appears once per band, so the
-    # array length IS the old per-bucket count; singletons emit no pair
-    # either way). Per-task state stays bounded by the cap (≤5000
-    # bigints per bucket array); with the cap disabled the single-task
-    # O(f²) expansion equals the old in-bucket join's worst case, which
-    # also colocated each bucket on one task. Interleaved min-of-5 at
-    # sf0.1 (scratch/mh_pairs_ab2_r14.log): 3.11 s min / 3.56 med →
-    # 2.59 min / 2.68 med, pair set byte-identical (418,189 pairs).
-    grouped = banded.groupBy("band", "bucket").agg(
-        F.collect_list("doc").alias("__ds__")
-    )
-    size_pred = F.size("__ds__") >= 2
     if max_bucket_size is not None:
-        size_pred = size_pred & (F.size("__ds__") <= max_bucket_size)
-    # double explode → DISTINCT candidate pairs (a pair colliding in
-    # several bands is similarity-scored once, not once per band)
-    cand = (
-        grouped.filter(size_pred)
-        .select(F.explode("__ds__").alias("id_a"), "__ds__")
-        .select("id_a", F.explode("__ds__").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+        # Capped path: ONE (band, bucket) exchange for the whole
+        # pairing (round 14 opt, guide §2.4): group each bucket's docs
+        # and expand pairs from the grouped array. The previous shape
+        # shuffled the banded set THREE times — the oversized-count
+        # aggregate plus both sides of a (band, bucket) self-join; at
+        # any scale that is 3× the shuffle bytes for the same pair
+        # set. The size filter reproduces ``max_bucket_size`` exactly
+        # (a doc appears once per band, so the array length IS the old
+        # per-bucket count; singletons emit no pair either way), and
+        # per-task state stays bounded by the cap (≤max_bucket_size
+        # bigints per bucket array). Interleaved min-of-5 at sf0.1
+        # (scratch/mh_pairs_ab2_r14.log): 3.11 s min / 3.56 med →
+        # 2.59 min / 2.68 med, pair set byte-identical (418,189 pairs).
+        grouped = banded.groupBy("band", "bucket").agg(
+            F.collect_list("doc").alias("__ds__")
+        )
+        # double explode → DISTINCT candidate pairs (a pair colliding
+        # in several bands is similarity-scored once, not once per
+        # band)
+        cand = (
+            grouped.filter(
+                (F.size("__ds__") >= 2) & (F.size("__ds__") <= max_bucket_size)
+            )
+            .select(F.explode("__ds__").alias("id_a"), "__ds__")
+            .select("id_a", F.explode("__ds__").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
+    else:
+        # Uncapped path (round 15, VERDICT r14 "what's wrong" #1): a
+        # degenerate bucket's fan-out is UNBOUNDED, so the streaming
+        # self-join (SMJ spills; a collect_list array buffers the whole
+        # bucket in one aggregation buffer and would not) is the safe
+        # shape — same convention as fingerprint_overlap_pairs. The
+        # signature persist above keeps the Arrow kernel from running
+        # once per join side.
+        ba = banded.select("band", "bucket", F.col("doc").alias("id_a"))
+        bb = banded.select("band", "bucket", F.col("doc").alias("id_b"))
+        cand = (
+            ba.join(bb, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
 
     # one Arrow kernel evaluates est_jaccard per distinct pair — the
     # interpreted zip_with/filter HOF pair was ~2× slower here (it
@@ -998,36 +1014,72 @@ def simhash_candidate_pairs(
         ).alias("ck"),
     ).select("doc", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
 
-    # ONE (chunk, key) exchange (round 14 opt, guide §2.4 — same
-    # 3-exchanges→1 rewrite as minhash_candidate_pairs): group each
-    # block's (doc, sh) rows and expand pairs from the grouped array;
-    # array length == the old per-block count, so the size filter
-    # reproduces ``max_bucket_size`` exactly and per-task state stays
-    # bounded by the cap. The grouped shape leaves `blocked` with a
-    # single consumer, so the pre-rewrite MEMORY_AND_DISK persist
-    # (which guarded the simhash kernel against the oversized-count
-    # aggregate + both self-join sides recomputing it) is gone — the
-    # kernel runs once inside one plan.
-    grouped = blocked.groupBy("chunk", "key").agg(
-        F.collect_list(F.struct("doc", "sh")).alias("__ds__")
-    )
-    size_pred = F.size("__ds__") >= 2
     if max_bucket_size is not None:
-        size_pred = size_pred & (F.size("__ds__") <= max_bucket_size)
-    out = (
-        grouped.filter(size_pred)
-        .select(F.explode("__ds__").alias("a"), "__ds__")
-        .select("a", F.explode("__ds__").alias("b"))
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        # Capped path: ONE (chunk, key) exchange (round 14 opt, guide
+        # §2.4 — same 3-exchanges→1 rewrite as
+        # minhash_candidate_pairs): group each block's (doc, sh) rows
+        # and expand pairs from the grouped array; array length == the
+        # old per-block count, so the size filter reproduces
+        # ``max_bucket_size`` exactly and per-task state stays bounded
+        # by the cap. The grouped shape leaves `blocked` with a single
+        # consumer, so the pre-rewrite MEMORY_AND_DISK persist (which
+        # guarded the simhash kernel against the oversized-count
+        # aggregate + both self-join sides recomputing it) is gone —
+        # the kernel runs once inside one plan.
+        grouped = blocked.groupBy("chunk", "key").agg(
+            F.collect_list(F.struct("doc", "sh")).alias("__ds__")
         )
-        .filter(F.col("hamming") <= max_hamming)
+        pre = (
+            grouped.filter(
+                (F.size("__ds__") >= 2) & (F.size("__ds__") <= max_bucket_size)
+            )
+            .select(F.explode("__ds__").alias("a"), "__ds__")
+            .select("a", F.explode("__ds__").alias("b"))
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("id_a"),
+                F.col("b.doc").alias("id_b"),
+                F.bit_count(
+                    F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+                ).alias("hamming"),
+            )
+        )
+        cached = None
+    else:
+        # Uncapped path (round 15, VERDICT r14 "what's wrong" #1): a
+        # degenerate block's fan-out is UNBOUNDED, so the streaming
+        # self-join (SMJ spills; a collect_list array buffers the
+        # whole block in one aggregation buffer and would not) is the
+        # safe shape — same convention as fingerprint_overlap_pairs.
+        # Both join sides reference `blocked`, so persist it to keep
+        # the simhash Arrow kernel from running once per side.
+        from pyspark import StorageLevel
+
+        blocked = cached = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+        a = blocked.select(
+            "chunk", "key", F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")
+        )
+        b = blocked.select(
+            "chunk", "key", F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")
+        )
+        pre = (
+            a.join(b, ["chunk", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(
+                    F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+                ).alias("hamming"),
+            )
+        )
+    out = (
+        pre.filter(F.col("hamming") <= max_hamming)
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+    if cached is not None:
+        out = persist_until_released(cached, out)
     return out
 
 

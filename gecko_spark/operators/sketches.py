@@ -231,13 +231,34 @@ def kmv_overlap_estimate(
     # caller's sketch pipeline — typically a corpus-sized hash+truncate
     # (kmv_sketch) — so one overlap estimate cost ~8 corpus passes
     # (plans/r14/sketch_kmv_overlap_before: 16 parquet scans).
-    # localCheckpoint materializes each ≤k-row frame once; everything
-    # downstream is arithmetic over ≤3k rows (round 14 opt, guide §5).
-    sa = sketch_a.select("h").distinct().orderBy("h").limit(k).localCheckpoint()
-    sb = sketch_b.select("h").distinct().orderBy("h").limit(k).localCheckpoint()
-    merged = (
-        sa.unionByName(sb).distinct().orderBy("h").limit(k).localCheckpoint()
-    )
+    # persist_until_released (round 15, ADVICE r14): each ≤k-row frame
+    # materializes once on the FIRST action and every later reference
+    # reads the cache — same re-execution cut as round 14's eager
+    # localCheckpoint, but the build stays genuinely lazy. (A lazy
+    # localCheckpoint was tried first and rejected on measurement:
+    # under AQE, `.rdd` inside localCheckpoint(eager=False) still
+    # materializes every exchange at DataFrame-CONSTRUCTION time —
+    # probed at 1 job per sketch frame — so only persist honors the
+    # library's lazy-build contract.) Cache lifetime is tied to the
+    # returned estimate frame; blocks are MEMORY_AND_DISK and
+    # recoverable from lineage on executor loss, unlike checkpoint
+    # blocks.
+    from pyspark import StorageLevel
+
+    from gecko_spark.core import persist_until_released
+
+    def _bounded(s: DataFrame) -> DataFrame:
+        return (
+            s.select("h")
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    sa = _bounded(sketch_a)
+    sb = _bounded(sketch_b)
+    merged = _bounded(sa.unionByName(sb))
     in_both = merged.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
     m = merged.agg(F.count("*").alias("n_seen"), F.max("h").alias("h_k"))
     c = in_both.agg(F.count("*").alias("n_common"))
@@ -253,7 +274,7 @@ def kmv_overlap_estimate(
     est_a = _kmv_estimate_col("n_a", "h_ka", k)
     est_b = _kmv_estimate_col("n_b", "h_kb", k)
     contain = lambda est: F.when(est > 0, intersect_est / est).otherwise(F.lit(0.0))
-    return (
+    out = (
         m.crossJoin(c)
         .crossJoin(side_est(sa, "n_a", "h_ka"))
         .crossJoin(side_est(sb, "n_b", "h_kb"))
@@ -269,6 +290,9 @@ def kmv_overlap_estimate(
             contain(est_b).alias("containment_b"),
         )
     )
+    for cached in (sa, sb, merged):
+        persist_until_released(cached, out)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -163,10 +163,20 @@ def test_kmv_overlap_materializes_sketches_once(spark):
         F.col("o_custkey").cast("string").alias("v")
     )
     est = kmv_overlap_estimate(kmv_sketch(a, "v", 64), kmv_sketch(b, "v", 64), 64)
-    p = _plan(est)
-    assert "Scan parquet" not in p, (
-        "overlap estimate must run on the checkpointed ≤k-row sketches, "
-        "not re-execute the corpus pipeline per reference:\n" + p
+    # round 15: the boundary is a persist (lazy build — an eager OR
+    # lazy localCheckpoint runs the corpus pipeline at construction
+    # time under AQE), so parquet scans legitimately appear BENEATH the
+    # InMemoryRelation definitions. A genuine re-scan would be a
+    # parquet LEAF of the optimized plan, outside any cached subtree.
+    leaves = est._jdf.queryExecution().optimizedPlan().collectLeaves()
+    kinds = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+    parquet_leaves = [k for k in kinds if "Relation" in k and "InMemory" not in k]
+    assert not parquet_leaves, (
+        "overlap estimate must run on the persisted ≤k-row sketches, "
+        f"not re-execute the corpus pipeline per reference: {kinds}"
+    )
+    assert kinds.count("InMemoryRelation") >= 4, (
+        f"expected every sketch reference to read a cache: {kinds}"
     )
 
 
