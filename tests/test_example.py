@@ -139,6 +139,18 @@ def test_ensure_parallelism_ladder(spark):
     assert widened.rdd.getNumPartitions() >= min(
         spark.sparkContext.defaultParallelism, 2
     )
+    # round 15: the spread key is a deterministic value hash, not
+    # round-robin — no sort-before-repartition pass, and retried tasks
+    # reproduce the row→partition map from values alone
+    assert "xxhash64" in widened._jdf.queryExecution().analyzed().toString()
+    # ...but map-typed columns (unhashable in Spark) keep round-robin
+    mapped = one.withColumn("m", F.create_map(F.lit("k"), F.col("id")))
+    widened_m = ensure_parallelism(mapped)
+    assert "xxhash64" not in widened_m._jdf.queryExecution().analyzed().toString()
+    assert widened_m.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 2
+    )
+    assert widened_m.count() == 100
     # round 14: a STREAMING frame is returned untouched — .inputFiles()
     # and .rdd are illegal on a streaming plan, and the guard sits
     # inside kernels (DSIR scorer, gopher gates) that must stay
