@@ -123,7 +123,19 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the minhash/CC subtree out of every downstream plan.
     neardup = neardup.localCheckpoint()
     with_vec = neardup.join(emb, "doc_id", "left")
-    has_vec = with_vec.filter(F.col("embedding").isNotNull())
+    # Persist the embedding-bearing survivor join (round 15): the
+    # semantic pass consumes it three times while curate() is still
+    # running — the k-means fit's count job, the centroid-sample
+    # toPandas, and checkpoint #3's materialization below — and each
+    # consumption re-ran the survivor⋈embeddings join. The cache is
+    # dead once checkpoint #3 cuts the lineage, so it is released
+    # before this function returns (no caller-side ownership needed).
+    from pyspark.storagelevel import StorageLevel
+
+    has_vec = (
+        with_vec.filter(F.col("embedding").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     no_vec = with_vec.filter(F.col("embedding").isNull()).drop("embedding")
     sem = semantic_dedupe(
         has_vec, "doc_id", "embedding", threshold=0.995, n_clusters=8, seed=11
@@ -145,6 +157,9 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this boundary is a reliable checkpoint to object storage; blocks
     # live in executor MEMORY_AND_DISK and are GC-reclaimed.
     neardup = neardup.localCheckpoint()
+    # checkpoint #3 just materialized eagerly: nothing downstream can
+    # reference has_vec anymore — release its cache now
+    has_vec.unpersist(False)
 
     # substring-span excision AFTER doc-level dedup (the Lee et al.
     # order: whole-doc copies are gone, so the span pass only pays for
@@ -279,10 +294,19 @@ def curate_to_sequences(spark: SparkSession, sf_dir: str, timers=None):
         4096,
     )
     _mark("dsir_fit")  # two fit aggregations + driver model collect
-    weighted = train_docs.join(
-        dsir_log_weights(train_docs, lr).select("doc_id", "log_weight"),
-        "doc_id",
+    # Persist the NARROW weights frame (round 15, guide §8: decide with
+    # small rows): three downstream actions — the gumbel threshold
+    # aggregation, the shard-bucket totals collect, and the final
+    # sequence scan — each re-executed the DSIR scoring kernel over the
+    # full train text without it. 16 bytes/row of cache turns that into
+    # one kernel pass + two cached scans; the text stays in the train
+    # cache and is never duplicated.
+    dsir_w = (
+        dsir_log_weights(train_docs, lr)
+        .select("doc_id", "log_weight")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    weighted = train_docs.join(dsir_w, "doc_id")
     selected = gumbel_select_frac(weighted, 0.6, LcgRandom("doc_id", 29))
     _mark("select_threshold")  # percentile_approx threshold aggregation
     sharded = global_token_shards(
@@ -297,7 +321,7 @@ def curate_to_sequences(spark: SparkSession, sf_dir: str, timers=None):
         "doc_id", "text",
     )
     _mark("pack_build")  # lazy; the caller's final action is the scan
-    return seqs, [train_docs]
+    return seqs, [train_docs, dsir_w]
 
 
 def main() -> None:
