@@ -531,20 +531,55 @@ def ivf_assign(
         raise ValueError(f"unknown init {init!r}")
     vec = F.col(vec_col)
     if n_centroids <= 64:
-        # scores ARRAY + array_position(argmax): a chained
-        # when(score > best)-fold embeds the running best expression
-        # twice per centroid — O(2^k) expression-tree blowup that stalls
-        # Catalyst beyond ~12 centroids. This stays O(k · dim).
-        scores = F.array(
-            *[
-                dot(vec, F.lit([float(x) for x in centroids[c]]))
-                for c in range(n_centroids)
-            ]
-        )
-        best_id = (F.array_position(scores, F.array_max(scores)) - F.lit(1)).cast(
-            "int"
-        )
-        return corpus.withColumn("__ivf_list__", best_id), centroids
+        # Small-k assignment as ONE Arrow kernel with STRICT LEFT-FOLD
+        # association (round 15 — the previous shape was k interpreted
+        # ``dot`` HOFs inside an array + array_position(array_max):
+        # 2 M interpreted lambda steps at 2 k vectors × 16 centroids,
+        # measured as the dominant job of dedup_semantic_pairs, plus a
+        # k×dim literal expression tree Catalyst re-analyzes per call).
+        # Bit-exactness is the cosine_fold_udf device: the accumulation
+        # loops over DIMENSIONS (vectorized across rows), so each row's
+        # dot folds (((0+x0·c0)+x1·c1)+…) — identical to the JVM
+        # ``aggregate`` HOF and to the DuckDB oracle's sequential dot —
+        # and np.argmax's first-max tie break matches
+        # array_position(array_max). Rows whose vector is NULL or not
+        # exactly ``dim`` long assign NULL, exactly like the HOF (a
+        # zip_with length mismatch nulls the fold). Pinned by
+        # test_ivf_assign_fold_kernel_matches_hof_path.
+        cents = centroids  # k×D float64, closed over the kernel
+        dim_k = cents.shape[1]
+
+        @F.pandas_udf(T.IntegerType())
+        def _assign_fold(vals: pd.Series) -> pd.Series:
+            n = len(vals)
+            if n == 0:
+                return pd.Series(np.empty(0, dtype=object))
+            ok = np.fromiter(
+                (
+                    v is not None and len(v) == dim_k
+                    and not any(x is None for x in v)
+                    for v in vals
+                ),
+                dtype=bool,
+                count=n,
+            )
+            out = np.full(n, None, dtype=object)
+            if ok.any():
+                x = np.array(
+                    [list(v) for v, good in zip(vals, ok) if good],
+                    dtype=np.float64,
+                )
+                scores = np.zeros((len(cents), len(x)))
+                for c in range(len(cents)):
+                    acc = np.zeros(len(x))
+                    for d in range(dim_k):
+                        acc = acc + x[:, d] * cents[c, d]
+                    scores[c] = acc
+                best = scores.argmax(axis=0).astype(np.int32)
+                out[ok] = list(best)
+            return pd.Series(out)
+
+        return corpus.withColumn("__ivf_list__", _assign_fold(vec)), centroids
 
     cent_t = centroids.T.copy()  # D×k, closed over the Arrow kernel
 

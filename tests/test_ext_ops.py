@@ -1851,6 +1851,45 @@ def test_semantic_matrix_matches_fold(spark, embeddings):
         semantic_dedupe_pairs(embeddings, "vec_id", "embedding", method="nope", **kw)
 
 
+def test_ivf_assign_fold_kernel_matches_hof_path(spark, embeddings):
+    """Round 15: small-k assignment runs as one fold-exact Arrow kernel.
+    It must assign identically to the old interpreted shape — k ``dot``
+    HOFs in an array + array_position(array_max) — whose sequential-
+    fold association is what the DuckDB oracles replay: same dots (the
+    kernel folds over dimensions), same first-max tie break, NULL/
+    wrong-length vectors assign NULL."""
+    from pyspark.sql import functions as F
+
+    from gecko_spark.operators.similarity import dot, ivf_assign
+
+    assigned, cents = ivf_assign(
+        embeddings, "embedding", n_centroids=16, init="first_k", id_col="vec_id"
+    )
+    vec = F.col("embedding")
+    scores = F.array(
+        *[dot(vec, F.lit([float(x) for x in cents[c]])) for c in range(len(cents))]
+    )
+    hof = (F.array_position(scores, F.array_max(scores)) - F.lit(1)).cast("int")
+    both = assigned.withColumn("__hof__", hof).select(
+        "vec_id", "__ivf_list__", "__hof__"
+    )
+    bad = both.filter(~F.col("__ivf_list__").eqNullSafe(F.col("__hof__")))
+    assert bad.count() == 0, bad.limit(5).collect()
+
+    # ties break to the FIRST max (duplicate centroids), and degenerate
+    # vectors (NULL / wrong length) assign NULL in both shapes
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.7, 0.7]),
+         (3, None), (4, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    a2, c2 = ivf_assign(df, "embedding", n_centroids=2, init="first_k",
+                        id_col="vec_id")
+    got = {r["vec_id"]: r["__ivf_list__"] for r in a2.collect()}
+    assert got[0] == 0 and got[1] == 0  # identical centroids -> first
+    assert got[3] is None and got[4] is None
+
+
 def test_ivf_assign_large_k_kernel_matches_literal_path(spark, embeddings):
     """Above k=64 assignment switches to the Arrow BLAS argmax kernel;
     at the same centroids both paths must assign identically (first-max
