@@ -1593,6 +1593,20 @@ def semantic_dedupe_pairs(
         F.col(vec_col).alias("vec"),
         F.col("__ivf_list__").alias("cluster"),
     )
+    # Explicit cluster repartition (round 15, guide §2.5): both scoring
+    # shapes need hashpartitioning(cluster) anyway (the fold self-join,
+    # the matrix groupBy), but AQE coalesces that tiny exchange to ONE
+    # partition on small inputs — measured as a single task carrying
+    # ~all the pair Arrow traffic (0.97 s of a 1.9 s entry). A
+    # user-specified repartition is exempt from AQE coalescing and is
+    # REUSED by the join/groupBy (same key, same partition count), so
+    # this adds no exchange — it only pins the scoring width. Pair
+    # sets are partition-independent (the matrix kernel sorts each
+    # cluster, the fold join is set-semantics), so results are
+    # unchanged.
+    base = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "cluster"
+    )
     # Persist ONLY when the plan consumes `base` more than once: the
     # max_cluster_size anti-join adds a second consumer, and the fold
     # path's self-join consumes both sides (it persists below if this
