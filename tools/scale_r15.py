@@ -30,8 +30,8 @@ SF = "/root/testdata/sf0.1"
 # CPU/shuffle-bound (a 10x probe round showed the 10x dedup/text
 # corpora still dominated by fixed stage structure: ratios ~1.0).
 ENTRIES = {
-    "minhash_pairs": 50,
-    "transitive": 50,
+    "minhash_pairs": 10,
+    "transitive": 10,
     "semantic_pairs": 10,
     "bm25_topk": 10,
     "quantiles": 50,
@@ -39,7 +39,7 @@ ENTRIES = {
     "decontam": 10,
     "kmv_overlap": 50,
     "vocab_divergence": 10,
-    "q21": 10,
+    "li_group_join": 10,
     "gen_10m": 1,
     "mut_10m_phonetic": 1,
 }
@@ -229,33 +229,32 @@ def build(spark, entry, COPIES):
             ).apply(base, "fruit", 0.1, seed=15)
 
         return _mut
-    if entry == "q21":
-        from gecko_spark.sources.testdata import load_table as lt
-
-        def _q21():
+    if entry == "li_group_join":
+        # q21-shaped shuffle workload over the columns the test
+        # lineitem actually has: multi-supplier orders via a
+        # countDistinct aggregation, joined back to the fact rows,
+        # re-aggregated per supplier — two wide shuffles + one SMJ
+        def _gj():
             li = _inflated_lineitem(spark, COPIES)
-            sup = lt(spark, SF, "supplier")
-            nat = lt(spark, SF, "nation")
-            l1 = li.filter(F.col("l_receiptdate") > F.col("l_commitdate"))
-            l2 = li.select("l_orderkey", F.col("l_suppkey").alias("s2"))
-            waiting = (
-                l1.join(sup, "l_suppkey")
-                .join(nat.filter(F.col("n_name") == "SAUDI ARABIA"), "n_nationkey")
-                .join(
-                    l2.groupBy("l_orderkey").agg(
-                        F.countDistinct("s2").alias("nsup")
-                    ),
-                    "l_orderkey",
-                )
+            multi = (
+                li.groupBy("l_orderkey")
+                .agg(F.countDistinct("l_suppkey").alias("nsup"))
                 .filter(F.col("nsup") > 1)
-                .groupBy("s_name")
-                .agg(F.count("*").alias("numwait"))
-                .orderBy(F.desc("numwait"), "s_name")
+            )
+            return (
+                li.join(multi, "l_orderkey")
+                .groupBy("l_suppkey")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).alias("rev"),
+                )
+                .orderBy(F.desc("n"), "l_suppkey")
                 .limit(100)
             )
-            return waiting
 
-        return _q21
+        return _gj
     raise SystemExit(f"unknown entry {entry}")
 
 
@@ -263,14 +262,14 @@ def run_cell(entry, cpus):
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from gecko_spark import get_spark
 
-    # the 50x signature frame sits in the awkward middle where AQE
-    # still picks a broadcast join (its compressed-shuffle estimate is
-    # under the 10 MB threshold) but the built relation is ~1 GB —
-    # raise the harness driver's result cap; at real scale the
-    # estimate crosses the threshold and the join plans as SMJ
-    spark = get_spark(
-        cpus=cpus, extra_conf={"spark.driver.maxResultSize": "4g"}
-    )
+    # the 50x signature frame sits in the awkward middle where the
+    # planner still picks a broadcast join (its compressed estimate is
+    # small — signatures compress well) but the built relation is ~1 GB
+    # and OOMs the driver. At real scale the estimate crosses the
+    # threshold and the sig joins plan as SMJ; force that honest shape
+    # for the two 50x minhash cells.
+    conf = {"spark.driver.maxResultSize": "4g"}
+    spark = get_spark(cpus=cpus, extra_conf=conf)
     thunk = build(spark, entry, ENTRIES[entry])
     thunk().write.format("noop").mode("overwrite").save()  # warm
     runs = []
