@@ -89,11 +89,16 @@ def test_repetition_profile_no_keyed_shuffle(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = _plan(repetition_profile(docs, "doc_id", "text"))
-    # The split-starvation guard (round 14) may round-robin a
-    # single-file scan so the Arrow kernel is not serialized into one
-    # task; the scale invariant is that no KEYED (hash/range) shuffle
-    # ever appears — the profile is per-row.
-    assert "Exchange hashpartitioning" not in p, "profile must not hash-shuffle"
+    # The split-starvation guard may spread a single-file scan so the
+    # Arrow kernel is not serialized into one task; since round 15 the
+    # spread key is xxhash64(struct(*cols)) — a value-derived SPREAD,
+    # not a semantic grouping. The scale invariant is that no DATA-KEY
+    # (hash/range) shuffle ever appears — the profile is per-row — so
+    # any hash exchange present must be the guard's xxhash64 spread.
+    for frag in p.split("Exchange hashpartitioning")[1:]:
+        assert frag.lstrip().startswith("(xxhash64("), (
+            "profile must not hash-shuffle on a data key:\n" + p
+        )
     assert "Exchange rangepartitioning" not in p, "profile must not sort-shuffle"
     assert "ArrowEvalPython" in p
 
